@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in `queries` is an operator from the SURVEY.md §2.2 inventory;
+  * every key that is SQL-expressible also appears in `oracleSql` with the
+  * DuckDB-equivalent text (authored side by side in
+  * graft.queries.OracleSql).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md q33_bnpl_pipeline) on sf=0.001; the driver
+    * smoke-checks rows > 0 (202 purchase events exist at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Events.q33(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_project" -> Relational.q01 _,
+    "q02_pricing_summary"     -> Aggregates.q02 _,
+    "q03_join_inner"          -> Relational.q03 _,
+    "q04_join_broadcast"      -> Relational.q04 _,
+    "q05_join_left_outer"     -> Relational.q05 _,
+    "q06_join_semi"           -> Relational.q06 _,
+    "q07_join_anti"           -> Relational.q07 _,
+    "q08_join_theta"          -> Relational.q08 _,
+    "q09_join_asof"           -> Events.q09 _,
+    "q10_agg_distinct"        -> Aggregates.q10 _,
+    "q11_agg_rollup"          -> Aggregates.q11 _,
+    "q12_window_rank"         -> Windows.q12 _,
+    "q13_window_analytic"     -> Windows.q13 _,
+    "q14_topk"                -> Relational.q14 _,
+    "q15_set_union"           -> SetOps.q15 _,
+    "q16_set_intersect"       -> SetOps.q16 _,
+    "q17_set_except"          -> SetOps.q17 _,
+    "q18_string_funcs"        -> Scalars.q18 _,
+    "q19_date_funcs"          -> Scalars.q19 _,
+    "q20_math_funcs"          -> Scalars.q20 _,
+    "q21_array_funcs"         -> Scalars.q21 _,
+    "q22_json_funcs"          -> Scalars.q22 _,
+    "q23_window_tumbling"     -> Windows.q23 _,
+    "q24_window_sliding"      -> Windows.q24 _,
+    "q25_window_session"      -> Windows.q25 _,
+    "q26_dedup"               -> Events.q26 _,
+    "q27_projection_latest"   -> Windows.q27 _,
+    "q28_event_log_audit"     -> Aggregates.q28 _,
+    "q29_doc_dedup_md5"       -> Text.q29 _,
+    "q30_text_tokens"         -> Text.q30 _,
+    "q31_similarity_topk"     -> Vectors.q31 _,
+    "q32_lang_stats"          -> Aggregates.q32 _,
+    "q33_bnpl_pipeline"       -> Events.q33 _,
+    "q36_ngram_jaccard"       -> Text.q36 _,
+    "q37_cosine_neardup"      -> Vectors.q37 _,
+    "q39_langid"              -> Text.q39 _,
+    "q40_quality_score"       -> Text.q40 _,
+    "q41_token_count"         -> Text.q41 _,
+    "q42_doc_fingerprint"     -> Text.q42 _,
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers shared by every query (SURVEY.md §2.2 rules D1–D5).
+  *
+  * The correctness gate hash-compares Spark results against DuckDB, so all
+  * inexact arithmetic must be bit-identical across engines:
+  *
+  *  - Per-row scalar double arithmetic is IEEE-deterministic and needs no
+  *    help.
+  *  - Aggregation order is NOT deterministic (partial aggs combine in
+  *    shuffle order), so summed measures are cast to DECIMAL(18,4) first —
+  *    exact, associative — and the final value cast back to DOUBLE. The
+  *    testdata's monetary doubles are 2-decimal quantized, so the cast is
+  *    exact; for free-form doubles the half-way tie is unreachable from a
+  *    binary double at scale 4, so both engines round identically.
+  *  - Averages are `exact_sum_as_double / count`: one IEEE division of
+  *    identical operands, no cross-engine rounding involved.
+  */
+object Dsl {
+
+  /** Exact sum of a (possibly computed) double column: DECIMAL(18,4) per
+    * row, decimal sum, DOUBLE out. DuckDB mirror:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Deterministic average: exact decimal sum divided by count in double.
+    * DuckDB mirror: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)`. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Round a double to 4 places for display-stable floats (cosine sims …).
+    * Mirrored literally as ROUND(x, 4) in the oracle. */
+  def round4(c: Column): Column = round(c, 4)
+
+  /** Cosine similarity of two float-array columns, computed in DOUBLE via
+    * codegen'd higher-order functions (no UDF): sequential fold, same
+    * order DuckDB's list_sum uses, residual FP noise absorbed by round4
+    * at the call sites. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v)
+    def norm2(x: Column): Column =
+      aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Dsl._
+import graft.tables.Tables
+
+/** Aggregation surface (SURVEY.md §2.2 q02, q10, q11, q28, q32).
+  *
+  * All aggregates run as partial (map-side) + final HashAggregate pairs —
+  * the summed measures travel pre-combined through the shuffle, so network
+  * volume is O(groups), not O(rows), at any scale.
+  */
+object Aggregates {
+
+  /** q02: TPC-H Q1-shaped pricing summary — multi-aggregate over two group
+    * keys. Sums are exact DECIMAL; averages are exact-sum / count.
+    *
+    * disc_price/charge are computed in DECIMAL end to end: the raw columns
+    * are 2-decimal quantized so their casts are exact, and decimal × decimal
+    * stays exact (scale 6 ≪ precision cap) — whereas casting the *double*
+    * product would hit .xxxx5 ties that Spark rounds HALF_UP and DuckDB
+    * HALF_EVEN (observed divergence, see tools/check.py history). */
+  def q02(spark: SparkSession, sfDir: String): DataFrame = {
+    val one    = lit(1).cast("decimal(3,2)")
+    val priceD = col("l_extendedprice").cast("decimal(12,2)")
+    val disc   = priceD * (one - col("l_discount").cast("decimal(4,2)"))
+    val charge = disc * (one + col("l_tax").cast("decimal(4,2)"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q10: exact distinct aggregate — Spark expands this into a two-phase
+    * plan (dedup on (type,user), then count) automatically. */
+  def q10(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** q11: ROLLUP with explicit GROUPING flags so subtotal NULLs can't be
+    * confused with real NULL keys (determinism rule, SURVEY.md §5.3). */
+  def q11(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("g_flag"), col("g_status"),
+        col("l_returnflag"), col("l_linestatus"), col("n"), col("sum_qty"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
+  /** q28: event-log audit — events per type per day (the `events` table
+    * scan of readme:65-70 generalized to a grouped audit). */
+  def q28(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** q32: per-language document stats — non-ASCII-safe grouping surface
+    * (utf8mb4 requirement, readme:79-81). */
+  def q32(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"))
+}

@@ -1,0 +1,393 @@
+package graft.queries
+
+/** DuckDB 1.0.0 oracle SQL, one entry per oracle-checked query.
+  *
+  * Authored together with the Spark code (SURVEY.md §5.3): identical column
+  * names/order, identical total ORDER BY, and identical arithmetic
+  * discipline — exact DECIMAL(18,4) sums cast to DOUBLE, averages as
+  * exact-sum/count, ROUND only on already-deterministic values. Integer
+  * widths are aligned explicitly (DuckDB len/year/row_number return BIGINT
+  * where Spark returns INT; DuckDB SUM(int) returns HUGEINT → cast BIGINT).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS): DuckDB reads TIMESTAMP_NS and
+  * `CAST(ts AS TIMESTAMP)` truncates to micros — the same floor the Spark
+  * loader applies (Tables.events).
+  */
+object OracleSql {
+
+  private val eventsCte =
+    "WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  val all: Map[String, String] = Map(
+
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+        |       l_extendedprice * l_discount AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_inner" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_join_broadcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_join_left_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey
+        |LIMIT 200""".stripMargin,
+
+    "q06_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_join_theta" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM supplier s JOIN customer c
+        |  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal < c.c_acctbal
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "q09_join_asof" ->
+      (eventsCte +
+      """,
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, max(c.ts) AS click_ts
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts < p.ts
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin),
+
+    "q10_agg_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q11_agg_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |       l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    "q12_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+        |    CAST(RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+        |    CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q13_window_analytic" ->
+      (eventsCte +
+      """
+        |SELECT user_id, ts, event_id, value,
+        |  LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
+        |FROM e
+        |ORDER BY user_id, ts, event_id""".stripMargin),
+
+    "q14_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q15_set_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q16_set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q17_set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q18_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substring(p_name, 1, 10) AS name10,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head
+        |FROM part
+        |WHERE p_name LIKE '%rod%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q19_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(o_orderdate AS DATE) + 30) AS INTEGER) AS days_to_due,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_str
+        |FROM orders
+        |ORDER BY o_orderkey
+        |LIMIT 500""".stripMargin,
+
+    "q20_math_funcs" ->
+      """WITH f AS (SELECT * FROM lineitem
+        |           ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_tax, l_discount
+        |           LIMIT 1000)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_tax, l_discount,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 1) AS DOUBLE) AS price_round1,
+        |  abs(l_quantity - 25.0) AS qty_dist25,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  l_orderkey % 7 AS okey_mod7,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate
+        |FROM f
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_tax, l_discount""".stripMargin,
+
+    "q21_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |  list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 4)) AS head4,
+        |  ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        |FROM embeddings
+        |ORDER BY vec_id
+        |LIMIT 100""".stripMargin,
+
+    "q22_json_funcs" ->
+      """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        |SELECT event_type, COUNT(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+        |FROM e WHERE k IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q23_window_tumbling" ->
+      (eventsCte +
+      """
+        |SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin),
+
+    "q24_window_sliding" ->
+      (eventsCte +
+      """,
+        |w AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, value FROM e
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM e)
+        |SELECT win_start, win_start + INTERVAL '60 minutes' AS win_end, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w
+        |GROUP BY win_start
+        |ORDER BY win_start""".stripMargin),
+
+    "q25_window_session" ->
+      (eventsCte +
+      """,
+        |x AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |y AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x)
+        |SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL '30 minutes' AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM y
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+
+    "q26_dedup" ->
+      (eventsCte +
+      """
+        |SELECT user_id, event_type, ts, COUNT(*) AS n_copies
+        |FROM e
+        |GROUP BY user_id, event_type, ts
+        |ORDER BY user_id, event_type, ts""".stripMargin),
+
+    "q27_projection_latest" ->
+      (eventsCte +
+      """
+        |SELECT user_id, event_type, value, ts FROM (
+        |  SELECT user_id, event_type, value, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin),
+
+    "q28_event_log_audit" ->
+      (eventsCte +
+      """
+        |SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin),
+
+    "q29_doc_dedup_md5" ->
+      """SELECT md5(text) AS h, COUNT(*) AS n_copies, min(doc_id) AS rep_doc
+        |FROM documents
+        |GROUP BY md5(text)
+        |HAVING COUNT(*) >= 2
+        |ORDER BY h""".stripMargin,
+
+    "q30_text_tokens" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
+
+    "q31_similarity_topk" ->
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  ROUND(
+        |    list_sum(list_transform(range(1, CAST(len(e.embedding) AS INTEGER) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+        |FROM embeddings e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q32_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q33_bnpl_pipeline" ->
+      (eventsCte +
+      """,
+        |p AS (SELECT user_id, value,
+        |        date_trunc('month', ts + INTERVAL '30 days') AS bill_month,
+        |        '月まとめ払い' AS payment_mode
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, bill_month, payment_mode, COUNT(*) AS n_purchases,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS billed_amount
+        |FROM p
+        |GROUP BY user_id, bill_month, payment_mode
+        |ORDER BY user_id, bill_month""".stripMargin),
+
+    "q36_ngram_jaccard" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |idx AS (SELECT doc_id, s, unnest(generate_series(1, len(s) - 2)) AS i FROM sp WHERE len(s) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] || ' ' || s[i+2] AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_inter,
+        |       CAST(n_inter AS DOUBLE) / CAST(x.ns + y.ns - n_inter AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(x.ns + y.ns - n_inter AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q37_cosine_neardup" ->
+      """SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(
+        |    list_sum(list_transform(range(1, CAST(len(a.embedding) AS INTEGER) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY sim DESC, vec_a, vec_b
+        |LIMIT 20""".stripMargin,
+
+    "q39_langid" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |profile AS (SELECT token, lang AS cand_lang, COUNT(*) AS cnt FROM tok GROUP BY token, lang),
+        |scored AS (SELECT t.doc_id, t.lang, p.cand_lang, CAST(SUM(p.cnt) AS BIGINT) AS score
+        |           FROM tok t JOIN profile p USING (token)
+        |           GROUP BY t.doc_id, t.lang, p.cand_lang),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+        |           FROM scored)
+        |SELECT doc_id, lang, cand_lang AS pred_lang, score
+        |FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q40_quality_score" ->
+      """WITH d AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS sp FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(len(sp) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(sp)) AS INTEGER) AS n_distinct,
+        |  CAST(len(list_distinct(sp)) AS DOUBLE) / CAST(len(sp) AS DOUBLE) AS ttr,
+        |  CAST(length(text) - len(sp) + 1 AS DOUBLE) / CAST(len(sp) AS DOUBLE) AS avg_token_len,
+        |  CASE WHEN len(sp) >= 20 AND CAST(len(list_distinct(sp)) AS DOUBLE) / CAST(len(sp) AS DOUBLE) >= 0.2
+        |       THEN 'good' ELSE 'low' END AS quality
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
+
+    "q41_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS re_tokens,
+        |  CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS chars_per_token
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q42_doc_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        |       COUNT(*) AS n_docs, min(doc_id) AS rep_doc
+        |FROM documents
+        |GROUP BY fp
+        |ORDER BY fp""".stripMargin,
+  )
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Dsl._
+import graft.tables.Tables
+
+/** Scan / filter / project / join / top-k core (SURVEY.md §2.2 q01–q08, q14).
+  *
+  * Generalizes the reference's read path — `SELECT … WHERE user_id = ?`
+  * point queries (main.go:214, main.go:241) — into the full relational join
+  * surface. All plans are declarative DataFrame chains: Catalyst pushes
+  * filters/projections into the parquet scan, AQE picks join strategies at
+  * runtime, and the dimension joins are explicitly broadcast (q04) so no
+  * shuffle of the fact side ever happens for dim lookups — the shape that
+  * survives a 1000-executor 100 TB scale-up.
+  */
+object Relational {
+
+  /** q01: TPC-H Q6-shaped scan. Filter + project + computed measure; the
+    * predicate and the 5-column read schema are pushed to parquet. */
+  def q01(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1995-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"),
+              (col("l_extendedprice") * col("l_discount")).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** q03: shuffle join orders ⋈ customer, revenue per market segment.
+    * Both sides shuffle on custkey; partial aggregation runs map-side. */
+  def q03(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  /** q04: dim-chain broadcast join customer ⋈ nation ⋈ region. The dims are
+    * tiny at any scale factor — broadcast them so the customer side never
+    * shuffles for the lookup. */
+  def q04(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** q05: left outer join with COUNT(col) NULL semantics — customers with no
+    * orders keep a 0 count (R10's NULL handling, main.go:252,264-266). */
+  def q05(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+      .limit(200)
+
+  /** q06: left-semi join — customers with at least one order. */
+  def q06(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    Tables.customer(spark, sfDir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q07: left-anti join — customers with no orders. */
+  def q07(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    Tables.customer(spark, sfDir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q08: equi key + theta residual — same nation, supplier balance below
+    * customer balance. Planned as an equi join on nationkey with the
+    * inequality as residual, NOT a nested-loop cartesian. */
+  def q08(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    s.join(c, s("s_nationkey") === c("c_nationkey") && s("s_acctbal") < c("c_acctbal"))
+      .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"), col("c_acctbal"))
+      .orderBy(col("s_suppkey"), col("c_custkey"))
+  }
+
+  /** q14: global top-k — planned as TakeOrderedAndProject (per-partition
+    * heap + driver merge), never a full sort. */
+  def q14(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Dsl._
+import graft.tables.Tables
+
+/** Window functions and time windows (SURVEY.md §2.2 q12, q13, q23–q25, q27).
+  *
+  * Every window partitions by a key (custkey / user_id) — never a global
+  * unpartitioned window, which would serialize all rows through one task at
+  * scale. This is the deliberate weakening of the reference's single-shard
+  * total order (producer/producer.go:24) to per-key order (SURVEY.md §7.5).
+  */
+object Windows {
+
+  /** q12: top-3 orders per customer. row_number with a unique tiebreak is
+    * the deterministic filter; rank/dense_rank expose tie semantics.
+    * WindowGroupLimit pushes the rn<=3 limit into the sort. */
+  def q12(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrice  = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val tiesOnly = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(byPrice).as("rn"),
+        rank().over(tiesOnly).as("rnk"),
+        dense_rank().over(tiesOnly).as("drnk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** q13: lag/lead and a running sum per user over the event stream —
+    * the analytic-frame surface. Running sum is exact decimal, cast out. */
+  def q13(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        sum(col("value").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_sum"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** q23: 1-hour tumbling windows per event type, via the same `window()`
+    * expression the streaming pipeline uses (batch/streaming parity). */
+  def q23(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** q24: 1-hour windows hopping every 30 minutes — each event lands in
+    * exactly two windows. */
+  def q24(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+              col("n"), col("sum_value"))
+      .orderBy(col("win_start"))
+
+  /** q25: session windows with a 30-minute inactivity gap per user.
+    * Spark merges while `ts < prev_end`; the oracle's gaps-and-islands SQL
+    * starts a new session iff `ts - prev_ts >= 30 min` — same boundary
+    * (SURVEY.md §7.4.3). session_end = last ts + gap, per Spark semantics. */
+  def q25(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** q27: last-writer-wins projection — THE reference read-model semantic
+    * (R8, consumer/consumer.go:214-220): latest event per user, ties broken
+    * by event_id, exactly how the streaming upsert resolves replays. */
+  def q27(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+              row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("user_id"))
+  }
+}
