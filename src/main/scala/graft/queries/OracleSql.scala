@@ -24,7 +24,7 @@ object OracleSql {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
         |       l_extendedprice * l_discount AS revenue
         |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
         |ORDER BY l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin,
@@ -239,7 +239,7 @@ object OracleSql {
       """,
         |x AS (SELECT user_id, ts,
         |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
         |             THEN 1 ELSE 0 END AS new_s
         |      FROM e),
         |y AS (SELECT user_id, ts,

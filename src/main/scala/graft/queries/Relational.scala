@@ -21,8 +21,8 @@ object Relational {
     * predicate and the 5-column read schema are pushed to parquet. */
   def q01(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
-      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
-              col("l_shipdate") <  lit("1995-01-01").cast("timestamp") &&
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
               col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
               col("l_quantity") < 24)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),

@@ -64,9 +64,11 @@ object Windows {
       .orderBy(col("win_start"))
 
   /** q25: session windows with a 30-minute inactivity gap per user.
-    * Spark merges while `ts < prev_end`; the oracle's gaps-and-islands SQL
-    * starts a new session iff `ts - prev_ts >= 30 min` — same boundary
-    * (SURVEY.md §7.4.3). session_end = last ts + gap, per Spark semantics. */
+    * Spark merges while `ts <= prev_end` (verified in SemanticsSpec: an
+    * event at exactly prev_ts + gap MERGES); the oracle's gaps-and-islands
+    * SQL therefore starts a new session iff `ts - prev_ts > 30 min` —
+    * strictly greater, same boundary (SURVEY.md §7.4.3).
+    * session_end = last ts + gap, per Spark semantics. */
   def q25(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))

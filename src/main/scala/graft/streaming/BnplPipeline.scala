@@ -1,0 +1,264 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's full CQRS cascade (SURVEY.md §3) as one Structured
+  * Streaming DAG over a checkpointed file source — capabilities s01–s07.
+  *
+  * Reference topology (consumer/consumer.go): Kinesis poll loop → JSON
+  * decode + event_type switch → MySQL event-log append → derived promise
+  * events re-published to the same stream → projection tables
+  * (payment_promises insert, member_bills insert/update) → WebSocket
+  * notify. Here the broker is a directory of JSON files (no Kafka jar
+  * ships, SURVEY.md §0), each MySQL table is a parquet projection, and the
+  * WebSocket hub is a callback.
+  *
+  * Delivery semantics are deliberately *stronger* than the reference
+  * (at-most-once, iterator Latest, no checkpoint — consumer/consumer.go:64):
+  * the file source is checkpointed (replay-safe), the log append dedups by
+  * deterministic event_id within the watermark (s06, repairing the fresh-
+  * UUID append of consumer/consumer.go:187), and the bill projection is
+  * last-writer-wins keyed state (R8).
+  *
+  * Scale posture: every stage is keyed (user_id / bill_id) — nothing
+  * depends on the reference's single-shard global order
+  * (producer/producer.go:24); watermarks bound all state; the projection
+  * merge is a per-batch keyed MERGE that would target Delta/Iceberg (or a
+  * RocksDB state store) on a real cluster — the parquet-rewrite used here
+  * is the local-FS stand-in with the same semantics.
+  *
+  * @param onUpdate change-notification callback (batchId, userIds) — the
+  *   content-free "update" broadcast of consumer/consumer.go:177-180 /
+  *   main.go:57-73, upgraded to carry the affected keys.
+  */
+class BnplPipeline(
+    spark: SparkSession,
+    eventsDir: String,
+    stateDir: String,
+    trigger: Trigger = Trigger.ProcessingTime(0L),
+    onUpdate: (Long, Seq[String]) => Unit = (_, _) => ()) {
+
+  import Envelope._
+
+  val eventsLogDir = s"$stateDir/events_log"
+  val promisesDir = s"$stateDir/payment_promises"
+  val billsDir = s"$stateDir/member_bills"
+  val notificationsDir = s"$stateDir/notifications"
+  private def ckpt(name: String) = s"$stateDir/_checkpoints/$name"
+
+  /** Notifications observed so far (test/UI hook; s07). */
+  val notifications = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+
+  private var queries: Seq[StreamingQuery] = Nil
+
+  /** s01: checkpointed micro-batch ingest of the event-file stream —
+    * replaces the 1 s Kinesis poll loop (consumer/consumer.go:75-96). */
+  private def source: DataFrame =
+    spark.readStream
+      .schema(Envelope.schema)
+      .json(eventsDir)
+
+  /** s05 + s06: event-time watermark, then exactly-once-per-event_id. */
+  private def deduped: DataFrame =
+    source
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Start all flows. The returned queries are also retained for stop(). */
+  def start(): Seq[StreamingQuery] = {
+    val ev = deduped
+
+    // R4/s02: every event — known type or not (consumer/consumer.go:119
+    // runs before the switch; no default arm) — lands in the append-only
+    // event log, exactly once.
+    val logQ = ev.writeStream
+      .format("parquet")
+      .option("path", eventsLogDir)
+      .option("checkpointLocation", ckpt("log"))
+      .trigger(trigger)
+      .queryName("bnpl_event_log")
+      .start()
+
+    // R5/s03: purchases → derived promise events, re-published into the
+    // SAME event directory (the reference's self-loop through the broker,
+    // consumer/consumer.go:142-144). All derived ids are deterministic
+    // functions of the source event so replays stay idempotent; amount is
+    // carried through (repairing the hardcoded 3500 of
+    // consumer/consumer.go:198). due = event time + 30 days
+    // (consumer/consumer.go:137), mode fixed (consumer/consumer.go:138).
+    val deriveQ = ev
+      .filter(col("event_type") === PurchaseCompleted)
+      .select(
+        concat(lit("promise:"), col("event_id")).as("event_id"),
+        lit(PaymentPromiseCreated).as("event_type"),
+        col("ts"),
+        col("order_id"),
+        col("user_id"),
+        col("amount"),
+        concat(lit("p-"), col("event_id")).as("promise_id"),
+        lit(null).cast("string").as("bill_id"),
+        date_format(date_add(to_date(col("ts")), 30), "yyyy-MM-dd").as("due_date"),
+        lit(MonthlyMode).as("payment_mode"),
+        lit(null).cast("string").as("issued_date"),
+        lit(null).cast("string").as("paid_date"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batch (not streaming-sink) append: no _spark_metadata, so the
+        // file source lists the new files like any producer's.
+        if (!batch.isEmpty) batch.write.mode(SaveMode.Append).json(eventsDir)
+      }
+      .option("checkpointLocation", ckpt("derive"))
+      .trigger(trigger)
+      .queryName("bnpl_derive_promises")
+      .start()
+
+    // R6: payment_promises projection (insert-only, readme:72-81).
+    val promisesQ = ev
+      .filter(col("event_type") === PaymentPromiseCreated)
+      .select(
+        col("promise_id").as("id"),
+        col("order_id"), col("user_id"), col("amount"),
+        to_date(col("due_date"), "yyyy-MM-dd").as("due_date"),
+        col("payment_mode"),
+        col("ts").as("created_at"))
+      .writeStream
+      .format("parquet")
+      .option("path", promisesDir)
+      .option("checkpointLocation", ckpt("promises"))
+      .trigger(trigger)
+      .queryName("bnpl_payment_promises")
+      .start()
+
+    // R7+R8/s04: member_bills keyed last-writer-wins projection —
+    // MemberBillCreated inserts status='unpaid' (consumer/consumer.go:207),
+    // PaymentCompleted flips status/paid_date for an EXISTING bill only
+    // (UPDATE … WHERE id=?, consumer/consumer.go:214-220 — a no-op when
+    // the bill is unknown).
+    val billsQ = ev
+      .filter(col("event_type") === MemberBillCreated ||
+              col("event_type") === PaymentCompleted)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBills(batch, batchId)
+      }
+      .option("checkpointLocation", ckpt("bills"))
+      .trigger(trigger)
+      .queryName("bnpl_member_bills")
+      .start()
+
+    // R12/s07: change notification per batch with affected users.
+    val notifyQ = ev
+      .filter(col("event_type") === PaymentCompleted)
+      .select(col("user_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val users = batch.select("user_id").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (users.nonEmpty) {
+          notifications.add((batchId, users))
+          onUpdate(batchId, users)
+        }
+      }
+      .option("checkpointLocation", ckpt("notify"))
+      .trigger(trigger)
+      .queryName("bnpl_notify")
+      .start()
+
+    queries = Seq(logQ, deriveQ, promisesQ, billsQ, notifyQ)
+    queries
+  }
+
+  /** Per-batch MERGE into the member_bills parquet (s04). Local-FS
+    * stand-in for Delta MERGE / keyed state: read current, apply the
+    * batch's inserts and updates last-writer-wins by (ts, kind), atomically
+    * swap directories. */
+  private def upsertBills(batch: DataFrame, batchId: Long): Unit = {
+    import Envelope._
+    if (batch.isEmpty) return
+    val fs = new java.io.File(billsDir)
+    val current: DataFrame =
+      if (fs.exists() && fs.listFiles() != null && fs.listFiles().nonEmpty)
+        spark.read.parquet(billsDir)
+      else emptyBills
+
+    val inserts = batch.filter(col("event_type") === MemberBillCreated)
+      .select(
+        col("bill_id").as("id"), col("promise_id"), col("user_id"),
+        col("amount"),
+        lit("unpaid").as("status"),
+        to_date(col("issued_date"), "yyyy-MM-dd").as("issued_date"),
+        lit(null).cast("date").as("paid_date"),
+        col("ts").as("updated_at"))
+
+    val payments = batch.filter(col("event_type") === PaymentCompleted)
+      .select(col("bill_id").as("id"),
+        to_date(col("paid_date"), "yyyy-MM-dd").as("new_paid_date"),
+        col("ts").as("pay_ts"))
+
+    // inserts first (a bill created and paid in the same batch resolves in
+    // event order), then payments applied only to known bills.
+    val withInserts = current.unionByName(inserts)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("updated_at").desc)))
+      .filter(col("rn") === 1).drop("rn")
+
+    val merged = withInserts.as("b")
+      .join(payments.as("p"), col("b.id") === col("p.id"), "left_outer")
+      .select(col("b.id"), col("b.promise_id"), col("b.user_id"), col("b.amount"),
+        when(col("p.new_paid_date").isNotNull, lit("paid"))
+          .otherwise(col("b.status")).as("status"),
+        col("b.issued_date"),
+        coalesce(col("p.new_paid_date"), col("b.paid_date")).as("paid_date"),
+        coalesce(col("p.pay_ts"), col("b.updated_at")).as("updated_at"))
+
+    // atomic-enough swap on local FS: write aside, then move into place.
+    val tmp = s"$billsDir.tmp-$batchId"
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(billsDir)
+    if (target.exists()) {
+      target.listFiles().foreach(_.delete()); target.delete()
+    }
+    new java.io.File(tmp).renameTo(target)
+  }
+
+  private def emptyBills: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id string, promise_id string, user_id string, amount bigint, " +
+        "status string, issued_date date, paid_date date, updated_at timestamp"))
+
+  /** Drain the self-loop to quiescence: derived promise events written in
+    * round N are consumed in round N+1 (two broker hops in the reference,
+    * SURVEY.md §3.1 stages 3-9). */
+  def drain(rounds: Int = 3): Unit =
+    (1 to rounds).foreach(_ => queries.foreach(_.processAllAvailable()))
+
+  def stop(): Unit = queries.foreach(_.stop())
+
+  // ---- read path (R9/R10, main.go:213-270) ----
+
+  /** Point query: promises by user — filter + projection, pushdown native. */
+  def paymentPromises(userId: String): DataFrame =
+    spark.read.parquet(promisesDir)
+      .filter(col("user_id") === userId)
+      .select(col("order_id"), col("amount"), col("due_date"),
+        col("payment_mode"), col("created_at"))
+      .orderBy(col("created_at"))
+
+  /** Point query: bills by user; paid_date NULL until paid (readme:91). */
+  def memberBills(userId: String): DataFrame =
+    spark.read.parquet(billsDir)
+      .filter(col("user_id") === userId)
+      .select(col("id"), col("amount"), col("status"),
+        col("issued_date"), col("paid_date"))
+      .orderBy(col("id"))
+
+  /** The event log (R4 read side). */
+  def eventsLog: DataFrame = spark.read.parquet(eventsLogDir)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.SparkEntry
+
+/** Golden row counts per declared query at sf0.001.
+  *
+  * The values were cross-checked against DuckDB running the oracle SQL on
+  * the same parquet (tools/check.py, 39/39 value-exact) — this suite pins
+  * them so regressions surface in `sbt test` before the driver runs.
+  * q07/q17/q29 are legitimately empty at this scale factor (every customer
+  * has orders, every clicker purchased, no exact-dup docs).
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  val golden: Map[String, Long] = Map(
+    "q01_scan_filter_project" -> 100L,
+    "q02_pricing_summary" -> 6L,
+    "q03_join_inner" -> 5L,
+    "q04_join_broadcast" -> 25L,
+    "q05_join_left_outer" -> 150L,
+    "q06_join_semi" -> 150L,
+    "q07_join_anti" -> 0L,
+    "q08_join_theta" -> 39L,
+    "q09_join_asof" -> 202L,
+    "q10_agg_distinct" -> 5L,
+    "q11_agg_rollup" -> 10L,
+    "q12_window_rank" -> 449L,
+    "q13_window_analytic" -> 1000L,
+    "q14_topk" -> 10L,
+    "q15_set_union" -> 15L,
+    "q16_set_intersect" -> 15L,
+    "q17_set_except" -> 0L,
+    "q18_string_funcs" -> 26L,
+    "q19_date_funcs" -> 500L,
+    "q20_math_funcs" -> 1000L,
+    "q21_array_funcs" -> 100L,
+    "q22_json_funcs" -> 5L,
+    "q23_window_tumbling" -> 868L,
+    "q24_window_sliding" -> 1065L,
+    "q25_window_session" -> 946L,
+    "q26_dedup" -> 1000L,
+    "q27_projection_latest" -> 15L,
+    "q28_event_log_audit" -> 150L,
+    "q29_doc_dedup_md5" -> 0L,
+    "q30_text_tokens" -> 20L,
+    "q31_similarity_topk" -> 10L,
+    "q32_lang_stats" -> 5L,
+    "q33_bnpl_pipeline" -> 18L,
+    "q36_ngram_jaccard" -> 28L,
+    "q37_cosine_neardup" -> 20L,
+    "q39_langid" -> 500L,
+    "q40_quality_score" -> 500L,
+    "q41_token_count" -> 500L,
+    "q42_doc_fingerprint" -> 438L,
+  )
+
+  test("every declared query has an oracle entry or is explicitly exempt") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // non-SQL-expressible ops (LSH/ANN internals) are the only allowed gaps
+    assert(noOracle.forall(n => n.contains("minhash") || n.contains("simhash")
+      || n.contains("ann") || n.contains("media")), s"missing oracle: $noOracle")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() == 18L)
+  }
+
+  for ((name, expected) <- golden.toSeq.sortBy(_._1)) {
+    test(s"$name row count at sf0.001") {
+      val got = SparkEntry.queries(name)(spark, sf001).count()
+      assert(got == expected, s"$name: got $got, expected $expected")
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hand-computed semantics on tiny in-memory data for the operators with
+  * boundary conditions the oracle can't isolate (SURVEY.md §5.2.2/§5.2.3):
+  * exact-gap session boundaries, as-of strictness at equal timestamps,
+  * last-writer-wins tiebreaks, rollup totals, dedup idempotence.
+  */
+class SemanticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("session_window: exactly-30-minute gap MERGES; only a strictly larger gap splits (q25 boundary)") {
+    // Pins the boundary the q25 oracle must reproduce: Spark merges an event
+    // whose ts equals the previous session's end (prev_ts + gap), so the
+    // gaps-and-islands oracle starts a new session iff gap > 30 min.
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:29:59")),  // 29:59 gap → merges
+      (1L, ts("2024-01-01 10:59:59")),  // exactly 30:00 after previous → MERGES (boundary)
+      (1L, ts("2024-01-01 11:30:00"))   // 30:01 gap → new session
+    ).toDF("user_id", "ts")
+    val sessions = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"), col("n"))
+      .orderBy(col("s")).collect()
+    assert(sessions.map(_.getLong(1)).toSeq == Seq(3L, 1L))
+    assert(sessions(0).getTimestamp(0) == ts("2024-01-01 10:00:00"))
+    assert(sessions(1).getTimestamp(0) == ts("2024-01-01 11:30:00"))
+  }
+
+  test("as-of semantics: click at the same instant as the purchase is NOT matched (q09 strictness)") {
+    val events = Seq(
+      (1L, "click",    10L, ts("2024-01-01 10:00:00")),
+      (2L, "purchase", 10L, ts("2024-01-01 10:00:00")), // same ts as click 1
+      (3L, "click",    10L, ts("2024-01-01 11:00:00")),
+      (4L, "purchase", 10L, ts("2024-01-01 12:00:00")),
+      (5L, "purchase", 99L, ts("2024-01-01 12:00:00"))  // user with no clicks
+    ).toDF("event_id", "event_type", "user_id", "ts")
+    val p = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts".as("purchase_ts"))
+    val c = events.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("c_ts"))
+    val res = p.join(c, p("user_id") === c("cu") && c("c_ts") < p("purchase_ts"), "left_outer")
+      .groupBy($"event_id", $"user_id", $"purchase_ts")
+      .agg(max($"c_ts").as("click_ts"))
+      .orderBy($"event_id").collect()
+    assert(res(0).isNullAt(3))                                // strict <: same-ts click excluded
+    assert(res(1).getTimestamp(3) == ts("2024-01-01 11:00:00")) // most recent earlier click
+    assert(res(2).isNullAt(3))                                // no clicks at all → NULL
+  }
+
+  test("projection latest: ts tie broken by event_id desc (q27 / R8 last-writer-wins)") {
+    val t = ts("2024-01-01 10:00:00")
+    val df = Seq(
+      (1L, 10L, "unpaid", t),
+      (2L, 10L, "paid", t),       // same ts, higher event_id → wins
+      (1L, 20L, "unpaid", ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "status", "ts")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val latest = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"status").orderBy($"user_id").collect()
+    assert(latest.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "paid"), (20L, "unpaid")))
+  }
+
+  test("rollup: leaf groups sum to subtotals sum to grand total (q11 algebra)") {
+    val res = graft.queries.Aggregates.q11(spark, sf001).collect()
+    val leaves   = res.filter(r => r.getInt(0) == 0 && r.getInt(1) == 0)
+    val subs     = res.filter(r => r.getInt(0) == 0 && r.getInt(1) == 1)
+    val total    = res.filter(r => r.getInt(0) == 1 && r.getInt(1) == 1)
+    assert(total.length == 1)
+    assert(leaves.map(_.getLong(4)).sum == total.head.getLong(4))
+    assert(subs.map(_.getLong(4)).sum == total.head.getLong(4))
+    assert(math.abs(leaves.map(_.getDouble(5)).sum - total.head.getDouble(5)) < 1e-6)
+  }
+
+  test("dedup idempotence: dedup(dedup(x)) == dedup(x) (q26 law)") {
+    // Compared on the dedup keys only: dropDuplicates picks an arbitrary
+    // surviving row for non-key columns, so the full-row comparison is
+    // nondeterministic across recomputations.
+    val keys = Seq("user_id", "event_type", "ts")
+    val ev = graft.tables.Tables.events(spark, sf001)
+    val once = ev.dropDuplicates(keys).select(keys.map(col): _*)
+    val twice = once.dropDuplicates(keys).select(keys.map(col): _*)
+    assert(once.count() == twice.count())
+    assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+  }
+
+  test("set algebra: union = intersect + both excepts over the same sets (q15-q17)") {
+    val u = SparkEntry.queries("q15_set_union")(spark, sf001).count()
+    val i = SparkEntry.queries("q16_set_intersect")(spark, sf001).count()
+    val e = SparkEntry.queries("q17_set_except")(spark, sf001).count()
+    val ev = graft.tables.Tables.events(spark, sf001)
+    val purchaseOnly = ev.filter($"event_type" === "purchase").select($"user_id")
+      .except(ev.filter($"event_type" === "click").select($"user_id")).count()
+    assert(u == i + e + purchaseOnly)
+  }
+
+  test("sliding windows assign every event to exactly two 1h/30m windows (q24 invariant)") {
+    val n = graft.tables.Tables.events(spark, sf001).count()
+    val windowed = graft.queries.Windows.q24(spark, sf001)
+      .agg(sum($"n")).collect()(0).getLong(0)
+    assert(windowed == 2 * n)
+  }
+
+  test("cosine: self-similarity rounds to 1.0 (q31 arithmetic sanity)") {
+    val e = graft.tables.Tables.embeddings(spark, sf001).limit(5)
+    val self = e.select(graft.ops.Dsl.round4(
+      graft.ops.Dsl.cosine($"embedding", $"embedding")).as("s")).collect()
+    assert(self.forall(_.getDouble(0) == 1.0))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.{BnplPipeline, Envelope, EventStats}
+
+/** Streaming e2e — the reference's manual runbook (readme:98-151) replayed
+  * against the Structured Streaming pipeline (SURVEY.md §5.2.4):
+  * purchase → derived promise (R5) → promise projection row (R6);
+  * bill event → 'unpaid' row (R7); payment event → status flips to 'paid'
+  * with paid_date set (R8) + a change notification (R12); a replayed
+  * duplicate event_id changes nothing (s06).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def writeEvents(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name), String.join("\n", lines: _*).getBytes("UTF-8"))
+
+  private def ev(id: String, tpe: String, ts: String, fields: (String, String)*): String = {
+    val extra = fields.map { case (k, v) => s""","$k":$v""" }.mkString
+    s"""{"event_id":"$id","event_type":"$tpe","ts":"$ts"$extra}"""
+  }
+
+  test("runbook e2e: purchase -> promise -> bill -> payment -> notify; duplicate replay is a no-op") {
+    val eventsDir = tmpDir("bnpl-events")
+    val stateDir = tmpDir("bnpl-state")
+
+    // step 1 (readme:120): a purchase by user u1, 4000 yen
+    writeEvents(eventsDir, "e1.json", Seq(
+      ev("ev-1", Envelope.PurchaseCompleted, "2024-03-01T10:00:00.000Z",
+        "order_id" -> "\"order-u1\"", "user_id" -> "\"u1\"", "amount" -> "4000")))
+
+    val pipe = new BnplPipeline(spark, eventsDir, stateDir)
+    pipe.start()
+    try {
+      pipe.drain()
+
+      // R5: the derived promise event looped back into the log, so the log
+      // holds BOTH the purchase and the promise (consumer/consumer.go:119).
+      val log = pipe.eventsLog.collect()
+      assert(log.map(_.getAs[String]("event_id")).sorted.toSeq == Seq("ev-1", "promise:ev-1"))
+
+      // R6: promise projection row — amount carried (not hardcoded 3500),
+      // due = ts + 30 days (2024-03-31), mode fixed (consumer/consumer.go:137-138).
+      val promises = pipe.paymentPromises("u1").collect()
+      assert(promises.length == 1)
+      assert(promises(0).getAs[Long]("amount") == 4000L)
+      assert(promises(0).getAs[java.sql.Date]("due_date").toString == "2024-03-31")
+      assert(promises(0).getAs[String]("payment_mode") == Envelope.MonthlyMode)
+
+      // step 2 (readme:130-134): the monthly bill is issued
+      writeEvents(eventsDir, "e2.json", Seq(
+        ev("ev-2", Envelope.MemberBillCreated, "2024-03-01T10:02:00.000Z",
+          "user_id" -> "\"u1\"", "amount" -> "4000", "bill_id" -> "\"bill-1\"",
+          "promise_id" -> "\"p-ev-1\"", "issued_date" -> "\"2024-04-01\"")))
+      pipe.drain()
+
+      val unpaid = pipe.memberBills("u1").collect()
+      assert(unpaid.length == 1)
+      assert(unpaid(0).getAs[String]("status") == "unpaid")
+      assert(unpaid(0).isNullAt(unpaid(0).fieldIndex("paid_date"))) // sql.NullTime, main.go:252
+
+      // step 3 (readme:144-148): payment webhook flips the bill to paid
+      writeEvents(eventsDir, "e3.json", Seq(
+        ev("ev-3", Envelope.PaymentCompleted, "2024-03-01T10:04:00.000Z",
+          "user_id" -> "\"u1\"", "bill_id" -> "\"bill-1\"", "paid_date" -> "\"2024-04-02\"")))
+      pipe.drain()
+
+      val paid = pipe.memberBills("u1").collect()
+      assert(paid.length == 1)
+      assert(paid(0).getAs[String]("status") == "paid")
+      assert(paid(0).getAs[java.sql.Date]("paid_date").toString == "2024-04-02")
+
+      // R12/s07: exactly one notification, naming the affected user
+      assert(pipe.notifications.size() == 1)
+      assert(pipe.notifications.peek()._2 == Seq("u1"))
+
+      // s06: replaying the purchase with the same event_id (within the
+      // watermark) must not duplicate the log or re-derive the promise —
+      // repairs the reference's fresh-UUID append (consumer/consumer.go:187).
+      writeEvents(eventsDir, "e4.json", Seq(
+        ev("ev-1", Envelope.PurchaseCompleted, "2024-03-01T10:05:00.000Z",
+          "order_id" -> "\"order-u1\"", "user_id" -> "\"u1\"", "amount" -> "4000")))
+      pipe.drain()
+      // log still holds exactly {purchase, promise, bill, payment} — the
+      // replay added nothing and no second promise was derived
+      assert(pipe.eventsLog.count() == 4)
+      assert(pipe.paymentPromises("u1").count() == 1)
+    } finally pipe.stop()
+  }
+
+  test("unknown event types reach the log but no projection (R3: switch without default)") {
+    val eventsDir = tmpDir("bnpl-unknown-events")
+    val stateDir = tmpDir("bnpl-unknown-state")
+    writeEvents(eventsDir, "e1.json", Seq(
+      ev("ev-x", "SomeFutureEvent", "2024-03-01T10:00:00.000Z", "user_id" -> "\"u9\""),
+      ev("ev-1", Envelope.PurchaseCompleted, "2024-03-01T10:01:00.000Z",
+        "order_id" -> "\"order-u9\"", "user_id" -> "\"u9\"", "amount" -> "100")))
+    val pipe = new BnplPipeline(spark, eventsDir, stateDir)
+    pipe.start()
+    try {
+      pipe.drain()
+      // the unknown type is logged (consumer/consumer.go:119 runs before the
+      // switch) but produces no promise/bill rows
+      assert(pipe.eventsLog.count() == 3) // unknown + purchase + derived promise
+      assert(pipe.paymentPromises("u9").count() == 1)
+      assert(!new java.io.File(s"$stateDir/member_bills").exists())
+    } finally pipe.stop()
+  }
+
+  test("watermarked hourly stats work identically on the batch event log (s05 parity)") {
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .withColumnRenamed("value", "amount")
+    val stats = EventStats.hourlyByType(ev)
+    // every (hour, type) bucket count sums back to the full event count
+    val total = stats.agg(org.apache.spark.sql.functions.sum("n"))
+      .collect()(0).getLong(0)
+    assert(total == 1000L)
+  }
+}
