@@ -51,12 +51,16 @@ object SparkEntry {
     "q31_similarity_topk"     -> Vectors.q31 _,
     "q32_lang_stats"          -> Aggregates.q32 _,
     "q33_bnpl_pipeline"       -> Events.q33 _,
+    "q34_minhash_lsh"         -> Dedup.q34 _,
+    "q35_simhash"             -> Dedup.q35 _,
     "q36_ngram_jaccard"       -> Text.q36 _,
+    "q38_ann_lsh"             -> Vectors.q38 _,
     "q37_cosine_neardup"      -> Vectors.q37 _,
     "q39_langid"              -> Text.q39 _,
     "q40_quality_score"       -> Text.q40 _,
     "q41_token_count"         -> Text.q41 _,
     "q42_doc_fingerprint"     -> Text.q42 _,
+    "q43_media_pipeline"      -> MediaQ.q43 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Candidate generators for sub-quadratic similarity search — the 100 TB
+  * path next to the exact baselines (q31 brute-force cosine, q36 exact
+  * Jaccard). Random-hyperplane LSH for cosine (Charikar, STOC'02) with
+  * OR-amplification: L independent hash tables of k sign bits each; a
+  * vector is a candidate if it shares ANY table's bucket with the query.
+  * P(candidate) = 1 - (1 - p^k)^L where p = 1 - θ/π, so near vectors are
+  * recalled with high probability while far ones mostly stay out, and the
+  * search is L hash-bucket lookups (a broadcast of one query row + equi
+  * join) — never a shuffled cartesian. k=4/L=8 suits the testdata's
+  * near-neighbor range (max cosine ≈ 0.45 → p ≈ 0.65 → per-table 0.18,
+  * overall ≈ 0.80 recall for the top hit); denser corpora raise k.
+  *
+  * The planes are fixed integer weights from a seeded LCG, embedded as
+  * literals in BOTH the Spark plan and the DuckDB oracle SQL, which makes
+  * every bucket assignment (an exact-arithmetic sign test: float×int
+  * products are exact in double, summed sequentially in the same order by
+  * both engines) bit-deterministic across engines.
+  */
+object Ann {
+
+  val Tables = 8       // L hash tables
+  val BitsPerTable = 4 // k sign bits per table
+  val Planes = Tables * BitsPerTable
+  val Dim = 64
+
+  /** Fixed hyperplane weights in [-4, 4]: LCG (Knuth MMIX constants), seed
+    * 42 — deterministic, dependency-free, and identical wherever the table
+    * is rebuilt (Scala here, string-literal lists in OracleSql). */
+  val weights: Array[Array[Long]] = {
+    var state = 42L
+    Array.fill(Planes, Dim) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 33) % 9) - 4
+    }
+  }
+
+  /** Signed projection of an embedding onto plane `p`: sequential
+    * left-fold in double (matches DuckDB list_reduce order). */
+  private def dotPlane(emb: Column, p: Int): Column =
+    aggregate(
+      zip_with(emb, array(weights(p).map(lit): _*), (x, w) => x.cast("double") * w.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** k-bit bucket id of an embedding in hash table `t` (planes
+    * t·k .. t·k+k-1): bit j set iff that plane's projection is > 0. */
+  def bucket(emb: Column, t: Int): Column =
+    (0 until BitsPerTable)
+      .map(j => when(dotPlane(emb, t * BitsPerTable + j) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** All L table buckets as an array column (index = table id). */
+  def buckets(emb: Column): Column =
+    array((0 until Tables).map(t => bucket(emb, t)): _*)
+}

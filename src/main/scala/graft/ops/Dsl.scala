@@ -34,6 +34,15 @@ object Dsl {
     * Mirrored literally as ROUND(x, 4) in the oracle. */
   def round4(c: Column): Column = round(c, 4)
 
+  /** Deterministic 60-bit content hash shared bit-for-bit with the DuckDB
+    * oracle: first 15 hex chars of md5 over the UTF-8 bytes, parsed base-16.
+    * DuckDB mirror: `('0x' || substr(md5(s), 1, 15))::BIGINT`. 60 bits keeps
+    * every downstream product/mod inside exact signed-64 arithmetic in both
+    * engines (DuckDB errors on BIGINT overflow; Spark wraps — neither is
+    * allowed to happen). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Cosine similarity of two float-array columns, computed in DOUBLE via
     * codegen'd higher-order functions (no UDF): sequential fold, same
     * order DuckDB's list_sum uses, residual FP noise absorbed by round4

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Dsl._
+
+/** Sketch-based near-duplicate detection over `documents` — the
+  * sub-quadratic 100 TB path next to the exact verifiers (q29 content hash,
+  * q36 exact n-gram Jaccard, q42 bag-of-words fingerprint).
+  *
+  * Both sketches are built on Dsl.h60, the md5-derived 60-bit hash shared
+  * bit-for-bit with the DuckDB oracle, so even these "approximate"
+  * operators are hash-compared exactly (OracleSql mirrors every constant).
+  *
+  * Scale posture: signatures are one grouped aggregation over the exploded
+  * shingle/token stream (map-side partial aggs); candidate generation is an
+  * equi-join on band/block keys — only documents sharing a bucket ever
+  * meet, never an O(n²) cartesian. At 100 TB both join keys are
+  * high-cardinality and uniform (md5-derived), so the shuffle partitions
+  * evenly; skew would only come from degenerate corpora (one shingle
+  * everywhere), which the distinct-shingle step bounds.
+  */
+object Dedup {
+
+  /** MinHash parameters: K independent permutations approximated by
+    * h_i(x) = (a_i·x + b_i) mod P over the h60 base hash, banded for LSH as
+    * Bands × RowsPerBand = K (bands of 4 rows → collision probability
+    * s^4 per band; at est-sim 0.5 a true pair survives ≥ 1 of 16 bands with
+    * p ≈ 1-(1-0.0625)^16 ≈ 0.64, rising steeply toward 1 for closer pairs —
+    * the classic S-curve centered near (1/16)^(1/4) ≈ 0.5). */
+  val P = 2147483647L // 2^31 - 1, keeps a_i·hm + b_i < 2^38: exact in both engines
+  val K = 64
+  val Bands = 16
+  val RowsPerBand = 4
+
+  private[queries] def aCoef(i: Int): Long = 2L * i + 1
+  private[queries] def bCoef(i: Int): Long = (1000003L * i + 12345L) % P
+
+  /** q34: MinHash signature + banded-LSH candidate pairs with estimated
+    * Jaccard ≥ 0.5 (estimate = fraction of agreeing signature components;
+    * exact rational n/64, so the double compare is engine-stable). q36 is
+    * the exact verifier of this operator's output. */
+  def q34(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Text.shingles(spark, sfDir)
+      .select(col("doc_id"), (h60(col("shingle")) % P).as("hm"))
+
+    val sigExprs = (0 until K).map(i =>
+      min((lit(aCoef(i)) * col("hm") + lit(bCoef(i))) % P).as(s"s$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigExprs.head, sigExprs.tail: _*)
+
+    val bandStructs = (0 until Bands).map { k =>
+      val rows = (0 until RowsPerBand).map(j => col(s"s${RowsPerBand * k + j}"))
+      struct(lit(k).as("band_id"), md5(concat_ws(",", rows: _*).cast("binary")).as("bk"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bk").as("bk"))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bk") === col("y.bk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+    val nEqual = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+    cand
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (nEqual.cast("double") / lit(K.toDouble)).as("est_sim"))
+      .filter(col("est_sim") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash parameters: 60-bit fingerprints (bits 0..59 of h60 keep every
+    * shift inside exact signed-64), blocked 4 × 15 bits for candidate
+    * generation — by pigeonhole any pair at Hamming distance ≤ 3 agrees on
+    * at least one full block, so recall at the ≤ 3 cutoff is exactly 1 and
+    * the block join is a candidate generator, not an approximation. */
+  val SimBits = 60
+  val SimBlocks = 4
+  val BlockBits = SimBits / SimBlocks // 15
+  val MaxHamming = 3
+
+  /** q35: SimHash near-duplicate pairs at Hamming distance ≤ 3 over the
+    * token multiset (shuffled copies hash identically; q42 is the exact
+    * bag-of-words analogue). */
+  def q35(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), h60(col("token")).as("hm"))
+
+    val sumExprs = (0 until SimBits).map(j =>
+      sum(when(shiftright(col("hm"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"c$j"))
+    val sums = tok.groupBy(col("doc_id")).agg(sumExprs.head, sumExprs.tail: _*)
+
+    val simhash = (0 until SimBits)
+      .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fp = sums.select(col("doc_id"), simhash.as("simhash"))
+
+    val blockStructs = (0 until SimBlocks).map(b =>
+      struct(lit(b).as("block_id"),
+        shiftright(col("simhash"), BlockBits * b).bitwiseAND(lit((1L << BlockBits) - 1)).as("bv")))
+    val blocks = fp
+      .select(col("doc_id"), explode(array(blockStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.block_id").as("block_id"), col("b.bv").as("bv"))
+
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.block_id") === col("y.block_id") && col("x.bv") === col("y.bv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

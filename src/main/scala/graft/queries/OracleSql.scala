@@ -389,5 +389,108 @@ object OracleSql {
         |FROM documents
         |GROUP BY fp
         |ORDER BY fp""".stripMargin,
+
+    "q34_minhash_lsh" -> minhashSql,
+    "q35_simhash" -> simhashSql,
+    "q38_ann_lsh" -> annSql,
+
+    "q43_media_pipeline" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST(('0x' || substr(md5('w:' || text), 1, 15))::BIGINT % 1920 AS INTEGER) AS fake_width,
+        |  CAST(('0x' || substr(md5('h:' || text), 1, 15))::BIGINT % 1080 AS INTEGER) AS fake_height,
+        |  md5(substr(text, 1, 64)) AS frame_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
+
+  /** q34 oracle: every MinHash constant (Dedup.P/K/Bands/aCoef/bCoef) and
+    * the shingle construction mirror graft.queries.Dedup.q34 exactly; the
+    * SQL is assembled programmatically so the 64 hash expressions cannot
+    * drift from the Spark side. */
+  private def minhashSql: String = {
+    import Dedup.{P, K, Bands, RowsPerBand, aCoef, bCoef}
+    val sigCols = (0 until K)
+      .map(i => s"MIN((${aCoef(i)}*hm + ${bCoef(i)}) % $P) AS s$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { k =>
+      val cc = (0 until RowsPerBand).map(j => s"s${RowsPerBand * k + j}").mkString(" || ',' || ")
+      s"SELECT doc_id, $k AS band_id, md5($cc) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    val nEq = (0 until K).map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
+       |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)]))) AS shingle
+       |       FROM sp),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P AS hm FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, ($nEq) / ${K.toDouble} AS est_sim
+       |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE ($nEq) / ${K.toDouble} >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q35 oracle: mirrors graft.queries.Dedup.q35 (60-bit simhash over the
+    * token multiset, 4 × 15-bit blocks, Hamming ≤ 3). */
+  private def simhashSql: String = {
+    import Dedup.{SimBits, SimBlocks, BlockBits, MaxHamming}
+    val sumCols = (0 until SimBits)
+      .map(j => s"SUM(CASE WHEN (hm >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(", ")
+    val hashExpr = (0 until SimBits)
+      .map(j => s"CASE WHEN c$j > 0 THEN (1::BIGINT << $j) ELSE 0 END").mkString(" + ")
+    val blockSelects = (0 until SimBlocks).map { b =>
+      s"SELECT doc_id, $b AS block_id, (simhash >> ${BlockBits * b}) & ${(1L << BlockBits) - 1} AS bv FROM s"
+    }.mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hm FROM tok),
+       |c AS (SELECT doc_id, $sumCols FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, $hashExpr AS simhash FROM c),
+       |blocks AS ($blockSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM blocks x JOIN blocks y
+       |           ON x.block_id = y.block_id AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+       |FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q38 oracle: the hyperplane weight rows are graft.ops.Ann.weights
+    * rendered as literal lists; projections fold sequentially in DOUBLE
+    * (list_reduce), matching Spark's aggregate() order, so every sign test
+    * — and therefore every table's bucket id — is bit-identical. A vector
+    * is a candidate iff any of the L table buckets matches the query's.
+    * Cosine ranking mirrors q31. */
+  private def annSql: String = {
+    import graft.ops.Ann.{Tables, BitsPerTable, Dim, weights}
+    def planeCase(p: Int, bit: Int): String = {
+      val w = weights(p).mkString("[", ",", "]")
+      s"""CASE WHEN list_reduce(list_transform(generate_series(1, $Dim),
+         |  i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(($w)[CAST(i AS INTEGER)] AS DOUBLE)),
+         |  (a, b) -> a + b) > 0 THEN ${1L << bit}::BIGINT ELSE 0::BIGINT END""".stripMargin
+    }
+    val bucketCols = (0 until Tables).map { t =>
+      val expr = (0 until BitsPerTable).map(j => planeCase(t * BitsPerTable + j, j)).mkString(" + ")
+      s"($expr) AS b$t"
+    }.mkString(", ")
+    val anyMatch = (0 until Tables).map(t => s"e.b$t = q.qb$t").mkString(" OR ")
+    val qCols = (0 until Tables).map(t => s"b$t AS qb$t").mkString(", ")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketCols FROM embeddings),
+       |q AS (SELECT embedding AS qvec, $qCols FROM b WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |  ROUND(
+       |    list_sum(list_transform(range(1, CAST(len(e.embedding) AS INTEGER) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+       |FROM b e, q
+       |WHERE e.vec_id <> 0 AND ($anyMatch)
+       |ORDER BY sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
 }

@@ -29,6 +29,25 @@ object Vectors {
       .limit(10)
   }
 
+  /** q38: approximate-nearest-neighbor via multi-table random-hyperplane
+    * LSH (graft.ops.Ann, 8 tables × 4 sign bits): a vector is a candidate
+    * iff it shares any table's bucket with the query vector; candidates are
+    * ranked by exact cosine. The scale path of q31 — per query the cost is
+    * L bucket lookups (broadcast of one query row + hash filter), not a
+    * scan, and recall vs the exact q31 top-k is asserted in LlmOpsSpec. */
+  def q38(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("buckets", graft.ops.Ann.buckets(col("embedding")))
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"), col("buckets").as("qbuckets"))
+    emb.join(broadcast(query))
+      .filter(col("vec_id") =!= 0 &&
+        exists(zip_with(col("buckets"), col("qbuckets"), (a, b) => a === b), x => x))
+      .select(col("vec_id"), round4(cosine(col("embedding"), col("qvec"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** q37: embedding-cosine near-duplicate pairs, blocked by label; top 20
     * most-similar pairs (the testdata plants no true near-dups — max
     * same-label cosine ≈ 0.45 — so the operator surfaces the closest pairs

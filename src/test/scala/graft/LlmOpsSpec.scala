@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the LLM-pipeline scale operators (q34/q35/q38/q43) against
+  * their exact counterparts — the quality claims the oracle hash-compare
+  * can't express (recall against ground truth, plumbing parity).
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("minhash-LSH candidates recall the exact Jaccard >= 0.5 pairs (q34 vs q36)") {
+    val exact = graft.queries.Text.q36(spark, sf001)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.queries.Dedup.q34(spark, sf001)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // 28 planted near-dup pairs at sf0.001
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // banded LSH (16x4) + est >= 0.5 post-filter: the planted pairs sit at
+    // J in [0.5, 1), where the S-curve gives high but not perfect recall
+    assert(recall >= 0.8, s"recall $recall")
+    // est_sim is a consistent estimator: every reported pair shares shingles
+    assert(approx.nonEmpty)
+  }
+
+  test("simhash: token-shuffled duplicates collide at hamming 0 (q35 vs q42 ground truth)") {
+    // q42 groups docs whose sorted distinct token sets match; multiset
+    // shuffles are a subset of those — each such pair must appear in q35
+    // with hamming 0.
+    val res = graft.queries.Dedup.q35(spark, sf001).collect()
+    assert(res.nonEmpty)
+    val zeroPairs = res.filter(_.getInt(2) == 0)
+    assert(zeroPairs.nonEmpty, "expected at least one exact-simhash pair from planted shuffles")
+    // and the operator respects its own cutoff
+    assert(res.forall(_.getInt(2) <= graft.queries.Dedup.MaxHamming))
+  }
+
+  test("ANN returns a subset of vectors ranked by true cosine with recall > 0 vs q31 (q38)") {
+    val exact = graft.queries.Vectors.q31(spark, sf001)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val ann = graft.queries.Vectors.q38(spark, sf001).collect()
+    assert(ann.nonEmpty)
+    val annIds = ann.map(_.getLong(0)).toSet
+    val recall = (exact intersect annIds).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall vs exact top-10") // deterministic; observed higher
+    // sims must be true cosines: spot-check one against a direct computation
+    val sims = ann.map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val emb = graft.tables.Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val direct = emb.filter($"vec_id" === ann.head.getLong(0)).crossJoin(q)
+      .select(graft.ops.Dsl.round4(graft.ops.Dsl.cosine($"embedding", $"qvec")))
+      .collect()(0).getDouble(0)
+    assert(direct == sims(ann.head.getLong(0)))
+  }
+
+  test("media mapPartitions plumbing agrees with the expression pipeline (Media vs q43)") {
+    import graft.ops.Media
+    val media = graft.tables.Tables.documents(spark, sf001)
+      .select($"doc_id", $"text".cast("binary").as("content"))
+      .as[Media.MediaRow]
+    val viaPartitions = Media.extractFeatures(media)
+      .select($"doc_id", $"n_bytes", $"content_md5", $"fake_width", $"fake_height")
+    val viaExprs = graft.queries.MediaQ.q43(spark, sf001)
+      .select($"doc_id", $"n_bytes", $"content_md5", $"fake_width", $"fake_height")
+    assert(viaPartitions.count() == 500)
+    assert(viaPartitions.except(viaExprs).isEmpty && viaExprs.except(viaPartitions).isEmpty)
+  }
+}

@@ -46,12 +46,16 @@ class QueriesSmokeSpec extends SparkSpec {
     "q31_similarity_topk" -> 10L,
     "q32_lang_stats" -> 5L,
     "q33_bnpl_pipeline" -> 18L,
+    "q34_minhash_lsh" -> 28L,
+    "q35_simhash" -> 25L,
     "q36_ngram_jaccard" -> 28L,
+    "q38_ann_lsh" -> 10L,
     "q37_cosine_neardup" -> 20L,
     "q39_langid" -> 500L,
     "q40_quality_score" -> 500L,
     "q41_token_count" -> 500L,
     "q42_doc_fingerprint" -> 438L,
+    "q43_media_pipeline" -> 500L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
