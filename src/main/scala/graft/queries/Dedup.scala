@@ -41,12 +41,40 @@ object Dedup {
     * exact rational n/64, so the double compare is engine-stable). q36 is
     * the exact verifier of this operator's output. */
   def q34(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Text.shingles(spark, sfDir)
+    // Raw (non-distinct) shingle stream: MIN is duplicate-insensitive, so
+    // the signatures don't need the distinct-shingle shuffle q36's exact
+    // Jaccard needs — shingles are hashed map-side and the only shuffled
+    // payload is (doc_id, long).
+    val sp = split(col("text"), " ")
+    val sh = graft.tables.Tables.documents(spark, sfDir)
+      .filter(size(sp) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(sp) - 2),
+          i => concat_ws(" ", element_at(sp, i), element_at(sp, i + 1), element_at(sp, i + 2))))
+          .as("shingle"))
       .select(col("doc_id"), (h60(col("shingle")) % P).as("hm"))
 
-    val sigExprs = (0 until K).map(i =>
-      min((lit(aCoef(i)) * col("hm") + lit(bCoef(i))) % P).as(s"s$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigExprs.head, sigExprs.tail: _*)
+    // Long-form signature build, fully inside whole-stage codegen: explode
+    // the K hash-function indices into rows (cheap generated rows, and a
+    // doc's shingles never leave their partition so the partial MIN
+    // collapses map-side to exactly docs×K rows), aggregate, then
+    // reassemble the K-column signature by static array indexing.
+    // Alternatives measured at sf0.1: K wide MIN aggregates generate a
+    // method too large to JIT (~15x slower); K higher-order array_min
+    // folds run interpreted (~4x slower).
+    // aCoef/bCoef stay below 2^27 and hm below 2^31, so every product is
+    // exact in signed-64 (bCoef(i) < P for all i < K — no mod needed).
+    val hk = sh
+      .select(col("doc_id"), col("hm"), explode(sequence(lit(0), lit(K - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        (((lit(2L) * col("i") + lit(1L)) * col("hm") +
+          (lit(1000003L) * col("i") + lit(12345L))) % P).as("h"))
+    val sig = hk.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("im"))
+      // im is sorted by i, so im[k].m is minhash k — static, codegen'd access
+      .select(col("doc_id") +: (0 until K).map(k => col("im")(k)("m").as(s"s$k")): _*)
+      .cache()
 
     val bandStructs = (0 until Bands).map { k =>
       val rows = (0 until RowsPerBand).map(j => col(s"s${RowsPerBand * k + j}"))
@@ -95,14 +123,19 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .select(col("doc_id"), h60(col("token")).as("hm"))
 
-    val sumExprs = (0 until SimBits).map(j =>
-      sum(when(shiftright(col("hm"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"c$j"))
-    val sums = tok.groupBy(col("doc_id")).agg(sumExprs.head, sumExprs.tail: _*)
-
+    // Same narrow-aggregation shape as q34: collect the token hashes once,
+    // then every bit's ±1 tally is a higher-order fold over the list
+    // (60 SUM() aggregates would overflow the codegen field limit).
+    val bitSum = (j: Int) => aggregate(col("hms"), lit(0L),
+      (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
     val simhash = (0 until SimBits)
-      .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .map(j => when(bitSum(j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val fp = sums.select(col("doc_id"), simhash.as("simhash"))
+    // one row per doc, referenced three times (blocks + both pair joins)
+    val fp = tok.groupBy(col("doc_id"))
+      .agg(collect_list(col("hm")).as("hms"))
+      .select(col("doc_id"), simhash.as("simhash"))
+      .cache()
 
     val blockStructs = (0 until SimBlocks).map(b =>
       struct(lit(b).as("block_id"),
