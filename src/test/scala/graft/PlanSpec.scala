@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan shape assertions — the 100 TB posture claims (SURVEY.md
+  * §7.5) pinned so a regression that silently drops a pushdown or turns a
+  * broadcast into a shuffle fails in `sbt test`, not in a cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString()
+  }
+
+  test("q01: filter and column pruning reach the parquet scan") {
+    val plan = planString(SparkEntry.queries("q01_scan_filter_project")(spark, sf001))
+    assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(5).mkString("\n"))
+    assert(plan.contains("l_shipdate"), "shipdate predicate not pushed")
+    // read schema restricted to the referenced columns, not all 16
+    assert(!plan.contains("l_comment"), "scan reads unprojected columns")
+  }
+
+  test("q04: dimension joins broadcast (no shuffle join for nation/region)") {
+    val plan = planString(SparkEntry.queries("q04_join_broadcast")(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for small dims")
+    assert(!plan.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("q02: aggregation is partial+final (map-side combine present)") {
+    val plan = planString(SparkEntry.queries("q02_pricing_summary")(spark, sf001))
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation pair")
+  }
+
+  test("q14: global top-k avoids a full sort (TakeOrderedAndProject)") {
+    val plan = planString(SparkEntry.queries("q14_topk")(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), "top-k fell back to global sort+limit")
+  }
+
+  test("q31/q38: single-query-vector similarity broadcasts the query row") {
+    val p31 = planString(SparkEntry.queries("q31_similarity_topk")(spark, sf001))
+    assert(p31.contains("Broadcast"), "q31 query vector not broadcast")
+    val p38 = planString(SparkEntry.queries("q38_ann_lsh")(spark, sf001))
+    assert(p38.contains("Broadcast"), "q38 query row not broadcast")
+  }
+
+  test("q34: LSH candidate generation is an equi-join, not a nested-loop cartesian") {
+    val plan = planString(SparkEntry.queries("q34_minhash_lsh")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "band join degraded to a cartesian")
+  }
+}
