@@ -61,8 +61,17 @@ object Text {
   def q36(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    // Shingles held by a single document can't contribute to any
+    // intersection and are the overwhelming majority of the stream — a
+    // per-shingle count window prunes them before the self-join, shrinking
+    // the join input to only the shared shingles (result unchanged).
+    val shared = sh
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("n_docs") >= 2)
+      .select(col("doc_id"), col("shingle"))
+    val a = shared.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shared.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A materialized member-bill row — the engine-native form of the MySQL
+  * `member_bills` table (readme:83-93). */
+case class Bill(
+    id: String,
+    promise_id: String,
+    user_id: String,
+    amount: java.lang.Long,
+    status: String,          // 'unpaid' | 'paid' (readme:89)
+    issued_date: Date,
+    paid_date: Date,         // NULL until paid (readme:91, sql.NullTime main.go:252)
+    updated_at: Timestamp)
+
+/** s04 as *keyed arbitrary state*: the last-writer-wins bill projection
+  * (R7 insert / R8 update, consumer/consumer.go:205-220) held in the
+  * engine's state store instead of re-merged parquet (the foreachBatch
+  * variant lives in BnplPipeline.upsertBills — same semantics, different
+  * storage contract).
+  *
+  * Scale posture: state is partitioned by bill_id across executors, and
+  * with the RocksDB provider (rocksdbjni ships here; exercised in
+  * StatefulSpec) it spills off-heap — the projection's size is bounded by
+  * live keys, not by stream length. Nothing depends on global event order:
+  * within a batch, events for one bill are applied in (ts, event_id)
+  * order, and bills are independent keys — exactly the per-key ordering
+  * the reference got implicitly from its single shard
+  * (producer/producer.go:24), made explicit and parallel.
+  */
+object BillProjection {
+
+  /** Apply one micro-batch's events for one bill to its state. Mirrors the
+    * reference switch: MemberBillCreated inserts status='unpaid'
+    * (consumer/consumer.go:207); PaymentCompleted flips an EXISTING bill
+    * only (UPDATE … WHERE id=?, consumer/consumer.go:214-220 — a no-op for
+    * unknown bills). */
+  def update(billId: String, events: Iterator[RawEvent], state: GroupState[Bill]): Iterator[Bill] = {
+    var cur = state.getOption.orNull
+    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      e.event_type match {
+        case Envelope.MemberBillCreated =>
+          cur = Bill(e.bill_id, e.promise_id, e.user_id, e.amount, "unpaid",
+            Date.valueOf(e.issued_date), null, e.ts)
+        case Envelope.PaymentCompleted if cur != null =>
+          cur = cur.copy(status = "paid", paid_date = Date.valueOf(e.paid_date), updated_at = e.ts)
+        case _ => () // unknown types never reach projections (R3, no default arm)
+      }
+    }
+    if (cur == null) Iterator.empty
+    else { state.update(cur); Iterator.single(cur) }
+  }
+
+  /** The streaming projection: emits the updated bill row per key per
+    * batch (OutputMode.Update — the changelog a downstream sink merges). */
+  def apply(events: Dataset[RawEvent]): Dataset[Bill] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == Envelope.MemberBillCreated ||
+                   e.event_type == Envelope.PaymentCompleted)
+      .groupByKey(_.bill_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+}

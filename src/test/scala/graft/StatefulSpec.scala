@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{BillProjection, Envelope, RawEvent}
+
+/** s04 as keyed arbitrary state (BillProjection), run on the RocksDB state
+  * store provider (the rocksdbjni jar ships in /opt/spark/jars — this is
+  * the provider a real deployment uses so projection state spills off-heap
+  * instead of living in executor memory).
+  */
+class StatefulSpec extends SparkSpec {
+
+  private def ev(id: String, tpe: String, ts: String,
+      bill: String = null, promise: String = null, user: String = null,
+      amount: java.lang.Long = null, issued: String = null, paid: String = null) =
+    RawEvent(id, tpe, Timestamp.valueOf(ts), null, user, amount, promise, bill,
+      null, null, issued, paid)
+
+  test("keyed bill state: insert 'unpaid', payment flips, unknown bill payment is a no-op (RocksDB)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[RawEvent]
+      val query = BillProjection(input.toDS()).writeStream
+        .format("memory")
+        .queryName("bills_state")
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", tmpDir("bills-state-ckpt"))
+        .start()
+      try {
+        // batch 1: the bill is issued (readme:130-134)
+        input.addData(ev("e1", Envelope.MemberBillCreated, "2024-03-01 10:00:00",
+          bill = "b1", promise = "p1", user = "u1", amount = 4000L, issued = "2024-04-01"))
+        query.processAllAvailable()
+        val afterInsert = spark.table("bills_state").collect()
+        assert(afterInsert.length == 1)
+        assert(afterInsert(0).getAs[String]("status") == "unpaid")
+        assert(afterInsert(0).isNullAt(afterInsert(0).fieldIndex("paid_date")))
+
+        // batch 2: payment for an UNKNOWN bill → no state, no output row
+        // (UPDATE … WHERE id=? matches nothing, consumer/consumer.go:214-220)
+        input.addData(ev("e2", Envelope.PaymentCompleted, "2024-03-01 10:01:00",
+          bill = "b-unknown", user = "u1", paid = "2024-04-02"))
+        query.processAllAvailable()
+        assert(spark.table("bills_state").collect().length == 1)
+
+        // batch 3: payment for b1 → state flips to paid across batches
+        // (state survived in RocksDB between micro-batches)
+        input.addData(ev("e3", Envelope.PaymentCompleted, "2024-03-01 10:02:00",
+          bill = "b1", user = "u1", paid = "2024-04-02"))
+        query.processAllAvailable()
+        val rows = spark.table("bills_state").collect()
+          .filter(_.getAs[String]("id") == "b1")
+          .sortBy(_.getAs[Timestamp]("updated_at").getTime)
+        val last = rows.last
+        assert(last.getAs[String]("status") == "paid")
+        assert(last.getAs[java.sql.Date]("paid_date").toString == "2024-04-02")
+        assert(last.getAs[Long]("amount") == 4000L) // carried, not re-read
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("same-batch create+pay resolves in (ts, event_id) order") {
+    val state = new TestGroupState[graft.streaming.Bill]
+    val out = BillProjection.update("b9", Iterator(
+      ev("e2", Envelope.PaymentCompleted, "2024-03-01 10:01:00", bill = "b9", paid = "2024-04-02"),
+      ev("e1", Envelope.MemberBillCreated, "2024-03-01 10:00:00",
+        bill = "b9", promise = "p9", user = "u9", amount = 100L, issued = "2024-04-01")
+    ), state).toSeq
+    assert(out.length == 1)
+    assert(out.head.status == "paid") // create applied before the later payment
+  }
+}
+
+/** Minimal GroupState for driving BillProjection.update directly. */
+class TestGroupState[T] extends org.apache.spark.sql.streaming.GroupState[T] {
+  private var v: Option[T] = None
+  override def exists: Boolean = v.isDefined
+  override def get: T = v.get
+  override def getOption: Option[T] = v
+  override def update(newValue: T): Unit = v = Some(newValue)
+  override def remove(): Unit = v = None
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
