@@ -61,6 +61,10 @@ object SparkEntry {
     "q41_token_count"         -> Text.q41 _,
     "q42_doc_fingerprint"     -> Text.q42 _,
     "q43_media_pipeline"      -> MediaQ.q43 _,
+    "q44_pivot"               -> Aggregates.q44 _,
+    "q45_percentiles"         -> Aggregates.q45 _,
+    "q46_correlated_subquery" -> Relational.q46 _,
+    "q47_salted_agg"          -> Aggregates.q47 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

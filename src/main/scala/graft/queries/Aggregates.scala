@@ -81,4 +81,57 @@ object Aggregates {
         max(col("n_chars")).as("max_chars"),
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
       .orderBy(col("lang"))
+
+  /** The five event types the testdata producer emits — pinned explicitly
+    * so the pivot schema is static (a dynamic pivot would scan once to
+    * discover values; at 100 TB the value set must be declared). */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q44: pivot — events per user spread across one count column per
+    * event_type (the read-model shape a per-user activity dashboard
+    * queries). Static pivot values keep it one pass. */
+  def q44(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    // pivot+count yields NULL for absent combinations; the dashboard (and
+    // DuckDB's COUNT(*) FILTER) wants 0
+    p.select(col("user_id") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** q45: exact percentiles (linear interpolation) of l_quantity per
+    * return flag — both engines interpolate identically on DOUBLE input;
+    * ROUND(…,4) absorbs last-ulp noise (inputs are 2-decimal quantized so
+    * the true quantiles sit on the 4-decimal grid, far from any rounding
+    * boundary). */
+  def q45(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)"), 4).as("p25"),
+        round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 4).as("p50"),
+        round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)"), 4).as("p75"),
+        round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.9)"), 4).as("p90"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** q47: skew-safe two-phase (salted) aggregation — the pattern for a
+    * hot grouping key at 100 TB: phase 1 aggregates on (key, salt) so a
+    * skewed key's rows spread over Salts reducers; phase 2 re-combines the
+    * partials. Result provably equals the direct groupBy (sums/counts are
+    * associative), which is exactly what the oracle runs. */
+  val Salts = 8
+
+  def q47(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(Salts.toLong)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value").cast("decimal(18,4)")).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
 }

@@ -394,6 +394,48 @@ object OracleSql {
     "q35_simhash" -> simhashSql,
     "q38_ann_lsh" -> annSql,
 
+    "q44_pivot" ->
+      (eventsCte +
+      """
+        |SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click')    AS "click",
+        |  COUNT(*) FILTER (WHERE event_type = 'error')    AS "error",
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+        |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS "signup",
+        |  COUNT(*) FILTER (WHERE event_type = 'view')     AS "view"
+        |FROM e
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin),
+
+    "q45_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4)  AS p50,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS p75,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 4)  AS p90,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q46_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q47_salted_agg" ->
+      (eventsCte +
+      """
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
     "q43_media_pipeline" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

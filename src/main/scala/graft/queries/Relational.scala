@@ -97,4 +97,22 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
+
+  /** q46: correlated scalar subqueries — orders priced above their
+    * customer's average. Written in SQL so Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery) turns both subqueries into one
+    * aggregated self-join — no per-row re-execution. The comparison is
+    * price × count > sum in DECIMAL: exact in both engines, where a
+    * double AVG would be sensitive to partial-aggregation order. */
+  def q46(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_q46")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_q46 o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders_q46 o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders_q46 o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
 }

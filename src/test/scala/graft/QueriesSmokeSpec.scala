@@ -56,6 +56,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q41_token_count" -> 500L,
     "q42_doc_fingerprint" -> 438L,
     "q43_media_pipeline" -> 500L,
+    "q44_pivot" -> 15L,
+    "q45_percentiles" -> 3L,
+    "q46_correlated_subquery" -> 754L,
+    "q47_salted_agg" -> 5L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
