@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.CosineSimilarity
+
+/** Engine extensions, installed with
+  * `spark.sql.extensions=graft.GraftExtensions`: registers the native
+  * functions so they're first-class in SQL text (`SELECT cosine_sim(a, b)`)
+  * as well as through the Column API (graft.ops.Dsl.cosine).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineSim)
+}
+
+object GraftExtensions {
+  private val cosineSim = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "cosine_sim takes exactly 2 arguments")
+      CosineSimilarity(children.head, children(1)): org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
+  /** Imperative registration into an already-built session (the config
+    * route only applies to sessions created with
+    * `spark.sql.extensions=graft.GraftExtensions`). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      cosineSim._1, cosineSim._2, cosineSim._3)
+}

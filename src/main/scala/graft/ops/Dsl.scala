@@ -43,11 +43,20 @@ object Dsl {
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Cosine similarity of two float-array columns, computed in DOUBLE via
-    * codegen'd higher-order functions (no UDF): sequential fold, same
-    * order DuckDB's list_sum uses, residual FP noise absorbed by round4
-    * at the call sites. */
+  /** Cosine similarity of two float-array columns: the native codegen'd
+    * Catalyst expression (graft.functions.CosineSimilarity). Bit-identical
+    * to [[cosineHof]] (asserted in ExpressionSpec) and to the oracle. */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** The same cosine as a composition of built-in higher-order functions —
+    * interpreted per element, kept as the executable specification the
+    * native expression is tested against. Sequential fold from 0.0, same
+    * order DuckDB's list arithmetic uses. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(
         zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
