@@ -108,6 +108,54 @@ class StreamingSpec extends SparkSpec {
     } finally pipe.stop()
   }
 
+  test("stream-stream interval join: purchase matches preceding-hour clicks only (s08)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[graft.streaming.RawEvent]
+    val query = graft.streaming.Correlation.purchaseClickJoin(input.toDF())
+      .writeStream.format("memory").queryName("corr_join")
+      .option("checkpointLocation", tmpDir("corr-ckpt"))
+      .start()
+    try {
+      def raw(id: String, tpe: String, ts: String, user: String) =
+        graft.streaming.RawEvent(id, tpe, java.sql.Timestamp.valueOf(ts), null, user,
+          null, null, null, null, null, null, null)
+      input.addData(
+        raw("c1", "ClickEvent", "2024-03-01 10:00:00", "u1"),       // 30 min before -> match
+        raw("c2", "ClickEvent", "2024-03-01 08:00:00", "u1"),       // 2.5 h before -> out of window
+        raw("c3", "ClickEvent", "2024-03-01 10:15:00", "u2"),       // other user -> no match
+        raw("p1", graft.streaming.Envelope.PurchaseCompleted, "2024-03-01 10:30:00", "u1"))
+      query.processAllAvailable()
+      val rows = spark.table("corr_join").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("event_id") == "p1")
+      assert(rows(0).getAs[java.sql.Timestamp]("click_ts").toString.startsWith("2024-03-01 10:00"))
+    } finally query.stop()
+  }
+
+  test("Trigger.AvailableNow catches up a backlog then stops (batch-mode replay of the log)") {
+    val eventsDir = tmpDir("an-events")
+    // a pre-existing backlog of two files, written before any consumer ran —
+    // the replay the reference cannot do (iterator Latest, consumer/consumer.go:64)
+    writeEvents(eventsDir, "e1.json", Seq(
+      ev("ev-1", Envelope.PurchaseCompleted, "2024-03-01T10:00:00.000Z",
+        "order_id" -> "\"order-u1\"", "user_id" -> "\"u1\"", "amount" -> "100")))
+    writeEvents(eventsDir, "e2.json", Seq(
+      ev("ev-2", Envelope.PurchaseCompleted, "2024-03-01T10:01:00.000Z",
+        "order_id" -> "\"order-u2\"", "user_id" -> "\"u2\"", "amount" -> "200")))
+    val outDir = tmpDir("an-out")
+    val q = spark.readStream.schema(Envelope.schema).json(eventsDir)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", tmpDir("an-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) // AvailableNow terminates after draining the backlog
+    assert(!q.isActive)
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
+
   test("watermarked hourly stats work identically on the batch event log (s05 parity)") {
     val ev = graft.tables.Tables.events(spark, sf001)
       .withColumnRenamed("value", "amount")
