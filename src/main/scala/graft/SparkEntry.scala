@@ -65,6 +65,8 @@ object SparkEntry {
     "q45_percentiles"         -> Aggregates.q45 _,
     "q46_correlated_subquery" -> Relational.q46 _,
     "q47_salted_agg"          -> Aggregates.q47 _,
+    "q48_unpivot"             -> Aggregates.q48 _,
+    "q49_cube"                -> Aggregates.q49 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

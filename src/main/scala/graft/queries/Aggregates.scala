@@ -134,4 +134,27 @@ object Aggregates {
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
+
+  /** q48: unpivot/melt — the wide per-user activity row (q44) folded back
+    * to long form with Dataset.unpivot. unpivot ∘ pivot (minus the
+    * zero-fill) is the identity on the grouped counts, which is exactly
+    * the shape the oracle computes directly. */
+  def q48(spark: SparkSession, sfDir: String): DataFrame =
+    q44(spark, sfDir)
+      .unpivot(Array(col("user_id")), EventTypes.map(col).toArray, "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** q49: CUBE over return flag × line status — all four grouping-set
+    * combinations, disambiguated from real NULLs by GROUPING flags
+    * (determinism rule for q11's ROLLUP applied to the full lattice). */
+  def q49(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
 }

@@ -436,6 +436,24 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin),
 
+    "q48_unpivot" ->
+      (eventsCte +
+      """
+        |SELECT user_id, event_type, COUNT(*) AS n
+        |FROM e
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin),
+
+    "q49_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+
     "q43_media_pipeline" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

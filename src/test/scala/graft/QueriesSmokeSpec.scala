@@ -60,6 +60,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q45_percentiles" -> 3L,
     "q46_correlated_subquery" -> 754L,
     "q47_salted_agg" -> 5L,
+    "q48_unpivot" -> 75L,
+    "q49_cube" -> 12L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
