@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based algebraic laws (SURVEY.md §5.2.3), driven by ScalaCheck
+  * generators with fixed seeds (deterministic — no scalatestplus bridge
+  * ships, so samples are drawn explicitly).
+  *
+  * Laws: the q27 last-writer-wins projection is the left fold of R8
+  * updates; session windows per user never overlap and split exactly on
+  * gaps > 30 min; union/intersect/except obey set algebra on the same
+  * generated sets.
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Samples = 15
+
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  // events: (event_id, user_id, value, ts-seconds) with deliberate ts ties
+  private val eventsGen: Gen[List[(Long, Long, Long, Long)]] =
+    Gen.listOfN(40, for {
+      id <- Gen.choose(1L, 1000000L)
+      user <- Gen.choose(1L, 5L)
+      value <- Gen.choose(0L, 100L)
+      ts <- Gen.choose(0L, 20L) // small range forces ties
+    } yield (id, user, value, ts))
+
+  test("q27 law: window projection == sequential last-writer-wins replay (R8)") {
+    for (seed <- 1 to Samples) {
+      val rows = draw(eventsGen, seed).distinctBy(_._1) // unique event ids
+      if (rows.nonEmpty) {
+        val df = rows.map { case (id, u, v, t) => (id, u, v, new Timestamp(t * 1000)) }
+          .toDF("event_id", "user_id", "value", "ts")
+        val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+        val projected = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"user_id", $"value").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+        // the reference semantics: apply events one at a time in
+        // (ts, event_id) order, each overwriting its user's row
+        val replayed = rows.sortBy(e => (e._4, e._1))
+          .foldLeft(Map.empty[Long, Long]) { case (state, (_, u, v, _)) => state + (u -> v) }
+
+        assert(projected == replayed, s"seed=$seed")
+      }
+    }
+  }
+
+  test("q25 law: per-user sessions are disjoint and split exactly on gaps > 30 min") {
+    val tsGen = Gen.listOfN(30, Gen.oneOf(
+      Gen.choose(0L, 86400L),                  // arbitrary seconds in a day
+      Gen.choose(0L, 28L).map(_ * 1800L)))     // on the 30-min grid → exact-gap cases
+    for (seed <- 1 to Samples) {
+      val ts = draw(tsGen, seed).distinct
+      if (ts.nonEmpty) {
+        val df = ts.map(t => (1L, new Timestamp(t * 1000))).toDF("user_id", "ts")
+        val sessions = df
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n"))
+          .select($"session_window.start".as("s"), $"session_window.end".as("e"), $"n")
+          .orderBy($"s")
+          .collect()
+          .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000, r.getLong(2)))
+
+        // disjoint, ordered, and the gap between consecutive sessions is
+        // strictly positive (end = last event + 30 min, next start after it)
+        // a merge happens while next_ts <= prev_end, so surviving session
+        // boundaries satisfy start > previous end strictly
+        sessions.sliding(2).foreach {
+          case Array((_, e1, _), (s2, _, _)) => assert(s2 > e1, s"seed=$seed overlap")
+          case _ => ()
+        }
+        // counts partition the events
+        assert(sessions.map(_._3).sum == ts.length, s"seed=$seed")
+        // reference implementation of the boundary rule: split iff gap > 30 min
+        val expected = ts.sorted.foldLeft(List.empty[List[Long]]) {
+          case (Nil, t) => List(List(t))
+          case (cur :: rest, t) if t - cur.head > 1800 => List(t) :: cur :: rest
+          case (cur :: rest, t) => (t :: cur) :: rest
+        }.map(_.size).reverse
+        assert(sessions.map(_._3.toInt).toList == expected, s"seed=$seed")
+      }
+    }
+  }
+
+  test("q15-q17 law: |A ∪ B| == |A ∩ B| + |A \\ B| + |B \\ A| on generated id sets") {
+    val setGen = Gen.listOfN(25, Gen.choose(1L, 30L)).map(_.toSet)
+    for (seed <- 1 to Samples) {
+      val a = draw(setGen, seed)
+      val b = draw(setGen, seed + 1000)
+      val da = a.toSeq.toDF("id")
+      val db = b.toSeq.toDF("id")
+      val union = da.union(db).distinct().count()
+      val inter = da.intersect(db).count()
+      val aOnly = da.except(db).count()
+      val bOnly = db.except(da).count()
+      assert(union == inter + aOnly + bOnly, s"seed=$seed")
+      assert(inter == (a intersect b).size && union == (a union b).size, s"seed=$seed")
+    }
+  }
+}
