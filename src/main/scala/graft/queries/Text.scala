@@ -62,14 +62,16 @@ object Text {
     val sh = shingles(spark, sfDir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     // Shingles held by a single document can't contribute to any
-    // intersection and are the overwhelming majority of the stream — a
-    // per-shingle count window prunes them before the self-join, shrinking
-    // the join input to only the shared shingles (result unchanged).
-    val shared = sh
-      .withColumn("n_docs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("n_docs") >= 2)
-      .select(col("doc_id"), col("shingle"))
+    // intersection and are the overwhelming majority of the stream — keep
+    // only shingles seen in ≥ 2 docs before the self-join (result
+    // unchanged). The surviving key set is tiny (only genuinely shared
+    // shingles), so it broadcasts; a window-count formulation was measured
+    // slower (adds a per-shingle sort to the shuffle).
+    val sharedKeys = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("shingle"))
+    val shared = sh.join(broadcast(sharedKeys), Seq("shingle"))
     val a = shared.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = shared.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
