@@ -34,23 +34,25 @@ case class Bill(
   */
 object BillProjection {
 
-  /** Apply one micro-batch's events for one bill to its state. Mirrors the
-    * reference switch: MemberBillCreated inserts status='unpaid'
-    * (consumer/consumer.go:207); PaymentCompleted flips an EXISTING bill
-    * only (UPDATE … WHERE id=?, consumer/consumer.go:214-220 — a no-op for
-    * unknown bills). */
-  def update(billId: String, events: Iterator[RawEvent], state: GroupState[Bill]): Iterator[Bill] = {
-    var cur = state.getOption.orNull
-    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+  /** The reference switch as a pure fold: MemberBillCreated inserts
+    * status='unpaid' (consumer/consumer.go:207); PaymentCompleted flips an
+    * EXISTING bill only (UPDATE … WHERE id=?, consumer/consumer.go:214-220
+    * — a no-op for unknown bills). Events apply in (ts, event_id) order. */
+  def fold(current: Bill, events: Iterator[RawEvent]): Bill =
+    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foldLeft(current) { (cur, e) =>
       e.event_type match {
         case Envelope.MemberBillCreated =>
-          cur = Bill(e.bill_id, e.promise_id, e.user_id, e.amount, "unpaid",
+          Bill(e.bill_id, e.promise_id, e.user_id, e.amount, "unpaid",
             Date.valueOf(e.issued_date), null, e.ts)
         case Envelope.PaymentCompleted if cur != null =>
-          cur = cur.copy(status = "paid", paid_date = Date.valueOf(e.paid_date), updated_at = e.ts)
-        case _ => () // unknown types never reach projections (R3, no default arm)
+          cur.copy(status = "paid", paid_date = Date.valueOf(e.paid_date), updated_at = e.ts)
+        case _ => cur // unknown types never reach projections (R3, no default arm)
       }
     }
+
+  /** Apply one micro-batch's events for one bill to its GroupState. */
+  def update(billId: String, events: Iterator[RawEvent], state: GroupState[Bill]): Iterator[Bill] = {
+    val cur = fold(state.getOption.orNull, events)
     if (cur == null) Iterator.empty
     else { state.update(cur); Iterator.single(cur) }
   }
@@ -64,5 +66,40 @@ object BillProjection {
                    e.event_type == Envelope.PaymentCompleted)
       .groupByKey(_.bill_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** The same projection on Spark 4's transformWithState operator — the
+    * current-generation arbitrary-state API (requires the RocksDB state
+    * store provider): state lives in a named, schema'd ValueState the
+    * engine can evolve/inspect, instead of an opaque GroupState blob.
+    * Semantics identical to [[apply]] (same fold; asserted in
+    * StatefulSpec). */
+  def applyTws(events: Dataset[RawEvent]): Dataset[Bill] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == Envelope.MemberBillCreated ||
+                   e.event_type == Envelope.PaymentCompleted)
+      .groupByKey(_.bill_id)
+      .transformWithState(new BillProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+}
+
+/** transformWithState processor for the bill projection: one ValueState[Bill]
+  * per bill_id, updated by the shared BillProjection.fold. */
+class BillProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[String, RawEvent, Bill] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[Bill] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Bill]("bill", Encoders.product[Bill], TTLConfig.NONE)
+
+  override def handleInputRows(billId: String, rows: Iterator[RawEvent],
+      timerValues: TimerValues): Iterator[Bill] = {
+    val cur = BillProjection.fold(if (state.exists()) state.get() else null, rows)
+    if (cur == null) Iterator.empty
+    else { state.update(cur); Iterator.single(cur) }
   }
 }

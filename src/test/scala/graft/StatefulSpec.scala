@@ -72,6 +72,43 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState variant produces the same projection (Spark 4 API, RocksDB)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[RawEvent]
+      val query = BillProjection.applyTws(input.toDS()).writeStream
+        .format("memory")
+        .queryName("bills_tws")
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", tmpDir("bills-tws-ckpt"))
+        .start()
+      try {
+        input.addData(
+          ev("e1", Envelope.MemberBillCreated, "2024-03-01 10:00:00",
+            bill = "b1", promise = "p1", user = "u1", amount = 4000L, issued = "2024-04-01"))
+        query.processAllAvailable()
+        input.addData(ev("e2", Envelope.PaymentCompleted, "2024-03-01 10:01:00",
+          bill = "b1", user = "u1", paid = "2024-04-02"))
+        query.processAllAvailable()
+        val rows = spark.table("bills_tws").collect()
+          .sortBy(_.getAs[Timestamp]("updated_at").getTime)
+        assert(rows.length == 2) // unpaid changelog row, then paid
+        assert(rows.head.getAs[String]("status") == "unpaid")
+        assert(rows.last.getAs[String]("status") == "paid")
+        assert(rows.last.getAs[java.sql.Date]("paid_date").toString == "2024-04-02")
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("same-batch create+pay resolves in (ts, event_id) order") {
     val state = new TestGroupState[graft.streaming.Bill]
     val out = BillProjection.update("b9", Iterator(
