@@ -67,6 +67,7 @@ object SparkEntry {
     "q47_salted_agg"          -> Aggregates.q47 _,
     "q48_unpivot"             -> Aggregates.q48 _,
     "q49_cube"                -> Aggregates.q49 _,
+    "q50_map_funcs"           -> Scalars.q50 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

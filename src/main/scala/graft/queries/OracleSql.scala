@@ -390,6 +390,18 @@ object OracleSql {
         |GROUP BY fp
         |ORDER BY fp""".stripMargin,
 
+    "q50_map_funcs" ->
+      (eventsCte +
+      """
+        |SELECT event_id,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |  CAST(len(json_keys(props)) + 1 AS INTEGER) AS n_after_concat
+        |FROM e
+        |ORDER BY event_id
+        |LIMIT 500""".stripMargin),
+
     "q34_minhash_lsh" -> minhashSql,
     "q35_simhash" -> simhashSql,
     "q38_ann_lsh" -> annSql,

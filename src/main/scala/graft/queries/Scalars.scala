@@ -90,4 +90,22 @@ object Scalars {
         sum(col("k")).as("sum_k"),
         (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
       .orderBy(col("event_type"))
+
+  /** q50: map-type scalars — the open-keys form of the event `props`
+    * decode (MapType(String,Int) where keys aren't known at plan time,
+    * SURVEY.md §1.2): parse, inspect keys (sorted — map key order is not
+    * defined), look up, merge with a literal map. */
+  def q50(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")).as("m"))
+      .select(
+        col("event_id"),
+        size(col("m")).as("n_keys"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
+        element_at(col("m"), "k").as("k_val"),
+        size(map_concat(col("m"), map(lit("extra"), lit(1)))).as("n_after_concat"))
+      .orderBy(col("event_id"))
+      .limit(500)
 }

@@ -62,6 +62,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q47_salted_agg" -> 5L,
     "q48_unpivot" -> 75L,
     "q49_cube" -> 12L,
+    "q50_map_funcs" -> 500L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
