@@ -71,7 +71,12 @@ object Scalars {
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
         round4(element_at(col("embedding"), 1).cast("double")).as("first_val"),
-        transform(slice(col("embedding"), 1, 4), x => round(x.cast("double"), 4)).as("head4"),
+        // head4 is a STRING (joined fixed-point decimals), not an ArrayType
+        // column: the driver's oracle compare sorts result columns in pandas
+        // and array cells are unhashable there (r1 q21 failure) — the HOF
+        // surface (slice + transform) is unchanged, only the output is scalar.
+        array_join(transform(slice(col("embedding"), 1, 4),
+          x => round(x.cast("double"), 4).cast("decimal(9,4)").cast("string")), ",").as("head4"),
         round4(sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double")))).as("l2_norm"))
       .orderBy(col("vec_id"))
