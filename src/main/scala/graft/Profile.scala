@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Builder inner-loop profiler (not part of the driver contract): times each
+  * named query twice — the cold−warm delta is driver-side planning+codegen,
+  * the warm time is execution. Usage: runMain graft.Profile q34_minhash_lsh …
+  * (env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").count()
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROFILE $name cold=${times(0)}%.2f warm=${times(1)}%.2f warm2=${times(2)}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -57,11 +57,14 @@ object Dedup {
     // Long-form signature build, fully inside whole-stage codegen: explode
     // the K hash-function indices into rows (cheap generated rows, and a
     // doc's shingles never leave their partition so the partial MIN
-    // collapses map-side to exactly docs×K rows), aggregate, then
-    // reassemble the K-column signature by static array indexing.
-    // Alternatives measured at sf0.1: K wide MIN aggregates generate a
-    // method too large to JIT (~15x slower); K higher-order array_min
-    // folds run interpreted (~4x slower).
+    // collapses map-side to exactly docs×K rows), aggregate, then keep the
+    // signature as ONE array column (sorted by i). Alternatives measured at
+    // sf0.1: K wide MIN aggregates generate a method too large to JIT
+    // (~15x slower); K higher-order array_min folds run interpreted (~4x
+    // slower); a 64-named-column signature row was execution-equivalent but
+    // cost ~12 s of driver-side planning+codegen per run — the array form
+    // plans in ~1 s because the expression tree is O(1) in K, which is also
+    // what keeps plan compile off the critical path on a real cluster.
     // aCoef/bCoef stay below 2^27 and hm below 2^31, so every product is
     // exact in signed-64 (bCoef(i) < P for all i < K — no mod needed).
     val hk = sh
@@ -71,17 +74,17 @@ object Dedup {
           (lit(1000003L) * col("i") + lit(12345L))) % P).as("h"))
     val sig = hk.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("m"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("im"))
-      // im is sorted by i, so im[k].m is minhash k — static, codegen'd access
-      .select(col("doc_id") +: (0 until K).map(k => col("im")(k)("m").as(s"s$k")): _*)
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+        x => x("m")).as("sig"))
       .cache()
 
-    val bandStructs = (0 until Bands).map { k =>
-      val rows = (0 until RowsPerBand).map(j => col(s"s${RowsPerBand * k + j}"))
-      struct(lit(k).as("band_id"), md5(concat_ws(",", rows: _*).cast("binary")).as("bk"))
-    }
+    // Band keys from array slices — interpreted HOFs, but over docs×Bands
+    // rows only (the signature table), never the shingle stream.
     val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(Bands - 1)),
+        k => struct(k.as("band_id"),
+          md5(array_join(transform(slice(col("sig"), k * RowsPerBand + 1, lit(RowsPerBand)),
+            x => x.cast("string")), ",").cast("binary")).as("bk")))).as("b"))
       .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bk").as("bk"))
 
     val cand = bands.as("x").join(bands.as("y"),
@@ -90,8 +93,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sigArr = sig.select(col("doc_id"),
-      array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+    val sigArr = sig
     val nEqual = aggregate(
       zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
@@ -123,18 +125,22 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .select(col("doc_id"), h60(col("token")).as("hm"))
 
-    // Same narrow-aggregation shape as q34: collect the token hashes once,
-    // then every bit's ±1 tally is a higher-order fold over the list
-    // (60 SUM() aggregates would overflow the codegen field limit).
-    val bitSum = (j: Int) => aggregate(col("hms"), lit(0L),
-      (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-    val simhash = (0 until SimBits)
-      .map(j => when(bitSum(j) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // Same narrow-aggregation shape as q34: explode the 60 bit positions
+    // into rows and tally ±1 per (doc, bit) in one codegen'd SUM, then fold
+    // the 60 tallies of a doc back into the fingerprint with a second
+    // narrow SUM. (60 wide SUM() aggregates would overflow the codegen
+    // field limit; a 60-term higher-order-fold expression was
+    // execution-equivalent but cost seconds of driver-side expression
+    // compile per run.) Both sums are exact integer arithmetic, so the
+    // result is order-independent and engine-identical.
+    val bits = tok
+      .select(col("doc_id"), col("hm"),
+        explode(sequence(lit(0), lit(SimBits - 1))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("shiftright(hm, j) & 1") === 1L, 1L).otherwise(-1L)).as("tally"))
     // one row per doc, referenced three times (blocks + both pair joins)
-    val fp = tok.groupBy(col("doc_id"))
-      .agg(collect_list(col("hm")).as("hms"))
-      .select(col("doc_id"), simhash.as("simhash"))
+    val fp = bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("tally") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
       .cache()
 
     val blockStructs = (0 until SimBlocks).map(b =>
