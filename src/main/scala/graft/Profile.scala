@@ -2,9 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Builder inner-loop profiler (not part of the driver contract): times each
-  * named query twice — the cold−warm delta is driver-side planning+codegen,
-  * the warm time is execution. Usage: runMain graft.Profile q34_minhash_lsh …
-  * (env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench). */
+  * named query three times (cold/warm/warm2), clearing the Spark cache
+  * between iterations so warm runs measure execution with plan+codegen
+  * amortized — NOT reuse of a previous iteration's cached subtree (Spark's
+  * CacheManager matches canonicalized plans across rebuilt DataFrames, so
+  * without the clear, q34/q35's cached signatures would carry over and the
+  * cold−warm delta would overstate planning cost).
+  * Usage: runMain graft.Profile q34_minhash_lsh …
+  * Env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench (both default 32,
+  * matching the driver's local[32]). */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,7 +28,9 @@ object Profile {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
       }
       println(f"PROFILE $name cold=${times(0)}%.2f warm=${times(1)}%.2f warm2=${times(2)}%.2f")
     }

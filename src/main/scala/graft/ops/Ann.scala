@@ -39,11 +39,20 @@ object Ann {
     }
   }
 
+  /** Each plane as ONE Literal node of ArrayType(Long) — `typedLit` carries
+    * the 64 weights as constant ArrayData instead of a 64-node
+    * expression subtree, so the 32-plane bucket expression holds 32 literal
+    * nodes, not 2048. (r2 profile: q38's cold−warm delta was seconds of
+    * driver-side plan/codegen dominated by the literal fan-out; the values,
+    * and hence the oracle mirror, are unchanged.) */
+  private val planeLits: IndexedSeq[Column] =
+    (0 until Planes).map(p => typedLit(weights(p).toSeq))
+
   /** Signed projection of an embedding onto plane `p`: sequential
     * left-fold in double (matches DuckDB list_reduce order). */
   private def dotPlane(emb: Column, p: Int): Column =
     aggregate(
-      zip_with(emb, array(weights(p).map(lit): _*), (x, w) => x.cast("double") * w.cast("double")),
+      zip_with(emb, planeLits(p), (x, w) => x.cast("double") * w.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Dsl._
 import graft.tables.Tables
@@ -14,24 +15,41 @@ object Events {
     * click by the same user (NULL if none). The purchase→promise causality
     * correlation of consumer/consumer.go:123-144 generalized.
     *
-    * Expressed as a per-user equi join with a time residual + max aggregate:
-    * both sides shuffle once on user_id, the oracle runs the identical SQL,
-    * and semantics at `click.ts == purchase.ts` are pinned (strict <).
-    * At 100 TB-scale key skew, the sort-merge as-of (union + window) or a
-    * custom SparkStrategy is the upgrade path (SURVEY.md §4.2); at the
-    * contract scales the join-agg plan is both correct and fast.
+    * Union-then-window form (the sort-merge as-of): both event kinds are
+    * unioned into one stream, shuffled ONCE on user_id, sorted by
+    * (ts, kind), and each purchase picks up the running
+    * `last(click_ts, ignoreNulls)` — linear in events per user. The
+    * previous join+max-aggregate form was quadratic per hot user
+    * (purchases × clicks meet in the join before the max collapses them),
+    * which is exactly the shape that dies on a power-law user at 100 TB.
+    * Strict-< semantics at `click.ts == purchase.ts` are pinned by the sort
+    * tiebreak: purchases (tag 0) sort BEFORE clicks (tag 1) at an equal ts,
+    * so a same-instant click is outside the purchase's frame
+    * (SemanticsSpec asserts this boundary on the real plan).
     */
-  def q09(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
-    val c = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    p.join(c, p("user_id") === c("c_user") && c("c_ts") < p("purchase_ts"), "left_outer")
-      .groupBy(col("event_id"), col("user_id"), col("purchase_ts"))
-      .agg(max(col("c_ts")).as("click_ts"))
+  private[graft] def asOf(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("event_id"), lit(null).cast("timestamp").as("c_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("event_id"), col("ts").as("c_ts"))
+    // ROWS frame: ties inside a frame are only same-ts purchases (c_ts is
+    // NULL there, skipped by ignoreNulls), so tie order can't leak into the
+    // result; same-ts clicks are excluded by the tag tiebreak above.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(c)
+      .withColumn("click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("click_ts"))
       .orderBy(col("event_id"))
   }
+
+  def q09(spark: SparkSession, sfDir: String): DataFrame =
+    asOf(Tables.events(spark, sfDir))
 
   /** q26: duplicate elimination over the event log — repairs R4's
     * non-idempotent fresh-UUID append (consumer/consumer.go:187): group by

@@ -197,7 +197,7 @@ object OracleSql {
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,
         |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-        |  array_to_string(list_transform(embedding[1:4], x -> CAST(CAST(ROUND(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)) AS VARCHAR)), ',') AS head4,
+        |  array_to_string(list_transform(embedding[1:4], x -> CAST(CAST(ROUND(CAST(x AS DOUBLE), 4) AS DECIMAL(18,4)) AS VARCHAR)), ',') AS head4,
         |  ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
         |FROM embeddings
         |ORDER BY vec_id

@@ -76,7 +76,7 @@ object Scalars {
         // and array cells are unhashable there (r1 q21 failure) — the HOF
         // surface (slice + transform) is unchanged, only the output is scalar.
         array_join(transform(slice(col("embedding"), 1, 4),
-          x => round(x.cast("double"), 4).cast("decimal(9,4)").cast("string")), ",").as("head4"),
+          x => round(x.cast("double"), 4).cast("decimal(18,4)").cast("string")), ",").as("head4"),
         round4(sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double")))).as("l2_norm"))
       .orderBy(col("vec_id"))

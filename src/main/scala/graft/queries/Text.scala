@@ -36,14 +36,21 @@ object Text {
       .distinct()
   }
 
-  /** q29: exact-duplicate detection by content hash — groups of identical
-    * documents (md5 over the UTF-8 bytes, comparable with DuckDB's md5). */
-  def q29(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+  /** q29 core: exact-duplicate detection by content hash — groups of
+    * identical documents (md5 over the UTF-8 bytes, comparable with DuckDB's
+    * md5). Exposed on a plain DataFrame so SemanticsSpec can assert the
+    * group/filter behavior on planted duplicates (the parquet corpus has no
+    * exact dups at the checked scale factors, so the oracle row alone would
+    * pass vacuously at 0 rows). */
+  private[graft] def exactDupGroups(documents: DataFrame): DataFrame =
+    documents
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("rep_doc"))
       .filter(col("n_copies") >= 2)
       .orderBy(col("h"))
+
+  def q29(spark: SparkSession, sfDir: String): DataFrame =
+    exactDupGroups(docs(spark, sfDir))
 
   /** q30: corpus token frequencies, top 20. */
   def q30(spark: SparkSession, sfDir: String): DataFrame =
@@ -53,38 +60,59 @@ object Text {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
-  /** q36: exact n-gram (word-trigram) Jaccard near-duplicate pairs.
-    * |A∩B| via a self-join on shingle (only docs sharing a shingle ever
-    * meet — no cartesian), |A|,|B| precomputed; pairs with J ≥ 0.5.
-    * This is the exact verifier; q34's MinHash-LSH is the sub-quadratic
-    * candidate generator for the 100 TB path. */
+  /** q36: exact n-gram (word-trigram) Jaccard near-duplicate pairs with
+    * J ≥ 0.5 — the exact verifier next to q34's MinHash-LSH sketch.
+    *
+    * Candidate generation is PPJoin-style prefix filtering (Chaudhuri et
+    * al. ICDE'06; Xiao et al. WWW'08) instead of the all-pairs
+    * shared-shingle self-join: under one global shingle order (ascending
+    * document frequency, then shingle — rarest first), any pair with
+    * J(A,B) ≥ t must share a shingle within the first
+    * |A| − ⌈t·|A|⌉ + 1 elements of BOTH docs' orderings, so joining only
+    * those prefixes loses no true pair. The join key set is each doc's
+    * RAREST shingles, which is what kills the scale hazard: a boilerplate
+    * shingle held by m docs no longer emits O(m²) rows — hot shingles sort
+    * to the back of every doc and stay out of the join entirely. Exact
+    * intersections are then computed only for the surviving candidates. */
   def q36(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = 0.5 // Jaccard threshold; prefix length below is derived from it
     val sh = shingles(spark, sfDir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    // Shingles held by a single document can't contribute to any
-    // intersection and are the overwhelming majority of the stream — keep
-    // only shingles seen in ≥ 2 docs before the self-join (result
-    // unchanged). The surviving key set is tiny (only genuinely shared
-    // shingles), so it broadcasts; a window-count formulation was measured
-    // slower (adds a per-shingle sort to the shuffle).
-    val sharedKeys = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("shingle"))
-    val shared = sh.join(broadcast(sharedKeys), Seq("shingle"))
-    val a = shared.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = shared.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    // Document frequency, per-doc rarity rank, and set size in two window
+    // passes (one shuffle on shingle, one on doc_id) — no joins yet.
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("ns", count(lit(1)).over(byDoc))
+    // Prefix = the (ns − ⌈t·ns⌉ + 1) globally-rarest shingles of each doc;
+    // for t = 0.5 that is (ns div 2) + 1, exact in integer arithmetic.
+    // Shingles held by a single doc can't match anything — drop them from
+    // the join AFTER ranking (the prefix positions must be computed over
+    // the full set for the completeness guarantee to hold).
+    val prefix = ranked
+      .filter(col("rk") <= expr("ns div 2") + 1 && col("df") >= 2)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // Exact |A∩B| for candidates only: fan each pair out over doc_a's
+    // shingles, equi-join against doc_b's — cost is candidates × |A|, not
+    // pairs-per-shared-shingle.
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val jac = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")
     inter
       .join(sizes.select(col("doc_id"), col("ns").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sizes.select(col("doc_id"), col("ns").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"), col("n_inter"), jac.as("jaccard"))
-      .filter(jac >= 0.5)
+      .filter(jac >= lit(t))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

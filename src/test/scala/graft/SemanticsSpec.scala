@@ -36,6 +36,8 @@ class SemanticsSpec extends SparkSpec {
   }
 
   test("as-of semantics: click at the same instant as the purchase is NOT matched (q09 strictness)") {
+    // Runs the REAL q09 plan (Events.asOf union+window), not a re-statement
+    // of it — the strict-< boundary lives in the (ts, tag) sort tiebreak.
     val events = Seq(
       (1L, "click",    10L, ts("2024-01-01 10:00:00")),
       (2L, "purchase", 10L, ts("2024-01-01 10:00:00")), // same ts as click 1
@@ -43,17 +45,27 @@ class SemanticsSpec extends SparkSpec {
       (4L, "purchase", 10L, ts("2024-01-01 12:00:00")),
       (5L, "purchase", 99L, ts("2024-01-01 12:00:00"))  // user with no clicks
     ).toDF("event_id", "event_type", "user_id", "ts")
-    val p = events.filter($"event_type" === "purchase")
-      .select($"event_id", $"user_id", $"ts".as("purchase_ts"))
-    val c = events.filter($"event_type" === "click")
-      .select($"user_id".as("cu"), $"ts".as("c_ts"))
-    val res = p.join(c, p("user_id") === c("cu") && c("c_ts") < p("purchase_ts"), "left_outer")
-      .groupBy($"event_id", $"user_id", $"purchase_ts")
-      .agg(max($"c_ts").as("click_ts"))
-      .orderBy($"event_id").collect()
+    val res = graft.queries.Events.asOf(events).collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(2L, 4L, 5L))
     assert(res(0).isNullAt(3))                                // strict <: same-ts click excluded
     assert(res(1).getTimestamp(3) == ts("2024-01-01 11:00:00")) // most recent earlier click
     assert(res(2).isNullAt(3))                                // no clicks at all → NULL
+  }
+
+  test("exact-dup groups: planted identical docs form one group, rep = min doc_id (q29 non-vacuous)") {
+    // The parquet corpus has no exact duplicates at the checked scale
+    // factors (the q29 oracle row passes at 0 rows), so the operator's
+    // group/filter behavior is pinned here on planted input instead.
+    val docs = Seq(
+      (5L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),  // exact copy — one group, rep doc_id 2
+      (3L, "alpha beta GAMMA"),  // case differs → different md5, no group
+      (4L, "delta")              // singleton → filtered out
+    ).toDF("doc_id", "text")
+    val res = graft.queries.Text.exactDupGroups(docs).collect()
+    assert(res.length == 1)
+    assert(res(0).getLong(1) == 2L) // n_copies
+    assert(res(0).getLong(2) == 2L) // rep_doc = min doc_id of the group
   }
 
   test("projection latest: ts tie broken by event_id desc (q27 / R8 last-writer-wins)") {
