@@ -30,14 +30,14 @@ object BnplApp {
     val trigger = if (once) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second")
     val notify = (batch: Long, users: Seq[String]) =>
       println(s"[notify] batch=$batch users=${users.mkString(",")}")
-    val pipe = new BnplPipeline(spark, args(0), args(1), trigger, notify)
+    val pipe = new BnplPipeline(spark, args(0), args(1), trigger, onUpdate = notify)
     val queries = pipe.start()
     if (once) {
       queries.foreach(_.awaitTermination())
       // Derived promise events self-loop through the event directory
       // (SURVEY §3.1's second broker hop) and land after AvailableNow's
       // snapshot — one more pass over the shared checkpoints drains them.
-      val second = new BnplPipeline(spark, args(0), args(1), trigger, notify)
+      val second = new BnplPipeline(spark, args(0), args(1), trigger, onUpdate = notify)
       second.start().foreach(_.awaitTermination())
       println(s"[bnpl] backlog drained; log rows=${second.eventsLog.count()}")
     } else {

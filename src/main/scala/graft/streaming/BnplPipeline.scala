@@ -26,20 +26,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Scale posture: every stage is keyed (user_id / bill_id) — nothing
   * depends on the reference's single-shard global order
-  * (producer/producer.go:24); watermarks bound all state; the projection
-  * merge is a per-batch keyed MERGE that would target Delta/Iceberg (or a
-  * RocksDB state store) on a real cluster — the parquet-rewrite used here
-  * is the local-FS stand-in with the same semantics.
+  * (producer/producer.go:24); watermarks bound all state. The bill
+  * projection DEFAULTS to keyed state (BillProjection.applyTws on the
+  * RocksDB provider): per batch only the *changed* bills flow out as a
+  * changelog and are merged into the serving parquet — state size is
+  * bounded by live keys, merge cost by changed keys. The
+  * full-table parquet rewrite (upsertBills) remains as the explicit
+  * fallback for environments without a state store.
   *
+  * @param billsViaKeyedState true (default) = s04 through
+  *   transformWithState/RocksDB; false = per-batch parquet MERGE fallback.
   * @param onUpdate change-notification callback (batchId, userIds) — the
   *   content-free "update" broadcast of consumer/consumer.go:177-180 /
-  *   main.go:57-73, upgraded to carry the affected keys.
+  *   main.go:57-73, upgraded to carry the affected keys (driver-side list
+  *   capped at [[BnplPipeline.NotifyUserCap]]; the full set is written to
+  *   the notifications directory, never through the driver).
   */
 class BnplPipeline(
     spark: SparkSession,
     eventsDir: String,
     stateDir: String,
     trigger: Trigger = Trigger.ProcessingTime(0L),
+    billsViaKeyedState: Boolean = true,
     onUpdate: (Long, Seq[String]) => Unit = (_, _) => ()) {
 
   import Envelope._
@@ -138,7 +146,29 @@ class BnplPipeline(
     // PaymentCompleted flips status/paid_date for an EXISTING bill only
     // (UPDATE … WHERE id=?, consumer/consumer.go:214-220 — a no-op when
     // the bill is unknown).
-    val billsQ = ev
+    //
+    // Default path: BillProjection.applyTws holds the projection in keyed
+    // RocksDB state; each batch emits only the CHANGED bills, merged into
+    // the serving parquet by key (O(changed) state work per batch).
+    // Fallback path: upsertBills re-merges the whole parquet per batch —
+    // O(total state) I/O, kept for state-store-less environments.
+    val billsQ = if (billsViaKeyedState) {
+      if (!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+            .exists(_.contains("RocksDB")))
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      BillProjection.applyTws(ev.as[RawEvent])
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (changelog: org.apache.spark.sql.Dataset[Bill], batchId: Long) =>
+          mergeBillsChangelog(changelog.toDF(), batchId)
+        }
+        .option("checkpointLocation", ckpt("bills"))
+        .trigger(trigger)
+        .queryName("bnpl_member_bills")
+        .start()
+    } else ev
       .filter(col("event_type") === MemberBillCreated ||
               col("event_type") === PaymentCompleted)
       .writeStream
@@ -150,17 +180,28 @@ class BnplPipeline(
       .queryName("bnpl_member_bills")
       .start()
 
-    // R12/s07: change notification per batch with affected users.
+    // R12/s07: change notification per batch with affected users. The full
+    // distinct user set is written to the notifications projection — a
+    // distributed parquet append that never passes through the driver; the
+    // in-process callback carries a BOUNDED sorted sample (the reference's
+    // payload is the content-free string "update", main.go:57-73 — keys are
+    // a courtesy, not a contract, so capping loses nothing).
     val notifyQ = ev
       .filter(col("event_type") === PaymentCompleted)
       .select(col("user_id"))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val users = batch.select("user_id").distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
-        if (users.nonEmpty) {
-          notifications.add((batchId, users))
-          onUpdate(batchId, users)
+        if (!batch.isEmpty) {
+          val affected = batch.distinct()
+          affected.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(notificationsDir)
+          val users = affected.orderBy(col("user_id"))
+            .limit(BnplPipeline.NotifyUserCap)
+            .collect().map(_.getString(0)).toSeq
+          if (users.nonEmpty) {
+            notifications.add((batchId, users))
+            onUpdate(batchId, users)
+          }
         }
       }
       .option("checkpointLocation", ckpt("notify"))
@@ -172,18 +213,30 @@ class BnplPipeline(
     queries
   }
 
-  /** Per-batch MERGE into the member_bills parquet (s04). Local-FS
-    * stand-in for Delta MERGE / keyed state: read current, apply the
-    * batch's inserts and updates last-writer-wins by (ts, kind), atomically
-    * swap directories. */
+  /** Merge a keyed-state changelog into the serving parquet (s04 default
+    * path): each changelog row is already the bill's full post-fold state
+    * (BillProjection emits one row per changed key per batch), so the merge
+    * is replace-by-key — no window over the full table, no event
+    * interpretation here. On a real cluster this is a Delta/Iceberg
+    * MERGE keyed on id; the write-aside-and-swap below is the local-FS
+    * stand-in. */
+  private def mergeBillsChangelog(changelog: DataFrame, batchId: Long): Unit = {
+    if (changelog.isEmpty) return
+    val merged = currentBills
+      .join(changelog.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .unionByName(changelog)
+    swapBills(merged, batchId)
+  }
+
+  /** Per-batch MERGE into the member_bills parquet (s04 fallback for
+    * state-store-less environments). Local-FS stand-in for Delta MERGE:
+    * read current, apply the batch's inserts and updates last-writer-wins
+    * by (ts, kind), atomically swap directories — O(total state) I/O per
+    * batch, which is why the keyed-state path is the default. */
   private def upsertBills(batch: DataFrame, batchId: Long): Unit = {
     import Envelope._
     if (batch.isEmpty) return
-    val fs = new java.io.File(billsDir)
-    val current: DataFrame =
-      if (fs.exists() && fs.listFiles() != null && fs.listFiles().nonEmpty)
-        spark.read.parquet(billsDir)
-      else emptyBills
+    val current = currentBills
 
     val inserts = batch.filter(col("event_type") === MemberBillCreated)
       .select(
@@ -216,7 +269,19 @@ class BnplPipeline(
         coalesce(col("p.new_paid_date"), col("b.paid_date")).as("paid_date"),
         coalesce(col("p.pay_ts"), col("b.updated_at")).as("updated_at"))
 
-    // atomic-enough swap on local FS: write aside, then move into place.
+    swapBills(merged, batchId)
+  }
+
+  private def currentBills: DataFrame = {
+    val fs = new java.io.File(billsDir)
+    if (fs.exists() && fs.listFiles() != null && fs.listFiles().nonEmpty)
+      spark.read.parquet(billsDir)
+    else emptyBills
+  }
+
+  /** Atomic-enough projection swap on local FS: write aside, then move
+    * into place (the seam a Delta/Iceberg writer replaces). */
+  private def swapBills(merged: DataFrame, batchId: Long): Unit = {
     val tmp = s"$billsDir.tmp-$batchId"
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = new java.io.File(billsDir)
@@ -261,4 +326,13 @@ class BnplPipeline(
 
   /** The event log (R4 read side). */
   def eventsLog: DataFrame = spark.read.parquet(eventsLogDir)
+}
+
+object BnplPipeline {
+  /** Driver-side bound on the per-batch user list handed to the
+    * notification callback. The complete affected-key set lives in the
+    * notifications parquet; collecting an unbounded distinct() per
+    * micro-batch is the one driver-side materialization a 100 TB stream
+    * can't afford. */
+  val NotifyUserCap = 100
 }

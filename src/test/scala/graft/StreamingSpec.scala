@@ -21,7 +21,17 @@ class StreamingSpec extends SparkSpec {
     s"""{"event_id":"$id","event_type":"$tpe","ts":"$ts"$extra}"""
   }
 
-  test("runbook e2e: purchase -> promise -> bill -> payment -> notify; duplicate replay is a no-op") {
+  // The runbook is asserted on BOTH s04 forms: keyed RocksDB state
+  // (default) and the parquet-MERGE fallback — same events, same checks.
+  test("runbook e2e (keyed state): purchase -> promise -> bill -> payment -> notify; duplicate replay is a no-op") {
+    runbookE2e(billsViaKeyedState = true)
+  }
+
+  test("runbook e2e (parquet-merge fallback): purchase -> promise -> bill -> payment -> notify; duplicate replay is a no-op") {
+    runbookE2e(billsViaKeyedState = false)
+  }
+
+  private def runbookE2e(billsViaKeyedState: Boolean): Unit = {
     val eventsDir = tmpDir("bnpl-events")
     val stateDir = tmpDir("bnpl-state")
 
@@ -30,7 +40,8 @@ class StreamingSpec extends SparkSpec {
       ev("ev-1", Envelope.PurchaseCompleted, "2024-03-01T10:00:00.000Z",
         "order_id" -> "\"order-u1\"", "user_id" -> "\"u1\"", "amount" -> "4000")))
 
-    val pipe = new BnplPipeline(spark, eventsDir, stateDir)
+    val pipe = new BnplPipeline(spark, eventsDir, stateDir,
+      billsViaKeyedState = billsViaKeyedState)
     pipe.start()
     try {
       pipe.drain()
