@@ -68,6 +68,12 @@ object SparkEntry {
     "q48_unpivot"             -> Aggregates.q48 _,
     "q49_cube"                -> Aggregates.q49 _,
     "q50_map_funcs"           -> Scalars.q50 _,
+    "q51_dataset_split"       -> Sampling.q51 _,
+    "q52_stratified_sample"   -> Sampling.q52 _,
+    // q53 has no oracle entry (HLL sketch values are engine-specific;
+    // SURVEY.md §2.2 exemption) — the driver records a rows-only check and
+    // LlmOpsSpec asserts the error bound against the exact NDV.
+    "q53_approx_ndv"          -> Aggregates.q53 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

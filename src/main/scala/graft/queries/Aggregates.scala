@@ -49,6 +49,24 @@ object Aggregates {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** q53: approximate-NDV audit — HyperLogLog++ (approx_count_distinct)
+    * next to the exact distinct of q10, with the relative error surfaced.
+    * This is the 100 TB form of q10: the sketch is one pass, mergeable,
+    * and O(1) state per group, where exact distinct shuffles every
+    * (type, user) pair. No DuckDB oracle (HLL register contents are
+    * engine-specific — SURVEY.md §2.2 exemption); the driver records a
+    * rows-only check and LlmOpsSpec asserts the error bound (rsd 5%,
+    * asserted within 3σ) against q10's exact answer. */
+  def q53(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("ndv_approx"),
+        countDistinct(col("user_id")).as("ndv_exact"))
+      .withColumn("rel_err",
+        abs(col("ndv_approx") - col("ndv_exact")).cast("double") / col("ndv_exact"))
+      .orderBy(col("event_type"))
+
   /** q11: ROLLUP with explicit GROUPING flags so subtotal NULLs can't be
     * confused with real NULL keys (determinism rule, SURVEY.md §5.3). */
   def q11(spark: SparkSession, sfDir: String): DataFrame =

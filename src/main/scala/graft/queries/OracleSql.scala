@@ -406,6 +406,37 @@ object OracleSql {
     "q35_simhash" -> simhashSql,
     "q38_ann_lsh" -> annSql,
 
+    // q51/q52: the h60 split/sample hashes, mirrored from graft.ops.Dsl.h60
+    // with the same per-operator salts ("split:" / "strat:").
+    "q51_dataset_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b
+        |GROUP BY 1
+        |ORDER BY split""".stripMargin,
+
+    "q52_stratified_sample" ->
+      s"""WITH h AS (
+        |  SELECT lang, doc_id,
+        |         ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS INTEGER) AS rk
+        |  FROM h)
+        |SELECT lang, doc_id, rk
+        |FROM r
+        |WHERE rk <= ${Sampling.StratumK}
+        |ORDER BY lang, rk""".stripMargin,
+
     "q44_pivot" ->
       (eventsCte +
       """

@@ -17,7 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Correlation {
 
-  def purchaseClickJoin(events: DataFrame): DataFrame = {
+  def purchaseClickJoin(events: DataFrame): DataFrame =
+    joined(events, "inner")
+
+  /** s08 left-outer form: purchases with NO click in the preceding hour
+    * still emit — with a NULL click_ts — once the click-side watermark
+    * passes the point where a matching click can no longer arrive
+    * (watermark ≥ purchase_ts, derived by Spark from the range condition).
+    * The streaming counterpart of q09's NULL-when-no-click semantics;
+    * state stays bounded exactly as in the inner form. */
+  def purchaseClickLeftJoin(events: DataFrame): DataFrame =
+    joined(events, "leftOuter")
+
+  private def joined(events: DataFrame, joinType: String): DataFrame = {
     val purchases = events
       .filter(col("event_type") === Envelope.PurchaseCompleted)
       .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
@@ -30,7 +42,8 @@ object Correlation {
       clicks,
       expr("""user_id = click_user AND
              |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
-             |click_ts < purchase_ts""".stripMargin))
+             |click_ts < purchase_ts""".stripMargin),
+      joinType)
       .select(col("event_id"), col("user_id"), col("purchase_ts"), col("click_ts"))
   }
 }

@@ -54,6 +54,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(direct == sims(ann.head.getLong(0)))
   }
 
+  test("approx NDV tracks exact NDV within the sketch error bound (q53 vs q10)") {
+    val res = graft.queries.Aggregates.q53(spark, sf001).collect()
+    assert(res.length == 5) // one row per event_type
+    // rsd = 0.05; assert within 3 sigma — a deterministic sketch, so this
+    // pins the configured accuracy rather than flaking on randomness.
+    res.foreach { r =>
+      val relErr = r.getDouble(3)
+      assert(relErr <= 0.15,
+        s"${r.getString(0)}: approx=${r.getLong(1)} exact=${r.getLong(2)} relErr=$relErr")
+    }
+  }
+
+  test("dataset split is exhaustive, disjoint, and stable across recomputation (q51 law)") {
+    val res = graft.queries.Sampling.q51(spark, sf001).collect()
+    val total = res.map(_.getLong(1)).sum
+    assert(total == graft.tables.Tables.documents(spark, sf001).count())
+    assert(res.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    // hash assignment, not rand(): a second evaluation is bit-identical
+    val again = graft.queries.Sampling.q51(spark, sf001).collect()
+    assert(res.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // 80/10/10 targets — hash buckets approximate them; at 500 docs allow
+    // generous binomial slack so the assertion pins shape, not luck
+    val bySplit = res.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit("train").toDouble / total > 0.7 && bySplit("train").toDouble / total < 0.9)
+  }
+
+  test("stratified sample returns exactly k docs per language (q52 law)") {
+    val res = graft.queries.Sampling.q52(spark, sf001).collect()
+    val perLang = res.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ == graft.queries.Sampling.StratumK))
+    assert(perLang.size == 5)
+    // ranks within each language are exactly 1..k (a total order, no ties)
+    res.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to graft.queries.Sampling.StratumK))
+    }
+  }
+
   test("media mapPartitions plumbing agrees with the expression pipeline (Media vs q43)") {
     import graft.ops.Media
     val media = graft.tables.Tables.documents(spark, sf001)

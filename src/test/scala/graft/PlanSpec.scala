@@ -51,4 +51,10 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "band join degraded to a cartesian")
   }
+
+  test("q36: prefix-filter candidate join stays an equi-join (no cartesian)") {
+    val plan = planString(SparkEntry.queries("q36_ngram_jaccard")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "prefix join degraded to a cartesian")
+  }
 }

@@ -62,14 +62,19 @@ class QueriesSmokeSpec extends SparkSpec {
     "q47_salted_agg" -> 5L,
     "q48_unpivot" -> 75L,
     "q49_cube" -> 12L,
+    "q51_dataset_split" -> 3L,
+    "q52_stratified_sample" -> 100L,
+    "q53_approx_ndv" -> 5L,
     "q50_map_funcs" -> 500L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // non-SQL-expressible ops (LSH/ANN internals) are the only allowed gaps
+    // non-SQL-expressible ops (LSH/ANN internals, engine-specific sketch
+    // values) are the only allowed gaps
     assert(noOracle.forall(n => n.contains("minhash") || n.contains("simhash")
-      || n.contains("ann") || n.contains("media")), s"missing oracle: $noOracle")
+      || n.contains("ann") || n.contains("media") || n.contains("ndv")),
+      s"missing oracle: $noOracle")
   }
 
   test("entry (flagship) returns rows") {

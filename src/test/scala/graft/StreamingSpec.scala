@@ -145,6 +145,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched purchase emits null click_ts after the watermark closes its window (s08 outer)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[graft.streaming.RawEvent]
+    val query = graft.streaming.Correlation.purchaseClickLeftJoin(input.toDF())
+      .writeStream.format("memory").queryName("corr_left_join")
+      .option("checkpointLocation", tmpDir("corr-left-ckpt"))
+      .start()
+    try {
+      def raw(id: String, tpe: String, ts: String, user: String) =
+        graft.streaming.RawEvent(id, tpe, java.sql.Timestamp.valueOf(ts), null, user,
+          null, null, null, null, null, null, null)
+      input.addData(
+        raw("c1", "ClickEvent", "2024-03-01 10:00:00", "u1"),                      // 30 min before p1 -> match
+        raw("p1", graft.streaming.Envelope.PurchaseCompleted, "2024-03-01 10:30:00", "u1"),
+        raw("p2", graft.streaming.Envelope.PurchaseCompleted, "2024-03-01 10:40:00", "u2")) // no click ever
+      query.processAllAvailable()
+      // march the watermark well past p2 (outer rows flush only once no
+      // future click could still match; emission lands on the next trigger).
+      // BOTH branches need late events: the global watermark is the MIN of
+      // the purchase-side and click-side watermarks (default
+      // multipleWatermarkPolicy), so late clicks alone leave it pinned at
+      // the last purchase and the outer row would never flush.
+      input.addData(
+        raw("c8", "ClickEvent", "2024-03-01 13:00:00", "u9"),
+        raw("p8", graft.streaming.Envelope.PurchaseCompleted, "2024-03-01 13:00:00", "u9"))
+      query.processAllAvailable()
+      input.addData(
+        raw("c9", "ClickEvent", "2024-03-01 15:00:00", "u9"),
+        raw("p9", graft.streaming.Envelope.PurchaseCompleted, "2024-03-01 15:00:00", "u9"))
+      query.processAllAvailable()
+      val rows = spark.table("corr_left_join").collect()
+      val p1 = rows.filter(_.getAs[String]("event_id") == "p1")
+      assert(p1.length == 1)
+      assert(p1(0).getAs[java.sql.Timestamp]("click_ts").toString.startsWith("2024-03-01 10:00"))
+      val p2 = rows.filter(_.getAs[String]("event_id") == "p2")
+      assert(p2.length == 1, s"unmatched purchase should emit exactly once, got ${p2.length}")
+      assert(p2(0).isNullAt(p2(0).fieldIndex("click_ts")))
+    } finally query.stop()
+  }
+
   test("Trigger.AvailableNow catches up a backlog then stops (batch-mode replay of the log)") {
     val eventsDir = tmpDir("an-events")
     // a pre-existing backlog of two files, written before any consumer ran —
