@@ -41,17 +41,12 @@ object Dedup {
     * exact rational n/64, so the double compare is engine-stable). q36 is
     * the exact verifier of this operator's output. */
   def q34(spark: SparkSession, sfDir: String): DataFrame = {
-    // Raw (non-distinct) shingle stream: MIN is duplicate-insensitive, so
-    // the signatures don't need the distinct-shingle shuffle q36's exact
-    // Jaccard needs — shingles are hashed map-side and the only shuffled
-    // payload is (doc_id, long).
-    val sp = split(col("text"), " ")
-    val sh = graft.tables.Tables.documents(spark, sfDir)
-      .filter(size(sp) >= 3)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(sp) - 2),
-          i => concat_ws(" ", element_at(sp, i), element_at(sp, i + 1), element_at(sp, i + 2))))
-          .as("shingle"))
+    // Raw (non-distinct) shingle stream (Text.rawShingles — shared with
+    // q36, including its one-projection-per-token-array barrier): MIN is
+    // duplicate-insensitive, so the signatures don't need the
+    // distinct-shingle shuffle q36's exact Jaccard needs — shingles are
+    // hashed map-side and the only shuffled payload is (doc_id, long).
+    val sh = Text.rawShingles(spark, sfDir)
       .select(col("doc_id"), (h60(col("shingle")) % P).as("hm"))
 
     // Long-form signature build, fully inside whole-stage codegen: explode

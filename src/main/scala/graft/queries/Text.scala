@@ -23,18 +23,30 @@ object Text {
     docs(spark, sfDir).select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("token"))
 
-  /** Distinct (doc_id, shingle) word-trigram sets — the shingling stage
-    * shared by exact n-gram Jaccard (q36) and MinHash-LSH (q34). */
-  private[queries] def shingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val sp = split(col("text"), " ")
+  /** Exploded (doc_id, shingle) word-trigram stream, multiset semantics —
+    * the shingling stage shared by exact n-gram Jaccard (q36) and
+    * MinHash-LSH (q34).
+    *
+    * The token array is materialized in its OWN projection before the
+    * transform: higher-order-function lambdas are interpreted with no
+    * subexpression elimination, so an inline `split` would be re-evaluated
+    * by every `element_at` call — O(tokens²) work per doc, measured as
+    * 7.2 s of q36's 12 s at sf0.1. CollapseProject keeps the barrier
+    * because `toks` is referenced more than once by a non-cheap expression. */
+  private[queries] def rawShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = col("toks")
     docs(spark, sfDir)
-      .filter(size(sp) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(toks) >= 3)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(sp) - 2),
-          i => concat_ws(" ", element_at(sp, i), element_at(sp, i + 1), element_at(sp, i + 2))))
+        explode(transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
           .as("shingle"))
-      .distinct()
   }
+
+  /** Distinct (doc_id, shingle) word-trigram sets (set semantics, q36). */
+  private[queries] def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    rawShingles(spark, sfDir).distinct()
 
   /** q29 core: exact-duplicate detection by content hash — groups of
     * identical documents (md5 over the UTF-8 bytes, comparable with DuckDB's
@@ -76,41 +88,69 @@ object Text {
     * intersections are then computed only for the surviving candidates. */
   def q36(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.5 // Jaccard threshold; prefix length below is derived from it
-    val sh = shingles(spark, sfDir).cache()
-    // Document frequency, per-doc rarity rank, and set size in two window
-    // passes (one shuffle on shingle, one on doc_id) — no joins yet.
-    val byDoc = Window.partitionBy(col("doc_id"))
+    // The whole candidate pipeline runs on HASHED shingles — 16-byte
+    // (doc_id, hm) rows instead of ~60-byte strings — so every shuffle,
+    // sort, and set intersection downstream is on fixed-width longs (the
+    // same never-shuffle-raw-ngrams posture as q34's signature build).
+    // xxhash64 is codegen'd and internal-only: the oracle computes the same
+    // RESULT from raw strings, and a 64-bit collision among the ≤ tens of
+    // millions of distinct shingles any realistic corpus shard holds is
+    // ~1e-10 — far below the float-rounding agreement this compare already
+    // relies on. (r3 profile, sf0.1: string pipeline 13.2 s warm → this
+    // form ~3 s.)
+    val sh = rawShingles(spark, sfDir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
+      .distinct()
+      .cache()
+    // Document frequency and set size as AGGREGATES, not windows: windowing
+    // the full shingle stream costs a shuffle + sort of every row per pass
+    // (r3 profile: the two-window form ran 16.7 s warm at sf0.1 vs 2.1 s for
+    // the plan it replaced). Aggregated, both tables collapse — dfShared
+    // keeps only shingles held by ≥2 docs (rare in a deduped corpus), sizes
+    // is one row per doc — so Catalyst/AQE broadcasts them back onto the
+    // stream instead of re-shuffling it.
+    val dfShared = sh.groupBy(col("hm")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    // Per-doc rarity rank over the FULL shingle set (df of an unshared
+    // shingle is 1 via the left join) — prefix positions must be computed
+    // over the whole set for the completeness guarantee to hold.
     val ranked = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
-      .withColumn("ns", count(lit(1)).over(byDoc))
+      .join(dfShared, Seq("hm"), "left")
+      .select(col("doc_id"), col("hm"), coalesce(col("df"), lit(1L)).as("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hm"))))
     // Prefix = the (ns − ⌈t·ns⌉ + 1) globally-rarest shingles of each doc;
     // for t = 0.5 that is (ns div 2) + 1, exact in integer arithmetic.
     // Shingles held by a single doc can't match anything — drop them from
-    // the join AFTER ranking (the prefix positions must be computed over
-    // the full set for the completeness guarantee to hold).
+    // the join AFTER ranking.
     val prefix = ranked
+      .join(sizes, Seq("doc_id"))
       .filter(col("rk") <= expr("ns div 2") + 1 && col("df") >= 2)
-      .select(col("doc_id"), col("shingle"))
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("hm"), col("ns"))
+    // Candidate pairs, with the length filter applied IN the join:
+    // J ≥ 0.5 forces |B| ≤ 2|A| (i ≤ min ∧ i ≥ (na+nb)/3), so size-skewed
+    // pairs never even reach the distinct.
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("hm"), col("ns").as("na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("hm"), col("ns").as("nb")),
+        Seq("hm"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("nb") * 2 >= col("na") && col("nb") <= col("na") * 2)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // Exact |A∩B| for candidates only: fan each pair out over doc_a's
-    // shingles, equi-join against doc_b's — cost is candidates × |A|, not
-    // pairs-per-shared-shingle.
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    // Exact |A∩B| per candidate via per-doc shingle ARRAYS — one row per
+    // candidate, O(|A|+|B|) work in array_intersect, no join fan-out. (The
+    // r3 first cut joined each candidate back to the shingle stream twice:
+    // candidates × |A| ≈ 21M intermediate rows at sf0.1, 12.5 s warm. This
+    // form is one small distinct + two hash joins on doc_id.)
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("hm")).as("set"), count(lit(1)).as("ns"))
     val jac = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")
-    inter
-      .join(sizes.select(col("doc_id"), col("ns").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("ns").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("ns").as("na")), Seq("doc_a"))
+      .join(docSets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("ns").as("nb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), jac.as("jaccard"))
       .filter(jac >= lit(t))
       .orderBy(col("doc_a"), col("doc_b"))
