@@ -74,6 +74,9 @@ object SparkEntry {
     // SURVEY.md §2.2 exemption) — the driver records a rows-only check and
     // LlmOpsSpec asserts the error bound against the exact NDV.
     "q53_approx_ndv"          -> Aggregates.q53 _,
+    "q54_doc_chunking"        -> Text.q54 _,
+    "q55_ivf_centroids"       -> Vectors.q55 _,
+    "q56_ivf_probe"           -> Vectors.q56 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

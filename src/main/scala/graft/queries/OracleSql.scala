@@ -18,7 +18,77 @@ object OracleSql {
   private val eventsCte =
     "WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
+  /** q54 chunk geometry — same constants as Text.q54. */
+  private val chunkSql = {
+    val L = Text.ChunkLen
+    val S = Text.ChunkStride
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+       |k AS (SELECT doc_id, s, CAST(len(s) AS INTEGER) AS nt FROM d),
+       |c AS (SELECT doc_id, s, nt,
+       |        unnest(generate_series(0, CASE WHEN nt > $L THEN (nt - $L + ${S - 1}) // $S ELSE 0 END)) AS ci
+       |      FROM k)
+       |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx, CAST(ci * $S AS INTEGER) AS start_tok,
+       |       CAST(len(s[ci*$S+1 : least(ci*$S+$L, nt)]) AS INTEGER) AS n_chunk_tokens,
+       |       md5(array_to_string(s[ci*$S+1 : least(ci*$S+$L, nt)], ' ')) AS digest
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Shared IVF centroid CTEs (q55/q56) — scale constant from
+    * Vectors.CentroidScale; the scaled-integer floor-sum keeps the
+    * aggregation exact and order-independent in both engines. */
+  private val centroidCtes = {
+    val sc = Vectors.CentroidScale
+    s"""WITH idx AS (SELECT vec_id, label, embedding,
+       |         unnest(generate_series(1, CAST(len(embedding) AS INTEGER))) AS i
+       |       FROM embeddings),
+       |comp AS (SELECT label, CAST(i AS INTEGER) AS i,
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT)) AS BIGINT) AS sq,
+       |    COUNT(*) AS n
+       |  FROM idx GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val centroidSql = {
+    val sc = Vectors.CentroidScale
+    s"""$centroidCtes
+       |SELECT label, i, n AS n_vecs, ROUND((CAST(sq AS DOUBLE) / $sc) / n, 4) AS c
+       |FROM comp
+       |ORDER BY label, i""".stripMargin
+  }
+
+  private val ivfProbeSql = {
+    val sc = Vectors.CentroidScale
+    s"""$centroidCtes,
+       |cent AS (SELECT label AS cell, list(CAST(sq AS DOUBLE) / $sc / n ORDER BY i) AS cvec
+       |         FROM comp GROUP BY label),
+       |sims AS (SELECT e.vec_id, e.embedding, c.cell,
+       |    list_reduce(list_transform(range(1, CAST(len(e.embedding) AS INTEGER) + 1),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * c.cvec[j]), (a, b) -> a + b)
+       |    / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+       |     * sqrt(list_reduce(list_transform(c.cvec, x -> x * x), (a, b) -> a + b))) AS csim
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id, embedding, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |q AS (SELECT cell AS qcell, embedding AS qvec FROM assigned WHERE vec_id = 0)
+       |SELECT a.vec_id, a.cell,
+       |  ROUND(
+       |    list_sum(list_transform(range(1, CAST(len(a.embedding) AS INTEGER) + 1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+       |FROM assigned a, q
+       |WHERE a.vec_id <> 0 AND a.cell = q.qcell
+       |ORDER BY sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+
+    "q54_doc_chunking"  -> chunkSql,
+    "q55_ivf_centroids" -> centroidSql,
+    "q56_ivf_probe"     -> ivfProbeSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,

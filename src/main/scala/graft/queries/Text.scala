@@ -156,6 +156,41 @@ object Text {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q54 chunk geometry: 32-token chunks every 24 tokens (8-token overlap).
+    * The last chunk starts at the final stride position that still adds new
+    * tokens, so every token lands in at least one chunk. */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  /** q54: document chunking — the context-window segmentation stage in
+    * front of LLM training/embedding: fixed-size overlapping token windows,
+    * each with its position and content digest (the digest is what a
+    * downstream exact-dedup over CHUNKS, not docs, would key on).
+    *
+    * Scale posture: explode of a per-doc chunk-index sequence, then
+    * row-wise `slice` over the materialized token array — all codegen'd
+    * projections, no shuffle at all (the driver's verify sink adds the only
+    * exchange). Per-doc cost is O(n_tokens × chunks-per-token = ~2.3). */
+  def q54(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = col("toks")
+    val nt = size(toks)
+    // highest chunk index: 0 for short docs, else ceil((nt-len)/stride) —
+    // exact in double (small-int division), mirrored as integer div in SQL
+    val kMax = when(nt > ChunkLen,
+      floor((nt - ChunkLen + lit(ChunkStride - 1)) / lit(ChunkStride)).cast("int"))
+      .otherwise(0)
+    docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), toks, explode(sequence(lit(0), kMax)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("start_tok"),
+        slice(toks, col("chunk_idx") * ChunkStride + 1, lit(ChunkLen)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** q39: language identification by corpus-learned token profiles — each
     * doc votes with its tokens' per-language frequencies; argmax language
     * (ties broken alphabetically). A self-supervised n-gram langid over the

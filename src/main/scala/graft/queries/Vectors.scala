@@ -48,6 +48,80 @@ object Vectors {
       .limit(10)
   }
 
+  /** Fixed-point scale for centroid component sums: floor(x·10⁶) per
+    * component, summed as BIGINT — exact, associative, order-independent,
+    * and bit-identical across engines (both read the same float32, widen to
+    * double exactly, and floor the same product), where a plain double SUM
+    * would depend on partial-agg combine order. Mirrored literally in the
+    * oracle SQL. */
+  val CentroidScale = 1000000L
+
+  /** Per-(label, component) scaled sums — the shared training pass of the
+    * IVF pair q55/q56. One narrow shuffle of (label, i, long); partial sums
+    * combine map-side, so at 100 TB this is a single mergeable aggregation
+    * regardless of corpus size. */
+  private def centroidComponents(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("i"))
+      .agg(sum(floor(col("x").cast("double") * CentroidScale).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+
+  /** q55: IVF coarse-quantizer training — per-label centroid of the
+    * embedding space (the cells q56 probes). Labels stand in for the
+    * k-means assignment a full IVF trainer would iterate; the aggregation
+    * shape (and its determinism discipline) is exactly the Lloyd's-step
+    * reduce. */
+  def q55(spark: SparkSession, sfDir: String): DataFrame =
+    centroidComponents(Tables.embeddings(spark, sfDir))
+      .select(col("label"), col("i").cast("int").as("i"), col("n").as("n_vecs"),
+        round4((col("sq").cast("double") / CentroidScale) / col("n")).as("c"))
+      .orderBy(col("label"), col("i"))
+
+  /** q56: IVF probe — the second ANN family next to q38's LSH. Every
+    * vector is assigned to its nearest centroid (cosine argmax, ties by
+    * label); the query (vec_id 0) probes ONLY its own cell and ranks that
+    * cell's members by exact cosine. Per query the scan is |cell|, not
+    * |corpus|; the 10-row codebook broadcasts, assignment is map-side, and
+    * the final ranking is a TakeOrdered over one cell.
+    *
+    * Recall honesty: nprobe = 1, and the synthetic embeddings are not
+    * clustered around their labels, so overlap with the exact q31 top-10 is
+    * low here (measured 1/10 at sf0.001) — the operator demonstrates the
+    * IVF cost shape (probe |cell| instead of |corpus|), while q38's LSH is
+    * the recall-bearing ANN on this corpus (recall asserted in LlmOpsSpec).
+    * On clustered production embeddings recall rises with nprobe; the
+    * exact-within-cell property is what the oracle pins.
+    *
+    * The centroid cosines (argmax inputs) use the sequential-fold HOF form
+    * so the unrounded doubles match DuckDB's list_reduce fold exactly —
+    * comparisons happen BEFORE any rounding, so fold parity is load-bearing
+    * here (oracle-determinism rule: list_reduce, not list_sum). */
+  def q56(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = centroidComponents(emb)
+      .select(col("label").as("cell"), col("i"),
+        ((col("sq").cast("double") / CentroidScale) / col("n")).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosineHof(col("embedding"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val query = assigned.filter(col("vec_id") === 0)
+      .select(col("cell").as("qcell"), col("embedding").as("qvec"))
+    assigned.join(broadcast(query))
+      .filter(col("vec_id") =!= 0 && col("cell") === col("qcell"))
+      .select(col("vec_id"), col("cell"), round4(cosine(col("embedding"), col("qvec"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** q37: embedding-cosine near-duplicate pairs, blocked by label; top 20
     * most-similar pairs (the testdata plants no true near-dups — max
     * same-label cosine ≈ 0.45 — so the operator surfaces the closest pairs

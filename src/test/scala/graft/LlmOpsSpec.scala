@@ -91,6 +91,46 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every token, contiguously, with the declared geometry (q54 laws)") {
+    import graft.queries.Text
+    val chunks = Text.q54(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val byDoc = chunks.groupBy(_._1)
+    val docToks = graft.tables.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS nt").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byDoc.keySet == docToks.keySet) // every doc chunked, even short ones
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq) // chunk_idx = 0..K-1
+      sorted.foreach { case (_, idx, start, n) =>
+        assert(start == idx * Text.ChunkStride)
+        assert(n == math.min(Text.ChunkLen, docToks(doc) - start))
+      }
+      // last chunk reaches the end of the doc; with stride < len the chunks
+      // overlap, so coverage is total
+      val (_, _, lastStart, lastN) = sorted.last
+      assert(lastStart + lastN == docToks(doc))
+    }
+  }
+
+  test("IVF centroids partition the corpus; probe is exact within its cell (q55/q56 laws)") {
+    val cents = graft.queries.Vectors.q55(spark, sf001).collect()
+    assert(cents.length == 10 * 64) // 10 label cells x 64 components
+    // each (i) slice accounts for every vector exactly once
+    cents.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sum == 500L)
+    }
+    val probe = graft.queries.Vectors.q56(spark, sf001).collect()
+    assert(probe.length == 10)
+    assert(probe.map(_.getAs[Int]("cell")).distinct.length == 1) // one probed cell
+    val sims = probe.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }) // ranked
+    // nprobe=1 bounds every result by the global exact max (q31 top-1)
+    val exactTop = graft.queries.Vectors.q31(spark, sf001).collect().head.getDouble(1)
+    assert(sims.forall(_ <= exactTop))
+  }
+
   test("media mapPartitions plumbing agrees with the expression pipeline (Media vs q43)") {
     import graft.ops.Media
     val media = graft.tables.Tables.documents(spark, sf001)

@@ -65,6 +65,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q51_dataset_split" -> 3L,
     "q52_stratified_sample" -> 100L,
     "q53_approx_ndv" -> 5L,
+    "q54_doc_chunking" -> 1249L,
+    "q55_ivf_centroids" -> 640L,
+    "q56_ivf_probe" -> 10L,
     "q50_map_funcs" -> 500L,
   )
 
