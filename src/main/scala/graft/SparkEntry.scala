@@ -77,6 +77,7 @@ object SparkEntry {
     "q54_doc_chunking"        -> Text.q54 _,
     "q55_ivf_centroids"       -> Vectors.q55 _,
     "q56_ivf_probe"           -> Vectors.q56 _,
+    "q57_dedup_clusters"      -> Dedup.q57 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -102,6 +102,76 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Iteration cap for [[connectedComponents]]: min-label propagation needs
+    * one round per hop of a component's diameter, and near-dup clusters are
+    * shallow (a dup of a dup of X is usually also a direct candidate of X),
+    * so the fixpoint check normally exits after 2–3 rounds; the cap only
+    * bounds pathological chain-shaped graphs. At truly adversarial scale
+    * the O(log n) large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") would replace the
+    * simple propagation — same driver-loop skeleton, fewer rounds. */
+  val MaxCcIters = 16
+
+  /** Connected components of an undirected edge list (u, v) by iterative
+    * min-label propagation: every node starts labeled with itself, each
+    * round takes the min label over itself and its neighbors, until a
+    * fixpoint. Returns (node, label) with label = the component's minimum
+    * node id — a deterministic canonical representative.
+    *
+    * Scale posture: each round is ONE shuffle (join on node + grouped MIN),
+    * and `localCheckpoint(eager)` truncates the lineage so round k's plan
+    * does not replay rounds 1..k-1 (the classic iterative-algorithm trap:
+    * exponentially deep plans). Convergence is detected by the sum of
+    * labels — strictly decreasing while any label changes, so equality is
+    * exactly the fixpoint — which costs one cheap extra action per round. */
+  def connectedComponents(edgesIn: DataFrame): DataFrame = {
+    val pairs = edgesIn.toDF("u", "v")
+    val edges = pairs.union(pairs.select(col("v"), col("u"))).toDF("u", "v")
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("label"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prev = labelSum(labels)
+    var done = prev == 0L // empty graph: nothing to propagate
+    var iter = 0
+    while (!done && iter < MaxCcIters) {
+      val next = labels.join(edges, col("node") === col("u"))
+        .select(col("v").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val cur = labelSum(next)
+      done = cur == prev
+      prev = cur
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** q57: dedup cluster resolution — the step after candidate generation
+    * that every real dedup pipeline needs: q34's pairwise candidates
+    * (est-Jaccard ≥ 0.5) resolved into connected components, so "keep one
+    * representative per cluster" becomes a filter on `doc_id = component`.
+    * Output: every clustered doc with its component id (= min doc_id in
+    * the cluster, a deterministic canonical representative) and the
+    * cluster size; ordered by doc_id. Oracle: the same MinHash CTE block
+    * q34 uses plus a recursive min-reachability CTE (OracleSql mirrors the
+    * semantics, not the algorithm — DuckDB enumerates reachable labels,
+    * Spark propagates them; both yield min-of-component). */
+  def q57(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = q34(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("component"))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("component"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash parameters: 60-bit fingerprints (bits 0..59 of h60 keep every
     * shift inside exact signed-64), blocked 4 × 15 bits for candidate
     * generation — by pigeonhole any pair at Hamming distance ≤ 3 agrees on

@@ -475,6 +475,7 @@ object OracleSql {
     "q34_minhash_lsh" -> minhashSql,
     "q35_simhash" -> simhashSql,
     "q38_ann_lsh" -> annSql,
+    "q57_dedup_clusters" -> dedupClustersSql,
 
     // q51/q52: the h60 split/sample hashes, mirrored from graft.ops.Dsl.h60
     // with the same per-operator salts ("split:" / "strat:").
@@ -582,7 +583,7 @@ object OracleSql {
     * the shingle construction mirror graft.queries.Dedup.q34 exactly; the
     * SQL is assembled programmatically so the 64 hash expressions cannot
     * drift from the Spark side. */
-  private def minhashSql: String = {
+  private def minhashCtes: String = {
     import Dedup.{P, K, Bands, RowsPerBand, aCoef, bCoef}
     val sigCols = (0 until K)
       .map(i => s"MIN((${aCoef(i)}*hm + ${bCoef(i)}) % $P) AS s$i").mkString(", ")
@@ -591,7 +592,7 @@ object OracleSql {
       s"SELECT doc_id, $k AS band_id, md5($cc) AS bk FROM sig"
     }.mkString(" UNION ALL ")
     val nEq = (0 until K).map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    s"""sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |           WHERE len(string_split(text, ' ')) >= 3),
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
        |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)]))) AS shingle
@@ -601,12 +602,35 @@ object OracleSql {
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
-       |           ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b, ($nEq) / ${K.toDouble} AS est_sim
-       |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
-       |WHERE ($nEq) / ${K.toDouble} >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |           ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT doc_a, doc_b, ($nEq) / ${K.toDouble} AS est_sim
+       |          FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |          WHERE ($nEq) / ${K.toDouble} >= 0.5)""".stripMargin
   }
+
+  private def minhashSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b, est_sim FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q57 oracle: q34's candidate pairs resolved into connected components.
+    * DuckDB enumerates every (node, reachable label) via a recursive CTE
+    * and takes MIN per node; Spark propagates min labels iteratively —
+    * different algorithms, identical fixpoint (min node id per component),
+    * which is the point: the oracle pins semantics, not execution. */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node),
+       |comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+       |SELECT doc_id, component,
+       |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_docs
+       |FROM comp
+       |ORDER BY doc_id""".stripMargin
 
   /** q35 oracle: mirrors graft.queries.Dedup.q35 (60-bit simhash over the
     * token multiset, 4 × 15-bit blocks, Hamming ≤ 3). */

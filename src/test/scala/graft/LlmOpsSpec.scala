@@ -131,6 +131,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(sims.forall(_ <= exactTop))
   }
 
+  test("connected components: min-label propagation resolves planted clusters (q57 core)") {
+    import graft.queries.Dedup
+    // chain 1-2-3-4 (diameter 3, exercises multi-round propagation),
+    // triangle 10-11-12, isolated pair 20-21; nodes not in any edge are
+    // absent from the output by design (unclustered docs are not dups).
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("u", "v")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+    // empty edge list: empty result, no divergence
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("u", "v")).isEmpty)
+  }
+
+  test("q57 clusters are consistent with q34 pairs (every edge endpoint clustered together)") {
+    val comp = graft.queries.Dedup.q57(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.queries.Dedup.q34(spark, sf001)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    // the representative is a member of its own cluster
+    comp.values.foreach(c => assert(comp(c) == c))
+  }
+
   test("media mapPartitions plumbing agrees with the expression pipeline (Media vs q43)") {
     import graft.ops.Media
     val media = graft.tables.Tables.documents(spark, sf001)
