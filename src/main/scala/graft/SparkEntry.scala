@@ -78,6 +78,8 @@ object SparkEntry {
     "q55_ivf_centroids"       -> Vectors.q55 _,
     "q56_ivf_probe"           -> Vectors.q56 _,
     "q57_dedup_clusters"      -> Dedup.q57 _,
+    "q58_tfidf"               -> Text.q58 _,
+    "q59_int8_quantize"       -> Vectors.q59 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -453,6 +453,26 @@ object OracleSql {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // q58: the smoothed-idf constant 1.0 and the ROUND placement mirror
+    // graft.queries.Text.q58; ln operands are ratios of the same BIGINTs on
+    // both sides, so the one transcendental evaluates on identical doubles.
+    "q58_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |         ROUND(CAST(tf AS DOUBLE) *
+        |               (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (token), n),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rk
+        |      FROM scored)
+        |SELECT doc_id, token, tf, df, tfidf, rk
+        |FROM r WHERE rk <= ${Text.TfIdfTopK}
+        |ORDER BY doc_id, rk""".stripMargin,
+
     "q42_doc_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |       COUNT(*) AS n_docs, min(doc_id) AS rep_doc
@@ -471,6 +491,35 @@ object OracleSql {
         |FROM e
         |ORDER BY event_id
         |LIMIT 500""".stripMargin),
+
+    // q59: mirrors graft.queries.Vectors.q59 — floor(x·scale + 0.5) is the
+    // explicit half-up both engines compute identically; the error mean
+    // folds via list_reduce from a 0.0 seed (sequential-fold parity with
+    // Spark's aggregate), the max is order-free.
+    "q59_int8_quantize" ->
+      """WITH x AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        |           FROM embeddings),
+        |a AS (SELECT vec_id, xd,
+        |             list_max(list_transform(xd, v -> abs(v))) AS amax FROM x),
+        |s AS (SELECT vec_id, xd, amax,
+        |             CASE WHEN amax = 0 THEN 0.0 ELSE 127.0 / amax END AS scale FROM a),
+        |q AS (SELECT vec_id, xd, amax, scale,
+        |             list_transform(xd, v -> CAST(floor(v * scale + 0.5) AS INTEGER)) AS qa
+        |      FROM s),
+        |e AS (SELECT vec_id, amax, scale, qa,
+        |             list_transform(generate_series(1, CAST(len(xd) AS INTEGER)),
+        |               i -> abs(xd[CAST(i AS INTEGER)] -
+        |                 CASE WHEN scale = 0 THEN 0.0
+        |                      ELSE CAST(qa[CAST(i AS INTEGER)] AS DOUBLE) / scale END)) AS errs
+        |      FROM q)
+        |SELECT vec_id,
+        |  ROUND(amax, 4) AS amax,
+        |  array_to_string(qa[1:8], ',') AS q_head8,
+        |  ROUND(list_reduce(list_prepend(0.0, errs), (p, v) -> p + v)
+        |        / CAST(len(errs) AS DOUBLE), 4) AS mean_abs_err,
+        |  ROUND(list_max(errs), 4) AS max_abs_err
+        |FROM e
+        |ORDER BY vec_id""".stripMargin,
 
     "q34_minhash_lsh" -> minhashSql,
     "q35_simhash" -> simhashSql,

@@ -240,6 +240,41 @@ object Text {
           .as("chars_per_token"))
       .orderBy(col("doc_id"))
 
+  /** q58 output size: top terms kept per document. */
+  val TfIdfTopK = 3
+
+  /** q58: TF-IDF term weighting — the top-k most characteristic terms per
+    * document under the smoothed formula tfidf = tf · (ln((1+N)/(1+df)) + 1)
+    * (the sklearn smoothing: defined even for df = N, never negative).
+    * Output: (doc_id, token, tf, df, tfidf ROUND 4, rk), ties broken by
+    * token, ordered by doc_id, rk.
+    *
+    * Scale posture: tf is ONE shuffle of the token stream on (doc, token);
+    * df is an aggregate OF tf (|vocab| rows, not the stream — no second
+    * stream shuffle); the corpus size N joins in as a broadcast single-row
+    * aggregate, so the plan never collects to the driver; the top-k window
+    * re-shuffles only the per-doc term table. The one float op (ln) happens
+    * per distinct (token-df, N) operand pair — identical IEEE inputs on
+    * both engines — and feeds ROUND(…,4) before any compare. */
+  def q58(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = tokens(spark, sfDir)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val idf = log((lit(1.0) + col("n_docs").cast("double")) /
+      (lit(1.0) + col("df").cast("double"))) + lit(1.0)
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf").cast("double") * idf, 4).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfIdfTopK)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** q42: order-insensitive document fingerprint — md5 over the sorted
     * distinct token set, the bag-of-words analogue of q29's exact hash.
     * Groups are potential shuffled-copy duplicates. */

@@ -122,6 +122,45 @@ object Vectors {
       .limit(10)
   }
 
+  /** q59: symmetric int8 embedding quantization + reconstruction-error
+    * audit — the storage-shrink step a 100 TB vector corpus runs before
+    * ANN indexing (4× smaller than float32, SIMD-friendly dot products):
+    * per vector, scale = 127/max|x|, q_i = ⌊x_i·scale + 0.5⌋ (explicit
+    * half-up via floor — engine-identical, unlike round()'s per-engine tie
+    * rules), dequantized error stats. Output: vec_id, the scale-defining
+    * amax, the first 8 quantized components (joined as a string so the
+    * compare can hash it), and ROUND-4 mean/max absolute reconstruction
+    * error; ordered by vec_id.
+    *
+    * Purely row-local map work — zero shuffles, perfectly parallel at any
+    * scale. Each stage lives in its OWN projection (HOF lambdas are
+    * interpreted with no subexpression elimination — the q36 lesson); the
+    * error mean folds sequentially from 0.0 (list_reduce parity), the max
+    * is order-free selection, and every compared float passes ROUND(…,4). */
+  def q59(spark: SparkSession, sfDir: String): DataFrame = {
+    val errMean = aggregate(col("errs"), lit(0.0), (a, v) => a + v) /
+      size(col("errs")).cast("double")
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .select(col("vec_id"), col("xd"),
+        aggregate(col("xd"), lit(0.0), (a, v) => greatest(a, abs(v))).as("amax"))
+      .select(col("vec_id"), col("xd"), col("amax"),
+        when(col("amax") === 0.0, 0.0).otherwise(lit(127.0) / col("amax")).as("scale"))
+      .select(col("vec_id"), col("xd"), col("amax"), col("scale"),
+        transform(col("xd"), v => floor(v * col("scale") + 0.5).cast("int")).as("qa"))
+      .select(col("vec_id"), col("amax"), col("scale"), col("qa"),
+        zip_with(col("xd"), col("qa"), (v, q) =>
+          abs(v - when(col("scale") === 0.0, 0.0)
+            .otherwise(q.cast("double") / col("scale")))).as("errs"))
+      .select(col("vec_id"),
+        round4(col("amax")).as("amax"),
+        array_join(transform(slice(col("qa"), 1, 8), v => v.cast("string")), ",").as("q_head8"),
+        round4(errMean).as("mean_abs_err"),
+        round4(array_max(col("errs"))).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q37: embedding-cosine near-duplicate pairs, blocked by label; top 20
     * most-similar pairs (the testdata plants no true near-dups — max
     * same-label cosine ≈ 0.45 — so the operator surfaces the closest pairs

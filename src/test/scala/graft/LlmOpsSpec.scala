@@ -160,6 +160,38 @@ class LlmOpsSpec extends SparkSpec {
     comp.values.foreach(c => assert(comp(c) == c))
   }
 
+  test("tfidf laws: per-doc ranking is by score then token, rare terms beat stopwords (q58)") {
+    val rows = graft.queries.Text.q58(spark, sf001).collect()
+    assert(rows.length == 500 * graft.queries.Text.TfIdfTopK)
+    rows.groupBy(_.getLong(0)).values.foreach { doc =>
+      val byRank = doc.sortBy(_.getInt(5))
+      // scores weakly decrease with rank; equal scores break ties by token
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        val (sa, sb) = (a.getDouble(4), b.getDouble(4))
+        assert(sa > sb || (sa == sb && a.getString(1) < b.getString(1)))
+      case _ => ()
+      }
+    }
+    // a top term is never a corpus-wide stopword: df strictly below N
+    assert(rows.forall(_.getLong(3) < 500))
+  }
+
+  test("int8 quantization laws: values in [-127,127], error within half a step (q59)") {
+    val rows = graft.queries.Vectors.q59(spark, sf001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val amax = r.getDouble(1)
+      val qs = r.getString(2).split(",").map(_.toInt)
+      assert(qs.forall(q => q >= -127 && q <= 127))
+      // half-up rounding puts every component within half a quantization
+      // step of its original: |x - q/scale| <= 0.5/scale = amax/254
+      // (amax is itself ROUND-4, so allow that rounding's slack)
+      assert(r.getDouble(4) <= amax / 254.0 + 1e-4,
+        s"vec ${r.getLong(0)}: max_abs_err ${r.getDouble(4)} vs bound ${amax / 254.0}")
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9)
+    }
+  }
+
   test("media mapPartitions plumbing agrees with the expression pipeline (Media vs q43)") {
     import graft.ops.Media
     val media = graft.tables.Tables.documents(spark, sf001)
