@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Data-layout operators — the storage-side half of the 100 TB posture
+  * (SURVEY.md §7.5). Correct operators on a bad layout still shuffle the
+  * world; these helpers pin the two layouts that delete shuffles and scans
+  * outright, and LayoutSpec asserts the resulting physical plans so a
+  * regression fails in `sbt test`, not on a cluster:
+  *
+  *  - **Bucketing** (hash-clustered, optionally bucket-sorted files): both
+  *    sides of a fact⋈fact equi-join bucketed on the join key by the same
+  *    bucket count satisfy the join's distribution requirement at read
+  *    time — the plan has NO Exchange. At 100 TB that is the difference
+  *    between re-shuffling terabytes per query and reading co-located
+  *    files; the write-side shuffle is paid once, at ingest.
+  *  - **Partitioned directories** (`key=value` paths): equality/IN
+  *    predicates on the partition column prune at the DIRECTORY level —
+  *    `PartitionFilters` in the scan, non-matching files never opened.
+  *    The right layout for low-cardinality scan predicates (event_type,
+  *    date) exactly as the reference's per-type event dispatch implies.
+  *
+  * Choosing keys: bucket on the highest-volume equi-join key (custkey,
+  * user_id), partition on low-cardinality scan predicates — never the
+  * reverse (bucketing on a scan predicate buys nothing; partitioning on a
+  * high-cardinality key explodes the file count, the classic small-files
+  * failure).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed (and optionally bucket-sorted) external
+    * parquet table at `path`, registered as `name`. Bucketed reads require
+    * the table catalog (plain `spark.read.parquet` has no bucket spec), so
+    * this is a `saveAsTable` with an explicit external location. */
+  def writeBucketed(df: DataFrame, name: String, path: String, buckets: Int,
+      key: String, sortCols: Seq[String] = Nil): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $name")
+    val w = df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
+  /** Write `df` as a `key=value`-partitioned parquet directory tree. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** The co-located join demo LayoutSpec pins: orders ⋈ customer on
+    * custkey, both sides read from same-bucket-count tables. The JOIN stage
+    * is Exchange-free (bucketed scans satisfy its distribution requirement
+    * directly); any aggregation a caller stacks on a different key still
+    * shuffles its own — much smaller — input, which is the correct split of
+    * work at scale. */
+  def bucketedOrdersJoin(spark: SparkSession, ordersTable: String,
+      customerTable: String): DataFrame = {
+    val o = spark.table(ordersTable)
+    val c = spark.table(customerTable)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+import graft.tables.Tables
+
+/** Physical-plan assertions for the storage layouts (graft.sources.Layout):
+  * bucketing must delete the join shuffle, partitioned directories must
+  * prune at the scan. Same discipline as PlanSpec — layout regressions fail
+  * here, not on a cluster.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("bucketed fact-fact join runs with zero Exchange (co-located by layout)") {
+    val base = tmpDir("graft-bucketed")
+    Layout.writeBucketed(Tables.orders(spark, sf001), "orders_b",
+      s"$base/orders_b", buckets = 4, key = "o_custkey", sortCols = Seq("o_custkey"))
+    Layout.writeBucketed(Tables.customer(spark, sf001), "customer_b",
+      s"$base/customer_b", buckets = 4, key = "c_custkey", sortCols = Seq("c_custkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the assertion is about bucketing,
+      // not about the small side fitting in a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Layout.bucketedOrdersJoin(spark, "orders_b", "customer_b")
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(8).mkString("\n"))
+      assert(plan.contains("Bucketed: true"), "scan did not use the bucket spec")
+      assert(!plan.contains("Exchange"),
+        "bucketed join still shuffles:\n" + plan.linesIterator.take(20).mkString("\n"))
+      // and the layout changed only the plan, not the answer
+      val direct = Tables.orders(spark, sf001)
+        .join(Tables.customer(spark, sf001), col("o_custkey") === col("c_custkey"))
+      assert(joined.count() == direct.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("partitioned directory layout prunes non-matching partitions at the scan") {
+    val dir = tmpDir("graft-partitioned") + "/events_by_type"
+    val events = Tables.events(spark, sf001)
+    Layout.writePartitioned(events, dir, "event_type")
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val plan = planOf(pruned)
+    assert(plan.contains("PartitionFilters"), plan.linesIterator.take(8).mkString("\n"))
+    assert(plan.contains("event_type"), "partition predicate missing from PartitionFilters")
+    // pruning must not change the answer
+    assert(pruned.count() == events.filter(col("event_type") === "purchase").count())
+    // the partition column round-trips (moved from data to directory and back)
+    assert(pruned.columns.contains("event_type"))
+  }
+}
