@@ -24,4 +24,20 @@ object EventStats {
       .agg(count(lit(1)).as("n"), sum(col("amount")).as("total_amount"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_amount"))
+
+  /** s10: per-user session windows on a live stream — q25's sessionization
+    * (30-minute inactivity gap, session_end = last ts + gap) running
+    * incrementally: a session's row is emitted exactly once, when the
+    * watermark passes its close (append mode), and the watermark bounds
+    * the open-session state — the streaming form of the batch
+    * gaps-and-islands oracle. Works on batch DataFrames too (watermark is
+    * a no-op there), which is what the StreamingSpec parity test pins
+    * against q25. */
+  def sessionsByUser(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
 }

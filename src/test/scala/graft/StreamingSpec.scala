@@ -209,6 +209,65 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 2)
   }
 
+  test("streaming session windows emit closed sessions once the watermark passes (s10)") {
+    val eventsDir = tmpDir("sess-events")
+    // u1: three events 10 min apart (one session, end = 10:20 + gap = 10:50),
+    // then one at 12:00 (gap 100 min > 30 min → second session);
+    // u2: one event (session [10:05, 10:35)).
+    writeEvents(eventsDir, "e1.json", Seq(
+      ev("s-1", Envelope.PurchaseCompleted, "2024-03-01T10:00:00.000Z", "user_id" -> "\"u1\""),
+      ev("s-2", Envelope.PurchaseCompleted, "2024-03-01T10:10:00.000Z", "user_id" -> "\"u1\""),
+      ev("s-3", Envelope.PurchaseCompleted, "2024-03-01T10:20:00.000Z", "user_id" -> "\"u1\""),
+      ev("s-4", Envelope.PurchaseCompleted, "2024-03-01T10:05:00.000Z", "user_id" -> "\"u2\""),
+      ev("s-5", Envelope.PurchaseCompleted, "2024-03-01T12:00:00.000Z", "user_id" -> "\"u1\"")))
+    val ckpt = tmpDir("sess-ckpt")
+    val outDir = tmpDir("sess-out")
+
+    // append mode emits a session only when the watermark passes its close;
+    // each drain round appends a sentinel event that advances event time,
+    // then re-runs the checkpointed AvailableNow query (the BnplPipeline
+    // drain pattern) so earlier sessions become emittable. Parquet sink:
+    // the memory sink cannot recover from a checkpoint.
+    def drainRound(round: Int, sentinelTs: String): Unit = {
+      if (sentinelTs.nonEmpty)
+        writeEvents(eventsDir, s"wm$round.json", Seq(
+          ev(s"wm-$round", Envelope.PurchaseCompleted, sentinelTs, "user_id" -> "\"wm\"")))
+      val q = EventStats.sessionsByUser(
+          spark.readStream.schema(Envelope.schema).json(eventsDir))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    drainRound(1, "")
+    drainRound(2, "2024-03-02T00:00:00.000Z")
+    drainRound(3, "2024-03-03T00:00:00.000Z")
+
+    val all = spark.read.parquet(outDir).collect().filter(_.getString(0) != "wm")
+    val emitted = all.map(r => (r.getString(0), r.getTimestamp(1).toInstant.toString,
+      r.getTimestamp(2).toInstant.toString, r.getLong(3))).toSet
+    assert(emitted == Set(
+      ("u1", "2024-03-01T10:00:00Z", "2024-03-01T10:50:00Z", 3L),
+      ("u2", "2024-03-01T10:05:00Z", "2024-03-01T10:35:00Z", 1L),
+      ("u1", "2024-03-01T12:00:00Z", "2024-03-01T12:30:00Z", 1L)), emitted.toString)
+    // exactly-once: no session row is re-emitted across rounds
+    assert(all.length == emitted.size)
+  }
+
+  test("sessionsByUser in batch mode agrees with q25 exactly (s10/q25 parity)") {
+    import org.apache.spark.sql.functions.col
+    val batch = EventStats.sessionsByUser(graft.tables.Tables.events(spark, sf001))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    val q25 = graft.queries.Windows.q25(spark, sf001)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    assert(batch.count() == q25.count())
+    assert(batch.except(q25).isEmpty && q25.except(batch).isEmpty)
+  }
+
   test("watermarked hourly stats work identically on the batch event log (s05 parity)") {
     val ev = graft.tables.Tables.events(spark, sf001)
       .withColumnRenamed("value", "amount")
