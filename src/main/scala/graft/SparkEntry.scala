@@ -80,6 +80,9 @@ object SparkEntry {
     "q57_dedup_clusters"      -> Dedup.q57 _,
     "q58_tfidf"               -> Text.q58 _,
     "q59_int8_quantize"       -> Vectors.q59 _,
+    "q60_rolling_window"      -> Windows.q60 _,
+    "q61_argminmax"           -> Aggregates.q61 _,
+    "q62_funnel"              -> Events.q62 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

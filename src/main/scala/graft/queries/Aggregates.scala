@@ -163,6 +163,35 @@ object Aggregates {
       .filter(col("n") > 0)
       .orderBy(col("user_id"), col("event_type"))
 
+  /** q61: arg-min/arg-max aggregation — q27's "latest event per user"
+    * projection WITHOUT a window: `max_by`/`min_by` over a total-order key
+    * collapse map-side like any other aggregate, so the per-user answer
+    * shuffles as ONE pre-combined row instead of sorting every event of a
+    * partition the way row_number does. At 100 TB that is the difference
+    * between a partial-agg shuffle of O(users) rows and a full sort of
+    * O(events).
+    *
+    * The ordering key is a fixed-width string — zero-padded epoch-micros ‖
+    * zero-padded event_id — so lexicographic compare == (ts, event_id)
+    * order, it is TOTAL (unique event_id breaks ts ties → max_by is
+    * deterministic), and both engines compare the identical ASCII bytes
+    * (DuckDB mirror: arg_min/arg_max over the same lpad key). */
+  def q61(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("event_type"), key).as("first_type"),
+        min(col("ts")).as("first_ts"),
+        max_by(col("event_type"), key).as("last_type"),
+        max_by(col("value"), key).as("last_value"),
+        max(col("ts")).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   /** q49: CUBE over return flag × line status — all four grouping-set
     * combinations, disambiguated from real NULLs by GROUPING flags
     * (determinism rule for q11's ROLLUP applied to the full lattice). */

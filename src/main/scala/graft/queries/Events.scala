@@ -79,4 +79,46 @@ object Events {
       .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("billed_amount"))
       .orderBy(col("user_id"), col("bill_month"))
   }
+
+  /** q62: strict sequential funnel — signup → view → click → purchase,
+    * each stage's timestamp the EARLIEST event of that type strictly after
+    * the previous stage (not merely "user did all four"): the conversion
+    * query behind the reference's event cascade, and the label-building
+    * shape of a behavioral training pipeline.
+    *
+    * Scale posture: each stage is filter → co-keyed join → grouped MIN.
+    * Every join and aggregation keys on user_id, so one hash partitioning
+    * serves all three stage rounds (Catalyst reuses the exchange), the
+    * per-stage tables shrink monotonically (funnels only lose users), and
+    * nothing is ever windowed over the raw stream. MIN of timestamps is
+    * exact — no float discipline needed; `stages_completed` counts the
+    * non-null stage times. */
+  def q62(spark: SparkSession, sfDir: String): DataFrame =
+    funnel(Tables.events(spark, sfDir))
+
+  /** q62 core on a plain DataFrame (user_id, event_type, ts, …) so
+    * SemanticsSpec can pin the strictly-after boundary on planted rows. */
+  private[graft] def funnel(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    def stage(evType: String, prev: DataFrame, prevCol: String, outCol: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev.select(col("user_id"), col(prevCol)), Seq("user_id"))
+        .filter(col("ts") > col(prevCol))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(outCol))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val v = stage("view", s, "t_signup", "t_view")
+    val c = stage("click", v, "t_view", "t_click")
+    val p = stage("purchase", c, "t_click", "t_purchase")
+    s.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        (lit(1) + col("t_view").isNotNull.cast("int") +
+          col("t_click").isNotNull.cast("int") +
+          col("t_purchase").isNotNull.cast("int")).as("stages_completed"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -557,6 +557,70 @@ object OracleSql {
         |WHERE rk <= ${Sampling.StratumK}
         |ORDER BY lang, rk""".stripMargin,
 
+    // q60: both engines window over floor(epoch seconds); RANGE peers
+    // (same-second events) are included identically, and the rolling sum is
+    // exact DECIMAL, so frames and values match bit-for-bit.
+    "q60_rolling_window" ->
+      (eventsCte +
+      """
+        |, s AS (SELECT event_id, user_id, ts, value,
+        |          CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM e)
+        |SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM s
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
+    // q61: arg_min/arg_max over the same fixed-width (epoch-micros ‖
+    // event_id) string key the Spark side builds — a total order, so the
+    // selected rows are unique and engine-identical.
+    "q61_argminmax" ->
+      (eventsCte +
+      """
+        |, k AS (SELECT user_id, event_type, value, ts,
+        |          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+        |          lpad(CAST(event_id AS VARCHAR), 12, '0') AS key FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  arg_min(event_type, key) AS first_type,
+        |  min(ts) AS first_ts,
+        |  arg_max(event_type, key) AS last_type,
+        |  arg_max(value, key) AS last_value,
+        |  max(ts) AS last_ts
+        |FROM k
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin),
+
+    // q62: the same strictly-after stage chain (filter → join → MIN per
+    // stage); MIN over timestamps is exact, LEFT JOINs preserve stalled
+    // users, stages_completed counts non-null stage times.
+    "q62_funnel" ->
+      (eventsCte +
+      """
+        |, s1 AS (SELECT user_id, min(ts) AS t_signup FROM e
+        |         WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_view FROM e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t_signup
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t_view
+        |       GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+        |       JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t_click
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, t_signup, t_view, t_click, t_purchase,
+        |  CAST(1 + (t_view IS NOT NULL)::INTEGER + (t_click IS NOT NULL)::INTEGER
+        |         + (t_purchase IS NOT NULL)::INTEGER AS INTEGER) AS stages_completed
+        |FROM s1
+        |LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id
+        |LEFT JOIN s4 ON s4.user_id = s1.user_id
+        |ORDER BY s1.user_id""".stripMargin),
+
     "q44_pivot" ->
       (eventsCte +
       """

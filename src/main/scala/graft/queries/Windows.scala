@@ -77,6 +77,27 @@ object Windows {
               col("session_window.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** q60: trailing 1-hour rolling aggregate per user — a RANGE frame over
+    * event-time seconds (q13's ROWS frame counts rows; this one bounds by
+    * TIME, the shape of rate limits / rolling spend caps / feature windows
+    * in a training pipeline). Frame = [ts − 3599 s, ts]: both engines
+    * window over the same floored epoch-second key, and RANGE includes
+    * same-second peers identically, so the frame contents — and the exact
+    * DECIMAL sum over them — are engine-identical. One shuffle on user_id;
+    * state per partition is one sorted pass (Spark's WindowExec), no
+    * self-join blowup. */
+  def q60(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3599, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        unix_timestamp(col("ts")).as("sec"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double").as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** q27: last-writer-wins projection — THE reference read-model semantic
     * (R8, consumer/consumer.go:214-220): latest event per user, ties broken
     * by event_id, exactly how the streaming upsert resolves replays. */

@@ -52,6 +52,28 @@ class SemanticsSpec extends SparkSpec {
     assert(res(2).isNullAt(3))                                // no clicks at all → NULL
   }
 
+  test("funnel stages must be STRICTLY after the previous stage (q62 ordering)") {
+    // u1: full in-order funnel. u2: viewed BEFORE signing up and never
+    // after → stalls at stage 1 even though both event types exist.
+    // u3: view at the exact signup instant → not strictly after → stalls.
+    val df = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "view", ts("2024-01-01 10:01:00")),
+      (1L, "click", ts("2024-01-01 10:02:00")),
+      (1L, "purchase", ts("2024-01-01 10:03:00")),
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "signup", ts("2024-01-01 10:00:00")),
+      (3L, "signup", ts("2024-01-01 10:00:00")),
+      (3L, "view", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.queries.Events.funnel(df).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(got == Map(1L -> 4, 2L -> 1, 3L -> 1))
+    // and the full-funnel user's stage times are the planted ones, in order
+    val u1 = graft.queries.Events.funnel(df).filter(col("user_id") === 1L).collect()(0)
+    assert((1 to 4).map(u1.getTimestamp).sliding(2).forall { case Seq(a, b) => a.before(b) })
+  }
+
   test("exact-dup groups: planted identical docs form one group, rep = min doc_id (q29 non-vacuous)") {
     // The parquet corpus has no exact duplicates at the checked scale
     // factors (the q29 oracle row passes at 0 rows), so the operator's
