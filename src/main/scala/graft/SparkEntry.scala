@@ -83,6 +83,8 @@ object SparkEntry {
     "q60_rolling_window"      -> Windows.q60 _,
     "q61_argminmax"           -> Aggregates.q61 _,
     "q62_funnel"              -> Events.q62 _,
+    "q63_event_journey"       -> Aggregates.q63 _,
+    "q64_bigram_model"        -> Text.q64 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

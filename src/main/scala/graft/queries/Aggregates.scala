@@ -192,6 +192,30 @@ object Aggregates {
       .orderBy(col("user_id"))
   }
 
+  /** q63: ordered event journey per user — the whole event sequence
+    * collapsed to one `a>b>c` string, the session-mining / behavioral-
+    * sequence representation (and the input shape of an n-gram model over
+    * ACTIONS rather than tokens, the event-log analogue of q64).
+    * Determinism: collect_list is shuffle-ordered, so the list is sorted by
+    * an embedded (epoch-micros, event_id) struct key — total order, unique
+    * tiebreak — before the types are extracted; DuckDB mirrors with
+    * `string_agg(… ORDER BY ts, event_id)`. Same sort-the-collected-array
+    * pattern as q34's signature assembly: the per-user array is the ONLY
+    * thing sorted, never the stream. */
+  def q63(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              unix_micros(col("ts")).as("k1"), col("event_id").as("k2"),
+              col("event_type").as("v")))),
+            s => s.getField("v")),
+          ">").as("journey"))
+      .orderBy(col("user_id"))
+
   /** q49: CUBE over return flag × line status — all four grouping-set
     * combinations, disambiguated from real NULLs by GROUPING flags
     * (determinism rule for q11's ROLLUP applied to the full lattice). */

@@ -473,6 +473,35 @@ object OracleSql {
         |FROM r WHERE rk <= ${Text.TfIdfTopK}
         |ORDER BY doc_id, rk""".stripMargin,
 
+    // q63: string_agg with an explicit (ts, event_id) ORDER BY mirrors the
+    // sorted-struct-array assembly on the Spark side.
+    "q63_event_journey" ->
+      (eventsCte +
+      """
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+        |FROM e
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin),
+
+    // q64: bigrams rebuilt from 'w1 w2' join strings (tokens are
+    // space-free by construction); SUM(BIGINT) is HUGEINT in DuckDB → cast.
+    "q64_bigram_model" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)])) AS g FROM d),
+        |bi AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM bg),
+        |c AS (SELECT w1, w2, COUNT(*) AS n FROM bi GROUP BY w1, w2),
+        |h AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_head FROM c GROUP BY w1),
+        |r AS (SELECT c.w1, c.w2, c.n, h.n_head,
+        |        ROUND(CAST(c.n AS DOUBLE) / CAST(h.n_head AS DOUBLE), 4) AS p,
+        |        CAST(row_number() OVER (PARTITION BY c.w1 ORDER BY c.n DESC, c.w2) AS INTEGER) AS rk
+        |      FROM c JOIN h ON h.w1 = c.w1)
+        |SELECT w1, w2, n, n_head, p, rk
+        |FROM r WHERE rk <= ${Text.BigramTopK}
+        |ORDER BY w1, rk""".stripMargin,
+
     "q42_doc_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |       COUNT(*) AS n_docs, min(doc_id) AS rep_doc

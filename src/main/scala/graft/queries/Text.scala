@@ -275,6 +275,40 @@ object Text {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** q64 output size: next-token candidates kept per head token. */
+  val BigramTopK = 3
+
+  /** q64: bigram next-token model — corpus-wide bigram counts and the
+    * conditional probability P(next | token), top-3 continuations per head
+    * token (count desc, next asc): the simplest statistical language model,
+    * and the perplexity-style corpus-quality signal a training pipeline
+    * computes before spending GPU hours. Probability is an exact BIGINT
+    * ratio evaluated once in double then ROUND-4 — no float aggregation.
+    *
+    * Scale posture: the bigram stream is the same materialize-toks-then-
+    * explode shape as [[rawShingles]] (one projection per token array, no
+    * O(tokens²) recompute); counts are one shuffle of (w1, w2); head totals
+    * aggregate the COUNTS table (vocab-sized), not the stream; the top-k
+    * window partitions by head token over ≤ vocab² rows. */
+  def q64(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = col("toks")
+    val bi = docs(spark, sfDir)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val heads = counts.groupBy(col("w1")).agg(sum(col("n")).as("n_head"))
+    val w = Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))
+    counts.join(heads, Seq("w1"))
+      .select(col("w1"), col("w2"), col("n"), col("n_head"),
+        round(col("n").cast("double") / col("n_head").cast("double"), 4).as("p"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= BigramTopK)
+      .orderBy(col("w1"), col("rk"))
+  }
+
   /** q42: order-insensitive document fingerprint — md5 over the sorted
     * distinct token set, the bag-of-words analogue of q29's exact hash.
     * Groups are potential shuffled-copy duplicates. */
