@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProductInt}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions`: registers the native
@@ -12,8 +12,10 @@ import graft.functions.CosineSimilarity
   * as well as through the Column API (graft.ops.Dsl.cosine).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectFunction(GraftExtensions.dotInt)
+  }
 }
 
 object GraftExtensions {
@@ -25,10 +27,21 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1)): org.apache.spark.sql.catalyst.expressions.Expression
     })
 
+  private val dotInt = (
+    FunctionIdentifier("dot_int"),
+    new ExpressionInfo(classOf[DotProductInt].getName, "dot_int"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "dot_int takes exactly 2 arguments")
+      DotProductInt(children.head, children(1)): org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
   /** Imperative registration into an already-built session (the config
     * route only applies to sessions created with
     * `spark.sql.extensions=graft.GraftExtensions`). */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineSim._1, cosineSim._2, cosineSim._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      dotInt._1, dotInt._2, dotInt._3)
+  }
 }

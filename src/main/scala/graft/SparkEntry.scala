@@ -85,6 +85,7 @@ object SparkEntry {
     "q62_funnel"              -> Events.q62 _,
     "q63_event_journey"       -> Aggregates.q63 _,
     "q64_bigram_model"        -> Text.q64 _,
+    "q65_quantized_ann"       -> Vectors.q65 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -52,6 +52,22 @@ object Dsl {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** Integer dot product of two int-array columns: the native codegen'd
+    * expression (graft.functions.DotProductInt) — exact LONG arithmetic,
+    * order-independent, the ranking kernel of quantized ANN (q65). */
+  def dotInt(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.DotProductInt(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** HOF specification of [[dotInt]] — the interpreted form the native
+    * expression is tested against (exact equality, ExpressionSpec). */
+  def dotIntHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
   /** The same cosine as a composition of built-in higher-order functions —
     * interpreted per element, kept as the executable specification the
     * native expression is tested against. Sequential fold from 0.0, same

@@ -550,6 +550,34 @@ object OracleSql {
         |FROM e
         |ORDER BY vec_id""".stripMargin,
 
+    // q65: mirrors graft.queries.Vectors.q65 — normalize-then-quantize
+    // folds sequentially (list_reduce from 0.0) and floors with the same
+    // v / nrm * 127.0 + 0.5 operand order; the integer dot product is
+    // exact BIGINT in any order. 16129 = 127².
+    "q65_quantized_ann" ->
+      """WITH x AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, xd,
+        |        sqrt(list_reduce(list_prepend(0.0, list_transform(xd, v -> v * v)),
+        |             (p, q) -> p + q)) AS nrm FROM x),
+        |qv AS (SELECT vec_id,
+        |         list_transform(xd, v -> CASE WHEN nrm = 0 THEN 0
+        |           ELSE CAST(floor(v / nrm * 127.0 + 0.5) AS INTEGER) END) AS q8
+        |       FROM n),
+        |qq AS (SELECT q8 AS qq FROM qv WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(generate_series(1, CAST(len(e.q8) AS INTEGER)),
+        |            i -> CAST(e.q8[CAST(i AS INTEGER)] AS BIGINT) *
+        |                 CAST(qq.qq[CAST(i AS INTEGER)] AS BIGINT))),
+        |          (p, q) -> p + q) AS dot_q
+        |      FROM qv e, qq WHERE e.vec_id <> 0)
+        |SELECT vec_id, dot_q,
+        |       ROUND(CAST(dot_q AS DOUBLE) / 16129.0, 4) AS approx_sim
+        |FROM d
+        |ORDER BY dot_q DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
     "q34_minhash_lsh" -> minhashSql,
     "q35_simhash" -> simhashSql,
     "q38_ann_lsh" -> annSql,

@@ -161,6 +161,38 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** q65: integer-exact ANN over scalar-quantized embeddings — the query
+    * path that q59's storage shrink buys (the FAISS-SQ pattern): every
+    * vector is L2-normalized then quantized to int8 with the fixed scale
+    * 127 (|x/‖x‖| ≤ 1, so no per-vector scale is needed and dot products
+    * stay comparable across vectors); candidates are ranked by the RAW
+    * INTEGER dot product against the quantized query — exact LONG
+    * arithmetic, so the ranking is deterministic with no float-order
+    * discipline at all (ties by vec_id) — and dot/127² is surfaced as the
+    * dequantized cosine estimate. Ranking runs through the native
+    * codegen'd DotProductInt expression (proven == its HOF spec in
+    * ExpressionSpec); LlmOpsSpec asserts recall against the exact q31
+    * top-10. The one float stage (normalize-then-quantize) folds
+    * sequentially and floors — engine-identical. */
+  def q65(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .select(col("vec_id"), col("xd"),
+        sqrt(aggregate(col("xd"), lit(0.0), (a, v) => a + v * v)).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("xd"), v =>
+          when(col("nrm") === 0.0, lit(0))
+            .otherwise(floor(v / col("nrm") * 127.0 + 0.5).cast("int"))).as("q8"))
+    val query = qv.filter(col("vec_id") === 0).select(col("q8").as("qq"))
+    qv.join(broadcast(query))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), dotInt(col("q8"), col("qq")).as("dot_q"))
+      .select(col("vec_id"), col("dot_q"),
+        round(col("dot_q").cast("double") / lit(16129.0), 4).as("approx_sim"))
+      .orderBy(col("dot_q").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** q37: embedding-cosine near-duplicate pairs, blocked by label; top 20
     * most-similar pairs (the testdata plants no true near-dups — max
     * same-label cosine ≈ 0.45 — so the operator surfaces the closest pairs

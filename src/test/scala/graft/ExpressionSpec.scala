@@ -37,6 +37,26 @@ class ExpressionSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("emb_ext")
   }
 
+  test("native dot_int == HOF dot_int exactly on quantized sf0.001 embeddings") {
+    val emb = graft.tables.Tables.embeddings(spark, sf001)
+      .select($"vec_id",
+        transform($"embedding", v => floor(v.cast("double") * 100).cast("int")).as("q"))
+    val q = emb.filter($"vec_id" === 0).select($"q".as("qq"))
+    val both = emb.crossJoin(broadcast(q))
+      .select($"vec_id",
+        Dsl.dotInt($"q", $"qq").as("native"),
+        Dsl.dotIntHof($"q", $"qq").as("hof"))
+    assert(both.filter($"native" =!= $"hof" ||
+      ($"native".isNull =!= $"hof".isNull)).isEmpty)
+    assert(both.count() == 500)
+  }
+
+  test("dot_int is SQL-callable after GraftExtensions.install") {
+    GraftExtensions.install(spark)
+    val row = spark.sql("SELECT dot_int(array(1, -2, 3), array(4, 5, 6)) AS d").collect()
+    assert(row.length == 1 && row(0).getLong(0) == 4L - 10L + 18L)
+  }
+
   test("null input yields null (BinaryExpression null-safety)") {
     val df = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
       .toDF("a", "b")

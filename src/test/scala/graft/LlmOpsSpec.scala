@@ -131,6 +131,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(sims.forall(_ <= exactTop))
   }
 
+  test("int8-quantized ANN recalls the exact cosine top-10 (q65 vs q31)") {
+    val exact = graft.queries.Vectors.q31(spark, sf001)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val quant = graft.queries.Vectors.q65(spark, sf001)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    // 127-level scalar quantization of 16-dim normalized vectors keeps the
+    // cosine estimate within ~1e-2 — measured 9/10 at sf0.001
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("connected components: min-label propagation resolves planted clusters (q57 core)") {
     import graft.queries.Dedup
     // chain 1-2-3-4 (diameter 3, exercises multi-round propagation),
