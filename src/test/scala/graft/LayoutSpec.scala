@@ -42,6 +42,29 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val dir = tmpDir("graft-dpp") + "/events_by_type"
+    Layout.writePartitioned(Tables.events(spark, sf001), dir, "event_type")
+    // the selective predicate lives on the DIM table — the fact scan can
+    // only be pruned by a runtime (dynamic) filter fed from the dim side.
+    // The dim must be a file source: over a LocalRelation the filter
+    // constant-folds away and DPP sees no selective predicate at all.
+    val dimDir = tmpDir("graft-dpp-dim")
+    Seq(("purchase", "conversion"), ("click", "engagement"),
+      ("view", "engagement"), ("signup", "acquisition"), ("error", "ops"))
+      .toDF("event_type", "category").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val joined = fact.join(dim, Seq("event_type")).filter(col("category") === "conversion")
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      "no dynamic pruning subquery in the fact scan:\n" +
+        plan.linesIterator.take(20).mkString("\n"))
+    assert(joined.count() ==
+      Tables.events(spark, sf001).filter(col("event_type") === "purchase").count())
+  }
+
   test("partitioned directory layout prunes non-matching partitions at the scan") {
     val dir = tmpDir("graft-partitioned") + "/events_by_type"
     val events = Tables.events(spark, sf001)
