@@ -87,12 +87,13 @@ object Events {
     * shape of a behavioral training pipeline.
     *
     * Scale posture: each stage is filter → co-keyed join → grouped MIN.
-    * Every join and aggregation keys on user_id, so one hash partitioning
-    * serves all three stage rounds (Catalyst reuses the exchange), the
-    * per-stage tables shrink monotonically (funnels only lose users), and
-    * nothing is ever windowed over the raw stream. MIN of timestamps is
-    * exact — no float discipline needed; `stages_completed` counts the
-    * non-null stage times. */
+    * Every join and aggregation keys on user_id — no cross-key re-shuffle
+    * anywhere (each stage shuffles only its own filtered, strictly
+    * shrinking slice of the stream; funnels only lose users), and the tiny
+    * stage tables broadcast into the final assembly. Nothing is ever
+    * windowed over the raw stream. MIN of timestamps is exact — no float
+    * discipline needed; `stages_completed` counts the non-null stage
+    * times. */
   def q62(spark: SparkSession, sfDir: String): DataFrame =
     funnel(Tables.events(spark, sfDir))
 

@@ -57,4 +57,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "prefix join degraded to a cartesian")
   }
+
+  test("q60: time-range rolling window is one shuffle + one window pass") {
+    val plan = planString(SparkEntry.queries("q60_rolling_window")(spark, sf001))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "rolling window re-shuffles the stream")
+    assert(plan.linesIterator.count(_.contains("Window ")) == 1,
+      "expected exactly one window operator")
+  }
+
+  test("q58: the per-doc top-k is rank-limit-pushed (WindowGroupLimit), not a full sort+filter") {
+    val plan = planString(SparkEntry.queries("q58_tfidf")(spark, sf001))
+    assert(plan.contains("WindowGroupLimit"),
+      "top-k per doc lost the rank-limit pushdown")
+  }
 }
