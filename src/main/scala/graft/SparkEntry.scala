@@ -86,6 +86,8 @@ object SparkEntry {
     "q63_event_journey"       -> Aggregates.q63 _,
     "q64_bigram_model"        -> Text.q64 _,
     "q65_quantized_ann"       -> Vectors.q65 _,
+    "q66_dedup_materialize"   -> Dedup.q66 _,
+    "q67_decontamination"     -> Text.q67 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -172,6 +172,23 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q66: dedup materialization — the corpus-cleaning decision the whole
+    * dedup stack (q34 candidates → q57 clusters) exists to produce: every
+    * document with its cluster id (NULL if it near-dups nothing) and a
+    * `keep` verdict — unclustered docs and each cluster's canonical
+    * representative (min doc_id) are kept, the rest are the dedup loss.
+    * Filtering `keep` materializes the training corpus; at 100 TB this is
+    * the map-side anti-join every pipeline runs before tokenization. */
+  def q66(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = connectedComponents(q34(spark, sfDir).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("component"))
+    graft.tables.Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("component"),
+        (col("component").isNull || col("component") === col("doc_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash parameters: 60-bit fingerprints (bits 0..59 of h60 keep every
     * shift inside exact signed-64), blocked 4 × 15 bits for candidate
     * generation — by pigeonhole any pair at Hamming distance ≤ 3 agrees on

@@ -582,6 +582,26 @@ object OracleSql {
     "q35_simhash" -> simhashSql,
     "q38_ann_lsh" -> annSql,
     "q57_dedup_clusters" -> dedupClustersSql,
+    "q66_dedup_materialize" -> dedupMaterializeSql,
+
+    // q67: the same distinct-trigram construction as q34/q36's CTEs,
+    // constrained to train (source <> src0) × benchmark (source = src0);
+    // intersection counts are exact integers.
+    "q67_decontamination" ->
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
+        |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)]))) AS shingle
+        |       FROM sp),
+        |s AS (SELECT sh.doc_id, d.source, sh.shingle
+        |      FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+        |b AS (SELECT doc_id AS bench_doc, shingle FROM s WHERE source = 'src0'),
+        |tr AS (SELECT doc_id AS train_doc, shingle FROM s WHERE source <> 'src0')
+        |SELECT train_doc, bench_doc, COUNT(*) AS n_shared
+        |FROM tr JOIN b USING (shingle)
+        |GROUP BY train_doc, bench_doc
+        |HAVING COUNT(*) >= ${Text.ContamMinShared}
+        |ORDER BY train_doc, bench_doc""".stripMargin,
 
     // q51/q52: the h60 split/sample hashes, mirrored from graft.ops.Dsl.h60
     // with the same per-operator salts ("split:" / "strat:").
@@ -783,12 +803,13 @@ object OracleSql {
        |SELECT doc_a, doc_b, est_sim FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** q57 oracle: q34's candidate pairs resolved into connected components.
-    * DuckDB enumerates every (node, reachable label) via a recursive CTE
-    * and takes MIN per node; Spark propagates min labels iteratively —
-    * different algorithms, identical fixpoint (min node id per component),
-    * which is the point: the oracle pins semantics, not execution. */
-  private def dedupClustersSql: String =
+  /** q57/q66 shared CTE chain: q34's candidate pairs resolved into
+    * connected components. DuckDB enumerates every (node, reachable label)
+    * via a recursive CTE and takes MIN per node; Spark propagates min
+    * labels iteratively — different algorithms, identical fixpoint (min
+    * node id per component), which is the point: the oracle pins
+    * semantics, not execution. */
+  private def ccCtes: String =
     s"""WITH RECURSIVE $minhashCtes,
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -796,11 +817,24 @@ object OracleSql {
        |  SELECT DISTINCT u, u FROM edges
        |  UNION
        |  SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node),
-       |comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+       |comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)""".stripMargin
+
+  private def dedupClustersSql: String =
+    s"""$ccCtes
        |SELECT doc_id, component,
        |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_docs
        |FROM comp
        |ORDER BY doc_id""".stripMargin
+
+  /** q66 oracle: the keep/drop verdict per document — unclustered docs and
+    * cluster representatives (component = own doc_id) are kept. */
+  private def dedupMaterializeSql: String =
+    s"""$ccCtes
+       |SELECT d.doc_id, c.component,
+       |       (c.component IS NULL OR c.component = d.doc_id) AS keep
+       |FROM documents d
+       |LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q35 oracle: mirrors graft.queries.Dedup.q35 (60-bit simhash over the
     * token multiset, 4 × 15-bit blocks, Hamming ≤ 3). */

@@ -309,6 +309,39 @@ object Text {
       .orderBy(col("w1"), col("rk"))
   }
 
+  /** q67: contamination floor — pairs reported from this many shared
+    * trigrams up (well under 1% of a typical doc's shingle set here, i.e. a
+    * high-recall audit list, not a removal decision). */
+  val ContamMinShared = 3
+
+  /** q67: benchmark decontamination — the audit every serious LLM pipeline
+    * runs before training: which training documents share word-trigram
+    * shingles with the held-out evaluation set (source `src0` stands in for
+    * the benchmark suite)? Output: (train doc, benchmark doc, number of
+    * shared distinct shingles) for every pair sharing ≥ 3.
+    *
+    * Scale posture: this is q36's shared-shingle join CONSTRAINED to
+    * train × benchmark — the fan-out per shingle is bounded by the
+    * benchmark side, which is always tiny relative to the corpus (that
+    * asymmetry is inherent to decontamination, so no prefix filter is
+    * needed); the join runs on hashed shingles (the q36 fixed-width-longs
+    * posture), and the oracle computes the same intersection counts from
+    * raw strings. */
+  def q67(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = shingles(spark, sfDir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val bench = s.filter(col("source") === "src0")
+      .select(col("doc_id").as("bench_doc"), col("hm"))
+    val train = s.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_doc"), col("hm"))
+    train.join(bench, Seq("hm"))
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamMinShared)
+      .orderBy(col("train_doc"), col("bench_doc"))
+  }
+
   /** q42: order-insensitive document fingerprint — md5 over the sorted
     * distinct token set, the bag-of-words analogue of q29's exact hash.
     * Groups are potential shuffled-copy duplicates. */

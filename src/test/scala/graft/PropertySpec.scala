@@ -92,6 +92,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q51 law: split assignment is append-stable (a doc never moves when the corpus grows)") {
+    // THE property hash-splitting buys over rand(): assignment is a pure
+    // function of the doc key, so evaluating it over any subset yields the
+    // same per-doc split. Compare the assignment expression over the full
+    // corpus vs an arbitrary half.
+    val split = org.apache.spark.sql.functions.when(
+      graft.ops.Dsl.h60(concat(lit("split:"), $"doc_id".cast("string"))) % 100 < 80, "train")
+      .when(graft.ops.Dsl.h60(concat(lit("split:"), $"doc_id".cast("string"))) % 100 < 90, "val")
+      .otherwise("test")
+    val docs = graft.tables.Tables.documents(spark, sf001)
+    val full = docs.select($"doc_id", split.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val half = docs.filter($"doc_id" % 2 === 0).select($"doc_id", split.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.nonEmpty && half.forall { case (id, s) => full(id) == s })
+  }
+
+  test("q66 law: keeps = unclustered + one representative per q57 cluster; drops = the rest") {
+    val verdicts = graft.queries.Dedup.q66(spark, sf001).collect()
+    assert(verdicts.length == 500)
+    val clusters = graft.queries.Dedup.q57(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    verdicts.foreach { r =>
+      val (id, keep) = (r.getLong(0), r.getBoolean(2))
+      clusters.get(id) match {
+        case None => assert(keep, s"unclustered doc $id dropped")
+        case Some(c) => assert(keep == (c == id), s"doc $id in cluster $c: keep=$keep")
+      }
+    }
+    // exactly one kept doc per cluster
+    val keptPerCluster = verdicts.filter(r => !r.isNullAt(1) && r.getBoolean(2))
+      .groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(keptPerCluster.values.forall(_ == 1))
+  }
+
   test("q15-q17 law: |A ∪ B| == |A ∩ B| + |A \\ B| + |B \\ A| on generated id sets") {
     val setGen = Gen.listOfN(25, Gen.choose(1L, 30L)).map(_.toSet)
     for (seed <- 1 to Samples) {
