@@ -86,10 +86,16 @@ object Windows {
     * DECIMAL sum over them — are engine-identical. One shuffle on user_id;
     * state per partition is one sorted pass (Spark's WindowExec), no
     * self-join blowup. */
-  def q60(spark: SparkSession, sfDir: String): DataFrame = {
+  def q60(spark: SparkSession, sfDir: String): DataFrame =
+    rolling(Tables.events(spark, sfDir))
+
+  /** q60 core on a plain DataFrame (event_id, user_id, ts, value) so
+    * SemanticsSpec can pin the frame boundary (an event exactly 3600 s
+    * earlier is OUTSIDE the trailing hour; 3599 s is inside). */
+  private[graft] def rolling(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
       .rangeBetween(-3599, 0)
-    Tables.events(spark, sfDir)
+    events
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         unix_timestamp(col("ts")).as("sec"))
       .select(col("event_id"), col("user_id"), col("ts"),

@@ -52,6 +52,19 @@ class SemanticsSpec extends SparkSpec {
     assert(res(2).isNullAt(3))                                // no clicks at all → NULL
   }
 
+  test("rolling window frame: exactly one hour earlier is OUT, 59:59 earlier is IN (q60 boundary)") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 10:59:59"), 20.0), // 3599 s after e1 → e1 in frame
+      (3L, 1L, ts("2024-01-01 11:00:00"), 40.0)  // 3600 s after e1 → e1 OUT, e2 in
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = graft.queries.Windows.rolling(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == (1L, 10.0))
+    assert(got(2L) == (2L, 30.0))
+    assert(got(3L) == (2L, 60.0))
+  }
+
   test("funnel stages must be STRICTLY after the previous stage (q62 ordering)") {
     // u1: full in-order funnel. u2: viewed BEFORE signing up and never
     // after → stalls at stage 1 even though both event types exist.
