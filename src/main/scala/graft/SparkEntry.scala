@@ -88,6 +88,10 @@ object SparkEntry {
     "q65_quantized_ann"       -> Vectors.q65 _,
     "q66_dedup_materialize"   -> Dedup.q66 _,
     "q67_decontamination"     -> Text.q67 _,
+    // q68 has no oracle entry (quantile-sketch values are engine-specific;
+    // SURVEY.md §2.2 exemption, same as q53) — rows-only check from the
+    // driver, error bound vs exact q45 asserted in LlmOpsSpec.
+    "q68_approx_percentiles"  -> Aggregates.q68 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -163,6 +163,33 @@ object Aggregates {
       .filter(col("n") > 0)
       .orderBy(col("user_id"), col("event_type"))
 
+  /** q68: approximate percentiles — the sketch form of q45 exactly as q53
+    * is the sketch form of q10: `approx_percentile` builds a mergeable
+    * quantile sketch (one pass, bounded state per group, partials combine
+    * map-side), which is the only percentile that works at 100 TB — the
+    * exact interpolation needs the sorted column. Surfaced next to the
+    * exact values with the relative error, so the operator audits itself.
+    * No oracle (sketch internals are engine-specific; SURVEY §2.2
+    * exemption — driver records rows-only); LlmOpsSpec asserts the error
+    * bound against q45's exact answers. */
+  def q68(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.5, 1000)"), 4).as("p50_approx"),
+        round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 4).as("p50_exact"),
+        round(expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.9, 1000)"), 4).as("p90_approx"),
+        round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.9)"), 4).as("p90_exact"))
+      .select(col("l_returnflag"), col("n"),
+        col("p50_approx"), col("p50_exact"),
+        round(abs(col("p50_approx") - col("p50_exact")) /
+          greatest(col("p50_exact"), lit(1.0)), 4).as("p50_rel_err"),
+        col("p90_approx"), col("p90_exact"),
+        round(abs(col("p90_approx") - col("p90_exact")) /
+          greatest(col("p90_exact"), lit(1.0)), 4).as("p90_rel_err"))
+      .orderBy(col("l_returnflag"))
+
   /** q61: arg-min/arg-max aggregation — q27's "latest event per user"
     * projection WITHOUT a window: `max_by`/`min_by` over a total-order key
     * collapse map-side like any other aggregate, so the per-user answer

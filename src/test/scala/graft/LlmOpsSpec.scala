@@ -131,6 +131,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(sims.forall(_ <= exactTop))
   }
 
+  test("approx percentiles sit within the sketch accuracy of the exact values (q68 vs q45)") {
+    val rows = graft.queries.Aggregates.q68(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // accuracy 1000 → rank error <= n/1000; on these distributions that
+      // lands within a few percent of the exact value
+      assert(r.getDouble(4) <= 0.05, s"${r.getString(0)}: p50 rel err ${r.getDouble(4)}")
+      assert(r.getDouble(7) <= 0.05, s"${r.getString(0)}: p90 rel err ${r.getDouble(7)}")
+    }
+  }
+
   test("int8-quantized ANN recalls the exact cosine top-10 (q65 vs q31)") {
     val exact = graft.queries.Vectors.q31(spark, sf001)
       .select($"vec_id").collect().map(_.getLong(0)).toSet
