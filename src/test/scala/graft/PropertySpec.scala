@@ -92,6 +92,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q57 law: distributed min-label components == driver-side union-find on random graphs") {
+    // an in-memory union-find as independent ground truth
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val edgeGen = Gen.listOfN(30, for {
+      a <- Gen.choose(1L, 20L) // dense enough to force multi-node chains
+      b <- Gen.choose(1L, 20L) if a != b
+    } yield (a, b))
+    (1 to Samples).foreach { s =>
+      val edges = draw(edgeGen, 5700L + s).distinct
+      val got = graft.queries.Dedup.connectedComponents(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(edges)
+      // union-find roots are not canonical min — compare the PARTITIONS:
+      // same node set, and two nodes share a label iff they share a root;
+      // plus the engine's labels are the component minima
+      assert(got.keySet == want.keySet, s"node set mismatch (seed $s)")
+      got.keys.foreach { n =>
+        val cls = want.keys.filter(k => want(k) == want(n))
+        assert(cls.forall(k => got(k) == got(n)), s"component split (seed $s)")
+        assert(got(n) == cls.min, s"label not the component min (seed $s)")
+      }
+    }
+  }
+
   test("q51 law: split assignment is append-stable (a doc never moves when the corpus grows)") {
     // THE property hash-splitting buys over rand(): assignment is a pure
     // function of the doc key, so evaluating it over any subset yields the

@@ -69,15 +69,27 @@ class QueriesSmokeSpec extends SparkSpec {
     "q55_ivf_centroids" -> 640L,
     "q56_ivf_probe" -> 10L,
     "q50_map_funcs" -> 500L,
+    "q57_dedup_clusters" -> 45L,
+    "q58_tfidf" -> 1500L,
+    "q59_int8_quantize" -> 500L,
+    "q60_rolling_window" -> 1000L,
+    "q61_argminmax" -> 15L,
+    "q62_funnel" -> 15L,
+    "q63_event_journey" -> 15L,
+    "q64_bigram_model" -> 91L,
+    "q65_quantized_ann" -> 10L,
+    "q66_dedup_materialize" -> 500L,
+    "q67_decontamination" -> 12L,
+    "q68_approx_percentiles" -> 3L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // non-SQL-expressible ops (LSH/ANN internals, engine-specific sketch
-    // values) are the only allowed gaps
-    assert(noOracle.forall(n => n.contains("minhash") || n.contains("simhash")
-      || n.contains("ann") || n.contains("media") || n.contains("ndv")),
-      s"missing oracle: $noOracle")
+    // engine-specific sketch values (HLL NDV, quantile sketches) are the
+    // only allowed gaps — each is error-bounded vs its exact twin in
+    // LlmOpsSpec per the SURVEY §2.2 exemption
+    assert(noOracle == Set("q53_approx_ndv", "q68_approx_percentiles"),
+      s"unexpected oracle gaps: $noOracle")
   }
 
   test("entry (flagship) returns rows") {
