@@ -105,11 +105,9 @@ object Dedup {
   /** Iteration cap for [[connectedComponents]]: min-label propagation needs
     * one round per hop of a component's diameter, and near-dup clusters are
     * shallow (a dup of a dup of X is usually also a direct candidate of X),
-    * so the fixpoint check normally exits after 2–3 rounds; the cap only
-    * bounds pathological chain-shaped graphs. At truly adversarial scale
-    * the O(log n) large-star/small-star contraction (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") would replace the
-    * simple propagation — same driver-loop skeleton, fewer rounds. */
+    * so the fixpoint check normally exits after 2–3 rounds. A graph deeper
+    * than the cap is handed to [[connectedComponentsLss]] — the O(log n)
+    * star contraction — rather than ever returning unconverged labels. */
   val MaxCcIters = 16
 
   /** Connected components of an undirected edge list (u, v) by iterative
@@ -150,7 +148,11 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
+    // a graph deeper than the cap (a chain longer than MaxCcIters hops)
+    // would exit this loop UNCONVERGED — propagation moves labels one hop
+    // per round. Never return silently-wrong labels: hand the pathological
+    // shape to the O(log n)-round star contraction instead.
+    if (!done) connectedComponentsLss(edgesIn) else labels
   }
 
   /** q57: dedup cluster resolution — the step after candidate generation
@@ -170,6 +172,60 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("component"))
       .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("component"))))
       .orderBy(col("doc_id"))
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round alternative to [[connectedComponents]] for graphs with
+    * LONG chains (min-label propagation needs one round per hop of the
+    * diameter; the star operations contract paths exponentially). Same
+    * output contract: (node, label = component minimum). PropertySpec
+    * asserts both algorithms against a driver-side union-find on random
+    * graphs; q57 stays on min-label because near-dup clusters are shallow
+    * and its per-round plan is one shuffle rather than two.
+    *
+    * Edge list is kept canonically oriented (u > v) and distinct between
+    * rounds; each round is large-star then small-star, each ONE grouped
+    * MIN + one join on the center node, localCheckpoint-truncated. */
+  def connectedComponentsLss(edgesIn: DataFrame): DataFrame = {
+    // canonical orientation: (u, v) with u > v, no self-loops, distinct
+    var e = edgesIn.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+
+    // large-star: every center's strictly-larger neighbors attach to the
+    // minimum of its closed neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v"), col("u"))).toDF("c", "n")
+      val m = sym.groupBy(col("c")).agg(least(min(col("n")), col("c")).as("m"))
+      sym.join(m, "c").filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // small-star: every center's smaller neighbors (and the center) attach
+    // to the minimum; input is already oriented so Γ⁻(u) = its v's
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(m, "u").select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
+    }
+
+    var done = e.isEmpty
+    var iter = 0
+    while (!done && iter < MaxCcIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      done = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    // fixpoint is a star forest: every edge points a node at its component
+    // minimum; the minima themselves label as their own component
+    e.select(col("u").as("node"), col("v").as("label"))
+      .union(e.select(col("v").as("node"), col("v").as("label")))
+      .distinct()
   }
 
   /** q66: dedup materialization — the corpus-cleaning decision the whole

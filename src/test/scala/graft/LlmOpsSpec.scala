@@ -169,6 +169,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("u", "v")).isEmpty)
   }
 
+  test("connected components: a chain deeper than the iteration cap still resolves (LSS fallback)") {
+    import graft.queries.Dedup
+    // diameter 39 > MaxCcIters=16: min-label alone cannot converge within
+    // the cap; the star-contraction fallback must take over
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 40L).toSet)
+    assert(got.values.forall(_ == 1L), s"chain not fully contracted: $got")
+  }
+
   test("q57 clusters are consistent with q34 pairs (every edge endpoint clustered together)") {
     val comp = graft.queries.Dedup.q57(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

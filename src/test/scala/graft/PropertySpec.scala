@@ -113,17 +113,22 @@ class PropertySpec extends SparkSpec {
     } yield (a, b))
     (1 to Samples).foreach { s =>
       val edges = draw(edgeGen, 5700L + s).distinct
-      val got = graft.queries.Dedup.connectedComponents(edges.toDF("u", "v"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = unionFind(edges)
-      // union-find roots are not canonical min — compare the PARTITIONS:
-      // same node set, and two nodes share a label iff they share a root;
-      // plus the engine's labels are the component minima
-      assert(got.keySet == want.keySet, s"node set mismatch (seed $s)")
-      got.keys.foreach { n =>
-        val cls = want.keys.filter(k => want(k) == want(n))
-        assert(cls.forall(k => got(k) == got(n)), s"component split (seed $s)")
-        assert(got(n) == cls.min, s"label not the component min (seed $s)")
+      // both distributed algorithms — min-label propagation (q57's) and
+      // the large-star/small-star contraction — must produce the same
+      // partitions as union-find, labeled by the component minimum.
+      // (union-find roots are not canonical min — compare partitions.)
+      for ((algo, name) <- Seq(
+          (graft.queries.Dedup.connectedComponents _, "min-label"),
+          (graft.queries.Dedup.connectedComponentsLss _, "large-small-star"))) {
+        val got = algo(edges.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got.keySet == want.keySet, s"$name: node set mismatch (seed $s)")
+        got.keys.foreach { n =>
+          val cls = want.keys.filter(k => want(k) == want(n))
+          assert(cls.forall(k => got(k) == got(n)), s"$name: component split (seed $s)")
+          assert(got(n) == cls.min, s"$name: label not the component min (seed $s)")
+        }
       }
     }
   }
