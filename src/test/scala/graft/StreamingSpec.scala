@@ -268,6 +268,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(q25).isEmpty && q25.except(batch).isEmpty)
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim (s11)") {
+    import org.apache.spark.sql.functions.col
+    val eventsDir = tmpDir("enrich-events")
+    writeEvents(eventsDir, "e1.json", Seq(
+      ev("en-1", Envelope.PurchaseCompleted, "2024-03-01T10:00:00.000Z",
+        "user_id" -> "\"u1\"", "amount" -> "100"),
+      ev("en-2", Envelope.PurchaseCompleted, "2024-03-01T10:01:00.000Z",
+        "user_id" -> "\"u2\"", "amount" -> "200")))
+    // static dim: u1 known, u2 absent, u3 never streams
+    val dimDir = tmpDir("enrich-dim")
+    import spark.implicits._
+    Seq(("u1", "gold"), ("u3", "silver")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(dimDir)
+    val q = graft.streaming.Enrichment.enrich(
+        spark.readStream.schema(Envelope.schema).json(eventsDir),
+        spark.read.parquet(dimDir))
+      .select(col("event_id"), col("user_id"), col("segment"))
+      .writeStream.format("memory").queryName("s11_enriched")
+      .option("checkpointLocation", tmpDir("enrich-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    val rows = spark.table("s11_enriched").collect()
+      .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(rows == Map("en-1" -> Some("gold"), "en-2" -> None))
+  }
+
   test("watermarked hourly stats work identically on the batch event log (s05 parity)") {
     val ev = graft.tables.Tables.events(spark, sf001)
       .withColumnRenamed("value", "amount")
