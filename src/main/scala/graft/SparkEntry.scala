@@ -92,6 +92,7 @@ object SparkEntry {
     // SURVEY.md §2.2 exemption, same as q53) — rows-only check from the
     // driver, error bound vs exact q45 asserted in LlmOpsSpec.
     "q68_approx_percentiles"  -> Aggregates.q68 _,
+    "q69_rank_distribution"   -> Windows.q69 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

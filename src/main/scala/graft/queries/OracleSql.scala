@@ -698,6 +698,19 @@ object OracleSql {
         |LEFT JOIN s4 ON s4.user_id = s1.user_id
         |ORDER BY s1.user_id""".stripMargin),
 
+    // q69: identical definitions in both engines; ntile is BIGINT in
+    // DuckDB → cast; the window order is total so bucket membership is
+    // engine-stable.
+    "q69_rank_distribution" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ROUND(percent_rank() OVER w, 4) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 4) AS cume,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey
+        |LIMIT 1000""".stripMargin,
+
     "q44_pivot" ->
       (eventsCte +
       """

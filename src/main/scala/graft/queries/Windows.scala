@@ -104,6 +104,27 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** q69: distribution ranks — percent_rank / cume_dist / ntile(4) of
+    * order value within each priority class: the quantile-rank features a
+    * training pipeline derives per group ("is this order in its segment's
+    * top decile?"). ntile assigns by ROW POSITION, so the window order must
+    * be total — (o_totalprice, o_orderkey) — or bucket membership would be
+    * shuffle-dependent; percent_rank/cume_dist are tie-stable but get the
+    * same key for identical framing. Both engines define all three
+    * identically (percent_rank = (rank−1)/(n−1), cume_dist = peers≤/n,
+    * ntile = equal buckets with remainders to the front). */
+  def q69(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      .limit(1000)
+  }
+
   /** q27: last-writer-wins projection — THE reference read-model semantic
     * (R8, consumer/consumer.go:214-220): latest event per user, ties broken
     * by event_id, exactly how the streaming upsert resolves replays. */

@@ -81,6 +81,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q66_dedup_materialize" -> 500L,
     "q67_decontamination" -> 12L,
     "q68_approx_percentiles" -> 3L,
+    "q69_rank_distribution" -> 1000L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
