@@ -45,6 +45,31 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Compact a parquet directory into ~`targetBytes` files — the
+    * small-files repair every streaming/file-source pipeline needs (each
+    * micro-batch appends a file; a year of 1-second triggers is 31M files,
+    * and at 100 TB the NameNode/listing cost kills scans before the data
+    * does). Partition count = ceil(estimated bytes / target), estimated
+    * from the scan's own statistics (file footprint), so the operator needs
+    * no extra pass over the data. Optionally range-clusters by a column so
+    * parquet row-group min/max stats become selective for later filters on
+    * it (poor-man's clustering; sorting within partitions costs nothing
+    * extra at write time).
+    * Returns the partition count written. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20, clusterBy: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(inDir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong).toInt
+    val shaped = clusterBy match {
+      case Some(c) => df.repartitionByRange(parts, col(c)).sortWithinPartitions(col(c))
+      case None    => df.repartition(parts)
+    }
+    shaped.write.mode("overwrite").parquet(outDir)
+    parts
+  }
+
   /** The co-located join demo LayoutSpec pins: orders ⋈ customer on
     * custkey, both sides read from same-bucket-count tables. The JOIN stage
     * is Exchange-free (bucketed scans satisfy its distribution requirement

@@ -65,6 +65,28 @@ class LayoutSpec extends SparkSpec {
       Tables.events(spark, sf001).filter(col("event_type") === "purchase").count())
   }
 
+  test("compaction collapses a small-files directory without changing the data") {
+    val base = tmpDir("graft-compact")
+    val fragmented = s"$base/fragmented"
+    val compacted = s"$base/compacted"
+    val events = Tables.events(spark, sf001)
+    events.repartition(64).write.mode("overwrite").parquet(fragmented)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragmented) == 64)
+    val parts = Layout.compact(spark, fragmented, compacted, targetBytes = 1L << 30)
+    assert(parts == 1 && parquetFiles(compacted) == 1,
+      s"expected one output file, got $parts parts / ${parquetFiles(compacted)} files")
+    val back = spark.read.parquet(compacted)
+    assert(back.count() == 1000 &&
+      back.except(spark.read.parquet(fragmented)).isEmpty)
+    // range-clustered variant: still identical data, one file per range
+    val clustered = s"$base/clustered"
+    Layout.compact(spark, fragmented, clustered, targetBytes = 1L << 30,
+      clusterBy = Some("user_id"))
+    assert(spark.read.parquet(clustered).except(back).isEmpty)
+  }
+
   test("partitioned directory layout prunes non-matching partitions at the scan") {
     val dir = tmpDir("graft-partitioned") + "/events_by_type"
     val events = Tables.events(spark, sf001)
