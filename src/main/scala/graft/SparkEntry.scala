@@ -93,6 +93,7 @@ object SparkEntry {
     // driver, error bound vs exact q45 asserted in LlmOpsSpec.
     "q68_approx_percentiles"  -> Aggregates.q68 _,
     "q69_rank_distribution"   -> Windows.q69 _,
+    "q70_fuzzy_match"         -> Text.q70 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

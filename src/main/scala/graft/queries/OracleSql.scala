@@ -502,6 +502,20 @@ object OracleSql {
         |FROM r WHERE rk <= ${Text.BigramTopK}
         |ORDER BY w1, rk""".stripMargin,
 
+    // q70: same first-token blocking and the standard Levenshtein DP in
+    // both engines; distances are exact integers.
+    "q70_fuzzy_match" ->
+      s"""WITH names AS (
+        |  SELECT p_name, COUNT(*) AS n_parts, string_split(p_name, ' ')[1] AS tok1
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |       a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM names a JOIN names b
+        |  ON a.tok1 = b.tok1 AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= ${Text.FuzzyMaxDist}
+        |ORDER BY dist, name_a, name_b""".stripMargin,
+
     "q42_doc_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |       COUNT(*) AS n_docs, min(doc_id) AS rep_doc

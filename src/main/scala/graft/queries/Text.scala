@@ -342,6 +342,37 @@ object Text {
       .orderBy(col("train_doc"), col("bench_doc"))
   }
 
+  /** q70: edit-distance threshold for the fuzzy vocabulary audit. */
+  val FuzzyMaxDist = 3
+
+  /** q70: fuzzy string matching — Levenshtein near-matches over the
+    * DISTINCT part-name vocabulary (typo/variant detection, the
+    * entity-resolution primitive the hash-based dedups can't express:
+    * "cold rod" vs "blue rod" collide in NO hash scheme). Two scale moves:
+    * the comparison runs on the deduplicated vocabulary, not the rows
+    * (vocabulary size is data-bounded, row count is not — each name
+    * carries its occurrence count instead), and candidate pairs are
+    * blocked on the first token, the standard ER blocking that keeps the
+    * quadratic term per block (exactness of every REPORTED distance is
+    * unaffected; blocking bounds recall, exactly like q34's banding).
+    * levenshtein is the same DP definition in both engines; distances are
+    * exact integers. */
+  def q70(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = graft.tables.Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .select(col("p_name"), col("n_parts"),
+        split(col("p_name"), " ").getItem(0).as("tok1"))
+    val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"), col("tok1"))
+    val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"), col("tok1"))
+    a.join(b, Seq("tok1"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("n_a"), col("n_b"))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .orderBy(col("dist"), col("name_a"), col("name_b"))
+  }
+
   /** q42: order-insensitive document fingerprint — md5 over the sorted
     * distinct token set, the bag-of-words analogue of q29's exact hash.
     * Groups are potential shuffled-copy duplicates. */

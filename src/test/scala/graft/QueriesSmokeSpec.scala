@@ -82,6 +82,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q67_decontamination" -> 12L,
     "q68_approx_percentiles" -> 3L,
     "q69_rank_distribution" -> 1000L,
+    "q70_fuzzy_match" -> 16L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
