@@ -13,7 +13,13 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").count() // JIT/codegen warmup outside any timer
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, not count(): count() lets ColumnPruning delete every
+      // projected expression a query computes (a projection-only query
+      // would "benchmark" a row count), while the noop write evaluates the
+      // full result rows exactly like the correctness gate's parquet dump —
+      // minus the I/O.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries that cache an intermediate (q34/q35 signatures) would
       // otherwise accumulate storage across the serial 50-query run and tax
