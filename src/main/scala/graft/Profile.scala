@@ -27,7 +27,9 @@ object Profile {
       val fn = SparkEntry.queries(name)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink for the same reason as Bench: count() would let
+        // ColumnPruning delete the very expressions being profiled
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
