@@ -23,14 +23,26 @@ case class DotProductInt(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_int"
+  // nullable even when both children are non-null: mismatched lengths and
+  // null ELEMENTS produce null. Without this override the default
+  // (children-derived) nullability declares the result non-null and the
+  // engine drops the null bit entirely (reading garbage 0).
+  override def nullable: Boolean = true
 
+  /** Mismatched lengths or a null element yield NULL — the exact semantics
+    * of the HOF spec (zip_with pads the shorter side with nulls and the
+    * null product poisons the fold), and the only safe behavior for the
+    * SQL-registered form, where callers control the inputs (indexing past
+    * an UnsafeArrayData end is an unchecked read). */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += x.getInt(i).toLong * y.getInt(i).toLong
       i += 1
     }
@@ -42,13 +54,16 @@ case class DotProductInt(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val bad = ctx.freshName("bad")
       s"""
          |final int $n = $a.numElements();
+         |boolean $bad = ($b.numElements() != $n);
          |long $dot = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |  else { $dot += (long) $a.getInt($i) * (long) $b.getInt($i); }
          |}
-         |${ev.value} = $dot;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
        """.stripMargin
     })
 

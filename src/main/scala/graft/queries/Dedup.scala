@@ -133,8 +133,10 @@ object Dedup {
       val r = df.agg(sum(col("label"))).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
+    // emptiness must be its own check: a label SUM of zero also happens on
+    // non-empty graphs whose node ids sum to zero (e.g. signed ids)
     var prev = labelSum(labels)
-    var done = prev == 0L // empty graph: nothing to propagate
+    var done = labels.isEmpty
     var iter = 0
     while (!done && iter < MaxCcIters) {
       val next = labels.join(edges, col("node") === col("u"))
@@ -215,12 +217,20 @@ object Dedup {
 
     var done = e.isEmpty
     var iter = 0
-    while (!done && iter < MaxCcIters) {
+    // star contraction halves path lengths per round — 64 rounds covers
+    // any graph that fits in storage; if the loop still hasn't converged
+    // something is broken, and as the TERMINAL fallback this must fail
+    // loudly rather than emit a non-star edge set as labels
+    val cap = 64
+    while (!done && iter < cap) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       done = next.count() == e.count() && next.except(e).isEmpty
       e = next
       iter += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"large-star/small-star did not converge in $cap rounds — non-star fixpoint?")
     // fixpoint is a star forest: every edge points a node at its component
     // minimum; the minima themselves label as their own component
     e.select(col("u").as("node"), col("v").as("label"))

@@ -31,7 +31,12 @@ object Events {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(0).as("tag"),
         col("event_id"), lit(null).cast("timestamp").as("c_ts"))
-    val c = events.filter(col("event_type") === "click")
+    // NULL-user clicks are dropped BEFORE the union: the window's
+    // partitionBy groups NULL keys together, but the join semantics this
+    // operator replaces (and the oracle's LEFT JOIN ON equal user_id)
+    // never match a NULL key — a NULL-user purchase must keep a NULL
+    // click_ts, not adopt a NULL-user click.
+    val c = events.filter(col("event_type") === "click" && col("user_id").isNotNull)
       .select(col("user_id"), col("ts"), lit(1).as("tag"),
         lit(null).cast("long").as("event_id"), col("ts").as("c_ts"))
     // ROWS frame: ties inside a frame are only same-ts purchases (c_ts is

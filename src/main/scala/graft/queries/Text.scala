@@ -120,22 +120,25 @@ object Text {
       .select(col("doc_id"), col("hm"), coalesce(col("df"), lit(1L)).as("df"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hm"))))
-    // Prefix = the (ns − ⌈t·ns⌉ + 1) globally-rarest shingles of each doc;
-    // for t = 0.5 that is (ns div 2) + 1, exact in integer arithmetic.
-    // Shingles held by a single doc can't match anything — drop them from
-    // the join AFTER ranking.
+    // Prefix = the (ns − ⌈t·ns⌉ + 1) globally-rarest shingles of each doc —
+    // DERIVED from t so tuning the threshold keeps the completeness
+    // guarantee (a hardcoded t=0.5 form would silently under- or
+    // over-prefix at any other t). Shingles held by a single doc can't
+    // match anything — drop them from the join AFTER ranking.
+    val prefixLen = col("ns") - ceil(col("ns") * t).cast("long") + 1
     val prefix = ranked
       .join(sizes, Seq("doc_id"))
-      .filter(col("rk") <= expr("ns div 2") + 1 && col("df") >= 2)
+      .filter(col("rk") <= prefixLen && col("df") >= 2)
       .select(col("doc_id"), col("hm"), col("ns"))
-    // Candidate pairs, with the length filter applied IN the join:
-    // J ≥ 0.5 forces |B| ≤ 2|A| (i ≤ min ∧ i ≥ (na+nb)/3), so size-skewed
-    // pairs never even reach the distinct.
+    // Candidate pairs, with the J ≥ t length bound applied IN the join:
+    // t·|A| ≤ |B| ≤ |A|/t (both from inter ≤ min and inter ≥ t/(1+t)·(na+nb)),
+    // so size-skewed pairs never even reach the distinct.
     val cand = prefix.select(col("doc_id").as("doc_a"), col("hm"), col("ns").as("na"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("hm"), col("ns").as("nb")),
         Seq("hm"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("nb") * 2 >= col("na") && col("nb") <= col("na") * 2)
+        col("nb").cast("double") >= col("na").cast("double") * t &&
+        col("nb").cast("double") <= col("na").cast("double") / t)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     // Exact |A∩B| per candidate via per-doc shingle ARRAYS — one row per
@@ -328,8 +331,11 @@ object Text {
     * posture), and the oracle computes the same intersection counts from
     * raw strings. */
   def q67(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = shingles(spark, sfDir)
+    // hash BEFORE distinct — same fixed-width-longs posture as q36: the
+    // distinct's shuffle carries (doc_id, long), never the raw strings
+    val s = rawShingles(spark, sfDir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
+      .distinct()
       .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
     val bench = s.filter(col("source") === "src0")
       .select(col("doc_id").as("bench_doc"), col("hm"))

@@ -191,18 +191,23 @@ class BnplPipeline(
       .select(col("user_id"))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val affected = batch.distinct()
-          affected.withColumn("batch_id", lit(batchId))
-            .write.mode(SaveMode.Append).parquet(notificationsDir)
-          val users = affected.orderBy(col("user_id"))
-            .limit(BnplPipeline.NotifyUserCap)
-            .collect().map(_.getString(0)).toSeq
-          if (users.nonEmpty) {
-            notifications.add((batchId, users))
-            onUpdate(batchId, users)
+        // persist: the distinct feeds THREE consumers (emptiness probe,
+        // parquet append, capped sample) — without it each one re-executes
+        // the batch's distinct shuffle on the 1-second hot path
+        val affected = batch.distinct().persist()
+        try {
+          if (!affected.isEmpty) {
+            affected.withColumn("batch_id", lit(batchId))
+              .write.mode(SaveMode.Append).parquet(notificationsDir)
+            val users = affected.orderBy(col("user_id"))
+              .limit(BnplPipeline.NotifyUserCap)
+              .collect().map(_.getString(0)).toSeq
+            if (users.nonEmpty) {
+              notifications.add((batchId, users))
+              onUpdate(batchId, users)
+            }
           }
-        }
+        } finally affected.unpersist()
       }
       .option("checkpointLocation", ckpt("notify"))
       .trigger(trigger)
@@ -221,11 +226,19 @@ class BnplPipeline(
     * MERGE keyed on id; the write-aside-and-swap below is the local-FS
     * stand-in. */
   private def mergeBillsChangelog(changelog: DataFrame, batchId: Long): Unit = {
-    if (changelog.isEmpty) return
-    val merged = currentBills
-      .join(changelog.select(col("id")).distinct(), Seq("id"), "left_anti")
-      .unionByName(changelog)
-    swapBills(merged, batchId)
+    // persist first: the changelog subtree contains the stateful
+    // (RocksDB) execution, and it is referenced three times below
+    // (emptiness probe, anti-join key side, union) — unpersisted, every
+    // reference would re-run the state store pass within the same batch
+    val log = changelog.persist()
+    try {
+      if (!log.isEmpty) {
+        val merged = currentBills
+          .join(log.select(col("id")).distinct(), Seq("id"), "left_anti")
+          .unionByName(log)
+        swapBills(merged, batchId)
+      }
+    } finally log.unpersist()
   }
 
   /** Per-batch MERGE into the member_bills parquet (s04 fallback for

@@ -57,6 +57,24 @@ class ExpressionSpec extends SparkSpec {
     assert(row.length == 1 && row(0).getLong(0) == 4L - 10L + 18L)
   }
 
+  test("mismatched lengths and null elements yield NULL — native == HOF on the edge cases") {
+    GraftExtensions.install(spark)
+    // unequal lengths: HOF zip_with null-pads → fold poisoned → NULL
+    val r1 = spark.sql(
+      """SELECT dot_int(array(1,2,3), array(1,2)) AS d,
+        |       cosine_sim(array(1.0F, 2.0F), array(1.0F)) AS c""".stripMargin).collect()(0)
+    assert(r1.isNullAt(0) && r1.isNullAt(1))
+    // null element: same
+    val r2 = spark.sql(
+      """SELECT dot_int(array(1, CAST(NULL AS INT)), array(1, 2)) AS d,
+        |       cosine_sim(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS c""".stripMargin)
+      .collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+    // and the HOF specs agree on the unequal-length case
+    val hof = spark.sql("SELECT aggregate(zip_with(array(1,2,3), array(1,2), (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), 0L, (a, v) -> a + v) AS d").collect()(0)
+    assert(hof.isNullAt(0))
+  }
+
   test("null input yields null (BinaryExpression null-safety)") {
     val df = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
       .toDF("a", "b")

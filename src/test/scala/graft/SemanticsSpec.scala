@@ -87,6 +87,22 @@ class SemanticsSpec extends SparkSpec {
     assert((1 to 4).map(u1.getTimestamp).sliding(2).forall { case Seq(a, b) => a.before(b) })
   }
 
+  test("as-of never matches across NULL user_ids (q09 join-semantics parity)") {
+    // a NULL-user click must not be adopted by a NULL-user purchase: the
+    // oracle's LEFT JOIN ON equal user_id never matches NULL keys, but a
+    // window partitionBy groups NULLs together — the click filter pins it
+    val df = Seq(
+      (Option.empty[Long], "click", ts("2024-01-01 09:00:00"), 1L),
+      (Option.empty[Long], "purchase", ts("2024-01-01 10:00:00"), 2L),
+      (Some(7L), "click", ts("2024-01-01 09:30:00"), 3L),
+      (Some(7L), "purchase", ts("2024-01-01 10:00:00"), 4L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = graft.queries.Events.asOf(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(got(2L).isEmpty, "NULL-user purchase adopted a NULL-user click")
+    assert(got(4L).contains(ts("2024-01-01 09:30:00")))
+  }
+
   test("exact-dup groups: planted identical docs form one group, rep = min doc_id (q29 non-vacuous)") {
     // The parquet corpus has no exact duplicates at the checked scale
     // factors (the q29 oracle row passes at 0 rows), so the operator's
