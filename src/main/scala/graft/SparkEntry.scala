@@ -94,6 +94,8 @@ object SparkEntry {
     "q68_approx_percentiles"  -> Aggregates.q68 _,
     "q69_rank_distribution"   -> Windows.q69 _,
     "q70_fuzzy_match"         -> Text.q70 _,
+    "q71_oov_redaction"       -> Sampling.q71 _,
+    "q72_token_sharding"      -> Sampling.q72 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

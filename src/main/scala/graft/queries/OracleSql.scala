@@ -725,6 +725,48 @@ object OracleSql {
         |ORDER BY o_orderpriority, o_orderkey
         |LIMIT 1000""".stripMargin,
 
+    // q71: generate_subscripts is DuckDB's positional unnest (no WITH
+    // ORDINALITY); the top-K vocabulary ranking (count desc, token asc)
+    // and the position-ordered string_agg mirror the Spark side exactly.
+    "q71_oov_redaction" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |f AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        |v AS (SELECT token FROM f ORDER BY c DESC, token LIMIT ${Sampling.VocabK}),
+        |r AS (SELECT t.doc_id, t.pos,
+        |             CASE WHEN v.token IS NULL THEN '<unk>' ELSE t.token END AS rt
+        |      FROM tok t LEFT JOIN v ON v.token = t.token)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN rt = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |  ROUND(CAST(SUM(CASE WHEN rt = '<unk>' THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 4) AS unk_rate,
+        |  md5(string_agg(rt, ' ' ORDER BY pos)) AS redacted_md5
+        |FROM r
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // q72: identical integer window arithmetic; shard = starting token
+    // offset div budget. MUST be DuckDB integer division `//` — `/` is
+    // float division and CAST(double AS BIGINT) ROUNDS (half-even), where
+    // Spark's cast("long") truncates.
+    "q72_token_sharding" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d)
+        |SELECT CAST((cum - n_tokens) // ${Sampling.ShardBudget} AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM c
+        |GROUP BY shard_id
+        |ORDER BY shard_id""".stripMargin,
+
     "q44_pivot" ->
       (eventsCte +
       """

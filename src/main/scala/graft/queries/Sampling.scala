@@ -56,4 +56,74 @@ object Sampling {
       .select(col("lang"), col("doc_id"), col("rk"))
       .orderBy(col("lang"), col("rk"))
   }
+
+  /** q71 vocabulary size: tokens kept; everything else becomes `<unk>`. */
+  val VocabK = 20
+
+  /** q71: OOV redaction — vocabulary truncation, the tokenizer-adjacent
+    * preprocessing step: train a top-K vocabulary on the corpus (count
+    * desc, token asc — q30's exact ranking), map every out-of-vocabulary
+    * token to `<unk>`, and audit per doc: token count, unk count, unk
+    * rate, and the md5 of the redacted text (position-faithful — the
+    * digest is what a downstream exact-dedup over REDACTED text keys on).
+    *
+    * Scale posture: the vocabulary is a tiny aggregate of the token
+    * stream (map-side combined; the global top-K window runs over VOCAB
+    * rows, not tokens); redaction is a broadcast-size left join onto the
+    * positional token stream; reassembly sorts each doc's OWN array
+    * (the q63 pattern), never the stream. */
+  def q71(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("token"))))
+      .filter(col("rk") <= VocabK)
+      .select(col("token"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("in_vocab").isNotNull, col("token")).otherwise("<unk>").as("rt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("rt") === "<unk>", 1L).otherwise(0L)).as("n_unk"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("rt")))),
+          s => s.getField("rt")), " ").cast("binary")).as("redacted_md5"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+        round(col("n_unk").cast("double") / col("n_tokens").cast("double"), 4).as("unk_rate"),
+        col("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q72 shard budget: target token volume per training shard. */
+  val ShardBudget = 2000L
+
+  /** q72: token-budget shard assignment — pack the corpus (in doc_id
+    * order) into training shards of ~ShardBudget tokens each: a doc's
+    * shard is its starting token offset divided by the budget, so shard
+    * boundaries never reorder documents and a doc lands in exactly one
+    * shard. Output: per-shard doc count, token volume, doc range.
+    *
+    * Scale note: the running offset here is one global ordered window —
+    * a single sequential pass. The 100 TB form is the classic two-phase
+    * prefix sum (per-range-partition totals, broadcast the per-partition
+    * offsets, then local cumsum) — same arithmetic, same assignment,
+    * sketched here in the shape Catalyst would need a custom operator
+    * for; the audit output is identical. */
+  def q72(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / ShardBudget).cast("long").as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard_id"))
+  }
 }

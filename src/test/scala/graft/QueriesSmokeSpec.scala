@@ -83,6 +83,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q68_approx_percentiles" -> 3L,
     "q69_rank_distribution" -> 1000L,
     "q70_fuzzy_match" -> 16L,
+    "q71_oov_redaction" -> 500L,
+    "q72_token_sharding" -> 14L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
