@@ -134,9 +134,10 @@ object Dedup {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     // emptiness must be its own check: a label SUM of zero also happens on
-    // non-empty graphs whose node ids sum to zero (e.g. signed ids)
-    var prev = labelSum(labels)
+    // non-empty graphs whose node ids sum to zero (e.g. signed ids) — and
+    // checking it first skips the aggregate job on the empty path
     var done = labels.isEmpty
+    var prev = if (done) 0L else labelSum(labels)
     var iter = 0
     while (!done && iter < MaxCcIters) {
       val next = labels.join(edges, col("node") === col("u"))

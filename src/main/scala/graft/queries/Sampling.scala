@@ -73,8 +73,12 @@ object Sampling {
     * positional token stream; reassembly sorts each doc's OWN array
     * (the q63 pattern), never the stream. */
   def q71(spark: SparkSession, sfDir: String): DataFrame = {
+    // cached: the positional token stream feeds both the vocabulary
+    // aggregate and the redaction join (the q36 shared-stream pattern —
+    // without it the scan+explode subtree runs twice)
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .cache()
     val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("c").desc, col("token"))))

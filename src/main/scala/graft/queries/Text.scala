@@ -44,10 +44,6 @@ object Text {
           .as("shingle"))
   }
 
-  /** Distinct (doc_id, shingle) word-trigram sets (set semantics, q36). */
-  private[queries] def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    rawShingles(spark, sfDir).distinct()
-
   /** q29 core: exact-duplicate detection by content hash — groups of
     * identical documents (md5 over the UTF-8 bytes, comparable with DuckDB's
     * md5). Exposed on a plain DataFrame so SemanticsSpec can assert the
