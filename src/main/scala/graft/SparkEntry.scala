@@ -96,6 +96,7 @@ object SparkEntry {
     "q70_fuzzy_match"         -> Text.q70 _,
     "q71_oov_redaction"       -> Sampling.q71 _,
     "q72_token_sharding"      -> Sampling.q72 _,
+    "q73_lm_perplexity"       -> Text.q73 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -516,6 +516,38 @@ object OracleSql {
         |WHERE levenshtein(a.p_name, b.p_name) <= ${Text.FuzzyMaxDist}
         |ORDER BY dist, name_a, name_b""".stripMargin,
 
+    // q73: every ln() operand is the identical (c+1)/(n_head+V) BIGINT
+    // ratio; the per-doc sum folds the position-ordered array_agg
+    // sequentially from 0.0 (list_reduce parity with Spark's aggregate),
+    // then ROUND 4. -x/n and exp(-x/n) evaluate on identical doubles.
+    "q73_lm_perplexity" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id,
+        |         unnest(generate_series(1, CAST(len(t) AS INTEGER) - 1)) AS pos,
+        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |           i -> t[CAST(i AS INTEGER)])) AS w1,
+        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |           i -> t[CAST(i + 1 AS INTEGER)])) AS w2
+        |       FROM d),
+        |c AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+        |h AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS n_head FROM c GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT token) AS v
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)),
+        |lp AS (SELECT bi.doc_id, bi.pos,
+        |         ln(CAST(c.c + 1 AS DOUBLE) / CAST(h.n_head + v.v AS DOUBLE)) AS lp
+        |       FROM bi JOIN c ON c.w1 = bi.w1 AND c.w2 = bi.w2
+        |       JOIN h ON h.w1 = bi.w1, v),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |          list_reduce(list_prepend(0.0, array_agg(lp ORDER BY pos)),
+        |            (p, q) -> p + q) AS sum_lp
+        |        FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  ROUND(-sum_lp / CAST(n_bigrams AS DOUBLE), 4) AS avg_neg_logp,
+        |  ROUND(exp(-sum_lp / CAST(n_bigrams AS DOUBLE)), 4) AS perplexity
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+
     "q42_doc_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |       COUNT(*) AS n_docs, min(doc_id) AS rep_doc

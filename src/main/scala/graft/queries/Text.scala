@@ -375,6 +375,56 @@ object Text {
       .orderBy(col("dist"), col("name_a"), col("name_b"))
   }
 
+  /** q73: bigram-LM perplexity scoring — the statistical quality filter
+    * q64's model exists to power: each document scored by its average
+    * negative log-likelihood (and perplexity) under the corpus bigram
+    * model with add-one smoothing, p(w₂¦w₁) = (c(w₁,w₂)+1)/(c(w₁,·)+V).
+    * High-perplexity docs are the ungrammatical/boilerplate outliers a
+    * training pipeline drops.
+    *
+    * Float discipline (the subtle part): every ln() runs on an identical
+    * BIGINT-ratio double in both engines, and the per-doc sum of log-probs
+    * folds SEQUENTIALLY in position order — Spark sorts the collected
+    * (pos, logp) array and folds from 0.0, DuckDB folds the
+    * position-ordered array_agg via list_reduce with a 0.0 seed — so the
+    * one order-sensitive float reduction is order-pinned on both sides,
+    * then ROUND-4. Scale: bigram stream is the q64 shape; the model
+    * tables are vocab-sized aggregates; the per-doc fold sorts each doc's
+    * OWN array. */
+  def q73(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = col("toks")
+    val bi = docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(i.as("pos"), element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache() // feeds the model counts AND the scoring join
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val heads = counts.groupBy(col("w1")).agg(sum(col("c")).as("n_head"))
+    val vocabSize = docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val logp = log((col("c") + lit(1L)).cast("double") /
+      (col("n_head") + col("v")).cast("double"))
+    bi.join(counts, Seq("w1", "w2"))
+      .join(heads, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("doc_id"), col("pos"), logp.as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+            s => s.getField("lp")),
+          lit(0.0), (acc, v) => acc + v).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_lp") / col("n_bigrams").cast("double"), 4).as("avg_neg_logp"),
+        round(exp(-col("sum_lp") / col("n_bigrams").cast("double")), 4).as("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q42: order-insensitive document fingerprint — md5 over the sorted
     * distinct token set, the bag-of-words analogue of q29's exact hash.
     * Groups are potential shuffled-copy duplicates. */

@@ -85,6 +85,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q70_fuzzy_match" -> 16L,
     "q71_oov_redaction" -> 500L,
     "q72_token_sharding" -> 14L,
+    "q73_lm_perplexity" -> 500L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
