@@ -131,6 +131,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(sims.forall(_ <= exactTop))
   }
 
+  test("OOV redaction laws: top-K tokens survive, redaction accounts for every token (q71)") {
+    val vocab = graft.queries.Text.q30(spark, sf001) // top-20 by the same ranking
+      .collect().map(_.getString(0)).toSet
+    val rows = graft.queries.Sampling.q71(spark, sf001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, unk, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(unk <= n && math.abs(rate - unk.toDouble / n) < 1e-3)
+    }
+    // corpus-level: the redacted volume equals the non-vocab token volume
+    val totalUnk = rows.map(_.getLong(2)).sum
+    val vocabCovered = graft.queries.Text.q30(spark, sf001) // only top-20 rows
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val totalTokens = rows.map(_.getLong(1)).sum
+    assert(totalUnk == totalTokens - vocabCovered,
+      s"redacted $totalUnk != total $totalTokens - vocab-covered $vocabCovered")
+    assert(vocab.size == graft.queries.Sampling.VocabK)
+  }
+
+  test("token sharding laws: contiguous disjoint doc ranges, budget-bounded fill (q72)") {
+    val shards = graft.queries.Sampling.q72(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(shards.nonEmpty)
+    // shard ids dense from 0; doc ranges ordered and disjoint
+    assert(shards.map(_._1).toSeq == shards.indices.map(_.toLong))
+    shards.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4, "doc ranges overlap or reorder")
+      case _ => ()
+    }
+    // every shard except the last holds at least the budget's worth of
+    // docs' START offsets: its token fill can undershoot only by less than
+    // one doc (a doc spanning the boundary belongs to the earlier shard)
+    val budget = graft.queries.Sampling.ShardBudget
+    shards.dropRight(1).foreach { s =>
+      assert(s._3 > 0 && s._2 > 0)
+    }
+    // totals conserve the corpus token volume
+    val corpus = graft.queries.Sampling.q72(spark, sf001)
+      .agg(org.apache.spark.sql.functions.sum("shard_tokens")).collect()(0).getLong(0)
+    assert(corpus == shards.map(_._3).sum)
+    // every non-final shard's fill reaches into the budget window:
+    // starting offsets within [k*budget, (k+1)*budget) guarantee
+    // fill >= budget - (max doc len) — check the weaker monotone property
+    assert(shards.dropRight(1).forall(_._3 >= budget / 2))
+  }
+
   test("approx percentiles sit within the sketch accuracy of the exact values (q68 vs q45)") {
     val rows = graft.queries.Aggregates.q68(spark, sf001).collect()
     assert(rows.nonEmpty)
