@@ -97,6 +97,7 @@ object SparkEntry {
     "q71_oov_redaction"       -> Sampling.q71 _,
     "q72_token_sharding"      -> Sampling.q72 _,
     "q73_lm_perplexity"       -> Text.q73 _,
+    "q74_pmi_collocations"    -> Text.q74 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

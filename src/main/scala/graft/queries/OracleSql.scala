@@ -548,6 +548,28 @@ object OracleSql {
         |FROM agg
         |ORDER BY doc_id""".stripMargin,
 
+    // q74: margins aggregated from the counts CTE; PMI operands cast to
+    // DOUBLE before multiplying (BIGINT product would overflow at scale;
+    // double arithmetic is engine-identical), ln on identical doubles,
+    // ROUND 4, no post-transcendental aggregation.
+    "q74_pmi_collocations" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)])) AS g FROM d),
+        |bi AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM bg),
+        |c AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+        |h AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS n_head FROM c GROUP BY w1),
+        |tl AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS n_tail FROM c GROUP BY w2),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c)
+        |SELECT c.w1, c.w2, c.c,
+        |  ROUND(ln((CAST(c.c AS DOUBLE) * CAST(n.n_total AS DOUBLE))
+        |           / (CAST(h.n_head AS DOUBLE) * CAST(tl.n_tail AS DOUBLE))), 4) AS pmi
+        |FROM c JOIN h ON h.w1 = c.w1 JOIN tl ON tl.w2 = c.w2, n
+        |WHERE c.c >= ${Text.PmiMinCount}
+        |ORDER BY pmi DESC, c.w1, c.w2
+        |LIMIT ${Text.PmiTopK}""".stripMargin,
+
     "q42_doc_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |       COUNT(*) AS n_docs, min(doc_id) AS rep_doc

@@ -425,6 +425,48 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q74: collocation strength floor and output size. */
+  val PmiMinCount = 5
+  val PmiTopK = 50
+
+  /** q74: PMI collocation mining — pointwise mutual information of
+    * adjacent token pairs, pmi = ln(c(w₁,w₂)·N / (c(w₁,·)·c(·,w₂))),
+    * for pairs seen ≥ 5 times; top 50 by pmi desc (ties by words) — the
+    * multi-word-expression detector next to q64's conditional model and
+    * q73's perplexity filter (tokenizers learn merges from exactly this
+    * signal). Every ln() runs on an identical BIGINT-ratio double and no
+    * aggregation happens after the transcendental, so ROUND-4 is the only
+    * float discipline needed.
+    *
+    * Scale posture: one bigram-stream shuffle for the pair counts; head
+    * and tail margins are aggregates OF the counts table (vocab-sized);
+    * N is a broadcast single-row aggregate. */
+  def q74(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = col("toks")
+    val bi = docs(spark, sfDir)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")).cache()
+    val heads = counts.groupBy(col("w1")).agg(sum(col("c")).as("n_head"))
+    val tails = counts.groupBy(col("w2")).agg(sum(col("c")).as("n_tail"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    // cast-THEN-multiply: a BIGINT product c·N overflows signed-64 at real
+    // corpus scale (DuckDB errors, Spark wraps); double×double is the same
+    // IEEE value in both engines at any magnitude
+    val pmi = log((col("c").cast("double") * col("n_total").cast("double")) /
+      (col("n_head").cast("double") * col("n_tail").cast("double")))
+    counts.filter(col("c") >= PmiMinCount)
+      .join(heads, Seq("w1"))
+      .join(tails, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c"), round(pmi, 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
   /** q42: order-insensitive document fingerprint — md5 over the sorted
     * distinct token set, the bag-of-words analogue of q29's exact hash.
     * Groups are potential shuffled-copy duplicates. */

@@ -86,6 +86,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q71_oov_redaction" -> 500L,
     "q72_token_sharding" -> 14L,
     "q73_lm_perplexity" -> 500L,
+    "q74_pmi_collocations" -> 50L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
