@@ -484,14 +484,19 @@ object OracleSql {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin),
 
-    // q64: bigrams rebuilt from 'w1 w2' join strings (tokens are
-    // space-free by construction); SUM(BIGINT) is HUGEINT in DuckDB → cast.
+    // q64: bigrams emitted directly as two aligned positional unnests (no
+    // concat-then-resplit — that round-trip would silently corrupt if a
+    // tokenizer ever produced tokens containing the delimiter);
+    // SUM(BIGINT) is HUGEINT in DuckDB → cast.
     "q64_bigram_model" ->
       s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),
-        |bg AS (SELECT unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
-        |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)])) AS g FROM d),
-        |bi AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM bg),
+        |bi AS (SELECT
+        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |           i -> t[CAST(i AS INTEGER)])) AS w1,
+        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |           i -> t[CAST(i + 1 AS INTEGER)])) AS w2
+        |       FROM d),
         |c AS (SELECT w1, w2, COUNT(*) AS n FROM bi GROUP BY w1, w2),
         |h AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_head FROM c GROUP BY w1),
         |r AS (SELECT c.w1, c.w2, c.n, h.n_head,
@@ -535,7 +540,7 @@ object OracleSql {
         |v AS (SELECT COUNT(DISTINCT token) AS v
         |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)),
         |lp AS (SELECT bi.doc_id, bi.pos,
-        |         ln(CAST(c.c + 1 AS DOUBLE) / CAST(h.n_head + v.v AS DOUBLE)) AS lp
+        |         ROUND(ln(CAST(c.c + 1 AS DOUBLE) / CAST(h.n_head + v.v AS DOUBLE)), 6) AS lp
         |       FROM bi JOIN c ON c.w1 = bi.w1 AND c.w2 = bi.w2
         |       JOIN h ON h.w1 = bi.w1, v),
         |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
@@ -555,9 +560,12 @@ object OracleSql {
     "q74_pmi_collocations" ->
       s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),
-        |bg AS (SELECT unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
-        |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)])) AS g FROM d),
-        |bi AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM bg),
+        |bi AS (SELECT
+        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |           i -> t[CAST(i AS INTEGER)])) AS w1,
+        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |           i -> t[CAST(i + 1 AS INTEGER)])) AS w2
+        |       FROM d),
         |c AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
         |h AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS n_head FROM c GROUP BY w1),
         |tl AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS n_tail FROM c GROUP BY w2),

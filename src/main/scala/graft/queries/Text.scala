@@ -289,14 +289,25 @@ object Text {
     * O(tokens²) recompute); counts are one shuffle of (w1, w2); head totals
     * aggregate the COUNTS table (vocab-sized), not the stream; the top-k
     * window partitions by head token over ≤ vocab² rows. */
-  def q64(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Positional (doc_id, pos, w1, w2) adjacent-token-pair stream — the
+    * bigram construction shared by q64/q73/q74, in the same
+    * materialize-toks-then-explode shape as [[rawShingles]] (one
+    * projection per token array; an inline split would re-evaluate per
+    * element-access, the measured O(tokens²) trap). */
+  private[queries] def bigramPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = col("toks")
-    val bi = docs(spark, sfDir)
-      .select(split(col("text"), " ").as("toks"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(toks) >= 2)
-      .select(explode(transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(i.as("pos"), element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  def q64(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = bigramPairs(spark, sfDir).select(col("w1"), col("w2"))
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
     val heads = counts.groupBy(col("w1")).agg(sum(col("n")).as("n_head"))
     val w = Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))
@@ -392,23 +403,20 @@ object Text {
     * tables are vocab-sized aggregates; the per-doc fold sorts each doc's
     * OWN array. */
   def q73(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = col("toks")
-    val bi = docs(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(toks) >= 2)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), size(toks) - 1),
-        i => struct(i.as("pos"), element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2")))).as("b"))
-      .select(col("doc_id"), col("b.pos").as("pos"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = bigramPairs(spark, sfDir)
       .cache() // feeds the model counts AND the scoring join
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val heads = counts.groupBy(col("w1")).agg(sum(col("c")).as("n_head"))
     val vocabSize = docs(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("token"))
       .agg(countDistinct(col("token")).as("v"))
-    val logp = log((col("c") + lit(1L)).cast("double") /
-      (col("n_head") + col("v")).cast("double"))
+    // each log-prob is ROUND-6'd BEFORE the fold: the per-row ln agrees
+    // across engines on its identical ratio operand (up to the usual
+    // boundary coincidence), and pre-rounding stops dozens of independent
+    // 1-ulp libm wobbles from ACCUMULATING through the sum into the final
+    // ROUND-4 — the fold then adds bit-identical values on both sides
+    val logp = round(log((col("c") + lit(1L)).cast("double") /
+      (col("n_head") + col("v")).cast("double")), 6)
     bi.join(counts, Seq("w1", "w2"))
       .join(heads, Seq("w1"))
       .crossJoin(broadcast(vocabSize))
@@ -442,13 +450,7 @@ object Text {
     * and tail margins are aggregates OF the counts table (vocab-sized);
     * N is a broadcast single-row aggregate. */
   def q74(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = col("toks")
-    val bi = docs(spark, sfDir)
-      .select(split(col("text"), " ").as("toks"))
-      .filter(size(toks) >= 2)
-      .select(explode(transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = bigramPairs(spark, sfDir).select(col("w1"), col("w2"))
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")).cache()
     val heads = counts.groupBy(col("w1")).agg(sum(col("c")).as("n_head"))
     val tails = counts.groupBy(col("w2")).agg(sum(col("c")).as("n_tail"))

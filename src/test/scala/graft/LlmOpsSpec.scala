@@ -132,8 +132,11 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("OOV redaction laws: top-K tokens survive, redaction accounts for every token (q71)") {
-    val vocab = graft.queries.Text.q30(spark, sf001) // top-20 by the same ranking
-      .collect().map(_.getString(0)).toSet
+    // one collect serves both the vocab set and the covered-volume total
+    val top = graft.queries.Text.q30(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val vocab = top.map(_._1).toSet
+    val vocabCovered = top.map(_._2).sum
     val rows = graft.queries.Sampling.q71(spark, sf001).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
@@ -142,39 +145,37 @@ class LlmOpsSpec extends SparkSpec {
     }
     // corpus-level: the redacted volume equals the non-vocab token volume
     val totalUnk = rows.map(_.getLong(2)).sum
-    val vocabCovered = graft.queries.Text.q30(spark, sf001) // only top-20 rows
-      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
     val totalTokens = rows.map(_.getLong(1)).sum
     assert(totalUnk == totalTokens - vocabCovered,
       s"redacted $totalUnk != total $totalTokens - vocab-covered $vocabCovered")
     assert(vocab.size == graft.queries.Sampling.VocabK)
   }
 
-  test("token sharding laws: contiguous disjoint doc ranges, budget-bounded fill (q72)") {
-    val shards = graft.queries.Sampling.q72(spark, sf001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    assert(shards.nonEmpty)
-    // shard ids dense from 0; doc ranges ordered and disjoint
-    assert(shards.map(_._1).toSeq == shards.indices.map(_.toLong))
-    shards.sliding(2).foreach {
-      case Array(a, b) => assert(a._5 < b._4, "doc ranges overlap or reorder")
+  test("token sharding agrees with an independent driver-side prefix sum (q72)") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    // independent reimplementation of the assignment rule: sequential
+    // cumsum over (doc_id asc, n_tokens) drawn straight from the source
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val budget = graft.queries.Sampling.ShardBudget
+    var offset = 0L
+    val expected = docs.map { case (id, n) =>
+      val shard = offset / budget; offset += n; (id, n, shard)
+    }
+    val want = expected.groupBy(_._3).map { case (s, ds) =>
+      s -> (ds.length.toLong, ds.map(_._2).sum, ds.map(_._1).min, ds.map(_._1).max)
+    }
+    val got = graft.queries.Sampling.q72(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == want)
+    // ranges ordered and disjoint across ascending shard ids
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 < b._3, "doc ranges overlap or reorder")
       case _ => ()
     }
-    // every shard except the last holds at least the budget's worth of
-    // docs' START offsets: its token fill can undershoot only by less than
-    // one doc (a doc spanning the boundary belongs to the earlier shard)
-    val budget = graft.queries.Sampling.ShardBudget
-    shards.dropRight(1).foreach { s =>
-      assert(s._3 > 0 && s._2 > 0)
-    }
-    // totals conserve the corpus token volume
-    val corpus = graft.queries.Sampling.q72(spark, sf001)
-      .agg(org.apache.spark.sql.functions.sum("shard_tokens")).collect()(0).getLong(0)
-    assert(corpus == shards.map(_._3).sum)
-    // every non-final shard's fill reaches into the budget window:
-    // starting offsets within [k*budget, (k+1)*budget) guarantee
-    // fill >= budget - (max doc len) — check the weaker monotone property
-    assert(shards.dropRight(1).forall(_._3 >= budget / 2))
   }
 
   test("approx percentiles sit within the sketch accuracy of the exact values (q68 vs q45)") {
