@@ -79,10 +79,14 @@ object Sampling {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
       .cache()
+    // top-K by (count desc, token asc) as orderBy+limit, which plans as
+    // TakeOrderedAndProject: each partition keeps its local top-K and the
+    // driver merges K·P rows — vs the previous global row_number window,
+    // which serialized the whole vocabulary through one task. Ties broken
+    // by token, so the selection is the same total order as before.
     val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("c").desc, col("token"))))
-      .filter(col("rk") <= VocabK)
+      .orderBy(col("c").desc, col("token"))
+      .limit(VocabK)
       .select(col("token"), lit(true).as("in_vocab"))
     tok.join(broadcast(vocab), Seq("token"), "left")
       .select(col("doc_id"), col("pos"),
@@ -103,26 +107,53 @@ object Sampling {
   /** q72 shard budget: target token volume per training shard. */
   val ShardBudget = 2000L
 
+  /** q72 range-partition count for the two-phase prefix sum. Matches the
+    * session shuffle parallelism; at 100 TB raise it with the cluster —
+    * the offsets side stays one row per partition regardless. */
+  val ShardRanges = 32
+
   /** q72: token-budget shard assignment — pack the corpus (in doc_id
     * order) into training shards of ~ShardBudget tokens each: a doc's
     * shard is its starting token offset divided by the budget, so shard
     * boundaries never reorder documents and a doc lands in exactly one
     * shard. Output: per-shard doc count, token volume, doc range.
     *
-    * Scale note: the running offset here is one global ordered window —
-    * a single sequential pass. The 100 TB form is the classic two-phase
-    * prefix sum (per-range-partition totals, broadcast the per-partition
-    * offsets, then local cumsum) — same arithmetic, same assignment,
-    * sketched here in the shape Catalyst would need a custom operator
-    * for; the audit output is identical. */
+    * The running offset is the classic two-phase distributed prefix sum —
+    * no row ever passes through a global single-task window:
+    *   1. range-partition (doc_id) so partition p holds a contiguous
+    *      doc_id slice and all of partition p's ids precede partition
+    *      p+1's;
+    *   2. per-partition token totals — one tiny row per partition;
+    *   3. each partition's starting offset = sum of the totals of the
+    *      partitions before it (a P×P triangular join over P rows —
+    *      deliberately not a window, so the whole plan is free of
+    *      unpartitioned windows, PlanSpec-pinned);
+    *   4. local cumsum per partition (a window PARTITIONED by pid) +
+    *      broadcast-joined starting offset = the exact global prefix sum.
+    * The arithmetic is boundary-invariant: wherever the range sampler
+    * happens to cut, contiguous ranges + grouped totals reproduce the
+    * identical global offsets, so the shard assignment (and the oracle
+    * hash) cannot move. The narrow (doc_id, n_tokens, pid) frame is
+    * cached because both phase 2 and phase 4 read it and
+    * spark_partition_id must be evaluated against one materialization. */
   def q72(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
+    val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .repartitionByRange(ShardRanges, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val totals = d.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptot"))
+    val offsets = totals
+      .join(broadcast(totals.select(col("pid").as("prev_pid"), col("ptot").as("prev_tot"))),
+        col("prev_pid") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(coalesce(sum(col("prev_tot")), lit(0L)).as("poff"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("lcum", sum(col("n_tokens")).over(w))
+      .join(broadcast(offsets), Seq("pid"))
       .select(col("doc_id"), col("n_tokens"),
-        ((col("cum") - col("n_tokens")) / ShardBudget).cast("long").as("shard_id"))
+        ((col("poff") + col("lcum") - col("n_tokens")) / ShardBudget).cast("long").as("shard_id"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("shard_tokens"),

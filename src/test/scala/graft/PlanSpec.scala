@@ -71,4 +71,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       "top-k per doc lost the rank-limit pushdown")
   }
+
+  test("q71: vocabulary top-K is a TakeOrdered, with no window anywhere in the plan") {
+    val df = SparkEntry.queries("q71_oov_redaction")(spark, sf001)
+    assert(planString(df).contains("TakeOrderedAndProject"),
+      "vocab top-K fell back to a sort or window")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "q71 reintroduced a window operator")
+  }
+
+  test("q72: prefix sum is two-phase — every window in the plan is partitioned") {
+    val df = SparkEntry.queries("q72_token_sharding")(spark, sf001)
+    val partSpecs = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(partSpecs.nonEmpty, "expected the partitioned local-cumsum window")
+    assert(partSpecs.forall(_.nonEmpty),
+      "found a global (unpartitioned) window — the single-task prefix sum is back")
+  }
 }
