@@ -409,17 +409,7 @@ object OracleSql {
         |WHERE CAST(n_inter AS DOUBLE) / CAST(x.ns + y.ns - n_inter AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q37_cosine_neardup" ->
-      """SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  ROUND(
-        |    list_sum(list_transform(range(1, CAST(len(a.embedding) AS INTEGER) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |ORDER BY sim DESC, vec_a, vec_b
-        |LIMIT 20""".stripMargin,
+    "q37_cosine_neardup" -> annPairsSql,
 
     "q39_langid" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -1024,5 +1014,38 @@ object OracleSql {
        |WHERE e.vec_id <> 0 AND ($anyMatch)
        |ORDER BY sim DESC, vec_id
        |LIMIT 10""".stripMargin
+  }
+
+  /** q37 oracle: pairwise form of the q38 mirror — the same
+    * graft.ops.Ann plane literals and list_reduce sign tests produce each
+    * vector's L table buckets; a pair is a candidate iff it shares label
+    * AND any table's bucket (exactly the Spark side's (label, t, bucket)
+    * equi-join + distinct). The oracle states the candidate predicate on
+    * the quadratic join for clarity — candidate-set equality, not plan
+    * shape, is what the compare checks. */
+  private def annPairsSql: String = {
+    import graft.ops.Ann.{Tables, BitsPerTable, Dim, weights}
+    def planeCase(p: Int, bit: Int): String = {
+      val w = weights(p).mkString("[", ",", "]")
+      s"""CASE WHEN list_reduce(list_transform(generate_series(1, $Dim),
+         |  i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(($w)[CAST(i AS INTEGER)] AS DOUBLE)),
+         |  (a, b) -> a + b) > 0 THEN ${1L << bit}::BIGINT ELSE 0::BIGINT END""".stripMargin
+    }
+    val bucketCols = (0 until Tables).map { t =>
+      val expr = (0 until BitsPerTable).map(j => planeCase(t * BitsPerTable + j, j)).mkString(" + ")
+      s"($expr) AS b$t"
+    }.mkString(", ")
+    val anyMatch = (0 until Tables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""WITH s AS (SELECT vec_id, label, embedding, $bucketCols FROM embeddings)
+       |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(
+       |    list_sum(list_transform(range(1, CAST(len(a.embedding) AS INTEGER) + 1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+       |FROM s a JOIN s b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id AND ($anyMatch)
+       |ORDER BY sim DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin
   }
 }

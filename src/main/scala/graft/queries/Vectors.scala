@@ -193,16 +193,41 @@ object Vectors {
       .limit(10)
   }
 
-  /** q37: embedding-cosine near-duplicate pairs, blocked by label; top 20
-    * most-similar pairs (the testdata plants no true near-dups — max
-    * same-label cosine ≈ 0.45 — so the operator surfaces the closest pairs
-    * rather than thresholding to an empty set). */
+  /** q37: embedding-cosine near-duplicate pairs — candidates from the
+    * random-hyperplane LSH tables (graft.ops.Ann), ranked by exact cosine;
+    * top 20 most-similar candidate pairs (the testdata plants no true
+    * near-dups — max same-label cosine ≈ 0.45 — so the operator surfaces
+    * the closest pairs rather than thresholding to an empty set).
+    *
+    * A pair is a candidate iff the two vectors share a label AND any of
+    * the L=8 hash tables' buckets — the q34/q38 sub-quadratic shape
+    * applied to the PAIRWISE problem: explode each vector to its 8
+    * (table, bucket) keys, equi-join on (label, table, bucket), distinct
+    * the surviving id pairs, then fetch both embeddings and rank by exact
+    * cosine. Work scales with bucket-collision volume (≈ n²·E[p^k] per
+    * table on uncorrelated data, ~1.5% of all-pairs at k=4), never with a
+    * label block's full quadratic: label cardinality is fixed (10) while
+    * the corpus grows, so the previous label-blocked all-pairs join did
+    * 10,000× the work at 100× the data. PlanSpec pins the candidate join
+    * as a multi-key equi-join; the bucket filter is mirrored
+    * constant-for-constant in the oracle SQL (sign tests fold
+    * sequentially on both engines — bit-identical buckets), so the
+    * candidate set cannot drift between the engines. The exploded
+    * signature frame is cached: both sides of the self-join read it. */
   def q37(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("label"))
+    val sig = e.select(col("label"), col("vec_id"),
+        posexplode(graft.ops.Ann.buckets(col("embedding"))).as(Seq("t", "bucket")))
+      .cache()
+    val pairs = sig.select(col("label"), col("t"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(sig.select(col("label"), col("t"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("label", "t", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         round4(cosine(col("emb_a"), col("emb_b"))).as("sim"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))

@@ -72,6 +72,21 @@ class PlanSpec extends SparkSpec {
       "top-k per doc lost the rank-limit pushdown")
   }
 
+  test("q37: near-dup candidates come from a bucket equi-join, not a label-block all-pairs") {
+    val df = SparkEntry.queries("q37_cosine_neardup")(spark, sf001)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degraded to a cartesian")
+    // the self-join must key on the LSH (table, bucket) columns — a join
+    // keyed on label alone is the fixed-cardinality quadratic q37 replaced
+    val joinLines = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("HashJoin")).toSeq
+    assert(joinLines.exists(_.contains("bucket")),
+      s"no join carries the bucket key:\n${joinLines.mkString("\n")}")
+    assert(!joinLines.exists(l => l.contains("[label") && !l.contains("bucket")),
+      s"found a label-only join:\n${joinLines.mkString("\n")}")
+  }
+
   test("q71: vocabulary top-K is a TakeOrdered, with no window anywhere in the plan") {
     val df = SparkEntry.queries("q71_oov_redaction")(spark, sf001)
     assert(planString(df).contains("TakeOrderedAndProject"),
