@@ -202,7 +202,15 @@ object Aggregates {
     * zero-padded event_id — so lexicographic compare == (ts, event_id)
     * order, it is TOTAL (unique event_id breaks ts ties → max_by is
     * deterministic), and both engines compare the identical ASCII bytes
-    * (DuckDB mirror: arg_min/arg_max over the same lpad key). */
+    * (DuckDB mirror: arg_min/arg_max over the same lpad key).
+    *
+    * NULL-payload caveat (latent, documented at the oracle too): Spark's
+    * max_by returns the value AT the winning key even when that value is
+    * NULL; DuckDB's arg_max SKIPS null-arg rows and falls back to an
+    * earlier key. events.value/event_type are non-null by schema in the
+    * testdata, so the engines agree here — if this operator is pointed at
+    * a nullable payload, coalesce the payload into the ordering struct on
+    * both sides first. */
   def q61(spark: SparkSession, sfDir: String): DataFrame = {
     val key = concat(
       lpad(unix_micros(col("ts")).cast("string"), 20, "0"),

@@ -121,7 +121,11 @@ object Dedup {
     * does not replay rounds 1..k-1 (the classic iterative-algorithm trap:
     * exponentially deep plans). Convergence is detected by the sum of
     * labels — strictly decreasing while any label changes, so equality is
-    * exactly the fixpoint — which costs one cheap extra action per round. */
+    * exactly the fixpoint — which costs one cheap extra action per round.
+    * The sum accumulates in DECIMAL(38,0), not LONG: labels only decrease,
+    * but a signed-64 sum could wrap on a large-enough graph and a wrap
+    * coincidence would fake the fixpoint one round early. 38 exact digits
+    * hold 10^19 max-valued long labels — no physical graph wraps it. */
   def connectedComponents(edgesIn: DataFrame): DataFrame = {
     val pairs = edgesIn.toDF("u", "v")
     val edges = pairs.union(pairs.select(col("v"), col("u"))).toDF("u", "v")
@@ -129,15 +133,15 @@ object Dedup {
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("label"))).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     // emptiness must be its own check: a label SUM of zero also happens on
     // non-empty graphs whose node ids sum to zero (e.g. signed ids) — and
     // checking it first skips the aggregate job on the empty path
     var done = labels.isEmpty
-    var prev = if (done) 0L else labelSum(labels)
+    var prev = if (done) java.math.BigDecimal.ZERO else labelSum(labels)
     var iter = 0
     while (!done && iter < MaxCcIters) {
       val next = labels.join(edges, col("node") === col("u"))
@@ -146,7 +150,7 @@ object Dedup {
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       val cur = labelSum(next)
-      done = cur == prev
+      done = cur.compareTo(prev) == 0
       prev = cur
       labels = next
       iter += 1

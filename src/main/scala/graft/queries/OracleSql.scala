@@ -718,7 +718,11 @@ object OracleSql {
 
     // q61: arg_min/arg_max over the same fixed-width (epoch-micros ‖
     // event_id) string key the Spark side builds — a total order, so the
-    // selected rows are unique and engine-identical.
+    // selected rows are unique and engine-identical. Parity ASSUMES
+    // non-null payloads (holds for events.value/event_type): DuckDB's
+    // arg_max skips null-arg rows where Spark's max_by returns the null at
+    // the winning key — a nullable payload must be coalesced into the
+    // ordering struct on both sides before these can be compared.
     "q61_argminmax" ->
       (eventsCte +
       """
