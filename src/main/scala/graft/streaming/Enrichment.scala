@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** s11: stream-static enrichment — each micro-batch of the event stream
   * left-joins a static reference table (member segments here; at scale, any
@@ -10,10 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: the static side is broadcast — no stream-side shuffle, no
   * state store (unlike s08 there is nothing to watermark: the static side
-  * never grows stale state). Honesty note: a static DataFrame is resolved
-  * once at query start; a dimension that CHANGES mid-flight needs the
-  * query restarted (or a Delta-style source that re-lists per batch) — the
-  * standard Structured Streaming contract for stream-static joins.
+  * never grows stale state). A static DataFrame is resolved once at query
+  * start, so [[enrich]] serves a FIXED dimension; a dimension that changes
+  * mid-flight goes through [[enrichRefreshing]], which re-reads the dim
+  * inside foreachBatch so each micro-batch joins the dimension's CURRENT
+  * snapshot — the projection-refresh the reference gets for free from
+  * querying MySQL per page load (`main.go:214`).
   */
 object Enrichment {
 
@@ -22,4 +25,22 @@ object Enrichment {
     * the q05 left-outer oracle pins). */
   def enrich(stream: DataFrame, dim: DataFrame): DataFrame =
     stream.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Changing-dimension form of [[enrich]]: the dim parquet at `dimPath`
+    * is re-read at the START of every micro-batch, so an update written
+    * between batches reaches the next batch without a query restart.
+    *
+    * Per-batch cost is a fresh file listing + broadcast of a
+    * dimension-sized table — the price of freshness, paid once per
+    * trigger, not per row; the join itself is the same broadcast
+    * left-outer as the static form. The caller supplies the sink
+    * (`sink(enrichedBatch, batchId)`), keeping the refresh seam
+    * orthogonal to where enriched rows land — exactly the
+    * foreachBatch-merge shape s04's projection upsert already uses. */
+  def enrichRefreshing(stream: DataFrame, dimPath: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val dim = batch.sparkSession.read.parquet(dimPath)
+      sink(enrich(batch, dim), batchId)
+    }
 }

@@ -296,6 +296,50 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map("en-1" -> Some("gold"), "en-2" -> None))
   }
 
+  test("refreshing enrichment picks up a dim update between micro-batches (s11 changing dim)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val eventsDir = tmpDir("enrichr-events")
+    val dimDir = tmpDir("enrichr-dim")
+    val ckpt = tmpDir("enrichr-ckpt")
+    val seen = scala.collection.mutable.Map[String, Option[String]]()
+    // one checkpoint across drains: drain 2 processes ONLY the new file, so
+    // enr-1 keeping its original segment proves per-batch (not per-run)
+    // dim resolution
+    def drain(): Unit = {
+      val q = graft.streaming.Enrichment.enrichRefreshing(
+          spark.readStream.schema(Envelope.schema).json(eventsDir), dimDir) { (df, _) =>
+          df.select(col("event_id"), col("segment")).collect()
+            .foreach(r => seen(r.getString(0)) = Option(r.getString(1)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    Seq(("u1", "gold")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(dimDir)
+    writeEvents(eventsDir, "e1.json", Seq(
+      ev("enr-1", Envelope.PurchaseCompleted, "2024-03-01T10:00:00.000Z",
+        "user_id" -> "\"u1\"", "amount" -> "100")))
+    drain()
+    assert(seen.toMap == Map("enr-1" -> Some("gold")))
+    // dimension update between batches: u1 re-segmented, u2 appears
+    Seq(("u1", "platinum"), ("u2", "bronze")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(dimDir)
+    writeEvents(eventsDir, "e2.json", Seq(
+      ev("enr-2", Envelope.PurchaseCompleted, "2024-03-01T10:01:00.000Z",
+        "user_id" -> "\"u1\"", "amount" -> "50"),
+      ev("enr-3", Envelope.PurchaseCompleted, "2024-03-01T10:02:00.000Z",
+        "user_id" -> "\"u2\"", "amount" -> "70")))
+    drain()
+    assert(seen.toMap == Map(
+      "enr-1" -> Some("gold"),      // untouched: processed under dim v1
+      "enr-2" -> Some("platinum"),  // u1's NEW segment reached batch 2
+      "enr-3" -> Some("bronze")))   // a row that did not exist in dim v1
+  }
+
   test("watermarked hourly stats work identically on the batch event log (s05 parity)") {
     val ev = graft.tables.Tables.events(spark, sf001)
       .withColumnRenamed("value", "amount")
