@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, DotProductInt}
+import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductInt}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions`: registers the native
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.dotInt)
+    ext.injectFunction(GraftExtensions.chunkGen)
   }
 }
 
@@ -35,6 +36,23 @@ object GraftExtensions {
       DotProductInt(children.head, children(1)): org.apache.spark.sql.catalyst.expressions.Expression
     })
 
+  /** chunk_gen(tokens, len, stride) — the generator (UDTF) form; len and
+    * stride must be INT literals (generator geometry is plan-time). */
+  private val chunkGen = (
+    FunctionIdentifier("chunk_gen"),
+    new ExpressionInfo(classOf[ChunkGenerator].getName, "chunk_gen"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 3, "chunk_gen takes exactly 3 arguments")
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(s"chunk_gen: $name must be an INT literal")
+        }
+      ChunkGenerator(children.head,
+        intLit(children(1), "len"),
+        intLit(children(2), "stride")): org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
   /** Imperative registration into an already-built session (the config
     * route only applies to sessions created with
     * `spark.sql.extensions=graft.GraftExtensions`). */
@@ -43,5 +61,7 @@ object GraftExtensions {
       cosineSim._1, cosineSim._2, cosineSim._3)
     spark.sessionState.functionRegistry.registerFunction(
       dotInt._1, dotInt._2, dotInt._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      chunkGen._1, chunkGen._2, chunkGen._3)
   }
 }

@@ -98,6 +98,8 @@ object SparkEntry {
     "q72_token_sharding"      -> Sampling.q72 _,
     "q73_lm_perplexity"       -> Text.q73 _,
     "q74_pmi_collocations"    -> Text.q74 _,
+    "q75_windowed_distinct"   -> Windows.q75 _,
+    "q76_boilerplate_chunks"  -> Dedup.q76 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -61,6 +61,17 @@ object Dsl {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** Chunk-flatten a token-array column through the native Catalyst
+    * Generator (graft.functions.ChunkGenerator) — one output row per
+    * chunk: (chunk_idx, start_tok, n_chunk_tokens, chunk_text). Alias
+    * with `.as(Seq(...))` like posexplode. Proven row-equal to q54's
+    * explode(sequence)+slice composition in ExpressionSpec. */
+  def chunkGen(tokens: Column, len: Int, stride: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.ChunkGenerator(
+      GraftColumnBridge.expression(tokens), len, stride))
+  }
+
   /** HOF specification of [[dotInt]] — the interpreted form the native
     * expression is tested against (exact equality, ExpressionSpec). */
   def dotIntHof(a: Column, b: Column): Column =

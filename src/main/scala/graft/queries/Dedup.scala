@@ -317,4 +317,42 @@ object Dedup {
       .filter(col("hamming") <= MaxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q76 chunk geometry: non-overlapping (stride = len), unlike q54's
+    * overlapping context windows — for occurrence COUNTING an overlap
+    * would double-count the shared tokens. */
+  val BoilerplateChunkLen = 16
+  val BoilerplateChunkStride = 16
+
+  /** q76: boilerplate chunk detection — chunk-level exact dedup ACROSS
+    * documents: flatten the corpus into non-overlapping 16-token chunks
+    * (through the native ChunkGenerator — the Generator/UDTF extension
+    * point, proven equal to the built-in composition in ExpressionSpec),
+    * digest each chunk, and report every digest appearing in more than one
+    * document: occurrence count, spanning doc count, chunk length, doc
+    * range. This is the repeated-passage signal (headers, licenses,
+    * navigation text) that doc-level dedup (q29/q34) cannot see and a
+    * training pipeline strips before tokenization.
+    *
+    * Scale posture: generate → digest is map-side (GenerateExec + codegen'd
+    * md5 projection, no per-row index array materialized); the only
+    * shuffle is the groupBy on the 60-bit-spread digest — uniform keys,
+    * map-side partials; the >1-doc filter is a post-aggregation HAVING. */
+  def q76(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        chunkGen(split(col("text"), " "), BoilerplateChunkLen, BoilerplateChunkStride)
+          .as(Seq("chunk_idx", "start_tok", "n_chunk_tokens", "chunk_text")))
+      .select(col("doc_id"), col("n_chunk_tokens"),
+        md5(col("chunk_text").cast("binary")).as("digest"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("n_chunk_tokens")).as("n_chunk_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_occurrences") > 1 && col("n_docs") > 1)
+      .select(col("digest"), col("n_occurrences"), col("n_docs"),
+        col("n_chunk_tokens"), col("min_doc"), col("max_doc"))
+      .orderBy(col("digest"))
 }

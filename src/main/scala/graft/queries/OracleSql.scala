@@ -855,6 +855,19 @@ object OracleSql {
         |GROUP BY shard_id
         |ORDER BY shard_id""".stripMargin,
 
+    "q75_windowed_distinct" ->
+      (eventsCte +
+      """
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM e
+        |GROUP BY 1
+        |ORDER BY win_start""".stripMargin),
+
+    "q76_boilerplate_chunks" -> boilerplateSql,
+
     "q44_pivot" ->
       (eventsCte +
       """
@@ -1050,6 +1063,32 @@ object OracleSql {
        |WHERE e.vec_id <> 0 AND ($anyMatch)
        |ORDER BY sim DESC, vec_id
        |LIMIT 10""".stripMargin
+  }
+
+  /** q76 oracle: the q54 chunk-geometry CTEs at q76's non-overlapping
+    * constants (Dedup.BoilerplateChunkLen/Stride), aggregated to digest
+    * level with the >1-occurrence, >1-doc HAVING — chunk text joins with
+    * single spaces on both sides, so digests are byte-identical. */
+  private def boilerplateSql: String = {
+    val L = Dedup.BoilerplateChunkLen
+    val S = Dedup.BoilerplateChunkStride
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+       |k AS (SELECT doc_id, s, CAST(len(s) AS INTEGER) AS nt FROM d),
+       |c AS (SELECT doc_id, s, nt,
+       |        unnest(generate_series(0, CASE WHEN nt > $L THEN (nt - $L + ${S - 1}) // $S ELSE 0 END)) AS ci
+       |      FROM k),
+       |ch AS (SELECT doc_id,
+       |        CAST(len(s[ci*$S+1 : least(ci*$S+$L, nt)]) AS INTEGER) AS nct,
+       |        md5(array_to_string(s[ci*$S+1 : least(ci*$S+$L, nt)], ' ')) AS digest
+       |      FROM c)
+       |SELECT digest, COUNT(*) AS n_occurrences,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(MIN(nct) AS INTEGER) AS n_chunk_tokens,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM ch
+       |GROUP BY digest
+       |HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1
+       |ORDER BY digest""".stripMargin
   }
 
   /** q37 oracle: pairwise form of the q38 mirror — the same

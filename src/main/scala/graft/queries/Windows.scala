@@ -53,6 +53,26 @@ object Windows {
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** q75: windowed distinct cardinality — per 1-hour tumbling window:
+    * event volume, EXACT distinct users, distinct event types. The
+    * unique-visitors-per-interval shape next to q23's plain windowed agg.
+    *
+    * Scale posture: exact distinct per window plans as the two-phase
+    * expand + partial dedup aggregate — one shuffle keyed on (window,
+    * value), partials combine map-side; the sketch form of the same
+    * answer at 100 TB is `approx_count_distinct` (q53's HLL, mergeable
+    * O(1) state per window), kept out of this oracle-checked query
+    * because sketch registers are engine-specific. */
+  def q75(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(col("window.start").as("win_start"),
+        col("n_events"), col("n_users"), col("n_types"))
+      .orderBy(col("win_start"))
+
   /** q24: 1-hour windows hopping every 30 minutes — each event lands in
     * exactly two windows. */
   def q24(spark: SparkSession, sfDir: String): DataFrame =

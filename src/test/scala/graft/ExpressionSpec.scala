@@ -81,4 +81,34 @@ class ExpressionSpec extends SparkSpec {
     val r = df.select(Dsl.cosine($"a", $"b").as("c")).collect()
     assert(r(0).isNullAt(0))
   }
+
+  test("ChunkGenerator == the q54 built-in explode+slice pipeline, row for row") {
+    import graft.queries.Text
+    // the generator at q54's OVERLAPPING geometry, digested identically —
+    // if the two disagree anywhere in the corpus, except() surfaces it
+    val gen = graft.tables.Tables.documents(spark, sf001)
+      .select($"doc_id",
+        Dsl.chunkGen(split($"text", " "), Text.ChunkLen, Text.ChunkStride)
+          .as(Seq("chunk_idx", "start_tok", "n_chunk_tokens", "chunk_text")))
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_chunk_tokens",
+        md5($"chunk_text".cast("binary")).as("digest"))
+    val builtin = Text.q54(spark, sf001)
+    assert(gen.count() == builtin.count())
+    assert(gen.except(builtin).isEmpty && builtin.except(gen).isEmpty)
+  }
+
+  test("chunk_gen is SQL-callable after GraftExtensions.install (LATERAL VIEW form)") {
+    GraftExtensions.install(spark)
+    val rows = spark.sql(
+      """SELECT c.chunk_idx, c.start_tok, c.n_chunk_tokens, c.chunk_text
+        |FROM VALUES ('a b c d e') AS t(txt)
+        |LATERAL VIEW chunk_gen(split(txt, ' '), 2, 2) c
+        |ORDER BY c.chunk_idx""".stripMargin).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq ==
+      Seq((0, 0, 2, "a b"), (1, 2, 2, "c d"), (2, 4, 1, "e")))
+    // a NULL array generates zero rows (non-outer explode semantics)
+    assert(spark.sql(
+      "SELECT c.* FROM VALUES (CAST(NULL AS STRING)) AS t(txt) " +
+      "LATERAL VIEW chunk_gen(split(txt, ' '), 2, 2) c").collect().isEmpty)
+  }
 }
