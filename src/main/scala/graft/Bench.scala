@@ -22,18 +22,23 @@ object Bench {
     // Count java processes outside this JVM's own ancestor chain (sbt and
     // its parents are legitimately alive above us) and surface them both
     // on stderr and in the JSON so an inflated round is attributable.
+    // Sampled at start AND end (a contaminator can start mid-run); blind
+    // spot: a JVM whose /proc command is unreadable (another user's
+    // process) has no command() and can't be identified — absence of a
+    // warning is evidence, not proof.
     val ancestors = {
       val s = scala.collection.mutable.Set.empty[Long]
       var p: Option[ProcessHandle] = Some(ProcessHandle.current())
       while (p.isDefined) { s += p.get.pid(); p = p.get.parent().toScala }
       s.toSet
     }
-    val foreignJvms = ProcessHandle.allProcesses().iterator().asScala
+    def foreignJvms(): List[Long] = ProcessHandle.allProcesses().iterator().asScala
       .filter(h => h.info().command().toScala.exists(_.contains("java")))
       .map(_.pid()).filterNot(ancestors).toList
-    if (foreignJvms.nonEmpty)
-      System.err.println(s"[bench] WARNING: ${foreignJvms.size} foreign JVM(s) alive " +
-        s"(pids ${foreignJvms.mkString(",")}) — timings may be inflated 2-7x")
+    val foreignAtStart = foreignJvms()
+    if (foreignAtStart.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${foreignAtStart.size} foreign JVM(s) alive " +
+        s"(pids ${foreignAtStart.mkString(",")}) — timings may be inflated 2-7x")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,7 +78,11 @@ object Bench {
     val errors = results.collect { case (n, (m, _)) if m < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.collect { case (m, _) if m >= 0 => m }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_mean":${jmap(_._2)},"errors":$errors,"foreign_jvms":${foreignJvms.size},"sf":"$sfDir"}""")
+    val foreignSeen = (foreignAtStart ++ foreignJvms()).distinct
+    if (foreignSeen.size > foreignAtStart.size)
+      System.err.println(s"[bench] WARNING: foreign JVM(s) appeared DURING the run " +
+        s"(pids ${foreignSeen.mkString(",")})")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_mean":${jmap(_._2)},"errors":$errors,"foreign_jvms":${foreignSeen.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

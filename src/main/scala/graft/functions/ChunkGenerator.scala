@@ -59,7 +59,10 @@ case class ChunkGenerator(child: Expression, chunkLen: Int, stride: Int)
     val k =
       if (nt > chunkLen) (nt - chunkLen + stride - 1) / stride + 1
       else 1
-    (0 until k).map { ci =>
+    // lazy iterator, not a materialized seq: GenerateExec pulls one chunk
+    // row at a time, so a many-chunk document never buffers its whole
+    // chunk set on the heap
+    (0 until k).iterator.map { ci =>
       val start = ci * stride
       val end = math.min(start + chunkLen, nt)
       val sb = new java.lang.StringBuilder

@@ -18,21 +18,29 @@ object OracleSql {
   private val eventsCte =
     "WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
-  /** q54 chunk geometry — same constants as Text.q54. */
-  private val chunkSql = {
-    val L = Text.ChunkLen
-    val S = Text.ChunkStride
+  /** Shared chunk-geometry CTEs at (len, stride) — ONE definition of the
+    * chunk-index bound and the 1-based inclusive slice, used by q54
+    * (overlapping context windows) and q76 (non-overlapping boilerplate
+    * chunks) so the two oracles cannot drift geometrically. `ch` yields
+    * one row per chunk: doc_id, chunk_idx, start_tok, n_chunk_tokens,
+    * digest. */
+  private def chunkCtes(L: Int, S: Int): String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
        |k AS (SELECT doc_id, s, CAST(len(s) AS INTEGER) AS nt FROM d),
        |c AS (SELECT doc_id, s, nt,
        |        unnest(generate_series(0, CASE WHEN nt > $L THEN (nt - $L + ${S - 1}) // $S ELSE 0 END)) AS ci
-       |      FROM k)
-       |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx, CAST(ci * $S AS INTEGER) AS start_tok,
-       |       CAST(len(s[ci*$S+1 : least(ci*$S+$L, nt)]) AS INTEGER) AS n_chunk_tokens,
-       |       md5(array_to_string(s[ci*$S+1 : least(ci*$S+$L, nt)], ' ')) AS digest
-       |FROM c
+       |      FROM k),
+       |ch AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx, CAST(ci * $S AS INTEGER) AS start_tok,
+       |        CAST(len(s[ci*$S+1 : least(ci*$S+$L, nt)]) AS INTEGER) AS n_chunk_tokens,
+       |        md5(array_to_string(s[ci*$S+1 : least(ci*$S+$L, nt)], ' ')) AS digest
+       |      FROM c)""".stripMargin
+
+  /** q54 chunk listing — same constants as Text.q54. */
+  private val chunkSql =
+    s"""${chunkCtes(Text.ChunkLen, Text.ChunkStride)}
+       |SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens, digest
+       |FROM ch
        |ORDER BY doc_id, chunk_idx""".stripMargin
-  }
 
   /** Shared IVF Lloyd's-iteration CTE chain (q55/q56): label-seeded
     * centroids refined by Vectors.LloydRounds unrolled assign→recompute
@@ -44,35 +52,46 @@ object OracleSql {
     * aggregate()), so every per-round argmax — and therefore the trained
     * codebook — matches the engine bit-for-bit. `a$r` is the round-r
     * assignment, `comp$r` its recomputed components. */
-  private def lloydChain(rounds: Int): String = {
+  /** One recompute step: comp$r = per-(cell, i) scaled floor-sums of the
+    * round-r assignment a$r. */
+  private def lloydComp(r: Int): String = {
     val sc = Vectors.CentroidScale
-    def idxComp(r: Int): String =
-      s"""idx$r AS (SELECT cell, embedding,
-         |         unnest(generate_series(1, CAST(len(embedding) AS INTEGER))) AS i
-         |       FROM a$r),
-         |comp$r AS (SELECT cell, CAST(i AS INTEGER) AS i,
-         |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT)) AS BIGINT) AS sq,
-         |    COUNT(*) AS n
-         |  FROM idx$r GROUP BY 1, 2)""".stripMargin
-    def assignFrom(r: Int): String =
-      s"""cent$r AS (SELECT cell, list(CAST(sq AS DOUBLE) / $sc / n ORDER BY i) AS cvec
-         |         FROM comp${r - 1} GROUP BY cell),
-         |sims$r AS (SELECT e.vec_id, e.embedding, c.cell,
-         |    list_reduce(list_transform(range(1, CAST(len(e.embedding) AS INTEGER) + 1),
-         |      j -> CAST(e.embedding[j] AS DOUBLE) * c.cvec[j]), (a, b) -> a + b)
-         |    / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
-         |     * sqrt(list_reduce(list_transform(c.cvec, x -> x * x), (a, b) -> a + b))) AS csim
-         |  FROM embeddings e CROSS JOIN cent$r c),
-         |a$r AS (SELECT vec_id, embedding, cell FROM (
-         |    SELECT vec_id, embedding, cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
-         |    FROM sims$r) WHERE rn = 1)""".stripMargin
+    s"""idx$r AS (SELECT cell, embedding,
+       |         unnest(generate_series(1, CAST(len(embedding) AS INTEGER))) AS i
+       |       FROM a$r),
+       |comp$r AS (SELECT cell, CAST(i AS INTEGER) AS i,
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT)) AS BIGINT) AS sq,
+       |    COUNT(*) AS n
+       |  FROM idx$r GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** One assignment step: a$r = every vector's nearest cent$r centroid
+    * (from comp${r-1}), fold-parity cosine argmax with the (csim DESC,
+    * cell) tie-break — the ONE definition of the assignment, used by every
+    * training round AND q56's final probe pass, mirroring Spark's single
+    * `assign`. */
+  private def lloydAssign(r: Int): String = {
+    val sc = Vectors.CentroidScale
+    s"""cent$r AS (SELECT cell, list(CAST(sq AS DOUBLE) / $sc / n ORDER BY i) AS cvec
+       |         FROM comp${r - 1} GROUP BY cell),
+       |sims$r AS (SELECT e.vec_id, e.embedding, c.cell,
+       |    list_reduce(list_transform(range(1, CAST(len(e.embedding) AS INTEGER) + 1),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * c.cvec[j]), (a, b) -> a + b)
+       |    / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+       |     * sqrt(list_reduce(list_transform(c.cvec, x -> x * x), (a, b) -> a + b))) AS csim
+       |  FROM embeddings e CROSS JOIN cent$r c),
+       |a$r AS (SELECT vec_id, embedding, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM sims$r) WHERE rn = 1)""".stripMargin
+  }
+
+  private def lloydChain(rounds: Int): String =
     (Seq(
       "WITH a0 AS (SELECT vec_id, embedding, label AS cell FROM embeddings)",
-      idxComp(0)) ++
-      (1 to rounds).flatMap(r => Seq(assignFrom(r), idxComp(r))))
+      lloydComp(0)) ++
+      (1 to rounds).flatMap(r => Seq(lloydAssign(r), lloydComp(r))))
       .mkString(",\n")
-  }
 
   private val centroidSql = {
     val sc = Vectors.CentroidScale
@@ -85,22 +104,12 @@ object OracleSql {
 
   private val ivfProbeSql = {
     val R = Vectors.LloydRounds
-    val probe = R + 1 // one more assignment pass, under the FINAL centroids
-    // after the trained chain: one more assignment pass under the FINAL
-    // centroids, then the query's NProbe nearest cells and the probe scan
+    val probe = R + 1
+    // after the trained chain: one more lloydAssign pass under the FINAL
+    // centroids (comp$R), then the query's NProbe nearest cells and the
+    // probe scan over their members
     s"""${lloydChain(R)},
-       |cent$probe AS (SELECT cell, list(CAST(sq AS DOUBLE) / ${Vectors.CentroidScale} / n ORDER BY i) AS cvec
-       |         FROM comp$R GROUP BY cell),
-       |sims$probe AS (SELECT e.vec_id, e.embedding, c.cell,
-       |    list_reduce(list_transform(range(1, CAST(len(e.embedding) AS INTEGER) + 1),
-       |      j -> CAST(e.embedding[j] AS DOUBLE) * c.cvec[j]), (a, b) -> a + b)
-       |    / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
-       |     * sqrt(list_reduce(list_transform(c.cvec, x -> x * x), (a, b) -> a + b))) AS csim
-       |  FROM embeddings e CROSS JOIN cent$probe c),
-       |assigned AS (SELECT vec_id, embedding, cell FROM (
-       |    SELECT vec_id, embedding, cell,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
-       |    FROM sims$probe) WHERE rn = 1),
+       |${lloydAssign(probe)},
        |qcells AS (SELECT cell FROM sims$probe WHERE vec_id = 0
        |           ORDER BY csim DESC, cell LIMIT ${Vectors.NProbe}),
        |qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
@@ -110,7 +119,7 @@ object OracleSql {
        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |     * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
-       |FROM assigned a JOIN qcells USING (cell), qv q
+       |FROM a$probe a JOIN qcells USING (cell), qv q
        |WHERE a.vec_id <> 0
        |ORDER BY sim DESC, vec_id
        |LIMIT 10""".stripMargin
@@ -1031,13 +1040,13 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** q38 oracle: the hyperplane weight rows are graft.ops.Ann.weights
-    * rendered as literal lists; projections fold sequentially in DOUBLE
-    * (list_reduce), matching Spark's aggregate() order, so every sign test
-    * — and therefore every table's bucket id — is bit-identical. A vector
-    * is a candidate iff any of the L table buckets matches the query's.
-    * Cosine ranking mirrors q31. */
-  private def annSql: String = {
+  /** The L hyperplane-LSH bucket columns (`b0..b${L-1}`) as DuckDB SQL —
+    * ONE rendering of graft.ops.Ann.weights as literal lists with
+    * list_reduce sign tests (sequential DOUBLE fold, matching Spark's
+    * aggregate() order, so every bucket id is bit-identical), shared by
+    * the q38 (query-vs-corpus) and q37 (pairwise) oracles so the two
+    * cannot drift from the single Spark implementation they mirror. */
+  private def annBucketCols: String = {
     import graft.ops.Ann.{Tables, BitsPerTable, Dim, weights}
     def planeCase(p: Int, bit: Int): String = {
       val w = weights(p).mkString("[", ",", "]")
@@ -1045,10 +1054,17 @@ object OracleSql {
          |  i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(($w)[CAST(i AS INTEGER)] AS DOUBLE)),
          |  (a, b) -> a + b) > 0 THEN ${1L << bit}::BIGINT ELSE 0::BIGINT END""".stripMargin
     }
-    val bucketCols = (0 until Tables).map { t =>
+    (0 until Tables).map { t =>
       val expr = (0 until BitsPerTable).map(j => planeCase(t * BitsPerTable + j, j)).mkString(" + ")
       s"($expr) AS b$t"
     }.mkString(", ")
+  }
+
+  /** q38 oracle: a vector is a candidate iff any of the L table buckets
+    * (annBucketCols) matches the query's. Cosine ranking mirrors q31. */
+  private def annSql: String = {
+    import graft.ops.Ann.Tables
+    val bucketCols = annBucketCols
     val anyMatch = (0 until Tables).map(t => s"e.b$t = q.qb$t").mkString(" OR ")
     val qCols = (0 until Tables).map(t => s"b$t AS qb$t").mkString(", ")
     s"""WITH b AS (SELECT vec_id, embedding, $bucketCols FROM embeddings),
@@ -1065,51 +1081,30 @@ object OracleSql {
        |LIMIT 10""".stripMargin
   }
 
-  /** q76 oracle: the q54 chunk-geometry CTEs at q76's non-overlapping
+  /** q76 oracle: the SHARED chunk-geometry CTEs at q76's non-overlapping
     * constants (Dedup.BoilerplateChunkLen/Stride), aggregated to digest
     * level with the >1-occurrence, >1-doc HAVING — chunk text joins with
     * single spaces on both sides, so digests are byte-identical. */
-  private def boilerplateSql: String = {
-    val L = Dedup.BoilerplateChunkLen
-    val S = Dedup.BoilerplateChunkStride
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-       |k AS (SELECT doc_id, s, CAST(len(s) AS INTEGER) AS nt FROM d),
-       |c AS (SELECT doc_id, s, nt,
-       |        unnest(generate_series(0, CASE WHEN nt > $L THEN (nt - $L + ${S - 1}) // $S ELSE 0 END)) AS ci
-       |      FROM k),
-       |ch AS (SELECT doc_id,
-       |        CAST(len(s[ci*$S+1 : least(ci*$S+$L, nt)]) AS INTEGER) AS nct,
-       |        md5(array_to_string(s[ci*$S+1 : least(ci*$S+$L, nt)], ' ')) AS digest
-       |      FROM c)
+  private def boilerplateSql: String =
+    s"""${chunkCtes(Dedup.BoilerplateChunkLen, Dedup.BoilerplateChunkStride)}
        |SELECT digest, COUNT(*) AS n_occurrences,
        |  COUNT(DISTINCT doc_id) AS n_docs,
-       |  CAST(MIN(nct) AS INTEGER) AS n_chunk_tokens,
+       |  CAST(MIN(n_chunk_tokens) AS INTEGER) AS n_chunk_tokens,
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM ch
        |GROUP BY digest
        |HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1
        |ORDER BY digest""".stripMargin
-  }
 
-  /** q37 oracle: pairwise form of the q38 mirror — the same
-    * graft.ops.Ann plane literals and list_reduce sign tests produce each
-    * vector's L table buckets; a pair is a candidate iff it shares label
-    * AND any table's bucket (exactly the Spark side's (label, t, bucket)
-    * equi-join + distinct). The oracle states the candidate predicate on
-    * the quadratic join for clarity — candidate-set equality, not plan
-    * shape, is what the compare checks. */
+  /** q37 oracle: pairwise form of the q38 mirror — the same annBucketCols
+    * produce each vector's L table buckets; a pair is a candidate iff it
+    * shares label AND any table's bucket (exactly the Spark side's
+    * (label, t, bucket) equi-join + distinct). The oracle states the
+    * candidate predicate on the quadratic join for clarity —
+    * candidate-set equality, not plan shape, is what the compare checks. */
   private def annPairsSql: String = {
-    import graft.ops.Ann.{Tables, BitsPerTable, Dim, weights}
-    def planeCase(p: Int, bit: Int): String = {
-      val w = weights(p).mkString("[", ",", "]")
-      s"""CASE WHEN list_reduce(list_transform(generate_series(1, $Dim),
-         |  i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(($w)[CAST(i AS INTEGER)] AS DOUBLE)),
-         |  (a, b) -> a + b) > 0 THEN ${1L << bit}::BIGINT ELSE 0::BIGINT END""".stripMargin
-    }
-    val bucketCols = (0 until Tables).map { t =>
-      val expr = (0 until BitsPerTable).map(j => planeCase(t * BitsPerTable + j, j)).mkString(" + ")
-      s"($expr) AS b$t"
-    }.mkString(", ")
+    import graft.ops.Ann.Tables
+    val bucketCols = annBucketCols
     val anyMatch = (0 until Tables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
     s"""WITH s AS (SELECT vec_id, label, embedding, $bucketCols FROM embeddings)
        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,

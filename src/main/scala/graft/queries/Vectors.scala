@@ -89,21 +89,31 @@ object Vectors {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("cvec"))
 
-  /** Nearest-centroid assignment: broadcast the codebook, per-vector
-    * cosine argmax (sequential-fold HOF so the unrounded doubles match
-    * DuckDB's list_reduce — comparisons happen BEFORE any rounding, so
-    * fold parity is load-bearing), ties by cell id. Map-side except the
-    * row_number shuffle on vec_id. */
-  private def assign(emb: DataFrame, cells: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+  /** Per-(vector, cell) similarity frame against a broadcast codebook:
+    * sequential-fold HOF cosines so the unrounded doubles match DuckDB's
+    * list_reduce — comparisons happen BEFORE any rounding, so fold parity
+    * is load-bearing. Map-side (broadcast join, no shuffle). */
+  private def cellSims(emb: DataFrame, cells: DataFrame): DataFrame =
     emb.join(broadcast(cells))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosineHof(col("embedding"), col("cvec")).as("csim"))
+
+  /** THE nearest-cell tie-break (csim desc, cell asc), defined once —
+    * training assignment, probe assignment, and the oracle's row_number
+    * ORDER BY all mirror this single definition. One row_number shuffle
+    * on vec_id. */
+  private def argmaxCell(sims: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    sims
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
+
+  /** Nearest-centroid assignment = [[cellSims]] + [[argmaxCell]]. */
+  private def assign(emb: DataFrame, cells: DataFrame): DataFrame =
+    argmaxCell(cellSims(emb, cells))
 
   /** IVF coarse-quantizer training: centroids seeded from the label
     * partition, then LloydRounds × (assign to nearest centroid →
@@ -145,15 +155,8 @@ object Vectors {
   def q56(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val cells = codebook(trainedComponents(emb))
-    val sims = emb.join(broadcast(cells))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosineHof(col("embedding"), col("cvec")).as("csim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
-    val assigned = sims
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val sims = cellSims(emb, cells)
+    val assigned = argmaxCell(sims)
     val qcells = sims.filter(col("vec_id") === 0)
       .orderBy(col("csim").desc, col("cell")).limit(NProbe)
       .select(col("cell"))

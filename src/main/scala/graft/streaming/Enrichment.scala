@@ -30,6 +30,15 @@ object Enrichment {
     * is re-read at the START of every micro-batch, so an update written
     * between batches reaches the next batch without a query restart.
     *
+    * Updater contract: dim updates must be ATOMIC at the path level —
+    * write the new snapshot to a fresh directory and swap (rename /
+    * repoint), or use a transactional table format. A plain
+    * `mode("overwrite")` onto `dimPath` is delete-then-write: racing a
+    * running batch it can fail the query mid-scan (listed files deleted
+    * underneath) or, worse, silently enrich that batch against a partial
+    * dim. The between-batch update the StreamingSpec exercises is safe
+    * because AvailableNow drains are strictly sequenced around it.
+    *
     * Per-batch cost is a fresh file listing + broadcast of a
     * dimension-sized table — the price of freshness, paid once per
     * trigger, not per row; the join itself is the same broadcast
