@@ -25,6 +25,26 @@ object EventStats {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_amount"))
 
+  /** s12: EXACT distinct users per tumbling window on a live stream —
+    * q75's unique-visitors shape running incrementally. Streaming
+    * aggregation does not support count(DISTINCT …) (the final agg can't
+    * retract), so the distinct is decomposed into its two stateful
+    * halves: a keyed dedup on (window, user) — watermark-bounded state,
+    * exactly-once per key — followed by a plain windowed count. Append
+    * mode emits each window's final count once the watermark passes its
+    * end; state per window is O(distinct users), the same as the batch
+    * expand-dedup plan's shuffle footprint. Batch parity: on a static
+    * frame the same two steps reproduce q75's n_users exactly
+    * (StreamingSpec pins it). */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(window(col("ts"), "1 hour").as("win"), col("user_id"))
+      .dropDuplicates("win", "user_id")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("win.start").as("win_start"), col("n_users"))
+
   /** s10: per-user session windows on a live stream — q25's sessionization
     * (30-minute inactivity gap, session_end = last ts + gap) running
     * incrementally: a session's row is emitted exactly once, when the

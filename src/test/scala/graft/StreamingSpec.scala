@@ -258,6 +258,59 @@ class StreamingSpec extends SparkSpec {
     assert(all.length == emitted.size)
   }
 
+  test("streaming windowed distinct users emit closed windows exactly once (s12)") {
+    val eventsDir = tmpDir("wdc-events")
+    // 10:00 window: u1 twice (must dedup to one) + u2 → n_users = 2;
+    // 12:00 window: u1 → 1
+    writeEvents(eventsDir, "e1.json", Seq(
+      ev("d-1", Envelope.PurchaseCompleted, "2024-03-01T10:00:00.000Z", "user_id" -> "\"u1\""),
+      ev("d-2", Envelope.PurchaseCompleted, "2024-03-01T10:10:00.000Z", "user_id" -> "\"u1\""),
+      ev("d-3", Envelope.PurchaseCompleted, "2024-03-01T10:20:00.000Z", "user_id" -> "\"u2\""),
+      ev("d-4", Envelope.PurchaseCompleted, "2024-03-01T12:00:00.000Z", "user_id" -> "\"u1\"")))
+    val ckpt = tmpDir("wdc-ckpt")
+    val outDir = tmpDir("wdc-out")
+    // same drain choreography as s10: sentinel events advance the
+    // watermark between checkpointed AvailableNow runs; parquet sink
+    // because the memory sink cannot recover from a checkpoint
+    def drainRound(round: Int, sentinelTs: String): Unit = {
+      if (sentinelTs.nonEmpty)
+        writeEvents(eventsDir, s"wm$round.json", Seq(
+          ev(s"wm-$round", Envelope.PurchaseCompleted, sentinelTs, "user_id" -> "\"wm\"")))
+      val q = EventStats.hourlyDistinctUsers(
+          spark.readStream.schema(Envelope.schema).json(eventsDir))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    drainRound(1, "")
+    drainRound(2, "2024-03-02T00:00:00.000Z")
+    drainRound(3, "2024-03-03T00:00:00.000Z")
+    // sentinel users land in their own (later) windows — assert the
+    // 2024-03-01 windows only
+    val emitted = spark.read.parquet(outDir).collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1)))
+      .filter(_._1.startsWith("2024-03-01"))
+    assert(emitted.toSet == Set(
+      ("2024-03-01T10:00:00Z", 2L),
+      ("2024-03-01T12:00:00Z", 1L)), emitted.mkString(", "))
+    assert(emitted.length == 2) // exactly-once across rounds
+  }
+
+  test("hourlyDistinctUsers in batch mode agrees with q75's n_users (s12/q75 parity)") {
+    import org.apache.spark.sql.functions.col
+    val batch = EventStats.hourlyDistinctUsers(graft.tables.Tables.events(spark, sf001))
+      .select(col("win_start"), col("n_users"))
+    val q75 = SparkEntry.queries("q75_windowed_distinct")(spark, sf001)
+      .select(col("win_start"), col("n_users"))
+    assert(batch.count() == q75.count())
+    assert(batch.except(q75).isEmpty && q75.except(batch).isEmpty)
+  }
+
   test("sessionsByUser in batch mode agrees with q25 exactly (s10/q25 parity)") {
     import org.apache.spark.sql.functions.col
     val batch = EventStats.sessionsByUser(graft.tables.Tables.events(spark, sf001))
