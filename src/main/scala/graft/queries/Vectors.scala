@@ -89,14 +89,18 @@ object Vectors {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("cvec"))
 
-  /** Per-(vector, cell) similarity frame against a broadcast codebook:
-    * sequential-fold HOF cosines so the unrounded doubles match DuckDB's
-    * list_reduce — comparisons happen BEFORE any rounding, so fold parity
-    * is load-bearing. Map-side (broadcast join, no shuffle). */
+  /** Per-(vector, cell) similarity frame against a broadcast codebook.
+    * Fold parity with DuckDB's list_reduce is load-bearing (comparisons
+    * happen BEFORE any rounding); the native codegen'd CosineSimilarity
+    * honors it — one sequential left-to-right pass, bit-identical to the
+    * HOF spec including the mixed float-embedding × double-centroid case
+    * (ExpressionSpec) — while running fused in whole-stage codegen
+    * instead of interpreting 64 lambda calls per (vector, cell).
+    * Map-side (broadcast join, no shuffle). */
   private def cellSims(emb: DataFrame, cells: DataFrame): DataFrame =
     emb.join(broadcast(cells))
       .select(col("vec_id"), col("embedding"), col("cell"),
-        cosineHof(col("embedding"), col("cvec")).as("csim"))
+        cosine(col("embedding"), col("cvec")).as("csim"))
 
   /** THE nearest-cell tie-break (csim desc, cell asc), defined once —
     * training assignment, probe assignment, and the oracle's row_number

@@ -26,6 +26,30 @@ class ExpressionSpec extends SparkSpec {
     assert(both.count() == 500)
   }
 
+  test("native cosine == HOF cosine on MIXED float/double arrays (the IVF assignment shape)") {
+    // float corpus embedding vs double centroid — the q55/q56 cellSims
+    // signature; the native expression must not insert a lossy cast
+    val emb = graft.tables.Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" === 0)
+      .select(transform($"embedding", v => v.cast("double") * 1.000001).as("cvec"))
+    val both = emb.crossJoin(broadcast(q))
+      .select($"vec_id",
+        Dsl.cosine($"embedding", $"cvec").as("native"),
+        Dsl.cosineHof($"embedding", $"cvec").as("hof"))
+    assert(both.filter($"native" =!= $"hof" ||
+      ($"native".isNull =!= $"hof".isNull)).isEmpty)
+    assert(both.count() == 500)
+    // and the double side is genuinely double precision: the result must
+    // equal the same arithmetic done in Scala doubles exactly — a lossy
+    // narrow to float (double 0.1 → float 0.1 differs by ~1.5e-9) would
+    // shift the norm term far above double epsilon
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0F, 0.0F), array(CAST(1.0 AS DOUBLE), CAST(0.1 AS DOUBLE))) AS c")
+      .collect()(0).getDouble(0)
+    assert(r == 1.0 / math.sqrt(1.0 + 0.1 * 0.1))
+  }
+
   test("cosine_sim is SQL-callable after GraftExtensions.install") {
     GraftExtensions.install(spark)
     try {
