@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductInt}
+import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductFold, DotProductInt}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions`: registers the native
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.dotInt)
+    ext.injectFunction(GraftExtensions.dotFold)
     ext.injectFunction(GraftExtensions.chunkGen)
   }
 }
@@ -34,6 +35,14 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 2, "dot_int takes exactly 2 arguments")
       DotProductInt(children.head, children(1)): org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
+  private val dotFold = (
+    FunctionIdentifier("dot_fold"),
+    new ExpressionInfo(classOf[DotProductFold].getName, "dot_fold"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "dot_fold takes exactly 2 arguments")
+      DotProductFold(children.head, children(1)): org.apache.spark.sql.catalyst.expressions.Expression
     })
 
   /** chunk_gen(tokens, len, stride) — the generator (UDTF) form; len and
@@ -61,6 +70,8 @@ object GraftExtensions {
       cosineSim._1, cosineSim._2, cosineSim._3)
     spark.sessionState.functionRegistry.registerFunction(
       dotInt._1, dotInt._2, dotInt._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      dotFold._1, dotFold._2, dotFold._3)
     spark.sessionState.functionRegistry.registerFunction(
       chunkGen._1, chunkGen._2, chunkGen._3)
   }

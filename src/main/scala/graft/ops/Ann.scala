@@ -49,12 +49,13 @@ object Ann {
     (0 until Planes).map(p => typedLit(weights(p).toSeq))
 
   /** Signed projection of an embedding onto plane `p`: sequential
-    * left-fold in double (matches DuckDB list_reduce order). */
+    * left-fold in double (matches DuckDB list_reduce order), through the
+    * native codegen'd DotProductFold — bit-identical to the HOF
+    * `aggregate(zip_with(…), 0.0, +)` spec (ExpressionSpec), but the
+    * 32-plane × 64-component bucket computation runs fused in whole-stage
+    * codegen instead of ~4096 interpreted lambda calls per vector. */
   private def dotPlane(emb: Column, p: Int): Column =
-    aggregate(
-      zip_with(emb, planeLits(p), (x, w) => x.cast("double") * w.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.ops.Dsl.dotFold(emb, planeLits(p))
 
   /** k-bit bucket id of an embedding in hash table `t` (planes
     * t·k .. t·k+k-1): bit j set iff that plane's projection is > 0. */

@@ -61,6 +61,16 @@ object Dsl {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** Sequential-fold dot product in double (native codegen'd
+    * DotProductFold; float/double/long element types widen exactly) —
+    * the LSH sign-test kernel. Bit-identical to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and DuckDB list_reduce. */
+  def dotFold(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.DotProductFold(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Chunk-flatten a token-array column through the native Catalyst
     * Generator (graft.functions.ChunkGenerator) — one output row per
     * chunk: (chunk_idx, start_tok, n_chunk_tokens, chunk_text). Alias

@@ -50,6 +50,27 @@ class ExpressionSpec extends SparkSpec {
     assert(r == 1.0 / math.sqrt(1.0 + 0.1 * 0.1))
   }
 
+  test("native dot_fold == HOF fold bit-for-bit on the LSH plane shape (float x long)") {
+    // the Ann sign-test signature: float embedding x long plane weights
+    val planes = graft.ops.Ann.weights(0).toSeq
+    val both = graft.tables.Tables.embeddings(spark, sf001)
+      .select($"vec_id",
+        Dsl.dotFold($"embedding", typedLit(planes)).as("native"),
+        aggregate(
+          zip_with($"embedding", typedLit(planes), (x, w) => x.cast("double") * w.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+    assert(both.filter($"native" =!= $"hof" ||
+      ($"native".isNull =!= $"hof".isNull)).isEmpty)
+    assert(both.count() == 500)
+    // null contract + SQL registration
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT dot_fold(array(1.0F, 2.0F), array(3L, -4L)) AS d,
+        |       dot_fold(array(1.0F), array(1L, 2L)) AS mismatched""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0 * 3.0 + 2.0 * -4.0)
+    assert(r.isNullAt(1))
+  }
+
   test("cosine_sim is SQL-callable after GraftExtensions.install") {
     GraftExtensions.install(spark)
     try {
