@@ -78,11 +78,16 @@ object Bench {
     val errors = results.collect { case (n, (m, _)) if m < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.collect { case (m, _) if m >= 0 => m }.sum
-    val foreignSeen = (foreignAtStart ++ foreignJvms()).distinct
-    if (foreignSeen.size > foreignAtStart.size)
+    // Pid-SET difference, not size: if one start-time foreign JVM exits
+    // while a different one appears mid-run, the sizes stay equal but a
+    // contaminator still ran — only new pids prove mid-run contamination.
+    val foreignAtEnd = foreignJvms()
+    val appeared = foreignAtEnd.toSet -- foreignAtStart.toSet
+    if (appeared.nonEmpty)
       System.err.println(s"[bench] WARNING: foreign JVM(s) appeared DURING the run " +
-        s"(pids ${foreignSeen.mkString(",")})")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_mean":${jmap(_._2)},"errors":$errors,"foreign_jvms":${foreignSeen.size},"sf":"$sfDir"}""")
+        s"(pids ${appeared.mkString(",")})")
+    val foreignSeen = (foreignAtStart ++ foreignAtEnd).distinct
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_mean":${jmap(_._2)},"errors":$errors,"foreign_jvms":${foreignSeen.size},"foreign_jvms_start":${foreignAtStart.size},"foreign_jvms_end":${foreignAtEnd.size},"foreign_jvms_appeared":${appeared.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

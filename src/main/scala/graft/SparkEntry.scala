@@ -9,7 +9,19 @@ import graft.queries._
   * every key that is SQL-expressible also appears in `oracleSql` with the
   * DuckDB-equivalent text (authored side by side in
   * graft.queries.OracleSql).
-  */
+  *
+  * Cache lifetime convention: queries whose plan reads a shared
+  * intermediate twice (q34/q35 signatures, q37's exploded LSH frame,
+  * q71's token stream, q74's bigram counts) `cache()` that intermediate
+  * and deliberately do NOT unpersist — the returned DataFrame is lazy, so
+  * the cache is only populated when the CALLER runs an action, and only
+  * the caller knows when the result is no longer live. Callers that run
+  * many queries serially (Bench, Verify) call
+  * `spark.catalog.clearCache()` between queries; a long-lived session
+  * embedding these operators must do the same or accept the storage.
+  * (q72's pinned frame uses eager `localCheckpoint(true)` instead — its
+  * correctness, not just its cost, depends on a single materialization —
+  * and checkpoint blocks are freed when the frame is GC'd.) */
 object SparkEntry {
 
   /** Flagship query (SURVEY.md q33_bnpl_pipeline) on sf=0.001; the driver

@@ -96,8 +96,15 @@ object OracleSql {
   private val centroidSql = {
     val sc = Vectors.CentroidScale
     val R = Vectors.LloydRounds
+    // ROUND(c,4) in exact integer arithmetic, mirroring Vectors.q55:
+    // sign(sq)·(|sq|·10⁴ + sc·n/2) // (sc·n), all BIGINT (operands
+    // positive, so DuckDB's floor-div == Spark's trunc-div), then one IEEE
+    // division by 10⁴ — bit-identical across engines, where ROUND of a
+    // double is not (Spark HALF_UP on exact BigDecimal vs DuckDB float).
     s"""${lloydChain(R)}
-       |SELECT cell, i, n AS n_vecs, ROUND((CAST(sq AS DOUBLE) / $sc) / n, 4) AS c
+       |SELECT cell, i, n AS n_vecs,
+       |  (CASE WHEN sq >= 0 THEN (sq * 10000 + (n * $sc) // 2) // (n * $sc)
+       |        ELSE -(((-sq) * 10000 + (n * $sc) // 2) // (n * $sc)) END) / 10000.0 AS c
        |FROM comp$R
        |ORDER BY cell, i""".stripMargin
   }

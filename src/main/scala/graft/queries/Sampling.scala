@@ -134,14 +134,19 @@ object Sampling {
     * happens to cut, contiguous ranges + grouped totals reproduce the
     * identical global offsets, so the shard assignment (and the oracle
     * hash) cannot move. The narrow (doc_id, n_tokens, pid) frame is
-    * cached because both phase 2 and phase 4 read it and
-    * spark_partition_id must be evaluated against one materialization. */
+    * localCheckpoint(true)-pinned — NOT cache()d — because both phase 2
+    * and phase 4 read it and spark_partition_id must be evaluated against
+    * ONE materialization: a cached partition can be evicted under memory
+    * pressure and recomputed, which would make correctness rest on the
+    * range sampler being bit-reproducible across recomputes; the eager
+    * checkpoint truncates lineage so a recompute is impossible (the q57
+    * CC-fixpoint discipline). */
   def q72(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .repartitionByRange(ShardRanges, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .cache()
+      .localCheckpoint(true)
     val totals = d.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptot"))
     val offsets = totals
       .join(broadcast(totals.select(col("pid").as("prev_pid"), col("ptot").as("prev_tot"))),

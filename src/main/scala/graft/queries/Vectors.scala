@@ -140,12 +140,25 @@ object Vectors {
     * (cell, component) with the member count and ROUND-4 centroid value.
     * The oracle unrolls the identical iteration as a CTE chain from the
     * same constants, so the trained fixpoint — not just one reduce shape —
-    * is what the hash compare pins. */
-  def q55(spark: SparkSession, sfDir: String): DataFrame =
+    * is what the hash compare pins.
+    *
+    * The output quantization is EXACT INTEGER arithmetic, not round() of a
+    * double: round4(sq/(scale·n)) half-up-away-from-zero is
+    * sign(sq) · (|sq|·10⁴ + scale·n/2) div (scale·n) — every operand a
+    * BIGINT, scale·n always even so the half term is exact — then ONE
+    * IEEE division by 10⁴ at the end. Spark's round() (exact-BigDecimal
+    * HALF_UP) and DuckDB's ROUND (floating) disagree on doubles near a
+    * .00005 boundary, which the trained centroids hit; integers cannot. */
+  def q55(spark: SparkSession, sfDir: String): DataFrame = {
+    val den = s"(n * ${CentroidScale}L)"
     trainedComponents(Tables.embeddings(spark, sfDir))
+      .withColumn("c4",
+        expr(s"CASE WHEN sq >= 0 THEN (sq * 10000 + $den div 2) div $den " +
+          s"ELSE -(((-sq) * 10000 + $den div 2) div $den) END"))
       .select(col("cell"), col("i").cast("int").as("i"), col("n").as("n_vecs"),
-        round4((col("sq").cast("double") / CentroidScale) / col("n")).as("c"))
+        (col("c4").cast("double") / 10000.0).as("c"))
       .orderBy(col("cell"), col("i"))
+  }
 
   /** q56: IVF probe — the second ANN family next to q38's LSH. Every
     * vector is assigned to its nearest trained centroid; the query
