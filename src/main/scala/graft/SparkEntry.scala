@@ -112,6 +112,10 @@ object SparkEntry {
     "q74_pmi_collocations"    -> Text.q74 _,
     "q75_windowed_distinct"   -> Windows.q75 _,
     "q76_boilerplate_chunks"  -> Dedup.q76 _,
+    "q77_knn_join"            -> Vectors.q77 _,
+    "q78_repetition_score"    -> Text.q78 _,
+    "q79_quality_weighted_sample" -> Sampling.q79 _,
+    "q80_mixture_weights"     -> Sampling.q80 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -34,6 +34,22 @@ object Dsl {
     * Mirrored literally as ROUND(x, 4) in the oracle. */
   def round4(c: Column): Column = round(c, 4)
 
+  /** ROUND(a/b, 4) for NONNEGATIVE integer columns (b > 0) in arithmetic
+    * both engines perform identically: floor((a·20000 + b) / (2b)) / 10⁴
+    * — the half-up quotient computed from exact integer operands, then one
+    * exact division by 10⁴'s double. Spark's round() (BigDecimal HALF_UP)
+    * and DuckDB's ROUND (floating) disagree on doubles sitting exactly on
+    * a .00005 boundary, and integer ratios DO sit there (a/b = k/32 has a
+    * 5 in the 5th decimal) — the q55 lesson, closed for ratios. The
+    * operands stay exact in double up to a·20000 < 2⁵³ (a < 4.5·10¹¹ —
+    * corpus-token-count scale; beyond that move the quotient to DECIMAL),
+    * the quotient is correctly rounded from identical operands on both
+    * engines, and floor of a correctly-rounded quotient cannot cross an
+    * integer boundary because the true rational is ≥ 1/(2b) ≫ ½ulp away.
+    * DuckDB mirror: FLOOR((a * 20000.0 + b) / (b * 2.0)) / 10000.0. */
+  def ratio4(a: Column, b: Column): Column =
+    floor((a.cast("double") * 20000.0 + b.cast("double")) / (b.cast("double") * 2.0)) / 10000.0
+
   /** Deterministic 60-bit content hash shared bit-for-bit with the DuckDB
     * oracle: first 15 hex chars of md5 over the UTF-8 bytes, parsed base-16.
     * DuckDB mirror: `('0x' || substr(md5(s), 1, 15))::BIGINT`. 60 bits keeps

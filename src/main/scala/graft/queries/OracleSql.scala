@@ -884,6 +884,75 @@ object OracleSql {
 
     "q76_boilerplate_chunks" -> boilerplateSql,
 
+    "q77_knn_join" -> knnSql,
+
+    // q78: same aligned-unnest bigram CTE as q64's oracle, kept at doc
+    // granularity; both fractions are ratio4Sql exact-integer rounds and
+    // the verdict compares the unrounded IEEE ratio on both engines.
+    "q78_repetition_score" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |           i -> t[CAST(i AS INTEGER)])) AS w1,
+        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |           i -> t[CAST(i + 1 AS INTEGER)])) AS w2
+        |       FROM d),
+        |c AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+        |s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |        CAST(MAX(c) AS BIGINT) AS top_c,
+        |        CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  ${ratio4Sql("top_c", "n_bigrams")} AS top_bigram_frac,
+        |  ${ratio4Sql("dup_c", "n_bigrams")} AS dup_bigram_frac,
+        |  CASE WHEN CAST(dup_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE) > ${Text.RepetitionMaxDupFrac}
+        |       THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    // q79: the h60 coin and the clamped-TTR keep probability mirror
+    // Sampling.q79 constant for constant; ⌊p·scale⌋ and the modulus
+    // compare as integers on both engines.
+    "q79_quality_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS sp FROM documents),
+        |p AS (SELECT doc_id, lang, n_chars,
+        |        least(greatest(CAST(len(list_distinct(sp)) AS DOUBLE) / CAST(len(sp) AS DOUBLE),
+        |          ${Sampling.QwMinP}), ${Sampling.QwMaxP}) AS p
+        |      FROM d),
+        |k AS (SELECT lang, n_chars,
+        |        ('0x' || substr(md5('qw:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % ${Sampling.QwScale}
+        |          < FLOOR(p * ${Sampling.QwScale}) AS kept
+        |      FROM p)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ${ratio4Sql("CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)", "COUNT(*)")} AS kept_rate,
+        |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM k
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    // q80: floor(sqrt(BIGINT)) is the true integer square root on both
+    // engines (IEEE sqrt is correctly rounded and the nearest square is
+    // ~1/(2√x) away); weights/epochs are ratio4Sql of BIGINTs and the
+    // planned allocation an integer floor-div of positive operands.
+    "q80_mixture_weights" ->
+      s"""WITH t AS (SELECT source, COUNT(*) AS n_docs,
+        |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |      FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, tokens,
+        |        CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isqrt FROM t),
+        |tot AS (SELECT CAST(SUM(isqrt) AS BIGINT) AS w_total FROM w),
+        |p AS (SELECT source, n_docs, tokens, isqrt, w_total,
+        |        (isqrt * ${Sampling.MixTargetTokens}) // w_total AS planned_tokens
+        |      FROM w, tot)
+        |SELECT source, n_docs, tokens,
+        |  ${ratio4Sql("isqrt", "w_total")} AS weight,
+        |  planned_tokens,
+        |  ${ratio4Sql("planned_tokens", "tokens")} AS epochs
+        |FROM p
+        |ORDER BY source""".stripMargin,
+
     "q44_pivot" ->
       (eventsCte +
       """
@@ -1045,6 +1114,37 @@ object OracleSql {
        |FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Dsl.ratio4's DuckDB mirror — ROUND(a/b, 4) of nonnegative BIGINTs as
+    * the exact-integer half-up quotient: floor((a·20000 + b) / (2b)) /
+    * 10⁴. See Dsl.ratio4 for why ROUND of the double is not
+    * engine-portable (the q55 lesson). */
+  private def ratio4Sql(a: String, b: String): String =
+    s"FLOOR((CAST($a AS DOUBLE) * 20000.0 + $b) / (CAST($b AS DOUBLE) * 2.0)) / 10000.0"
+
+  /** q77 oracle: the q37/q38 bucket mirror ranked per SOURCE vector — any
+    * shared table bucket makes a candidate; ROUND-4 cosine then
+    * row_number per src (sim DESC, dst) ≤ KnnK. Candidate-set equality,
+    * not plan shape, is what the compare checks. */
+  private def knnSql: String = {
+    import graft.ops.Ann.Tables
+    val bucketCols = annBucketCols
+    val anyMatch = (0 until Tables).map(t => s"a.b$t = c.b$t").mkString(" OR ")
+    s"""WITH s AS (SELECT vec_id, embedding, $bucketCols FROM embeddings),
+       |cand AS (SELECT a.vec_id AS src, c.vec_id AS dst,
+       |  ROUND(
+       |    list_sum(list_transform(range(1, CAST(len(a.embedding) AS INTEGER) + 1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+       |  FROM s a JOIN s c ON a.vec_id <> c.vec_id AND ($anyMatch)),
+       |r AS (SELECT src, dst, sim,
+       |        CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
+       |      FROM cand)
+       |SELECT src, rk, dst, sim
+       |FROM r WHERE rk <= ${Vectors.KnnK}
+       |ORDER BY src, rk""".stripMargin
   }
 
   /** The L hyperplane-LSH bucket columns (`b0..b${L-1}`) as DuckDB SQL —

@@ -166,4 +166,77 @@ object Sampling {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("shard_id"))
   }
+
+  /** q79 keep-probability clamp: every document keeps at least a floor
+    * chance (tail languages aren't wiped out) and none is certain. */
+  val QwMinP = 0.1
+  val QwMaxP = 0.9
+
+  /** q79 hash granularity: keep iff h60 mod QwScale < ⌊p·QwScale⌋. */
+  val QwScale = 1000000L
+
+  /** q79: quality-weighted downsampling — the data-mixing step between
+    * scoring and training: each document survives with probability equal
+    * to its (clamped) type-token ratio, q40's quality signal, so
+    * low-diversity documents are downweighted instead of hard-dropped.
+    * The coin is h60 of the salted doc key, NOT rand(): the decision is a
+    * pure row function — reproducible across runs/engines/cluster sizes,
+    * append-stable (q51's property), and exactly mirrorable in the
+    * oracle. ⌊p·QwScale⌋ compares as integers on both engines (p itself
+    * is one identical IEEE division, clamped). Output: per-language audit
+    * of survivors. Map-side hash + one tiny aggregate — no shuffle beyond
+    * the partial/final agg, any scale. */
+  def q79(spark: SparkSession, sfDir: String): DataFrame = {
+    val sp = split(col("text"), " ")
+    val ttr = size(array_distinct(sp)).cast("double") / size(sp).cast("double")
+    val p = least(greatest(ttr, lit(QwMinP)), lit(QwMaxP))
+    val kept = (h60(concat(lit("qw:"), col("doc_id").cast("string"))) % QwScale) <
+      floor(p * QwScale).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"), kept.as("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        ratio4(col("n_kept"), col("n_total")).as("kept_rate"),
+        col("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** q80 planned training-token budget distributed across the mixture. */
+  val MixTargetTokens = 100000L
+
+  /** q80: dataset mixture weights — given per-source token volumes,
+    * allocate a training budget by the sqrt-scaling rule (weight ∝
+    * √tokens, the standard temperature-style flattening that upweights
+    * small sources relative to proportional sampling): per source, its
+    * mixture weight, its planned token allocation, and the epoch count
+    * (planned/available — > 1 means the source repeats).
+    *
+    * Everything after the per-source token sums is EXACT INTEGER
+    * arithmetic: √tokens goes through floor(sqrt(x)) — IEEE sqrt is
+    * correctly rounded (a hardware op, unlike libm ln), and the nearest
+    * true square is ~1/(2√x) away, so the floor is the true integer
+    * square root on both engines — and weights/epochs are ratio4s of
+    * BIGINTs. The totals row is a broadcast single-row aggregate (the
+    * q74 pattern), never a driver collect. Source cardinality is tiny by
+    * construction; the heavy part is one map-side-combined sum over the
+    * corpus. */
+  def q80(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        floor(sqrt(col("tokens").cast("double"))).as("isqrt"))
+    val total = perSrc.agg(sum(col("isqrt")).as("w_total"))
+    perSrc.crossJoin(broadcast(total))
+      .withColumn("planned_tokens", expr(s"(isqrt * ${MixTargetTokens}L) div w_total"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        ratio4(col("isqrt"), col("w_total")).as("weight"),
+        col("planned_tokens"),
+        ratio4(col("planned_tokens"), col("tokens")).as("epochs"))
+      .orderBy(col("source"))
+  }
 }

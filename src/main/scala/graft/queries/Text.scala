@@ -294,9 +294,9 @@ object Text {
     * materialize-toks-then-explode shape as [[rawShingles]] (one
     * projection per token array; an inline split would re-evaluate per
     * element-access, the measured O(tokens²) trap). */
-  private[queries] def bigramPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def bigramsOf(documents: DataFrame): DataFrame = {
     val toks = col("toks")
-    docs(spark, sfDir)
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(toks) >= 2)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(toks) - 1),
@@ -305,6 +305,9 @@ object Text {
       .select(col("doc_id"), col("b.pos").as("pos"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
   }
+
+  private[queries] def bigramPairs(spark: SparkSession, sfDir: String): DataFrame =
+    bigramsOf(docs(spark, sfDir))
 
   def q64(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = bigramPairs(spark, sfDir).select(col("w1"), col("w2"))
@@ -468,6 +471,47 @@ object Text {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(PmiTopK)
   }
+
+  /** q78: a document "drops" when more than this fraction of its bigram
+    * occurrences belong to repeated bigrams (corpus p90 ≈ 0.13 — the
+    * filter flags the repetitive tail, not the bulk). The verdict
+    * compares the UNROUNDED exact ratio (one IEEE division of identical
+    * integers — deterministic), the displayed fracs go through
+    * Dsl.ratio4. */
+  val RepetitionMaxDupFrac = 0.1
+
+  /** q78 core on a plain documents frame — unit-testable on planted
+    * repetitive/diverse docs (the corpus verdict split is
+    * distribution-luck otherwise). */
+  private[graft] def repetitionScores(documents: DataFrame): DataFrame =
+    bigramsOf(documents)
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_c"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.ops.Dsl.ratio4(col("top_c"), col("n_bigrams")).as("top_bigram_frac"),
+        graft.ops.Dsl.ratio4(col("dup_c"), col("n_bigrams")).as("dup_bigram_frac"),
+        when(col("dup_c").cast("double") / col("n_bigrams").cast("double")
+          > RepetitionMaxDupFrac, "drop").otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+
+  /** q78: n-gram repetition scoring — the Gopher-family quality filter
+    * (Rae et al. 2021 §A1.1: fraction of characters/tokens in duplicated
+    * n-grams): per document, the share of bigram occurrences claimed by
+    * the single most frequent bigram (top_bigram_frac) and by ALL bigrams
+    * occurring ≥ 2× (dup_bigram_frac), plus the keep/drop verdict at
+    * RepetitionMaxDupFrac. Boilerplate, template spam, and degenerate
+    * generations score high; natural text scores low.
+    *
+    * Scale posture: one bigram-stream shuffle to per-(doc, bigram) counts
+    * (map-side combined), then a doc-keyed aggregate OF the counts —
+    * work proportional to token volume, no windows, no joins. Both
+    * displayed fractions are exact-integer ratio4s, so the hash cannot
+    * drift on a .00005 boundary. */
+  def q78(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionScores(docs(spark, sfDir))
 
   /** q42: order-insensitive document fingerprint — md5 over the sorted
     * distinct token set, the bag-of-words analogue of q29's exact hash.

@@ -297,4 +297,47 @@ object Vectors {
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }
+
+  /** q77 neighbors per vector. */
+  val KnnK = 5
+
+  /** q77: batch k-NN join — the ALL-queries form of ANN (q38 answers one
+    * query vector; a k-NN GRAPH answers every vector at once: the
+    * backbone of semantic dedup, diversity sampling, and graph-based
+    * retraining-set construction). Every vector ranks its LSH-candidate
+    * neighbors (any shared (table, bucket) — graft.ops.Ann) by exact
+    * cosine and keeps its top KnnK; output is the directed neighbor list
+    * (src, rk, dst, sim).
+    *
+    * Scale posture: this is the q37 candidate machinery pointed at top-k
+    * per source instead of global top pairs — one equi-join on
+    * (t, bucket) whose volume is bucket-collision bounded (never
+    * all-pairs), then a row_number window PARTITIONED by src (top-k per
+    * vector runs where the vector's candidates live — no global sort, no
+    * single-task stage; PlanSpec pins both). The ranking reads the
+    * ROUND-4 sim (ties broken by dst), so the k-set is deterministic
+    * across engines. */
+  def q77(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val sig = e.select(col("vec_id"),
+        posexplode(graft.ops.Ann.buckets(col("embedding"))).as(Seq("t", "bucket")))
+      .cache()
+    val cand = sig.select(col("t"), col("bucket"), col("vec_id").as("src"))
+      .join(sig.select(col("t"), col("bucket"), col("vec_id").as("dst")),
+        Seq("t", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("src"), col("embedding").as("emb_a"))
+    val eb = e.select(col("vec_id").as("dst"), col("embedding").as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    cand.join(ea, Seq("src")).join(eb, Seq("dst"))
+      .select(col("src"), col("dst"),
+        round4(cosine(col("emb_a"), col("emb_b"))).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select(col("src"), col("rk"), col("dst"), col("sim"))
+      .orderBy(col("src"), col("rk"))
+  }
 }

@@ -317,4 +317,84 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaPartitions.count() == 500)
     assert(viaPartitions.except(viaExprs).isEmpty && viaExprs.except(viaPartitions).isEmpty)
   }
+
+  test("batch k-NN join: dense per-source ranks, sorted sims, src-0 list equals q38's head (q77)") {
+    val knn = graft.queries.Vectors.q77(spark, sf001).collect()
+    assert(knn.nonEmpty)
+    knn.groupBy(_.getLong(0)).foreach { case (src, rows) =>
+      val rks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(rks.length <= graft.queries.Vectors.KnnK)
+      assert(rks == (1 to rks.length), s"src $src ranks not dense: ${rks.mkString(",")}")
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"src $src sims not non-increasing")
+    }
+    // src 0's neighbor list IS the head of q38: identical candidate set
+    // (any shared bucket with vec 0), identical (round-4 sim desc, id)
+    // ranking — the batch operator must agree with the single-query one
+    val q38head = graft.queries.Vectors.q38(spark, sf001)
+      .limit(graft.queries.Vectors.KnnK).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val src0 = knn.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(src0 == q38head, s"q77 src-0 $src0 != q38 head $q38head")
+  }
+
+  test("repetition scoring: template spam drops, diverse text keeps, fracs are consistent (q78)") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, Seq.fill(50)("spam ham").mkString(" ")), // one bigram pair dominates
+      (2L, (1 to 60).map(i => s"tok$i").mkString(" "))) // every bigram unique
+      .toDF("doc_id", "text")
+    val scored = graft.queries.Text.repetitionScores(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(scored(1L).getString(4) == "drop")
+    assert(scored(1L).getDouble(2) >= 0.5) // (spam,ham) alone is half the stream
+    assert(scored(2L).getString(4) == "keep")
+    assert(scored(2L).getDouble(3) == 0.0)
+    // corpus laws: fracs in [0,1]; dup == 0 exactly when no bigram repeats,
+    // otherwise the top bigram's share is part of the duplicated share
+    val corpus = graft.queries.Text.q78(spark, sf001).collect()
+    assert(corpus.length == 500)
+    corpus.foreach { r =>
+      val top = r.getDouble(2); val dup = r.getDouble(3)
+      assert(top >= 0.0 && top <= 1.0 && dup >= 0.0 && dup <= 1.0)
+      assert(dup == 0.0 || top <= dup, s"doc ${r.getLong(0)}: top $top > dup $dup")
+    }
+    assert(corpus.exists(_.getString(4) == "drop") && corpus.exists(_.getString(4) == "keep"),
+      "threshold should split the corpus")
+  }
+
+  test("quality-weighted sampling: conservative per-language audit, pure-hash determinism (q79)") {
+    val r1 = graft.queries.Sampling.q79(spark, sf001).collect()
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the corpus-wide kept rate realizes the clamped keep probability
+    val g = r1.map(_.getLong(2)).sum.toDouble / r1.map(_.getLong(1)).sum
+    assert(g >= graft.queries.Sampling.QwMinP && g <= graft.queries.Sampling.QwMaxP,
+      s"global kept rate $g escaped the clamp band")
+    // h60 coin, not rand(): a second run is bit-identical
+    val r2 = graft.queries.Sampling.q79(spark, sf001).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
+  test("mixture weights allocate the sqrt-scaled budget within floor slack (q80 laws)") {
+    val rows = graft.queries.Sampling.q80(spark, sf001).collect()
+    assert(rows.length == 20) // one row per source
+    val wsum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wsum - 1.0) <= rows.length * 1e-4 + 1e-9, s"weights sum to $wsum")
+    // Σ floor(isqrt·T/W) loses < 1 token per source, never overshoots
+    val planned = rows.map(_.getLong(4)).sum
+    val target = graft.queries.Sampling.MixTargetTokens
+    assert(planned <= target && planned >= target - rows.length,
+      s"planned $planned vs target $target")
+    rows.foreach { r =>
+      val viaRatio = r.getLong(4).toDouble / r.getLong(2)
+      assert(math.abs(r.getDouble(5) - viaRatio) <= 5e-5 + 1e-12,
+        s"source ${r.getString(0)}: epochs ${r.getDouble(5)} vs $viaRatio")
+    }
+  }
 }

@@ -97,6 +97,34 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, "q71 reintroduced a window operator")
   }
 
+  test("q77: k-NN candidates are a bucket equi-join; the top-k window is per-source") {
+    val df = SparkEntry.queries("q77_knn_join")(spark, sf001)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degraded to a cartesian")
+    val joinLines = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("HashJoin")).toSeq
+    assert(joinLines.exists(_.contains("bucket")),
+      s"no join carries the bucket key:\n${joinLines.mkString("\n")}")
+    // top-k per source must rank inside each src partition, never globally
+    val partSpecs = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(partSpecs.nonEmpty && partSpecs.forall(_.nonEmpty),
+      "found a global (unpartitioned) window in the k-NN ranking")
+    // and the rk <= K filter should push into the window (per-partition
+    // early stop), the q58 WindowGroupLimit shape
+    assert(plan.contains("WindowGroupLimit"), "rank limit not pushed into the window")
+  }
+
+  test("q79: the sampling audit is join-free — a map-side hash coin and one aggregate") {
+    val df = SparkEntry.queries("q79_quality_weighted_sample")(spark, sf001)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, "q79 must not join — the keep decision is a pure row function")
+  }
+
   test("q72: prefix sum is two-phase — every window in the plan is partitioned") {
     val df = SparkEntry.queries("q72_token_sharding")(spark, sf001)
     val partSpecs = df.queryExecution.optimizedPlan.collect {

@@ -87,6 +87,12 @@ class QueriesSmokeSpec extends SparkSpec {
     "q72_token_sharding" -> 14L,
     "q73_lm_perplexity" -> 500L,
     "q74_pmi_collocations" -> 50L,
+    "q75_windowed_distinct" -> 531L,
+    "q76_boilerplate_chunks" -> 74L,
+    "q77_knn_join" -> 2500L,
+    "q78_repetition_score" -> 500L,
+    "q79_quality_weighted_sample" -> 5L,
+    "q80_mixture_weights" -> 20L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
