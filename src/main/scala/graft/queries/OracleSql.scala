@@ -538,7 +538,7 @@ object OracleSql {
         |c AS (SELECT w1, w2, COUNT(*) AS n FROM bi GROUP BY w1, w2),
         |h AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_head FROM c GROUP BY w1),
         |r AS (SELECT c.w1, c.w2, c.n, h.n_head,
-        |        ROUND(CAST(c.n AS DOUBLE) / CAST(h.n_head AS DOUBLE), 4) AS p,
+        |        ${ratio4Sql("c.n", "h.n_head")} AS p,
         |        CAST(row_number() OVER (PARTITION BY c.w1 ORDER BY c.n DESC, c.w2) AS INTEGER) AS rk
         |      FROM c JOIN h ON h.w1 = c.w1)
         |SELECT w1, w2, n, n_head, p, rk
@@ -819,13 +819,23 @@ object OracleSql {
     // q69: identical definitions in both engines; ntile is BIGINT in
     // DuckDB → cast; the window order is total so bucket membership is
     // engine-stable.
+    // q69: under the TOTAL window order rank = row_number and peers are
+    // singletons, so percent_rank/cume_dist are the explicit integer
+    // ratios (rn-1)/(np-1) and rn/np — ratio4Sql'd (D6), mirroring the
+    // Spark side.
     "q69_rank_distribution" ->
-      """SELECT o_orderkey, o_orderpriority, o_totalprice,
-        |  ROUND(percent_rank() OVER w, 4) AS pct_rank,
-        |  ROUND(cume_dist() OVER w, 4) AS cume,
-        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      s"""WITH r AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS np,
+        |    CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CASE WHEN np = 1 THEN 0.0 ELSE ${ratio4Sql("rn - 1", "np - 1")} END AS pct_rank,
+        |  ${ratio4Sql("rn", "np")} AS cume,
+        |  quartile
+        |FROM r
         |ORDER BY o_orderpriority, o_orderkey
         |LIMIT 1000""".stripMargin,
 
@@ -844,8 +854,7 @@ object OracleSql {
         |      FROM tok t LEFT JOIN v ON v.token = t.token)
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  CAST(SUM(CASE WHEN rt = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
-        |  ROUND(CAST(SUM(CASE WHEN rt = '<unk>' THEN 1 ELSE 0 END) AS DOUBLE)
-        |        / CAST(COUNT(*) AS DOUBLE), 4) AS unk_rate,
+        |  ${ratio4Sql("CAST(SUM(CASE WHEN rt = '<unk>' THEN 1 ELSE 0 END) AS BIGINT)", "COUNT(*)")} AS unk_rate,
         |  md5(string_agg(rt, ' ' ORDER BY pos)) AS redacted_md5
         |FROM r
         |GROUP BY doc_id

@@ -99,7 +99,7 @@ object Sampling {
           array_sort(collect_list(struct(col("pos"), col("rt")))),
           s => s.getField("rt")), " ").cast("binary")).as("redacted_md5"))
       .select(col("doc_id"), col("n_tokens"), col("n_unk"),
-        round(col("n_unk").cast("double") / col("n_tokens").cast("double"), 4).as("unk_rate"),
+        ratio4(col("n_unk"), col("n_tokens")).as("unk_rate"), // D6: integer ratio
         col("redacted_md5"))
       .orderBy(col("doc_id"))
   }

@@ -316,7 +316,7 @@ object Text {
     val w = Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))
     counts.join(heads, Seq("w1"))
       .select(col("w1"), col("w2"), col("n"), col("n_head"),
-        round(col("n").cast("double") / col("n_head").cast("double"), 4).as("p"),
+        graft.ops.Dsl.ratio4(col("n"), col("n_head")).as("p"), // D6: integer ratio
         row_number().over(w).as("rk"))
       .filter(col("rk") <= BigramTopK)
       .orderBy(col("w1"), col("rk"))

@@ -132,15 +132,27 @@ object Windows {
     * shuffle-dependent; percent_rank/cume_dist are tie-stable but get the
     * same key for identical framing. Both engines define all three
     * identically (percent_rank = (rank−1)/(n−1), cume_dist = peers≤/n,
-    * ntile = equal buckets with remainders to the front). */
+    * ntile = equal buckets with remainders to the front).
+    *
+    * Under the TOTAL window order rank = row_number and every peer group
+    * is a singleton, so both distribution ranks are plain integer ratios —
+    * computed explicitly and ROUND-4'd via ratio4 (D6: (rank−1)/(n−1) can
+    * sit exactly on a .00005 boundary where the engines' ROUND rules
+    * part). */
   def q69(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val part = Window.partitionBy(col("o_orderpriority"))
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-        round(percent_rank().over(w), 4).as("pct_rank"),
-        round(cume_dist().over(w), 4).as("cume"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(part).as("np"),
         ntile(4).over(w).as("quartile"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        when(col("np") === 1, lit(0.0))
+          .otherwise(graft.ops.Dsl.ratio4(col("rn") - 1, col("np") - 1)).as("pct_rank"),
+        graft.ops.Dsl.ratio4(col("rn"), col("np")).as("cume"),
+        col("quartile"))
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
       .limit(1000)
   }
