@@ -53,8 +53,25 @@ object Events {
       .orderBy(col("event_id"))
   }
 
-  def q09(spark: SparkSession, sfDir: String): DataFrame =
-    asOf(Tables.events(spark, sfDir))
+  /** q09 runs the NATIVE as-of operator (graft.plans.AsOfJoinExec — each
+    * side shuffled once on its own key, sorted (key, ts), one forward
+    * merge sweep with O(1) state), with [[asOf]] retained as the
+    * executable window-composition specification: SemanticsSpec proves
+    * the two row-equal on the event log and on planted boundary cases,
+    * and the oracle LEFT JOIN checks both. NULL-user clicks need no
+    * pre-filter here — a NULL key never matches by operator contract. */
+  def q09(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.ops.AsOf.join(p, c, "user_id", "ts", "ts",
+        Seq("ts" -> "click_ts"), inclusive = false)
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("click_ts"))
+      .orderBy(col("event_id"))
+  }
 
   /** q26: duplicate elimination over the event log — repairs R4's
     * non-idempotent fresh-UUID append (consumer/consumer.go:187): group by

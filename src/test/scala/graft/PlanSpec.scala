@@ -97,6 +97,17 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, "q71 reintroduced a window operator")
   }
 
+  test("q09: native as-of exec — per-side key shuffles + (key, ts) sorts, no union+window") {
+    val df = SparkEntry.queries("q09_join_asof")(spark, sf001)
+    val plan = planString(df)
+    assert(plan.contains("AsOfJoin"), "expected the native as-of operator in the plan")
+    assert(!plan.contains("Union"), "as-of fell back to the union+window composition")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "as-of plan should carry no window operator")
+  }
+
   test("q77: k-NN candidates are a bucket equi-join; the top-k window is per-source") {
     val df = SparkEntry.queries("q77_knn_join")(spark, sf001)
     val plan = planString(df)

@@ -52,6 +52,48 @@ class SemanticsSpec extends SparkSpec {
     assert(res(2).isNullAt(3))                                // no clicks at all → NULL
   }
 
+  test("native as-of join is row-equal to the window-composition spec (AsOfJoinExec vs Events.asOf)") {
+    // The same proof discipline as the custom expressions: the operator's
+    // executable specification is the union+window plan; the native exec
+    // must agree row-for-row on the real event log (clicks with NULL
+    // user_id deliberately NOT pre-filtered on the native side — NULL keys
+    // never match by operator contract).
+    val events = graft.tables.Tables.events(spark, sf001)
+    val spec = graft.queries.Events.asOf(events)
+    val native = SparkEntry.queries("q09_join_asof")(spark, sf001)
+    assert(native.count() == spec.count())
+    assert(native.except(spec).isEmpty && spec.except(native).isEmpty)
+  }
+
+  test("native as-of: strict/inclusive boundary, no-match, NULL keys and times (AsOfJoinExec laws)") {
+    val l = Seq(
+      (Option(1L), Option(10L), "a"),
+      (Option(1L), Option(20L), "b"),
+      (Option(2L), Option(5L), "c"),
+      (Option(3L), Option(7L), "d"),   // key with no right rows
+      (None: Option[Long], Option(9L), "e"), // NULL key never matches
+      (Option(1L), None: Option[Long], "f")  // NULL time never matches
+    ).toDF("k", "t", "name")
+    val r = Seq(
+      (Option(1L), Option(10L)),
+      (Option(1L), Option(15L)),
+      (Option(2L), Option(6L)),
+      (None: Option[Long], Option(1L)),  // NULL-key right row matches nothing
+      (Option(1L), None: Option[Long])   // NULL-time right row matches nothing
+    ).toDF("k", "t")
+    def run(inclusive: Boolean): Map[String, Option[Long]] =
+      graft.ops.AsOf.join(l, r, "k", "t", "t", Seq("t" -> "m"), inclusive)
+        .collect()
+        .map(row => row.getString(2) ->
+          (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+    val strict = run(inclusive = false)
+    assert(strict == Map("a" -> None, "b" -> Some(15L), "c" -> None,
+      "d" -> None, "e" -> None, "f" -> None))
+    val incl = run(inclusive = true)
+    assert(incl == Map("a" -> Some(10L), "b" -> Some(15L), "c" -> None,
+      "d" -> None, "e" -> None, "f" -> None))
+  }
+
   test("rolling window frame: exactly one hour earlier is OUT, 59:59 earlier is IN (q60 boundary)") {
     val df = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
