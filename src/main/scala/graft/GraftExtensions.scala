@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductFold, DotProductInt}
+import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductFold, DotProductInt, MinHashSig}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions`: registers the native
@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotInt)
     ext.injectFunction(GraftExtensions.dotFold)
     ext.injectFunction(GraftExtensions.chunkGen)
+    ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -62,9 +64,26 @@ object GraftExtensions {
         intLit(children(2), "stride")): org.apache.spark.sql.catalyst.expressions.Expression
     })
 
+  /** minhash_sig(hm) — the MinHash-signature TypedImperativeAggregate at
+    * the engine's sketch configuration (graft.queries.Dedup owns the
+    * constants); the analyzer wraps the returned AggregateFunction. */
+  private val minhashSig = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "minhash_sig takes exactly 1 argument")
+      import graft.queries.Dedup
+      MinHashSig(children.head,
+        (0 until Dedup.K).map(Dedup.aCoef),
+        (0 until Dedup.K).map(Dedup.bCoef),
+        Dedup.P): org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
   /** Imperative registration into an already-built session (the config
     * route only applies to sessions created with
-    * `spark.sql.extensions=graft.GraftExtensions`). */
+    * `spark.sql.extensions=graft.GraftExtensions`). Also installs the
+    * as-of planner strategy (graft.ops.AsOf.install does the same on
+    * demand). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineSim._1, cosineSim._2, cosineSim._3)
@@ -74,5 +93,8 @@ object GraftExtensions {
       dotFold._1, dotFold._2, dotFold._3)
     spark.sessionState.functionRegistry.registerFunction(
       chunkGen._1, chunkGen._2, chunkGen._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minhashSig._1, minhashSig._2, minhashSig._3)
+    graft.ops.AsOf.install(spark)
   }
 }

@@ -98,6 +98,18 @@ object Dsl {
       GraftColumnBridge.expression(tokens), len, stride))
   }
 
+  /** MinHash signature aggregate (native TypedImperativeAggregate,
+    * graft.functions.MinHashSig): all K permutation minima updated in one
+    * Array[Long] buffer per input row, vs the composed explode-K-rows +
+    * grouped-MIN form it is proven equal to (ExpressionSpec). Coefficients
+    * come from the caller (graft.queries.Dedup owns the sketch
+    * constants). */
+  def minhashSig(c: Column, a: Seq[Long], b: Seq[Long], p: Long): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.MinHashSig(
+      GraftColumnBridge.expression(c), a, b, p).toAggregateExpression())
+  }
+
   /** HOF specification of [[dotInt]] — the interpreted form the native
     * expression is tested against (exact equality, ExpressionSpec). */
   def dotIntHof(a: Column, b: Column): Column =

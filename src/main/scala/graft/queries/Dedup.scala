@@ -33,8 +33,38 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 4
 
-  private[queries] def aCoef(i: Int): Long = 2L * i + 1
-  private[queries] def bCoef(i: Int): Long = (1000003L * i + 12345L) % P
+  private[graft] def aCoef(i: Int): Long = 2L * i + 1
+  private[graft] def bCoef(i: Int): Long = (1000003L * i + 12345L) % P
+
+  /** doc_id → K-component MinHash signature via the native one-pass
+    * aggregate. Input: (doc_id, hm) with hm = h60(shingle) % P. */
+  private[graft] def signatures(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(minhashSig(col("hm"),
+        (0 until K).map(aCoef), (0 until K).map(bCoef), P).as("sig"))
+
+  /** The COMPOSED signature build — explode the K hash-function indices
+    * into rows (cheap generated rows; a doc's shingles never leave their
+    * partition, so the partial MIN collapses map-side to docs×K rows),
+    * aggregate, reassemble the signature as ONE array sorted by i. Kept as
+    * the executable specification of [[signatures]]' native aggregate
+    * (ExpressionSpec pins bit-equality). Earlier alternatives measured at
+    * sf0.1: K wide MIN aggregates generate a method too large to JIT
+    * (~15x slower); K higher-order array_min folds run interpreted (~4x
+    * slower); a 64-named-column signature row was execution-equivalent but
+    * cost ~12 s of driver-side planning+codegen per run — this array form
+    * plans in ~1 s because the expression tree is O(1) in K. */
+  private[graft] def signaturesComposed(sh: DataFrame): DataFrame = {
+    val hk = sh
+      .select(col("doc_id"), col("hm"), explode(sequence(lit(0), lit(K - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        (((lit(2L) * col("i") + lit(1L)) * col("hm") +
+          (lit(1000003L) * col("i") + lit(12345L))) % P).as("h"))
+    hk.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+        x => x("m")).as("sig"))
+  }
 
   /** q34: MinHash signature + banded-LSH candidate pairs with estimated
     * Jaccard ≥ 0.5 (estimate = fraction of agreeing signature components;
@@ -49,29 +79,15 @@ object Dedup {
     val sh = Text.rawShingles(spark, sfDir)
       .select(col("doc_id"), (h60(col("shingle")) % P).as("hm"))
 
-    // Long-form signature build, fully inside whole-stage codegen: explode
-    // the K hash-function indices into rows (cheap generated rows, and a
-    // doc's shingles never leave their partition so the partial MIN
-    // collapses map-side to exactly docs×K rows), aggregate, then keep the
-    // signature as ONE array column (sorted by i). Alternatives measured at
-    // sf0.1: K wide MIN aggregates generate a method too large to JIT
-    // (~15x slower); K higher-order array_min folds run interpreted (~4x
-    // slower); a 64-named-column signature row was execution-equivalent but
-    // cost ~12 s of driver-side planning+codegen per run — the array form
-    // plans in ~1 s because the expression tree is O(1) in K, which is also
-    // what keeps plan compile off the critical path on a real cluster.
+    // Native one-pass signature build (MinHashSig TypedImperativeAggregate):
+    // each shingle row updates all K permutation minima in one Array[Long]
+    // buffer — one grouped aggregation with map-side partial buffers, no
+    // K-row explode. Proven bit-equal to [[signaturesComposed]] in
+    // ExpressionSpec; measured ~2.6x faster at sf0.1 (0.77 s vs 2.0 s warm
+    // for the signature subtree, noop sink).
     // aCoef/bCoef stay below 2^27 and hm below 2^31, so every product is
     // exact in signed-64 (bCoef(i) < P for all i < K — no mod needed).
-    val hk = sh
-      .select(col("doc_id"), col("hm"), explode(sequence(lit(0), lit(K - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        (((lit(2L) * col("i") + lit(1L)) * col("hm") +
-          (lit(1000003L) * col("i") + lit(12345L))) % P).as("h"))
-    val sig = hk.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("m"))
-      .groupBy(col("doc_id"))
-      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
-        x => x("m")).as("sig"))
-      .cache()
+    val sig = signatures(sh).cache()
 
     // Band keys from array slices — interpreted HOFs, but over docs×Bands
     // rows only (the signature table), never the shingle stream.

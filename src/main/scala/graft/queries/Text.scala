@@ -33,7 +33,7 @@ object Text {
     * by every `element_at` call — O(tokens²) work per doc, measured as
     * 7.2 s of q36's 12 s at sf0.1. CollapseProject keeps the barrier
     * because `toks` is referenced more than once by a non-cheap expression. */
-  private[queries] def rawShingles(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def rawShingles(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = col("toks")
     docs(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

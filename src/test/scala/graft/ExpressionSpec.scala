@@ -156,4 +156,38 @@ class ExpressionSpec extends SparkSpec {
       "SELECT c.* FROM VALUES (CAST(NULL AS STRING)) AS t(txt) " +
       "LATERAL VIEW chunk_gen(split(txt, ' '), 2, 2) c").collect().isEmpty)
   }
+
+  test("native minhash_sig aggregate == composed explode+MIN signature bit-for-bit (q34 kernel)") {
+    import graft.queries.{Dedup, Text}
+    val sh = Text.rawShingles(spark, sf001)
+      .select($"doc_id", (Dsl.h60($"shingle") % Dedup.P).as("hm"))
+    val native = Dedup.signatures(sh)
+    val composed = Dedup.signaturesComposed(sh)
+    assert(native.count() == composed.count())
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+    // signature law on a planted group: one row per doc, K components,
+    // each strictly below P (P is the empty-min sentinel, unreachable for
+    // any real input), duplicate shingles don't change the signature
+    val planted = Seq((1L, 7L), (1L, 7L), (1L, 11L), (2L, 7L)).toDF("doc_id", "hm")
+    val sigs = Dedup.signatures(planted).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == Dedup.K && sigs(1L).forall(_ < Dedup.P))
+    val dedupped = Dedup.signatures(Seq((1L, 7L), (1L, 11L)).toDF("doc_id", "hm"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == dedupped(1L), "min is duplicate-insensitive")
+    // doc 2 holds a subset of doc 1's shingles → componentwise >= holds
+    assert(sigs(1L).zip(sigs(2L)).forall { case (m1, m2) => m1 <= m2 })
+  }
+
+  test("minhash_sig is SQL-callable after GraftExtensions.install (GROUP BY aggregate form)") {
+    GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_sig(hm) AS sig FROM VALUES (1L, 7L), (1L, 11L), (2L, 7L) " +
+      "AS t(doc_id, hm) GROUP BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaApi = graft.queries.Dedup.signatures(
+      Seq((1L, 7L), (1L, 11L), (2L, 7L)).toDF("doc_id", "hm"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaApi)
+  }
 }
