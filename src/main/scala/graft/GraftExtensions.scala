@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductFold, DotProductInt, MinHashSig}
+import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductFold, DotProductInt, MinHashSig, SimHashSig}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions`: registers the native
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFold)
     ext.injectFunction(GraftExtensions.chunkGen)
     ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectFunction(GraftExtensions.simhashSig)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -79,6 +80,17 @@ object GraftExtensions {
         Dedup.P): org.apache.spark.sql.catalyst.expressions.Expression
     })
 
+  /** simhash_sig(hm) — the SimHash-fingerprint TypedImperativeAggregate
+    * at the engine's bit width (graft.queries.Dedup.SimBits). */
+  private val simhashSig = (
+    FunctionIdentifier("simhash_sig"),
+    new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "simhash_sig takes exactly 1 argument")
+      SimHashSig(children.head, graft.queries.Dedup.SimBits):
+        org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
   /** Imperative registration into an already-built session (the config
     * route only applies to sessions created with
     * `spark.sql.extensions=graft.GraftExtensions`). Also installs the
@@ -95,6 +107,8 @@ object GraftExtensions {
       chunkGen._1, chunkGen._2, chunkGen._3)
     spark.sessionState.functionRegistry.registerFunction(
       minhashSig._1, minhashSig._2, minhashSig._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      simhashSig._1, simhashSig._2, simhashSig._3)
     graft.ops.AsOf.install(spark)
   }
 }

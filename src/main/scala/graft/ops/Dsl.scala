@@ -110,6 +110,16 @@ object Dsl {
       GraftColumnBridge.expression(c), a, b, p).toAggregateExpression())
   }
 
+  /** SimHash fingerprint aggregate (native TypedImperativeAggregate,
+    * graft.functions.SimHashSig): per-bit ±1 tallies in one buffer per
+    * token row, folded to the fingerprint at eval — vs the composed
+    * explode-bits + two-SUM form it is proven equal to (ExpressionSpec). */
+  def simhashSig(c: Column, bits: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.SimHashSig(
+      GraftColumnBridge.expression(c), bits).toAggregateExpression())
+  }
+
   /** HOF specification of [[dotInt]] — the interpreted form the native
     * expression is tested against (exact equality, ExpressionSpec). */
   def dotIntHof(a: Column, b: Column): Column =

