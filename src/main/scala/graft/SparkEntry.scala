@@ -116,6 +116,7 @@ object SparkEntry {
     "q78_repetition_score"    -> Text.q78 _,
     "q79_quality_weighted_sample" -> Sampling.q79 _,
     "q80_mixture_weights"     -> Sampling.q80 _,
+    "q81_semantic_dedup"      -> Vectors.q81 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

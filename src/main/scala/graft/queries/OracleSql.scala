@@ -459,6 +459,8 @@ object OracleSql {
 
     "q37_cosine_neardup" -> annPairsSql,
 
+    "q81_semantic_dedup" -> semanticDedupSql,
+
     "q39_langid" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |profile AS (SELECT token, lang AS cand_lang, COUNT(*) AS cnt FROM tok GROUP BY token, lang),
@@ -1212,26 +1214,49 @@ object OracleSql {
        |HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1
        |ORDER BY digest""".stripMargin
 
-  /** q37 oracle: pairwise form of the q38 mirror — the same annBucketCols
-    * produce each vector's L table buckets; a pair is a candidate iff it
-    * shares label AND any table's bucket (exactly the Spark side's
+  /** Shared q37/q81 candidate-pair CTEs: the same annBucketCols produce
+    * each vector's L table buckets; a pair is a candidate iff it shares
+    * label AND any table's bucket (exactly the Spark side's
     * (label, t, bucket) equi-join + distinct). The oracle states the
     * candidate predicate on the quadratic join for clarity —
-    * candidate-set equality, not plan shape, is what the compare checks. */
-  private def annPairsSql: String = {
+    * candidate-set equality, not plan shape, is what the compare checks.
+    * Yields `apairs(label, vec_a, vec_b, sim)`. */
+  private def annPairsCtes: String = {
     import graft.ops.Ann.Tables
     val bucketCols = annBucketCols
     val anyMatch = (0 until Tables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
-    s"""WITH s AS (SELECT vec_id, label, embedding, $bucketCols FROM embeddings)
-       |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+    s"""s AS (SELECT vec_id, label, embedding, $bucketCols FROM embeddings),
+       |apairs AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ROUND(
        |    list_sum(list_transform(range(1, CAST(len(a.embedding) AS INTEGER) + 1),
        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
-       |FROM s a JOIN s b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id AND ($anyMatch)
+       |  FROM s a JOIN s b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id AND ($anyMatch))""".stripMargin
+  }
+
+  private def annPairsSql: String =
+    s"""WITH ${annPairsCtes}
+       |SELECT label, vec_a, vec_b, sim
+       |FROM apairs
        |ORDER BY sim DESC, vec_a, vec_b
        |LIMIT 20""".stripMargin
-  }
+
+  /** q81 oracle: the q57 recursive-CC mirror over the thresholded cosine
+    * candidate graph — reachable-set minimum per node = the same fixpoint
+    * Spark's min-label propagation converges to. */
+  private def semanticDedupSql: String =
+    s"""WITH RECURSIVE ${annPairsCtes},
+       |edges AS (SELECT vec_a AS u, vec_b AS v FROM apairs WHERE sim >= ${Vectors.SemanticDupSim}
+       |          UNION ALL SELECT vec_b, vec_a FROM apairs WHERE sim >= ${Vectors.SemanticDupSim}),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node),
+       |comp AS (SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node)
+       |SELECT vec_id, component,
+       |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_vecs
+       |FROM comp
+       |ORDER BY vec_id""".stripMargin
 }

@@ -278,7 +278,15 @@ object Vectors {
     * sequentially on both engines — bit-identical buckets), so the
     * candidate set cannot drift between the engines. The exploded
     * signature frame is cached: both sides of the self-join read it. */
-  def q37(spark: SparkSession, sfDir: String): DataFrame = {
+  def q37(spark: SparkSession, sfDir: String): DataFrame =
+    cosineCandidatePairs(spark, sfDir)
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+
+  /** The q37 candidate core, shared with q81: every same-label LSH-bucket
+    * candidate pair with its ROUND-4 exact cosine — no ranking, no limit.
+    * One row per (label, vec_a, vec_b), vec_a < vec_b. */
+  private[graft] def cosineCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val sig = e.select(col("label"), col("vec_id"),
         posexplode(graft.ops.Ann.buckets(col("embedding"))).as(Seq("t", "bucket")))
@@ -294,8 +302,36 @@ object Vectors {
     pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         round4(cosine(col("emb_a"), col("emb_b"))).as("sim"))
-      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-      .limit(20)
+  }
+
+  /** q81 cluster threshold: pairs at ROUND-4 cosine ≥ this edge into the
+    * semantic-duplicate graph (the corpus' same-label cosine tops out
+    * ≈ 0.45, so 0.3 clusters the strongly-similar tail — on a real
+    * near-dup corpus this sits at 0.9+; the operator shape is
+    * threshold-independent). The compare runs on the ROUND-4 sim — an
+    * identical double on both engines — so edge membership cannot drift. */
+  val SemanticDupSim = 0.3
+
+  /** q81: semantic dedup clusters — the embedding-space analogue of q57:
+    * connected components over the sub-quadratic cosine candidate graph
+    * (q37's machinery, thresholded instead of top-k), labels = min vec_id
+    * per component, plus each cluster's size. A training pipeline drops
+    * all but one representative per cluster exactly as q66 does from
+    * q57's clusters.
+    *
+    * Scale posture: edges come from the bucket equi-join (never
+    * all-pairs); the CC fixpoint is Dedup.connectedComponents — one
+    * shuffle per round, localCheckpoint lineage truncation, automatic
+    * large-star/small-star fallback for deep graphs. */
+  def q81(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = cosineCandidatePairs(spark, sfDir)
+      .filter(col("sim") >= SemanticDupSim)
+      .select(col("vec_a"), col("vec_b"))
+    Dedup.connectedComponents(edges)
+      .select(col("node").as("vec_id"), col("label").as("component"))
+      .withColumn("n_vecs", count(lit(1)).over(Window.partitionBy(col("component"))))
+      .orderBy(col("vec_id"))
   }
 
   /** q77 neighbors per vector. */

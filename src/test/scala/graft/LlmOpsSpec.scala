@@ -318,6 +318,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaPartitions.except(viaExprs).isEmpty && viaExprs.except(viaPartitions).isEmpty)
   }
 
+  test("semantic dedup clusters are consistent with the thresholded cosine pairs (q81 vs q37 core)") {
+    val comp = graft.queries.Vectors.q81(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.queries.Vectors.cosineCandidatePairs(spark, sf001)
+      .filter($"sim" >= graft.queries.Vectors.SemanticDupSim)
+      .select($"vec_a", $"vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && comp.nonEmpty)
+    // every edge's endpoints share a component, and every clustered vector
+    // appears in at least one edge (CC adds no isolated nodes)
+    edges.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"edge ($a,$b) split across components")
+    }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(comp.keySet == touched)
+    // the component label is the cluster's minimum member id
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min)
+    }
+  }
+
   test("batch k-NN join: dense per-source ranks, sorted sims, src-0 list equals q38's head (q77)") {
     val knn = graft.queries.Vectors.q77(spark, sf001).collect()
     assert(knn.nonEmpty)

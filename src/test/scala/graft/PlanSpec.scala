@@ -97,6 +97,17 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, "q71 reintroduced a window operator")
   }
 
+  test("q34/q35: sketch builds run the native imperative aggregates, not a per-row explode") {
+    val p34 = planString(SparkEntry.queries("q34_minhash_lsh")(spark, sf001))
+    assert(p34.contains("minhash_sig"), "q34 fell back off the native MinHash aggregate")
+    val p35 = planString(SparkEntry.queries("q35_simhash")(spark, sf001))
+    assert(p35.contains("simhash_sig"), "q35 fell back off the native SimHash aggregate")
+    // TypedImperativeAggregate plans through ObjectHashAggregate — the
+    // map-side partial buffers are the point (one buffer per doc, not
+    // K/60 generated rows per input row)
+    assert(p34.contains("ObjectHashAggregate") && p35.contains("ObjectHashAggregate"))
+  }
+
   test("q09: native as-of exec — per-side key shuffles + (key, ts) sorts, no union+window") {
     val df = SparkEntry.queries("q09_join_asof")(spark, sf001)
     val plan = planString(df)

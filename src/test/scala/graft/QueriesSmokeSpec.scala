@@ -93,6 +93,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q78_repetition_score" -> 500L,
     "q79_quality_weighted_sample" -> 5L,
     "q80_mixture_weights" -> 20L,
+    "q81_semantic_dedup" -> 93L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
