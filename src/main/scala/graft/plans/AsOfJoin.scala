@@ -118,8 +118,15 @@ case class AsOfJoinExec(
       val rTs = BindReferences.bindReference(rightTime, right.output)
       val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
       val tsOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+      // The RIGHT side MUST bind as nullable here even when the right
+      // child's column is non-nullable: the no-match path projects the
+      // all-null nullRight row, and a nullable=false BoundReference skips
+      // its null check and reads garbage zeros instead of null.
+      // BindReferences takes nullability from the INPUT schema entry, so
+      // the override goes on the input side.
       val outProj = UnsafeProjection.create(
-        left.output ++ rightPayload, left.output ++ right.output)
+        left.output ++ rightPayload.map(_.withNullability(true)),
+        left.output ++ right.output.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(right.output.size)
 

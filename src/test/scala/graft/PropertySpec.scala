@@ -183,4 +183,80 @@ class PropertySpec extends SparkSpec {
       assert(inter == (a intersect b).size && union == (a union b).size, s"seed=$seed")
     }
   }
+
+  test("ratio4 law: the engine expression == BigDecimal HALF_UP at scale 4 on random integer ratios") {
+    // Dsl.ratio4's claim is exactly "ROUND(a/b, 4) as BigDecimal half-up,
+    // computed portably" — check it against the JVM's definitional
+    // implementation, INCLUDING forced exact-tie ratios (k/32 etc.), the
+    // inputs where the two engines' double ROUNDs genuinely diverge (D6).
+    val pairGen = for {
+      b <- Gen.oneOf(Gen.choose(1L, 100000L), Gen.oneOf(2L, 16L, 32L, 20000L, 64L))
+      a <- Gen.choose(0L, 5L * b) // ratios up to 5.0, including > 1
+    } yield (a, b)
+    val pairs = (1 to 60).map(seed => draw(pairGen, seed)) ++
+      Seq((1L, 32L), (3L, 32L), (1L, 16L), (5L, 2L), (0L, 7L), (625L, 20000L))
+    val df = pairs.toDF("a", "b")
+      .select(graft.ops.Dsl.ratio4(col("a"), col("b")).as("r"))
+    val got = df.collect().map(_.getDouble(0))
+    val want = pairs.map { case (a, b) =>
+      new java.math.BigDecimal(a).divide(
+        new java.math.BigDecimal(b), 4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    got.zip(want).zip(pairs).foreach { case ((g, w), p) =>
+      assert(g == w, s"ratio4$p: got $g want $w")
+    }
+  }
+
+  test("as-of law: the native exec == brute-force latest-match reference on random keyed streams") {
+    val rowsGen = Gen.listOfN(60, for {
+      k <- Gen.choose(1L, 6L)
+      t <- Gen.choose(0L, 25L) // small range forces equal-ts collisions
+    } yield (k, t))
+    for (seed <- 1 to Samples) {
+      val lRows = draw(rowsGen, seed).distinct
+      val rRows = draw(rowsGen, seed + 500).distinct
+      val l = lRows.toDF("k", "t")
+      val r = rRows.toDF("k", "t")
+      for (inclusive <- Seq(false, true)) {
+        val got = graft.ops.AsOf.join(l, r, "k", "t", "t", Seq("t" -> "m"), inclusive)
+          .collect()
+          .map(row => (row.getLong(0), row.getLong(1)) ->
+            (if (row.isNullAt(2)) None else Some(row.getLong(2)))).toMap
+        val want = lRows.map { case (k, t) =>
+          val ms = rRows.filter { case (rk, rt) =>
+            rk == k && (rt < t || (inclusive && rt == t)) }
+          (k, t) -> (if (ms.isEmpty) None else Some(ms.map(_._2).max))
+        }.toMap
+        assert(got == want, s"seed=$seed inclusive=$inclusive")
+      }
+    }
+  }
+
+  test("sketch-aggregate law: native MinHash/SimHash == per-group Scala reference on random groups") {
+    import graft.queries.Dedup
+    val grpGen = Gen.listOfN(50, for {
+      d <- Gen.choose(1L, 8L)
+      h <- Gen.choose(0L, Dedup.P - 1)
+    } yield (d, h))
+    for (seed <- 1 to Samples) {
+      val rows = draw(grpGen, seed)
+      val df = rows.toDF("doc_id", "hm")
+      val mins = Dedup.signatures(df).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      val wantMins = rows.groupBy(_._1).map { case (d, g) =>
+        d -> (0 until Dedup.K).map(i =>
+          g.map(x => (Dedup.aCoef(i) * x._2 + Dedup.bCoef(i)) % Dedup.P).min).toVector
+      }
+      assert(mins == wantMins, s"seed=$seed (minhash)")
+      val fps = Dedup.simhashFingerprints(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wantFps = rows.groupBy(_._1).map { case (d, g) =>
+        d -> (0 until Dedup.SimBits).map { j =>
+          val tally = g.map(x => if (((x._2 >>> j) & 1L) == 1L) 1L else -1L).sum
+          if (tally > 0) 1L << j else 0L
+        }.sum
+      }
+      assert(fps == wantFps, s"seed=$seed (simhash)")
+    }
+  }
 }
