@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
 import org.apache.spark.sql.functions.col
 
-import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** Public face of the native as-of join (graft.plans.AsOfJoin): for every
   * left row, attach payload columns of the LAST right row with an equal
@@ -23,6 +23,8 @@ object AsOf {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOfJoin
   }
 
   /** As-of join `left` with `right`.

@@ -57,6 +57,38 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Filter pushdown through the custom node — the injected-optimizer-rule
+  * extension seam (`SparkSessionExtensions.injectOptimizerRule` /
+  * `spark.experimental.extraOptimizations`): Catalyst's own
+  * PushDownPredicates leaves unknown operators alone, so without this a
+  * `WHERE` over an as-of join re-reads and shuffles the whole left side
+  * before filtering. Deterministic conjuncts that reference only LEFT
+  * columns move below the join — sound because left rows pass through
+  * 1:1 and each row's match depends only on itself — where the stock
+  * rules then carry them down to the scan (`PushedFilters`,
+  * PlanSpec-pinned). Right-side or mixed conjuncts stay above (a filter
+  * on the matched payload must see the join's nulls). */
+object PushFilterThroughAsOfJoin
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private object Split extends PredicateHelper {
+    def conjuncts(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (pushable, keep) = Split.conjuncts(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans AsOfJoinPlan as AsOfJoinExec; a planner strategy is the sanctioned
   * seam for whole-operator extensions (injected via
   * `SparkSessionExtensions.injectPlannerStrategy` or

@@ -119,6 +119,30 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, "as-of plan should carry no window operator")
   }
 
+  test("as-of filter pushdown rule: left-only predicates sink through the custom node to the scan") {
+    val events = graft.tables.Tables.events(spark, sf001)
+    val p = events.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val c = events.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("user_id", "ts")
+    val df = graft.ops.AsOf.join(p, c, "user_id", "ts", "ts", Seq("ts" -> "click_ts"))
+      .filter(org.apache.spark.sql.functions.col("user_id") > 50L &&
+        org.apache.spark.sql.functions.col("click_ts").isNotNull)
+    // the left-only conjunct reaches the parquet scan's pushed filters
+    // (PushFilterThroughAsOfJoin moves it below the node; FileSourceStrategy
+    // then collects it at planning) ...
+    assert(planString(df).contains("GreaterThan(user_id,50)"),
+      "left-only predicate did not reach PushedFilters through the as-of node")
+    // ... while the payload conjunct stays ABOVE the join (it must see the
+    // join-produced nulls)
+    val aboveFilters = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.find(_.isInstanceOf[graft.plans.AsOfJoinPlan]).isDefined => f
+    }
+    assert(aboveFilters.exists(_.condition.toString.contains("click_ts")),
+      "payload predicate was incorrectly pushed below the join")
+  }
+
   test("q77: k-NN candidates are a bucket equi-join; the top-k window is per-source") {
     val df = SparkEntry.queries("q77_knn_join")(spark, sf001)
     val plan = planString(df)
