@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.functions.col
 
 import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
@@ -39,6 +39,12 @@ object AsOf {
     * node is built, so self-as-of-joins (both sides carved from the same
     * table — the q09 shape) never carry ambiguous attributes into the
     * custom node.
+    *
+    * Tie caveat (shared with the window-composition spec's `last()`): if
+    * several right rows carry the SAME (key, time), whichever sorts last
+    * wins — deterministic only when the payload is a function of
+    * (key, time), e.g. the time itself (q09). Callers needing a total
+    * order should pre-aggregate the right side to one row per (key, time).
     */
   def join(
       left: DataFrame,
