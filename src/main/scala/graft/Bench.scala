@@ -65,7 +65,13 @@ object Bench {
         // otherwise accumulate storage across the serial run and tax later
         // queries with eviction + GC. Clearing is outside the timer — and
         // between the repeats, so run 2 measures execution, not cache hits.
+        // clearCache only drops catalog-cached DataFrames; the CC fixpoint
+        // queries (q57/q66/q81) pin localCheckpoint(true) RDD blocks that
+        // live OUTSIDE the catalog and otherwise accumulate across the
+        // 81-query run (observed: q66 warm runs slower than cold, and
+        // BENCH_r04's q49=14s vs 1.2s isolated) — unpersist them too.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         (ok, dt)
       }
       val good = runs.collect { case (true, dt) => dt }
@@ -73,11 +79,25 @@ object Bench {
       // suspiciously fast benchmark number.
       name -> (if (good.isEmpty) (-1.0, -1.0) else (good.min, good.sum / good.size))
     }
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that window (BENCH_r01..r04 all show parsed:null —
+    // the full-name, full-precision line was ~6 KB and never fit). So the
+    // one-line contract JSON uses the short unique "qNN" prefix as key and
+    // millisecond precision (~1.2 KB for 81 queries); the full-name
+    // min+mean detail goes to bench_detail.json next to the repo.
+    def fmt(d: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def jmap(f: ((Double, Double)) => Double): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(f(v)) }
+        .mkString("{", ",", "}")
     val errors = results.collect { case (n, (m, _)) if m < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.collect { case (m, _) if m >= 0 => m }.sum
+    val detail = results.map { case (k, (mn, mean)) =>
+      s"""{"name":"$k","min_sec":${fmt(mn)},"mean_sec":${fmt(mean)}}""" }
+      .mkString("[\n", ",\n", "\n]")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      detail.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // Pid-SET difference, not size: if one start-time foreign JVM exits
     // while a different one appears mid-run, the sizes stay equal but a
     // contaminator still ran — only new pids prove mid-run contamination.
@@ -87,7 +107,7 @@ object Bench {
       System.err.println(s"[bench] WARNING: foreign JVM(s) appeared DURING the run " +
         s"(pids ${appeared.mkString(",")})")
     val foreignSeen = (foreignAtStart ++ foreignAtEnd).distinct
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_mean":${jmap(_._2)},"errors":$errors,"foreign_jvms":${foreignSeen.size},"foreign_jvms_start":${foreignAtStart.size},"foreign_jvms_end":${foreignAtEnd.size},"foreign_jvms_appeared":${appeared.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(_._1)},"errors":$errors,"foreign_jvms":${foreignSeen.size},"foreign_appeared":${appeared.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,8 +27,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Same cache hygiene as Bench: don't let one query's cached
-      // intermediates pressure the next 49.
+      // intermediates pressure the rest. localCheckpoint(true) blocks
+      // (q57/q66/q81 CC fixpoints) are not catalog-cached — unpersist them.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
