@@ -98,34 +98,41 @@ object Text {
       .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
       .distinct()
       .cache()
-    // Document frequency and set size as AGGREGATES, not windows: windowing
-    // the full shingle stream costs a shuffle + sort of every row per pass
-    // (r3 profile: the two-window form ran 16.7 s warm at sf0.1 vs 2.1 s for
-    // the plan it replaced). Aggregated, both tables collapse — dfShared
-    // keeps only shingles held by ≥2 docs (rare in a deduped corpus), sizes
-    // is one row per doc — so Catalyst/AQE broadcasts them back onto the
-    // stream instead of re-shuffling it.
+    // Document frequency as an AGGREGATE, not a window: windowing the full
+    // shingle stream costs a shuffle + sort of every row per pass (r3
+    // profile: the two-window form ran 16.7 s warm at sf0.1 vs 2.1 s for
+    // the plan it replaced). dfShared keeps only shingles held by ≥2 docs
+    // (rare in a deduped corpus), so Catalyst/AQE broadcasts it back onto
+    // the stream instead of re-shuffling it.
     val dfShared = sh.groupBy(col("hm")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    // Per-doc rarity rank over the FULL shingle set (df of an unshared
-    // shingle is 1 via the left join) — prefix positions must be computed
-    // over the whole set for the completeness guarantee to hold.
-    val ranked = sh
+    // ONE doc_id shuffle builds everything per-doc in a single aggregate:
+    // the (df, hm)-sorted shingle array (rarity rank = array position — the
+    // r4 form ran a row_number window PLUS a sizes aggregate PLUS a
+    // collect_set aggregate, three full-stream doc_id shuffles and a
+    // per-partition sort; this is one hash aggregate, and the only sort
+    // left is within each doc's own array: 5.4 s warm → 2.9 s at sf0.1).
+    // df of an unshared shingle is 1 via the left join — the rank must be
+    // computed over the WHOLE set for the completeness guarantee to hold.
+    val perDoc = sh
       .join(dfShared, Seq("hm"), "left")
-      .select(col("doc_id"), col("hm"), coalesce(col("df"), lit(1L)).as("df"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hm"))))
+      .select(col("doc_id"),
+        struct(coalesce(col("df"), lit(1L)).as("df"), col("hm").as("hm")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("e"))).as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("ns"))
+      .cache() // three consumers below: prefix explode + both verify joins
     // Prefix = the (ns − ⌈t·ns⌉ + 1) globally-rarest shingles of each doc —
     // DERIVED from t so tuning the threshold keeps the completeness
     // guarantee (a hardcoded t=0.5 form would silently under- or
     // over-prefix at any other t). Shingles held by a single doc can't
-    // match anything — drop them from the join AFTER ranking.
-    val prefixLen = col("ns") - ceil(col("ns") * t).cast("long") + 1
-    val prefix = ranked
-      .join(sizes, Seq("doc_id"))
-      .filter(col("rk") <= prefixLen && col("df") >= 2)
-      .select(col("doc_id"), col("hm"), col("ns"))
+    // match anything — drop them from the join AFTER the prefix is cut.
+    val prefixLen = (col("ns") - ceil(col("ns") * t).cast("long") + 1).cast("int")
+    val prefix = perDoc
+      .select(col("doc_id"), col("ns"),
+        explode(filter(slice(col("arr"), lit(1), prefixLen),
+          e => e.getField("df") >= 2)).as("e"))
+      .select(col("doc_id"), col("e").getField("hm").as("hm"), col("ns"))
     // Candidate pairs, with the J ≥ t length bound applied IN the join:
     // t·|A| ≤ |B| ≤ |A|/t (both from inter ≤ min and inter ≥ t/(1+t)·(na+nb)),
     // so size-skewed pairs never even reach the distinct.
@@ -141,9 +148,11 @@ object Text {
     // candidate, O(|A|+|B|) work in array_intersect, no join fan-out. (The
     // r3 first cut joined each candidate back to the shingle stream twice:
     // candidates × |A| ≈ 21M intermediate rows at sf0.1, 12.5 s warm. This
-    // form is one small distinct + two hash joins on doc_id.)
-    val docSets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("hm")).as("set"), count(lit(1)).as("ns"))
+    // form is one small distinct + two hash joins on doc_id.) The set is
+    // the hm projection of the SAME cached per-doc array — no extra
+    // full-stream aggregate.
+    val docSets = perDoc.select(col("doc_id"),
+      transform(col("arr"), e => e.getField("hm")).as("set"), col("ns"))
     val jac = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")
     cand
