@@ -83,6 +83,35 @@ object BillProjection {
       .transformWithState(new BillProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
+
+  /** s13: the projection PLUS overdue reminders via state-store TIMERS —
+    * the capability the GroupState generation cannot express (its timeouts
+    * reset on every event for the key; a reminder must fire at a fixed
+    * deadline regardless of traffic). Each bill registers a
+    * processing-time timer `reminderDelayMs` after it is issued; if the
+    * bill is still unpaid when the timer fires, an alert row (the same
+    * Bill schema with status='overdue') is emitted into the changelog,
+    * and a payment cancels the pending timer. The reference pushes its
+    * bill notifications to the browser the moment the consumer writes the
+    * row (main.go SSE notify) and has nothing time-driven; this is the
+    * deadline-driven follow-up a real BNPL collections flow needs.
+    *
+    * Scale posture identical to [[applyTws]] — per-key RocksDB state,
+    * timers partitioned with their keys — plus one timer per unpaid bill,
+    * deleted on payment, so timer cardinality is bounded by live unpaid
+    * bills, not stream length. Alert rows do not touch the stored
+    * projection: state keeps status='unpaid' (a reminder is output, not a
+    * state transition), so the projection stays last-writer-wins
+    * identical to every other s04 form. */
+  def applyTwsReminders(events: Dataset[RawEvent], reminderDelayMs: Long): Dataset[Bill] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == Envelope.MemberBillCreated ||
+                   e.event_type == Envelope.PaymentCompleted)
+      .groupByKey(_.bill_id)
+      .transformWithState(new BillReminderProcessor(reminderDelayMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update)
+  }
 }
 
 /** transformWithState processor for the bill projection: one ValueState[Bill]
@@ -101,5 +130,47 @@ class BillProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Str
     val cur = BillProjection.fold(if (state.exists()) state.get() else null, rows)
     if (cur == null) Iterator.empty
     else { state.update(cur); Iterator.single(cur) }
+  }
+}
+
+/** [[BillProjection.applyTwsReminders]]'s processor: the shared fold plus a
+  * per-bill overdue timer. Timer lifecycle: register when a bill ENTERS
+  * 'unpaid' (not on every event — a re-delivered create must not re-arm a
+  * later deadline), delete all pending timers when it flips to 'paid',
+  * alert from handleExpiredTimer only if still unpaid at expiry (state may
+  * have flipped between registration and firing in the same batch window —
+  * the re-check, not the deletion, is the correctness guard; deletion just
+  * keeps the timer store from growing). */
+class BillReminderProcessor(reminderDelayMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, RawEvent, Bill] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[Bill] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Bill]("bill", Encoders.product[Bill], TTLConfig.NONE)
+
+  override def handleInputRows(billId: String, rows: Iterator[RawEvent],
+      timerValues: TimerValues): Iterator[Bill] = {
+    val prev = if (state.exists()) state.get() else null
+    val cur = BillProjection.fold(prev, rows)
+    if (cur == null) Iterator.empty
+    else {
+      state.update(cur)
+      if (cur.status == "unpaid" && (prev == null || prev.status != "unpaid"))
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + reminderDelayMs)
+      if (cur.status == "paid" && prev != null && prev.status == "unpaid")
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+      Iterator.single(cur)
+    }
+  }
+
+  override def handleExpiredTimer(billId: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[Bill] = {
+    if (state.exists() && state.get().status == "unpaid")
+      Iterator.single(state.get().copy(status = "overdue",
+        updated_at = new Timestamp(expiredTimerInfo.getExpiryTimeInMs())))
+    else Iterator.empty
   }
 }

@@ -109,6 +109,64 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("s13: timer fires an overdue alert for an unpaid bill; payment cancels it (RocksDB)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[RawEvent]
+      // With a live processing-time timer the operator reports
+      // "needs another batch" every batch, so the engine re-triggers
+      // continuously and processAllAvailable can NEVER settle (observed:
+      // thousands of empty micro-batches). So: throttle with a real
+      // trigger interval, never call processAllAvailable, and POLL the
+      // memory sink for the expected rows under a deadline.
+      val query = BillProjection.applyTwsReminders(input.toDS(), reminderDelayMs = 1L)
+        .writeStream
+        .format("memory")
+        .queryName("bills_tws_timers")
+        .outputMode(OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+        .option("checkpointLocation", tmpDir("bills-tws-timers-ckpt"))
+        .start()
+      try {
+        // b1 is issued and never paid. b2 is issued AND paid in the SAME
+        // batch: the fold resolves it straight to 'paid', so no timer is
+        // ever registered for it — immune to whichever order the engine
+        // evaluates input rows vs expired timers in later batches.
+        input.addData(
+          ev("e1", Envelope.MemberBillCreated, "2024-03-01 10:00:00",
+            bill = "b1", promise = "p1", user = "u1", amount = 4000L, issued = "2024-04-01"),
+          ev("e2", Envelope.MemberBillCreated, "2024-03-01 10:00:00",
+            bill = "b2", promise = "p2", user = "u2", amount = 2000L, issued = "2024-04-01"),
+          ev("e3", Envelope.PaymentCompleted, "2024-03-01 10:01:00",
+            bill = "b2", user = "u2", paid = "2024-04-02"))
+        val deadline = System.currentTimeMillis() + 60000L
+        def sink() = spark.table("bills_tws_timers").collect()
+        while (System.currentTimeMillis() < deadline &&
+            !sink().exists(_.getAs[String]("status") == "overdue"))
+          Thread.sleep(100)
+        val rows = sink()
+        val overdue = rows.filter(_.getAs[String]("status") == "overdue")
+        assert(overdue.map(_.getAs[String]("id")).toSet == Set("b1"))
+        // the alert is output-only: b1's stored projection row stays unpaid
+        val b1 = rows.filter(r => r.getAs[String]("id") == "b1" &&
+          r.getAs[String]("status") != "overdue")
+        assert(b1.forall(_.getAs[String]("status") == "unpaid"))
+        // b2 resolved to paid within its batch, never alerted
+        assert(rows.filter(_.getAs[String]("id") == "b2")
+          .map(_.getAs[String]("status")).toSet == Set("paid"))
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("same-batch create+pay resolves in (ts, event_id) order") {
     val state = new TestGroupState[graft.streaming.Bill]
     val out = BillProjection.update("b9", Iterator(
