@@ -117,6 +117,8 @@ object SparkEntry {
     "q79_quality_weighted_sample" -> Sampling.q79 _,
     "q80_mixture_weights"     -> Sampling.q80 _,
     "q81_semantic_dedup"      -> Vectors.q81 _,
+    "q82_char_entropy"        -> Text.q82 _,
+    "q83_source_overlap"      -> Text.q83 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -461,6 +461,47 @@ object OracleSql {
 
     "q81_semantic_dedup" -> semanticDedupSql,
 
+    // q82: per-character entropy terms ROUND-6'd BEFORE an ordered fold
+    // (the q73 posture — bit-identical transcendentals on both engines
+    // before any accumulation); characters enumerate by POSITION
+    // (generate_series + substr), not regex split, whose empty-pattern
+    // edge semantics differ between engines.
+    "q82_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+        |            FROM documents, unnest(generate_series(1, CAST(len(text) AS INTEGER))) AS u(i)
+        |            WHERE len(text) > 0),
+        |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+        |          CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+        |          list_reduce(list_prepend(0.0, array_agg(ROUND(c * log2(c), 6) ORDER BY ch)),
+        |            (p, q) -> p + q) AS sum_t
+        |        FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        |  ROUND(log2(n_chars) - sum_t / n_chars, 4) AS entropy_bits,
+        |  (ROUND(log2(n_chars) - sum_t / n_chars, 4) < ${Text.LowEntropyBits}) AS low_entropy
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+
+    // q83: q67's distinct-trigram construction lifted to per-SOURCE sets;
+    // overlap counts are exact integers and jaccard is the exact-integer
+    // ratio4 — nothing in the compare rides on float association.
+    "q83_source_overlap" ->
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
+        |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)])) AS shingle
+        |       FROM sp),
+        |s AS (SELECT DISTINCT d.source, sh.shingle
+        |      FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+        |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.source < b.source
+        |      GROUP BY a.source, b.source)
+        |SELECT p.source_a, p.source_b, na.n AS n_a, nb.n AS n_b, p.n_shared,
+        |  ${ratio4Sql("p.n_shared", "(na.n + nb.n - p.n_shared)")} AS jaccard
+        |FROM p JOIN n na ON na.source = p.source_a JOIN n nb ON nb.source = p.source_b
+        |ORDER BY p.source_a, p.source_b""".stripMargin,
+
     "q39_langid" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |profile AS (SELECT token, lang AS cand_lang, COUNT(*) AS cnt FROM tok GROUP BY token, lang),

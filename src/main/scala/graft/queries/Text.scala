@@ -533,4 +533,92 @@ object Text {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
       .orderBy(col("fp"))
   }
+
+  /** q82 verdict threshold: ROUND-4 character entropy below this flags the
+    * doc (corpus range at the checked SFs is 3.68–4.23 bits, so 4.0 splits
+    * it — on real data this sits near 3.0, where template spam and
+    * degenerate repetition live; the operator shape is
+    * threshold-independent). */
+  val LowEntropyBits = 4.0
+
+  /** q82: character-entropy quality scoring — the compression-ratio proxy
+    * of the quality-filter family (a doc whose character distribution
+    * compresses well is boilerplate/template/degenerate; Shannon entropy
+    * IS its ideal compressed bits-per-char): per doc, total and distinct
+    * character counts, the entropy in bits, and the low-entropy verdict
+    * next to q40's length/TTR heuristics and q78's n-gram repetition.
+    *
+    * Determinism (the q73 posture): entropy = log2(n) − (Σ c·log2 c)/n
+    * with each per-character term ROUND-6'd before a fold in sorted
+    * character order — the transcendental terms are bit-identical on both
+    * engines BEFORE any accumulation, so float association cannot drift
+    * the ROUND-4 result. Characters enumerate by POSITION (substr over a
+    * 1..len sequence, identical on both engines) — not regex split, whose
+    * empty-pattern edge semantics differ.
+    *
+    * Scale posture: one char-stream shuffle to per-(doc, char) counts
+    * (map-side combined — the alphabet is tiny, so partial aggregation
+    * collapses the stream ~n/|Σ|×), then a doc-keyed aggregate of ≤ |Σ|
+    * rows per doc. Work is linear in corpus characters, no joins, no
+    * windows. */
+  def q82(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir)
+      .filter(length(col("text")) > 0) // sequence(1,0) descends in Spark but is empty in DuckDB
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val entropy = round(
+      log2(col("n_chars")) - col("sum_t") / col("n_chars").cast("double"), 4)
+    counts
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("ch"),
+              round(col("c").cast("double") * log2(col("c")), 6).as("t")))),
+            s => s.getField("t")),
+          lit(0.0), (acc, v) => acc + v).as("sum_t"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        entropy.as("entropy_bits"),
+        (entropy < lit(LowEntropyBits)).as("low_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q83: cross-source n-gram contamination matrix — the dataset-assembly
+    * audit in front of mixing (q80): for every pair of sources, how much
+    * shingle (word-trigram) mass they share. Exact-dup overlap (q29's
+    * digest) is routinely zero between sources while boilerplate still
+    * leaks across them — this measures that leak, and a high-overlap pair
+    * is double-counted mass a mixture plan must correct for.
+    *
+    * Scale posture: distinct (source, shingle-hash) is one shuffle of the
+    * shingle stream on fixed-width longs (q36's hashed-shingle posture);
+    * the pair join fans out per shared shingle at ≤ S² for S sources — S
+    * is fixed and small while the corpus grows, so collision volume is
+    * bounded by distinct-shingles × S², never doc-pair quadratic. The
+    * per-source set sizes broadcast back onto the 190-row pair frame. */
+  def q83(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Dsl.ratio4
+    val bySource = rawShingles(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), xxhash64(col("shingle")).as("hm"))
+      .distinct()
+      .cache() // three consumers: per-source sizes + both sides of the pair join
+    val sizes = bySource.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = bySource.select(col("source").as("source_a"), col("hm"))
+      .join(bySource.select(col("source").as("source_b"), col("hm")), Seq("hm"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
+        ratio4(col("n_shared"), col("n_a") + col("n_b") - col("n_shared")).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

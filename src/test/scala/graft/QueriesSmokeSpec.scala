@@ -94,6 +94,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q79_quality_weighted_sample" -> 5L,
     "q80_mixture_weights" -> 20L,
     "q81_semantic_dedup" -> 93L,
+    "q82_char_entropy" -> 500L,
+    "q83_source_overlap" -> 190L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
