@@ -16,12 +16,15 @@ import graft.queries._
   * and deliberately do NOT unpersist — the returned DataFrame is lazy, so
   * the cache is only populated when the CALLER runs an action, and only
   * the caller knows when the result is no longer live. Callers that run
-  * many queries serially (Bench, Verify) call
-  * `spark.catalog.clearCache()` between queries; a long-lived session
-  * embedding these operators must do the same or accept the storage.
-  * (q72's pinned frame uses eager `localCheckpoint(true)` instead — its
-  * correctness, not just its cost, depends on a single materialization —
-  * and checkpoint blocks are freed when the frame is GC'd.) */
+  * many queries serially (Bench, Verify, Profile) call
+  * `spark.catalog.clearCache()` AND unpersist
+  * `spark.sparkContext.getPersistentRDDs` between queries; a long-lived
+  * session embedding these operators must do the same or accept the
+  * storage. (The second call matters: the CC fixpoints (q57/q66/q81) and
+  * q72's pinned frame use eager `localCheckpoint(true)` — correctness,
+  * not just cost, depends on a single materialization — and checkpoint
+  * blocks live OUTSIDE the catalog cache; relying on GC alone was the
+  * round-4 bench inflation.) */
 object SparkEntry {
 
   /** Flagship query (SURVEY.md q33_bnpl_pipeline) on sf=0.001; the driver

@@ -615,8 +615,8 @@ object Text {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
-      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
-      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
         ratio4(col("n_shared"), col("n_a") + col("n_b") - col("n_shared")).as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))

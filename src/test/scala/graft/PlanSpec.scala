@@ -58,6 +58,18 @@ class PlanSpec extends SparkSpec {
       "prefix join degraded to a cartesian")
   }
 
+  test("q82: entropy scoring is join-free (pure agg pipeline)") {
+    val plan = planString(SparkEntry.queries("q82_char_entropy")(spark, sf001))
+    assert(!plan.contains("Join"), "q82 grew a join — should be scan+generate+aggregates")
+  }
+
+  test("q83: source-pair join is an equi-join; per-source sizes broadcast") {
+    val plan = planString(SparkEntry.queries("q83_source_overlap")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "shingle pair join degraded to a cartesian")
+    assert(plan.contains("BroadcastHashJoin"), "per-source sizes not broadcast")
+  }
+
   test("q60: time-range rolling window is one shuffle + one window pass") {
     val plan = planString(SparkEntry.queries("q60_rolling_window")(spark, sf001))
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
