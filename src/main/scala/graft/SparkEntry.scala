@@ -122,6 +122,7 @@ object SparkEntry {
     "q81_semantic_dedup"      -> Vectors.q81 _,
     "q82_char_entropy"        -> Text.q82 _,
     "q83_source_overlap"      -> Text.q83 _,
+    "q84_containment"         -> Text.q84 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

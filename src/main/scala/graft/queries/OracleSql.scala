@@ -482,6 +482,32 @@ object OracleSql {
         |FROM agg
         |ORDER BY doc_id""".stripMargin,
 
+    // q84: exact containment over all shared-shingle pairs — the oracle
+    // enumerates pairs directly (no prefix mirror: candidate pruning is
+    // engine-internal and completeness-preserving, so results must agree);
+    // orientation and threshold are pure integer arithmetic.
+    "q84_containment" ->
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
+        |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)]))) AS shingle
+        |       FROM sp),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM sh GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id),
+        |o AS (SELECT
+        |        CASE WHEN na.ns < nb.ns OR (na.ns = nb.ns AND da < db) THEN da ELSE db END AS doc_s,
+        |        CASE WHEN na.ns < nb.ns OR (na.ns = nb.ns AND da < db) THEN db ELSE da END AS doc_l,
+        |        LEAST(na.ns, nb.ns) AS n_s, GREATEST(na.ns, nb.ns) AS n_l, i.n_inter
+        |      FROM i JOIN n na ON na.doc_id = i.da JOIN n nb ON nb.doc_id = i.db
+        |      WHERE i.n_inter * ${Text.ContainmentDen} >= LEAST(na.ns, nb.ns) * ${Text.ContainmentNum})
+        |SELECT doc_s, doc_l, n_s, n_l, n_inter,
+        |  ${ratio4Sql("n_inter", "n_s")} AS containment,
+        |  ${ratio4Sql("n_inter", "(n_s + n_l - n_inter)")} AS jaccard
+        |FROM o
+        |ORDER BY doc_s, doc_l""".stripMargin,
+
     // q83: q67's distinct-trigram construction lifted to per-SOURCE sets;
     // overlap counts are exact integers and jaccard is the exact-integer
     // ratio4 — nothing in the compare rides on float association.

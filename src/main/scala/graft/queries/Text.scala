@@ -82,6 +82,19 @@ object Text {
     * shingle held by m docs no longer emits O(m²) rows — hot shingles sort
     * to the back of every doc and stay out of the join entirely. Exact
     * intersections are then computed only for the surviving candidates. */
+  /** The per-doc (df, hm)-sorted shingle array shared by q36 (Jaccard) and
+    * q84 (containment): rarity rank = array position, set size = array
+    * length, any prefix = a slice, the verification set = the hm
+    * projection. `sh` must be the distinct (doc_id, hm) stream and
+    * `dfShared` its df ≥ 2 document frequencies. */
+  private def docShingleArrays(sh: DataFrame, dfShared: DataFrame): DataFrame =
+    sh.join(dfShared, Seq("hm"), "left")
+      .select(col("doc_id"),
+        struct(coalesce(col("df"), lit(1L)).as("df"), col("hm").as("hm")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("e"))).as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("ns"))
+
   def q36(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.5 // Jaccard threshold; prefix length below is derived from it
     // The whole candidate pipeline runs on HASHED shingles — 16-byte
@@ -114,13 +127,7 @@ object Text {
     // left is within each doc's own array: 5.4 s warm → 2.9 s at sf0.1).
     // df of an unshared shingle is 1 via the left join — the rank must be
     // computed over the WHOLE set for the completeness guarantee to hold.
-    val perDoc = sh
-      .join(dfShared, Seq("hm"), "left")
-      .select(col("doc_id"),
-        struct(coalesce(col("df"), lit(1L)).as("df"), col("hm").as("hm")).as("e"))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(col("e"))).as("arr"))
-      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("ns"))
+    val perDoc = docShingleArrays(sh, dfShared)
       .cache() // three consumers below: prefix explode + both verify joins
     // Prefix = the (ns − ⌈t·ns⌉ + 1) globally-rarest shingles of each doc —
     // DERIVED from t so tuning the threshold keeps the completeness
@@ -620,5 +627,74 @@ object Text {
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
         ratio4(col("n_shared"), col("n_a") + col("n_b") - col("n_shared")).as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q84 containment threshold as an exact rational (4/5 = 0.8): every
+    * threshold compare and prefix length is integer arithmetic — ceil of
+    * ns·0.8 computed on DOUBLES is wrong (5 × the double 0.8 is
+    * 4.000000000000000222, which ceils to 5, not 4), so unlike q36's
+    * binary-exact t = 0.5 this one must never touch a float. */
+  val ContainmentNum = 4
+  val ContainmentDen = 5
+
+  /** q84: containment near-duplicates — the ASYMMETRIC member of the dedup
+    * family: C(A→B) = |A∩B| / |A| with A the smaller shingle set. A quote,
+    * excerpt, or wire story embedded in a longer document scores high
+    * containment while its Jaccard dilutes toward |A|/|B| — exactly the
+    * pairs q36's symmetric threshold misses. Output: (doc_small,
+    * doc_large) pairs at containment ≥ 4/5, with both set sizes, the
+    * intersection, and both metrics (ratio4).
+    *
+    * Candidates are PPJoin-asymmetric: the CONTAINMENT prefix of each doc
+    * (ns − ⌈t·ns⌉ + 1 rarest shingles, integer ceil) probes the FULL
+    * df ≥ 2 shingle index — prefix-on-both-sides would lose completeness
+    * (the matching shingle can sit anywhere in the larger doc), and the
+    * pigeonhole argument needs the probe side to be the smaller set, so
+    * wrong-orientation candidates are dropped after the size join (their
+    * mirror candidate always exists). Scale hazard is the index side's
+    * hot shingles (volume ≈ Σ df·prefix-occurrences — larger than q36's
+    * prefix×prefix but linear in df, never df²); a production corpus caps
+    * df or shards the hot tail, documented rather than hidden here.
+    * Verification reuses the cached per-doc arrays: one array_intersect
+    * per surviving candidate, and the threshold filter is the exact
+    * integer 5·|A∩B| ≥ 4·|A|. */
+  def q84(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Dsl.ratio4
+    val sh = rawShingles(spark, sfDir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
+      .distinct()
+      .cache()
+    val dfShared = sh.groupBy(col("hm")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val perDoc = docShingleArrays(sh, dfShared).cache()
+    // integer ceil(t·ns) = (num·ns + den − 1) div den
+    val kc = (col("ns") - expr(
+      s"(ns * $ContainmentNum + $ContainmentDen - 1) div $ContainmentDen") + 1).cast("int")
+    val probe = perDoc
+      .select(col("doc_id"), col("ns"),
+        explode(filter(slice(col("arr"), lit(1), kc),
+          e => e.getField("df") >= 2)).as("e"))
+      .select(col("doc_id").as("doc_s"), col("e").getField("hm").as("hm"))
+    val index = perDoc
+      .select(col("doc_id").as("doc_l"),
+        explode(filter(col("arr"), e => e.getField("df") >= 2)).as("e"))
+      .select(col("doc_l"), col("e").getField("hm").as("hm"))
+    val cand = probe.join(index, Seq("hm"))
+      .filter(col("doc_s") =!= col("doc_l"))
+      .select(col("doc_s"), col("doc_l"))
+      .distinct()
+    val sets = perDoc.select(col("doc_id"),
+      transform(col("arr"), e => e.getField("hm")).as("set"), col("ns"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_s"), col("set").as("set_s"), col("ns").as("n_s")), Seq("doc_s"))
+      .join(sets.select(col("doc_id").as("doc_l"), col("set").as("set_l"), col("ns").as("n_l")), Seq("doc_l"))
+      .filter(col("n_s") < col("n_l") ||
+        (col("n_s") === col("n_l") && col("doc_s") < col("doc_l")))
+      .withColumn("n_inter", size(array_intersect(col("set_s"), col("set_l"))).cast("long"))
+      .filter(col("n_inter") * ContainmentDen >= col("n_s") * ContainmentNum)
+      .select(col("doc_s"), col("doc_l"), col("n_s"), col("n_l"), col("n_inter"),
+        ratio4(col("n_inter"), col("n_s")).as("containment"),
+        ratio4(col("n_inter"), col("n_s") + col("n_l") - col("n_inter")).as("jaccard"))
+      .orderBy(col("doc_s"), col("doc_l"))
   }
 }

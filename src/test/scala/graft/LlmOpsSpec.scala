@@ -24,6 +24,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("containment laws: c >= jaccard on every pair, threshold holds, q36's pairs recalled (q84)") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.queries.Text.q84(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, j) = (r.getAs[Double]("containment"), r.getAs[Double]("jaccard"))
+      assert(c >= j, s"containment $c < jaccard $j") // |A| <= |A∪B| by definition
+      // the exact-integer threshold, re-checked on the raw counts
+      assert(r.getAs[Long]("n_inter") * graft.queries.Text.ContainmentDen >=
+        r.getAs[Long]("n_s") * graft.queries.Text.ContainmentNum)
+      assert(r.getAs[Long]("n_s") <= r.getAs[Long]("n_l"))
+    }
+    // cross-consistency with the symmetric verifier: any q84 pair whose
+    // Jaccard clears q36's threshold must appear in q36's exact output
+    // (both verify exactly; only the candidate pruning differs, and
+    // pruning must be completeness-preserving on both sides)
+    val q36pairs = graft.queries.Text.q36(spark, sf001).collect()
+      .map(r => (math.min(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+                 math.max(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))).toSet
+    // 0.5001, not 0.5: q84's jaccard is ROUND-4, so a pair at exact
+    // J = 0.49997 reads 0.5 here while q36's pre-round filter excludes it
+    val q84atJ = rows.filter(_.getAs[Double]("jaccard") >= 0.5001)
+      .map(r => (math.min(r.getAs[Long]("doc_s"), r.getAs[Long]("doc_l")),
+                 math.max(r.getAs[Long]("doc_s"), r.getAs[Long]("doc_l")))).toSet
+    assert(q84atJ.subsetOf(q36pairs),
+      s"q84 pairs at J>=0.5 missing from q36: ${q84atJ -- q36pairs}")
+  }
+
   test("simhash: token-shuffled duplicates collide at hamming 0 (q35 vs q42 ground truth)") {
     // q42 groups docs whose sorted distinct token sets match; multiset
     // shuffles are a subset of those — each such pair must appear in q35

@@ -70,6 +70,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "per-source sizes not broadcast")
   }
 
+  test("q84: containment probe-vs-index join stays an equi-join (no cartesian)") {
+    val plan = planString(SparkEntry.queries("q84_containment")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "containment candidate join degraded to a cartesian")
+  }
+
   test("q60: time-range rolling window is one shuffle + one window pass") {
     val plan = planString(SparkEntry.queries("q60_rolling_window")(spark, sf001))
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,

@@ -96,6 +96,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q81_semantic_dedup" -> 93L,
     "q82_char_entropy" -> 500L,
     "q83_source_overlap" -> 190L,
+    "q84_containment" -> 28L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
