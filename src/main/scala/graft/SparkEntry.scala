@@ -123,6 +123,7 @@ object SparkEntry {
     "q82_char_entropy"        -> Text.q82 _,
     "q83_source_overlap"      -> Text.q83 _,
     "q84_containment"         -> Text.q84 _,
+    "q85_random_projection"   -> Vectors.q85 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

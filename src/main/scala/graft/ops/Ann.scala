@@ -67,4 +67,10 @@ object Ann {
   /** All L table buckets as an array column (index = table id). */
   def buckets(emb: Column): Column =
     array((0 until Tables).map(t => bucket(emb, t)): _*)
+
+  /** Raw (pre-sign) projection onto plane `p` — q85's JL component. The
+    * LSH bucket bits above are exactly the SIGNS of these projections, so
+    * the reduced-space geometry and the bucket structure come from one
+    * plane family and cannot drift apart. */
+  def projection(emb: Column, p: Int): Column = dotPlane(emb, p)
 }

@@ -486,6 +486,8 @@ object OracleSql {
     // enumerates pairs directly (no prefix mirror: candidate pruning is
     // engine-internal and completeness-preserving, so results must agree);
     // orientation and threshold are pure integer arithmetic.
+    "q85_random_projection" -> jlSql,
+
     "q84_containment" ->
       s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),
@@ -1223,6 +1225,23 @@ object OracleSql {
        |SELECT src, rk, dst, sim
        |FROM r WHERE rk <= ${Vectors.KnnK}
        |ORDER BY src, rk""".stripMargin
+  }
+
+  /** q85 oracle: the first JlDims planes rendered as literal lists, each
+    * projection a sequential-double list_reduce (the Ann discipline) then
+    * ROUND 4; parallel unnests zip (vec_id, p, value) long-format. */
+  private def jlSql: String = {
+    import graft.ops.Ann.{Dim, weights}
+    val comps = (0 until Vectors.JlDims).map { p =>
+      val w = weights(p).mkString("[", ",", "]")
+      s"""ROUND(list_reduce(list_transform(generate_series(1, $Dim),
+         |    i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(($w)[CAST(i AS INTEGER)] AS DOUBLE)),
+         |    (a, b) -> a + b), 4)""".stripMargin
+    }
+    s"""SELECT vec_id, unnest(generate_series(0, ${Vectors.JlDims - 1})) AS p,
+       |  unnest([${comps.mkString(",\n")}]) AS value
+       |FROM embeddings
+       |ORDER BY vec_id, p""".stripMargin
   }
 
   /** The L hyperplane-LSH bucket columns (`b0..b${L-1}`) as DuckDB SQL —

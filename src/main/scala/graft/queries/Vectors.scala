@@ -334,6 +334,36 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** q85 reduced dimensionality (the first JlDims planes of the Ann
+    * family). */
+  val JlDims = 16
+
+  /** q85: random-projection dimensionality reduction (Johnson-
+    * Lindenstrauss): each 64-dim embedding → its ROUND-4 projections onto
+    * the first 16 fixed hyperplanes of graft.ops.Ann — the float-valued
+    * form of the LSH tables (the bucket bits ARE these projections'
+    * signs), emitted long-format (vec_id, p, value). The 4× storage/
+    * compute reduction in front of brute-force rerank, clustering, or
+    * index build; distances distort by at most the JL factor in
+    * expectation.
+    *
+    * Scale posture: pure map-side expression work — 16 fused
+    * DotProductFold kernels per row inside whole-stage codegen, no
+    * shuffle at all except the output ordering. Projections fold
+    * sequentially in double on BOTH engines (the Ann discipline), so
+    * every emitted value is bit-identical before its ROUND-4. */
+  def q85(spark: SparkSession, sfDir: String): DataFrame = {
+    val comps = (0 until JlDims).map { p =>
+      struct(lit(p.toLong).as("p"),
+        round(graft.ops.Ann.projection(col("embedding"), p), 4).as("v"))
+    }
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), explode(array(comps: _*)).as("c"))
+      .select(col("vec_id"), col("c").getField("p").as("p"),
+        col("c").getField("v").as("value"))
+      .orderBy(col("vec_id"), col("p"))
+  }
+
   /** q77 neighbors per vector. */
   val KnnK = 5
 

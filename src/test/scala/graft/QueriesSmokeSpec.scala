@@ -97,6 +97,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q82_char_entropy" -> 500L,
     "q83_source_overlap" -> 190L,
     "q84_containment" -> 28L,
+    "q85_random_projection" -> 8000L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
