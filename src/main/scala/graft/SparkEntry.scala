@@ -124,6 +124,7 @@ object SparkEntry {
     "q83_source_overlap"      -> Text.q83 _,
     "q84_containment"         -> Text.q84 _,
     "q85_random_projection"   -> Vectors.q85 _,
+    "q86_cohort_retention"    -> Events.q86 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

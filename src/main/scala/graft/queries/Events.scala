@@ -144,4 +144,41 @@ object Events {
           col("t_purchase").isNotNull.cast("int")).as("stages_completed"))
       .orderBy(col("user_id"))
   }
+
+  /** q86: cohort retention — the classic activation/retention audit over
+    * the event log: users cohorted by FIRST active day, then for every
+    * (cohort, day-offset) the count of cohort members active that day and
+    * the ratio4 retention rate. The curve behind every "day-N retention"
+    * dashboard, and (for a training pipeline) the usage decay that drives
+    * data-freshness weighting.
+    *
+    * Scale posture: ONE shuffle of the event stream — projected to
+    * distinct (user, day) via a per-user collect_set (bounded by the
+    * retention horizon in days, the same bounded-state argument as the
+    * streaming watermarks), from which the cohort day (array_min), every
+    * offset (explode), and the cohort sizes all derive map-side; the two
+    * downstream aggregates run on (cohorts × offsets)-sized frames, and
+    * cohort sizes broadcast back onto the retention frame. MIN/datediff
+    * are exact integer/date arithmetic — the only float is the final
+    * ratio4. */
+  def q86(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("d")).as("days"))
+      .select(col("user_id"), array_min(col("days")).as("cohort_day"),
+        explode(col("days")).as("d"))
+      .cache() // feeds cohort sizes AND the retention aggregate
+    val sizes = perUser.filter(col("d") === col("cohort_day"))
+      .groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))
+    perUser
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_n"),
+        ratio4(col("n_active"), col("cohort_n")).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

@@ -488,6 +488,22 @@ object OracleSql {
     // orientation and threshold are pure integer arithmetic.
     "q85_random_projection" -> jlSql,
 
+    // q86: distinct (user, day) set → per-user min = cohort; all date and
+    // count arithmetic is exact, the only float is the final ratio4.
+    "q86_cohort_retention" ->
+      (eventsCte + s""",
+        |ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |       FROM e WHERE user_id IS NOT NULL),
+        |u AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id),
+        |a AS (SELECT u.cohort_day, CAST(ud.d - u.cohort_day AS BIGINT) AS day_offset,
+        |        CAST(COUNT(*) AS BIGINT) AS n_active
+        |      FROM ud JOIN u USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM u GROUP BY 1)
+        |SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_n,
+        |  ${ratio4Sql("a.n_active", "s.cohort_n")} AS retention
+        |FROM a JOIN s USING (cohort_day)
+        |ORDER BY a.cohort_day, a.day_offset""".stripMargin),
+
     "q84_containment" ->
       s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),

@@ -98,6 +98,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q83_source_overlap" -> 190L,
     "q84_containment" -> 28L,
     "q85_random_projection" -> 8000L,
+    "q86_cohort_retention" -> 30L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
