@@ -125,6 +125,7 @@ object SparkEntry {
     "q84_containment"         -> Text.q84 _,
     "q85_random_projection"   -> Vectors.q85 _,
     "q86_cohort_retention"    -> Events.q86 _,
+    "q87_time_range_join"     -> Events.q87 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

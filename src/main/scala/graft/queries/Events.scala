@@ -145,6 +145,52 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** q87 proximity window: ± this many microseconds (1 hour). */
+  val RangeJoinWindowUs = 3600L * 1000000L
+
+  /** q87: time-range join WITHOUT an equi key — for every purchase, the
+    * count of click events (any user) within ±1 h and the nearest click
+    * gap. The naive form `a JOIN b ON abs(a.ts − b.ts) ≤ W` has no equi
+    * condition, so Spark can only plan a broadcast-nested-loop — O(n·m)
+    * compares, the join shape that dies first at 100 TB. This operator IS
+    * the standard bin-bucketing rewrite (the range-join technique behind
+    * engine range-join hints): key each click by its ⌊ts/W⌋ bin, probe
+    * each purchase into bins {b−1, b, b+1} (a ±W window can only span
+    * those), equi-join on the bin, refine with the exact predicate.
+    *
+    * Each qualifying (purchase, click) pair meets EXACTLY once — the
+    * click has one bin and the probe's three bins are distinct — so no
+    * dedup pass is needed. Work = per-bin collision volume (density ×
+    * window), never n·m; both sides shuffle once on the bin key, and
+    * PlanSpec pins the absence of a nested-loop. Purchases with no
+    * nearby click keep a row via the left join-back (n = 0, gap NULL).
+    * All arithmetic is exact integer micros. */
+  def q87(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = RangeJoinWindowUs
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"))
+      .withColumn("bin", expr(s"c_us div $W"))
+    val probe = purchases
+      .select(col("purchase_id"), col("p_us"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("db"))
+      .select(col("purchase_id"), col("p_us"),
+        (expr(s"p_us div $W") + col("db")).as("bin"))
+    val near = probe.join(clicks, Seq("bin"))
+      .filter(abs(col("c_us") - col("p_us")) <= W)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n"),
+        min(abs(col("c_us") - col("p_us"))).as("gap"))
+    purchases
+      .join(near, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("p_us").as("purchase_us"),
+        coalesce(col("n"), lit(0L)).as("n_nearby_clicks"),
+        col("gap").as("nearest_gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** q86: cohort retention — the classic activation/retention audit over
     * the event log: users cohorted by FIRST active day, then for every
     * (cohort, day-offset) the count of cohort members active that day and

@@ -488,6 +488,22 @@ object OracleSql {
     // orientation and threshold are pure integer arithmetic.
     "q85_random_projection" -> jlSql,
 
+    // q87: the oracle states the SEMANTICS directly as the inequality
+    // join (DuckDB's IEJoin handles it); the binning is engine-internal
+    // and meeting-exactly-once, so results must agree. Exact integer
+    // micros throughout.
+    "q87_time_range_join" ->
+      (eventsCte + s""",
+        |p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS p_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT epoch_us(ts) AS c_us FROM e WHERE event_type = 'click'),
+        |j AS (SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(ABS(c_us - p_us)) AS BIGINT) AS gap
+        |      FROM p JOIN c ON ABS(c.c_us - p.p_us) <= ${Events.RangeJoinWindowUs}
+        |      GROUP BY purchase_id)
+        |SELECT p.purchase_id, p.p_us AS purchase_us,
+        |  COALESCE(j.n, 0) AS n_nearby_clicks, j.gap AS nearest_gap_us
+        |FROM p LEFT JOIN j USING (purchase_id)
+        |ORDER BY p.purchase_id""".stripMargin),
+
     // q86: distinct (user, day) set → per-user min = cohort; all date and
     // count arithmetic is exact, the only float is the final ratio4.
     "q86_cohort_retention" ->

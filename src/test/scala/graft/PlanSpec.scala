@@ -70,6 +70,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "per-source sizes not broadcast")
   }
 
+  test("q87: binned range join plans as an equi-join, never a nested loop") {
+    val plan = planString(SparkEntry.queries("q87_time_range_join")(spark, sf001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "range join degraded to a nested loop — binning lost")
+  }
+
   test("q84: containment probe-vs-index join stays an equi-join (no cartesian)") {
     val plan = planString(SparkEntry.queries("q84_containment")(spark, sf001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

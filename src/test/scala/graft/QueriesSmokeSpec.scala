@@ -99,6 +99,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q84_containment" -> 28L,
     "q85_random_projection" -> 8000L,
     "q86_cohort_retention" -> 30L,
+    "q87_time_range_join" -> 202L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
