@@ -34,7 +34,7 @@ object Profile {
         spark.catalog.clearCache()
         // localCheckpoint(true) blocks are not catalog-cached — free them
         // too, or the CC queries' pinned RDDs skew every later iteration.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         dt
       }
       println(f"PROFILE $name cold=${times(0)}%.2f warm=${times(1)}%.2f warm2=${times(2)}%.2f")

@@ -30,7 +30,7 @@ object Verify {
       // intermediates pressure the rest. localCheckpoint(true) blocks
       // (q57/q66/q81 CC fixpoints) are not catalog-cached — unpersist them.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
