@@ -66,6 +66,18 @@ object Dedup {
         x => x("m")).as("sig"))
   }
 
+  /** Banded LSH keys of a (doc_id, sig) signature table: one (doc_id,
+    * band_id, bk) row per band, bk = md5 over the band's signature slice.
+    * Shared by q34's candidate join and the streaming incremental dedup
+    * (s14), so batch and stream bucket identically by construction. */
+  private[graft] def bandKeys(sig: DataFrame): DataFrame =
+    sig
+      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(Bands - 1)),
+        k => struct(k.as("band_id"),
+          md5(array_join(transform(slice(col("sig"), k * RowsPerBand + 1, lit(RowsPerBand)),
+            x => x.cast("string")), ",").cast("binary")).as("bk")))).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bk").as("bk"))
+
   /** q34: MinHash signature + banded-LSH candidate pairs with estimated
     * Jaccard ≥ 0.5 (estimate = fraction of agreeing signature components;
     * exact rational n/64, so the double compare is engine-stable). q36 is
@@ -91,12 +103,7 @@ object Dedup {
 
     // Band keys from array slices — interpreted HOFs, but over docs×Bands
     // rows only (the signature table), never the shingle stream.
-    val bands = sig
-      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(Bands - 1)),
-        k => struct(k.as("band_id"),
-          md5(array_join(transform(slice(col("sig"), k * RowsPerBand + 1, lit(RowsPerBand)),
-            x => x.cast("string")), ",").cast("binary")).as("bk")))).as("b"))
-      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.bk").as("bk"))
+    val bands = bandKeys(sig)
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.bk") === col("y.bk") &&

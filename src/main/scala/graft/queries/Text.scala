@@ -33,9 +33,15 @@ object Text {
     * by every `element_at` call — O(tokens²) work per doc, measured as
     * 7.2 s of q36's 12 s at sf0.1. CollapseProject keeps the barrier
     * because `toks` is referenced more than once by a non-cheap expression. */
-  private[graft] def rawShingles(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def rawShingles(spark: SparkSession, sfDir: String): DataFrame =
+    shinglesOf(docs(spark, sfDir))
+
+  /** The same shingling on an arbitrary (doc_id, text, …) frame — shared
+    * with the streaming incremental dedup (s14), whose micro-batches are
+    * not table loads. */
+  private[graft] def shinglesOf(documents: DataFrame): DataFrame = {
     val toks = col("toks")
-    docs(spark, sfDir)
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(toks) >= 3)
       .select(col("doc_id"),

@@ -21,6 +21,43 @@ class StreamingSpec extends SparkSpec {
     s"""{"event_id":"$id","event_type":"$tpe","ts":"$ts"$extra}"""
   }
 
+  test("s14: incremental dedup admits novel docs, rejects near-dups within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val storeDir = tmpDir("inc-dedup-store") + "/store"
+    val acceptDir = tmpDir("inc-dedup-accept") + "/accept"
+    val rejectDir = tmpDir("inc-dedup-reject") + "/reject"
+    val ckptDir = tmpDir("inc-dedup-ckpt")
+    // >= 5 tokens so every doc has >= 3 trigram shingles
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textB = "completely different content about spark structured streaming dedup state"
+    val textC = "a third unrelated document mentioning parquet columnar storage layouts"
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.IncrementalDedup.start(
+      input.toDF().toDF("doc_id", "text"), storeDir, acceptDir, rejectDir, ckptDir)
+    try {
+      // batch 1: doc 1 = A, doc 2 = exact copy of A (same signature ->
+      // same buckets -> rejected by the smaller-id rule), doc 3 = B
+      input.addData((1L, textA), (2L, textA), (3L, textB))
+      query.processAllAvailable()
+      // batch 2: doc 4 = another copy of A (rejected AGAINST THE STORE —
+      // cross-batch memory), doc 5 = C (novel, admitted)
+      input.addData((4L, textA), (5L, textC))
+      query.processAllAvailable()
+      val accepted = spark.read.parquet(acceptDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val rejected = spark.read.parquet(rejectDir).select("doc_id", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(accepted == Set(1L, 3L, 5L), s"accepted $accepted")
+      assert(rejected == Set((2L, 0L), (4L, 1L)), s"rejected $rejected")
+      // the store holds exactly the accepted docs' band keys
+      val storeDocs = spark.read.parquet(storeDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(storeDocs == Set(1L, 3L, 5L), s"store $storeDocs")
+    } finally query.stop()
+  }
+
   // The runbook is asserted on BOTH s04 forms: keyed RocksDB state
   // (default) and the parquet-MERGE fallback — same events, same checks.
   test("runbook e2e (keyed state): purchase -> promise -> bill -> payment -> notify; duplicate replay is a no-op") {
