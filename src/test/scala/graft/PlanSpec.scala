@@ -70,6 +70,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "per-source sizes not broadcast")
   }
 
+  test("global: no query plans a CartesianProduct; nested loops only for single-row broadcasts") {
+    // The one plan shape that is ALWAYS wrong at scale is an unkeyed
+    // pairwise join: CartesianProduct anywhere is a bug. A
+    // BroadcastNestedLoopJoin is legitimate exactly when one side is a
+    // broadcast SINGLE-ROW aggregate (a query vector, a corpus total, a
+    // vocab size — O(n·1) by construction); those queries are allowlisted
+    // HERE so a new quadratic can't hide behind the existing ones.
+    val bnljOk = Set(
+      "q31_similarity_topk",  // broadcast query vector row
+      "q38_ann_lsh",          // broadcast query row (vector + buckets)
+      "q56_ivf_probe",        // broadcast query row vs probed cells
+      "q58_tfidf",            // broadcast single-row corpus size N
+      "q65_quantized_ann",    // broadcast quantized query row
+      "q72_token_sharding",   // broadcast single-row grand total
+      "q73_lm_perplexity",    // broadcast single-row vocab size V
+      "q74_pmi_collocations", // broadcast single-row bigram total
+      "q80_mixture_weights")  // broadcast single-row weight total
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = planString(SparkEntry.queries(name)(spark, sf001))
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljOk(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("q87: binned range join plans as an equi-join, never a nested loop") {
     val plan = planString(SparkEntry.queries("q87_time_range_join")(spark, sf001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
