@@ -24,6 +24,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("JL projection signs ARE the LSH bucket bits (q85 vs Ann.buckets)") {
+    import org.apache.spark.sql.functions.col
+    // the cross-pin behind q85's design claim: bucket bit j of table t is
+    // exactly sign(projection onto plane 4t+j) — computed here through
+    // BOTH code paths (q85's rounded values vs Ann.buckets' sign tests)
+    val proj = graft.queries.Vectors.q85(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("p")) -> r.getAs[Double]("value"))
+      .toMap
+    val buckets = graft.tables.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), graft.ops.Ann.buckets(col("embedding")).as("bs"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(buckets.nonEmpty)
+    // q85 covers planes 0..15 = tables 0..3 × bits 0..3
+    for ((vid, bs) <- buckets; t <- 0 until 4; j <- 0 until 4) {
+      val bit = (bs(t) >> j) & 1L
+      val v = proj((vid, (t * 4 + j).toLong))
+      // ROUND-4 cannot flip a sign test: a projection within 5e-5 of zero
+      // would be a measure-zero coincidence the corpus does not contain —
+      // asserted, not assumed:
+      assert(math.abs(v) > 1e-4, s"vec $vid plane ${t * 4 + j} too close to 0")
+      assert((v > 0) == (bit == 1L),
+        s"vec $vid table $t bit $j: bucket bit $bit vs projection $v")
+    }
+  }
+
+  test("cohort retention laws: offset-0 row is the full cohort; retention never exceeds 1 (q86)") {
+    val rows = graft.queries.Events.q86(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    for ((_, rs) <- byCohort) {
+      val zero = rs.filter(_.getAs[Long]("day_offset") == 0L)
+      assert(zero.length == 1, "every cohort has exactly one offset-0 row")
+      // on day 0 every member is active by definition of the cohort
+      assert(zero.head.getAs[Long]("n_active") == zero.head.getAs[Long]("cohort_n"))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_n"))
+        assert(r.getAs[Double]("retention") <= 1.0)
+      }
+    }
+  }
+
   test("containment laws: c >= jaccard on every pair, threshold holds, q36's pairs recalled (q84)") {
     import org.apache.spark.sql.functions.col
     val rows = graft.queries.Text.q84(spark, sf001).collect()

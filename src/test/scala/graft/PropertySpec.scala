@@ -133,6 +133,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CC degenerate shapes: empty, self-loop, duplicate/symmetric edges, cross-partition chain") {
+    import graft.queries.Dedup.connectedComponents
+    // empty edge list → empty labeling
+    assert(connectedComponents(Seq.empty[(Long, Long)].toDF("u", "v")).isEmpty)
+    // a self-loop-only node keeps its singleton component (the partition
+    // contraction must not swallow it)
+    val selfLoop = connectedComponents(Seq((7L, 7L)).toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfLoop == Map(7L -> 7L))
+    // duplicate and symmetric restatements of one edge collapse to one
+    // 2-node component
+    val dup = connectedComponents(Seq((1L, 2L), (2L, 1L), (1L, 2L)).toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == Map(1L -> 1L, 2L -> 1L))
+    // a 40-node chain spread one-edge-per-partition: partition-local
+    // contraction cannot shorten it, the min-label loop exhausts its
+    // 16-round cap, and the result must STILL be correct via the
+    // large-star/small-star fallback — the full escalation path.
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("u", "v").repartition(32)
+    val got = connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 40L).map(_ -> 1L).toMap)
+  }
+
   test("q51 law: split assignment is append-stable (a doc never moves when the corpus grows)") {
     // THE property hash-splitting buys over rand(): assignment is a pure
     // function of the doc key, so evaluating it over any subset yields the
