@@ -126,6 +126,7 @@ object SparkEntry {
     "q85_random_projection"   -> Vectors.q85 _,
     "q86_cohort_retention"    -> Events.q86 _,
     "q87_time_range_join"     -> Events.q87 _,
+    "q88_heavy_hitters"       -> Text.q88 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

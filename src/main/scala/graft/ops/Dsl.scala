@@ -120,6 +120,19 @@ object Dsl {
       GraftColumnBridge.expression(c), bits).toAggregateExpression())
   }
 
+  /** Misra-Gries frequent-items sketch aggregate (native
+    * TypedImperativeAggregate, graft.functions.FreqSketch): m counters
+    * per partial, mergeable by pointwise sum + (m+1)-th-largest
+    * subtraction; returns array<struct<token,est>> sorted (est DESC,
+    * token). Values are engine-specific (eviction history depends on
+    * partitioning) — queries built on this are no-oracle like q53/q68,
+    * with the N/(m+1) error bound pinned vs exact counts in LlmOpsSpec. */
+  def freqSketch(c: Column, m: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.FreqSketch(
+      GraftColumnBridge.expression(c), m).toAggregateExpression())
+  }
+
   /** HOF specification of [[dotInt]] — the interpreted form the native
     * expression is tested against (exact equality, ExpressionSpec). */
   def dotIntHof(a: Column, b: Column): Column =

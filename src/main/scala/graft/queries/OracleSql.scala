@@ -488,6 +488,17 @@ object OracleSql {
     // orientation and threshold are pure integer arithmetic.
     "q85_random_projection" -> jlSql,
 
+    // q88: on this corpus the 31-token alphabet fits the 256-counter
+    // Misra-Gries budget, so the sketch is exact and the oracle is q30's
+    // counts under the sketch's column names (the sub-budget regime is
+    // ScalaTest-law-pinned, not oracled — see FreqSketch).
+    "q88_heavy_hitters" ->
+      s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS est
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY est DESC, token
+        |LIMIT ${Text.HhK}""".stripMargin,
+
     // q87: the oracle states the SEMANTICS directly as the inequality
     // join (DuckDB's IEJoin handles it); the binning is engine-internal
     // and meeting-exactly-once, so results must agree. Exact integer

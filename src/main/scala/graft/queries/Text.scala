@@ -635,6 +635,35 @@ object Text {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** q88 counter budget / output size. */
+  val HhCounters = 256
+  val HhK = 20
+
+  /** q88: heavy hitters via the native Misra-Gries sketch
+    * (graft.functions.FreqSketch) — the SKETCH form of q30's exact top
+    * tokens, exactly as q53 is of q10 and q68 of q45: m counters per
+    * partition partial, mergeable summaries (pointwise sum +
+    * (m+1)-th-largest subtraction), est within N/(m+1) of truth and
+    * every item above that threshold guaranteed present. At 100 TB the
+    * exact form shuffles the full token stream; this ships m counters
+    * per partition up a narrow merge tree — constant state.
+    *
+    * THIS corpus's alphabet (31 tokens) fits the 256-counter budget, so
+    * no eviction ever fires, the sketch is EXACT regardless of
+    * partitioning, and the query carries a real DuckDB oracle (the q30
+    * counts under sketch column names). The sub-budget regime — where
+    * values go engine-specific — is law-pinned instead: ExpressionSpec
+    * drives small-m streams through exactness/bound/presence checks. */
+  def q88(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Dsl.freqSketch
+    tokens(spark, sfDir)
+      .agg(freqSketch(col("token"), HhCounters).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token").as("token"), col("e.est").as("est"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(HhK)
+  }
+
   /** q84 containment threshold as an exact rational (4/5 = 0.8): every
     * threshold compare and prefix length is integer arithmetic — ceil of
     * ns·0.8 computed on DOUBLES is wrong (5 × the double 0.8 is

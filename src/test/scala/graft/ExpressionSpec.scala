@@ -216,4 +216,39 @@ class ExpressionSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(sim == 5L)
   }
+
+  test("freq_sketch: exact when the alphabet fits; Misra-Gries bounds when it does not (q88 kernel)") {
+    import graft.ops.Dsl.freqSketch
+    import org.apache.spark.sql.functions.{col, explode}
+
+    def sketch(items: Seq[String], m: Int, parts: Int): Map[String, Long] =
+      items.toDF("token").repartition(parts)
+        .agg(freqSketch(col("token"), m).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.token"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // exact regime: alphabet (3) <= m (8) → counts are exact regardless
+    // of partitioning, because no eviction can ever fire
+    val stream = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(3)("c")
+    val exact = Map("a" -> 40L, "b" -> 25L, "c" -> 3L)
+    for (parts <- Seq(1, 7)) assert(sketch(stream, m = 8, parts) == exact)
+
+    // sub-budget regime: m = 2 on a 5-symbol stream of N = 100.
+    // Guarantees: est <= true <= est + N/(m+1), and every item with
+    // true > N/(m+1) is present — for N/(m+1) = 33, that's "a" (40).
+    val skew = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(15)("c") ++
+      Seq.fill(12)("d") ++ Seq.fill(8)("e")
+    val truth = Map("a" -> 40L, "b" -> 25L, "c" -> 15L, "d" -> 12L, "e" -> 8L)
+    val bound = skew.length / (2 + 1)
+    for (parts <- Seq(1, 5)) {
+      val got = sketch(skew, m = 2, parts)
+      assert(got.size <= 2, s"more than m survivors: $got")
+      assert(got.contains("a"), s"guaranteed heavy hitter missing: $got")
+      got.foreach { case (t, est) =>
+        assert(est <= truth(t), s"$t overestimated: $est > ${truth(t)}")
+        assert(truth(t) <= est + bound, s"$t error above N/(m+1): $got")
+      }
+    }
+  }
 }

@@ -100,6 +100,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q85_random_projection" -> 8000L,
     "q86_cohort_retention" -> 30L,
     "q87_time_range_join" -> 202L,
+    "q88_heavy_hitters" -> 20L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
