@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductFold, DotProductInt, MinHashSig, SimHashSig}
+import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductFold, DotProductInt, FreqSketch, MinHashSig, SimHashSig}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions`: registers the native
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.chunkGen)
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.simhashSig)
+    ext.injectFunction(GraftExtensions.freqSketch)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
@@ -92,6 +93,18 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Expression
     })
 
+  /** freq_sketch(token) — the Misra-Gries frequent-items
+    * TypedImperativeAggregate at the engine's counter budget
+    * (graft.queries.Text.HhCounters). */
+  private val freqSketch = (
+    FunctionIdentifier("freq_sketch"),
+    new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "freq_sketch takes exactly 1 argument")
+      FreqSketch(children.head, graft.queries.Text.HhCounters):
+        org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
   /** Imperative registration into an already-built session (the config
     * route only applies to sessions created with
     * `spark.sql.extensions=graft.GraftExtensions`). Also installs the
@@ -110,6 +123,8 @@ object GraftExtensions {
       minhashSig._1, minhashSig._2, minhashSig._3)
     spark.sessionState.functionRegistry.registerFunction(
       simhashSig._1, simhashSig._2, simhashSig._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      freqSketch._1, freqSketch._2, freqSketch._3)
     graft.ops.AsOf.install(spark)
   }
 }

@@ -215,6 +215,12 @@ class ExpressionSpec extends SparkSpec {
       "SELECT simhash_sig(hm) AS h FROM VALUES (5L), (5L), (6L) AS t(hm)")
       .collect()(0).getLong(0)
     assert(sim == 5L)
+    // and the frequent-items sibling (exact regime: 2 symbols << budget)
+    val fs = spark.sql(
+      "SELECT freq_sketch(t) AS sk FROM VALUES ('a'), ('a'), ('b') AS v(t)")
+      .selectExpr("inline(sk)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fs == Map("a" -> 2L, "b" -> 1L))
   }
 
   test("freq_sketch: exact when the alphabet fits; Misra-Gries bounds when it does not (q88 kernel)") {
