@@ -127,6 +127,7 @@ object SparkEntry {
     "q86_cohort_retention"    -> Events.q86 _,
     "q87_time_range_join"     -> Events.q87 _,
     "q88_heavy_hitters"       -> Text.q88 _,
+    "q89_zipf_fit"            -> Text.q89 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

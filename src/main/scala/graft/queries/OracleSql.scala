@@ -488,6 +488,27 @@ object OracleSql {
     // orientation and threshold are pure integer arithmetic.
     "q85_random_projection" -> jlSql,
 
+    // q89: x/y ROUND-6'd per row, each regression sum folded in rank
+    // order, slope/intercept from identical operands before ROUND-4.
+    "q89_zipf_fit" ->
+      s"""WITH c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |           GROUP BY token ORDER BY n DESC, token LIMIT ${Text.ZipfTopN}),
+        |r AS (SELECT ROUND(ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)), 6) AS x,
+        |             ROUND(ln(CAST(n AS DOUBLE)), 6) AS y,
+        |             row_number() OVER (ORDER BY n DESC, token) AS rk
+        |      FROM c),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+        |        list_reduce(list_prepend(0.0, array_agg(x ORDER BY rk)), (p, q) -> p + q) AS sx,
+        |        list_reduce(list_prepend(0.0, array_agg(y ORDER BY rk)), (p, q) -> p + q) AS sy,
+        |        list_reduce(list_prepend(0.0, array_agg(ROUND(x * y, 6) ORDER BY rk)), (p, q) -> p + q) AS sxy,
+        |        list_reduce(list_prepend(0.0, array_agg(ROUND(x * x, 6) ORDER BY rk)), (p, q) -> p + q) AS sxx
+        |      FROM r)
+        |SELECT n_ranks,
+        |  ROUND((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 4) AS zipf_slope,
+        |  ROUND((sy - ((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)) * sx) / n_ranks, 4) AS zipf_intercept
+        |FROM s""".stripMargin,
+
     // q88: on this corpus the 31-token alphabet fits the 256-counter
     // Misra-Gries budget, so the sketch is exact and the oracle is q30's
     // counts under the sketch's column names (the sub-budget regime is

@@ -664,6 +664,56 @@ object Text {
       .limit(HhK)
   }
 
+  /** q89 rank cutoff: the fit runs over the top-N tokens by frequency —
+    * a CONSTANT, so the ranking window after the top-N limit runs on a
+    * bounded frame no matter how large the vocabulary grows. */
+  val ZipfTopN = 100
+
+  /** q89: Zipf-law fit — the corpus-naturalness audit: least-squares
+    * slope/intercept of ln(freq) against ln(rank) over the top-N tokens.
+    * Natural language sits near slope −1; template spam, generated
+    * boilerplate, and over-deduplicated corpora bend away from it. The
+    * corpus-level sibling of the per-doc filters (q40/q78/q82).
+    *
+    * Scale posture: exact counts are one token-stream shuffle (map-side
+    * combined); the global top-N is orderBy+limit (TakeOrdered — per-
+    * partition heaps + driver merge, no full sort) and every later step
+    * (rank window, fold, fit) runs on the CONSTANT-N frame.
+    *
+    * Determinism (the q73 posture, taken to a closed form): x = ROUND-6
+    * ln(rank) and y = ROUND-6 ln(freq) are bit-identical per row on both
+    * engines; the four regression sums (Σx, Σy, Σxy, Σx²) each fold in
+    * rank order over the collected array; the slope/intercept arithmetic
+    * is then identical-operand float math feeding ROUND-4. */
+  def q89(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = tokens(spark, sfDir)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(ZipfTopN)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))))
+      .select(col("rk"),
+        round(log(col("rk").cast("double")), 6).as("x"),
+        round(log(col("n").cast("double")), 6).as("y"))
+    def fold(field: String, value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("rk"), value.as(field)))),
+          s => s.getField(field)),
+        lit(0.0), (acc, v) => acc + v)
+    top
+      .agg(
+        count(lit(1)).as("n_ranks"),
+        fold("x", col("x")).as("sx"),
+        fold("y", col("y")).as("sy"),
+        fold("xy", round(col("x") * col("y"), 6)).as("sxy"),
+        fold("xx", round(col("x") * col("x"), 6)).as("sxx"))
+      .select(col("n_ranks"),
+        round((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_ranks") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+        round((col("sy") - ((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_ranks") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n_ranks"), 4).as("zipf_intercept"))
+  }
+
   /** q84 containment threshold as an exact rational (4/5 = 0.8): every
     * threshold compare and prefix length is integer arithmetic — ceil of
     * ns·0.8 computed on DOUBLES is wrong (5 × the double 0.8 is

@@ -101,6 +101,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q86_cohort_retention" -> 30L,
     "q87_time_range_join" -> 202L,
     "q88_heavy_hitters" -> 20L,
+    "q89_zipf_fit" -> 1L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
