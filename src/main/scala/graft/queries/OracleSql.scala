@@ -483,9 +483,12 @@ object OracleSql {
         |ORDER BY doc_id""".stripMargin,
 
     // q84: exact containment over all shared-shingle pairs — the oracle
-    // enumerates pairs directly (no prefix mirror: candidate pruning is
-    // engine-internal and completeness-preserving, so results must agree);
-    // orientation and threshold are pure integer arithmetic.
+    // enumerates pairs directly (no prefix mirror: prefix pruning is
+    // engine-internal and completeness-preserving, so results must agree)
+    // but DOES mirror the one semantic filter, the hot-shingle df cap:
+    // the engine provably finds exactly the qualifying pairs sharing ≥ 1
+    // in-band shingle (Text.containmentPairs scaladoc), stated here as
+    // n_lowdf >= 1. Orientation and threshold are pure integer arithmetic.
     "q85_random_projection" -> jlSql,
 
     // q89: x/y ROUND-6'd per row, each regression sum folded in rank
@@ -558,16 +561,20 @@ object OracleSql {
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
         |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)]))) AS shingle
         |       FROM sp),
+        |dfc AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM sh GROUP BY doc_id),
-        |i AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |i AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS n_inter,
+        |        CAST(SUM(CASE WHEN dfc.df <= ${Text.ContainmentMaxDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_lowdf
         |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      JOIN dfc ON dfc.shingle = a.shingle
         |      GROUP BY a.doc_id, b.doc_id),
         |o AS (SELECT
         |        CASE WHEN na.ns < nb.ns OR (na.ns = nb.ns AND da < db) THEN da ELSE db END AS doc_s,
         |        CASE WHEN na.ns < nb.ns OR (na.ns = nb.ns AND da < db) THEN db ELSE da END AS doc_l,
         |        LEAST(na.ns, nb.ns) AS n_s, GREATEST(na.ns, nb.ns) AS n_l, i.n_inter
         |      FROM i JOIN n na ON na.doc_id = i.da JOIN n nb ON nb.doc_id = i.db
-        |      WHERE i.n_inter * ${Text.ContainmentDen} >= LEAST(na.ns, nb.ns) * ${Text.ContainmentNum})
+        |      WHERE i.n_inter * ${Text.ContainmentDen} >= LEAST(na.ns, nb.ns) * ${Text.ContainmentNum}
+        |        AND i.n_lowdf >= 1)
         |SELECT doc_s, doc_l, n_s, n_l, n_inter,
         |  ${ratio4Sql("n_inter", "n_s")} AS containment,
         |  ${ratio4Sql("n_inter", "(n_s + n_l - n_inter)")} AS jaccard

@@ -722,52 +722,67 @@ object Text {
   val ContainmentNum = 4
   val ContainmentDen = 5
 
+  /** q84 hot-shingle document-frequency cap: shingles held by more than
+    * this many documents are excluded from CANDIDATE GENERATION (both the
+    * probe prefix and the index) — they are corpus boilerplate and carry
+    * no discrimination signal, and indexing them is the operator's one
+    * scale hazard (a shingle with df = 10⁷ fans every probe that touches
+    * it out 10⁷ rows). The cap bounds per-shingle join fan-out at
+    * ContainmentMaxDf while keeping the pigeonhole argument exact — see
+    * [[containmentPairs]]. 256 is far above any df the synthetic corpora
+    * produce (max 25 at sf0.1), so the cap is vacuous at oracle scale and
+    * active only against real boilerplate; a production deployment would
+    * tune it (e.g. max(256, 1e-5·ndocs)). */
+  val ContainmentMaxDf = 256L
+
   /** q84: containment near-duplicates — the ASYMMETRIC member of the dedup
     * family: C(A→B) = |A∩B| / |A| with A the smaller shingle set. A quote,
     * excerpt, or wire story embedded in a longer document scores high
     * containment while its Jaccard dilutes toward |A|/|B| — exactly the
     * pairs q36's symmetric threshold misses. Output: (doc_small,
-    * doc_large) pairs at containment ≥ 4/5, with both set sizes, the
-    * intersection, and both metrics (ratio4).
+    * doc_large) pairs at containment ≥ 4/5 that share at least one
+    * non-boilerplate (df ≤ [[ContainmentMaxDf]]) shingle, with both set
+    * sizes, the full intersection, and both metrics (ratio4). */
+  def q84(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairs(docs(spark, sfDir), ContainmentMaxDf)
+
+  /** q84 core, parameterized on the df cap so PropertySpec can compare
+    * capped vs uncapped (maxDf = Long.MaxValue) output on planted
+    * boilerplate.
     *
     * Candidates are PPJoin-asymmetric: the CONTAINMENT prefix of each doc
-    * (ns − ⌈t·ns⌉ + 1 rarest shingles, integer ceil) probes the FULL
-    * df ≥ 2 shingle index — prefix-on-both-sides would lose completeness
-    * (the matching shingle can sit anywhere in the larger doc), and the
-    * pigeonhole argument needs the probe side to be the smaller set, so
-    * wrong-orientation candidates are dropped after the size join (their
-    * mirror candidate always exists). Scale hazard is the index side's
-    * hot shingles (volume ≈ Σ df·prefix-occurrences — larger than q36's
-    * prefix×prefix but linear in df, never df²); a production corpus caps
-    * df or shards the hot tail, documented rather than hidden here.
-    * Verification reuses the cached per-doc arrays: one array_intersect
-    * per surviving candidate, and the threshold filter is the exact
-    * integer 5·|A∩B| ≥ 4·|A|. */
-  def q84(spark: SparkSession, sfDir: String): DataFrame = {
+    * (ns − ⌈t·ns⌉ + 1 rarest IN-BAND shingles, integer ceil; in-band =
+    * 2 ≤ df ≤ maxDf) probes the full in-band shingle index —
+    * prefix-on-both-sides would lose completeness (the matching shingle
+    * can sit anywhere in the larger doc), and the pigeonhole argument
+    * needs the probe side to be the smaller set, so wrong-orientation
+    * candidates are dropped after the size join (their mirror candidate
+    * always exists).
+    *
+    * Why the cap keeps the pigeonhole exact: let A' = A's in-band
+    * shingles and h = |A \ A'| the out-of-band count. If
+    * |A∩B| ≥ ⌈t·ns⌉ then |A'∩B| ≥ ⌈t·ns⌉ − h (each dropped shingle
+    * removes at most one intersection member), while
+    * |A' \ (A'∩B)| ≤ (ns−h) − (⌈t·ns⌉−h) = ns − ⌈t·ns⌉ — so ANY
+    * kc = ns − ⌈t·ns⌉ + 1 elements of A' (the same kc as uncapped; the
+    * out-of-band shingles subtract equally from the set size and the
+    * intersection bound) must hit A'∩B whenever it is non-empty. Hence
+    * the engine finds EXACTLY the qualifying pairs sharing ≥ 1 in-band
+    * shingle — the predicate the oracle mirrors as n_lowdf ≥ 1 — and the
+    * filter-then-slice order below (in-band filter BEFORE the kc slice)
+    * is what makes the prefix "kc rarest of A'" rather than "in-band
+    * survivors of A's first kc", which would not be complete.
+    *
+    * Index volume is now ≤ maxDf rows per distinct shingle (the df = 10⁷
+    * boilerplate row set drops out entirely), so candidate join fan-out
+    * per probe shingle is bounded by the constant cap. Verification
+    * reuses the cached per-doc arrays: one array_intersect over the FULL
+    * sets per surviving candidate (n_inter counts boilerplate too — only
+    * candidate generation is capped), and the threshold filter is the
+    * exact integer 5·|A∩B| ≥ 4·|A|. */
+  private[graft] def containmentPairs(documents: DataFrame, maxDf: Long): DataFrame = {
     import graft.ops.Dsl.ratio4
-    val sh = rawShingles(spark, sfDir)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
-      .distinct()
-      .cache()
-    val dfShared = sh.groupBy(col("hm")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-    val perDoc = docShingleArrays(sh, dfShared).cache()
-    // integer ceil(t·ns) = (num·ns + den − 1) div den
-    val kc = (col("ns") - expr(
-      s"(ns * $ContainmentNum + $ContainmentDen - 1) div $ContainmentDen") + 1).cast("int")
-    val probe = perDoc
-      .select(col("doc_id"), col("ns"),
-        explode(filter(slice(col("arr"), lit(1), kc),
-          e => e.getField("df") >= 2)).as("e"))
-      .select(col("doc_id").as("doc_s"), col("e").getField("hm").as("hm"))
-    val index = perDoc
-      .select(col("doc_id").as("doc_l"),
-        explode(filter(col("arr"), e => e.getField("df") >= 2)).as("e"))
-      .select(col("doc_l"), col("e").getField("hm").as("hm"))
-    val cand = probe.join(index, Seq("hm"))
-      .filter(col("doc_s") =!= col("doc_l"))
-      .select(col("doc_s"), col("doc_l"))
-      .distinct()
+    val (perDoc, cand) = containmentCandidates(documents, maxDf)
     val sets = perDoc.select(col("doc_id"),
       transform(col("arr"), e => e.getField("hm")).as("set"), col("ns"))
     cand
@@ -781,5 +796,43 @@ object Text {
         ratio4(col("n_inter"), col("n_s")).as("containment"),
         ratio4(col("n_inter"), col("n_s") + col("n_l") - col("n_inter")).as("jaccard"))
       .orderBy(col("doc_s"), col("doc_l"))
+  }
+
+  /** q84's candidate stage, exposed separately so the planted-boilerplate
+    * spec can pin JOIN VOLUME (not just output): with the cap active, a
+    * df = 50 hot shingle contributes zero index rows and zero candidates,
+    * where uncapped it contributes 50·49 ordered candidate pairs. Returns
+    * (perDoc arrays, distinct (doc_s, doc_l) candidates); both sides of
+    * the candidate join explode only IN-BAND (2 ≤ df ≤ maxDf) shingles,
+    * and the probe prefix is the kc rarest in-band shingles
+    * (filter-then-slice — see [[containmentPairs]] for why that order is
+    * what keeps the pigeonhole complete). */
+  private[graft] def containmentCandidates(
+      documents: DataFrame, maxDf: Long): (DataFrame, DataFrame) = {
+    val sh = shinglesOf(documents)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
+      .distinct()
+      .cache()
+    val dfShared = sh.groupBy(col("hm")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val perDoc = docShingleArrays(sh, dfShared).cache()
+    // integer ceil(t·ns) = (num·ns + den − 1) div den
+    val kc = (col("ns") - expr(
+      s"(ns * $ContainmentNum + $ContainmentDen - 1) div $ContainmentDen") + 1).cast("int")
+    def inBand(e: org.apache.spark.sql.Column) =
+      e.getField("df") >= 2 && e.getField("df") <= maxDf
+    val probe = perDoc
+      .select(col("doc_id"), col("ns"),
+        explode(slice(filter(col("arr"), e => inBand(e)), lit(1), kc)).as("e"))
+      .select(col("doc_id").as("doc_s"), col("e").getField("hm").as("hm"))
+    val index = perDoc
+      .select(col("doc_id").as("doc_l"),
+        explode(filter(col("arr"), e => inBand(e))).as("e"))
+      .select(col("doc_l"), col("e").getField("hm").as("hm"))
+    val cand = probe.join(index, Seq("hm"))
+      .filter(col("doc_s") =!= col("doc_l"))
+      .select(col("doc_s"), col("doc_l"))
+      .distinct()
+    (perDoc, cand)
   }
 }

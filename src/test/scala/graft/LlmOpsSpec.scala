@@ -94,6 +94,39 @@ class LlmOpsSpec extends SparkSpec {
       s"q84 pairs at J>=0.5 missing from q36: ${q84atJ -- q36pairs}")
   }
 
+  test("q84 df cap: planted boilerplate is dropped from candidate generation; in-band pairs survive") {
+    // 50 docs that share ONLY a 12-token boilerplate phrase (10 pure-bp
+    // shingles, df = 50) plus 2 unique tokens each: every pair qualifies
+    // at containment 10/12 >= 4/5, but the only shared evidence is
+    // boilerplate. Plus one true near-dup pair (900 ⊂ 901) on unique
+    // df = 2 content — the in-band pair the cap must never lose.
+    val bp = (0 until 12).map(i => s"bp$i")
+    val hot = (0 until 50).map(i => (i.toLong, (Seq(s"u${i}a", s"u${i}b") ++ bp).mkString(" ")))
+    val core = (0 until 12).map(i => s"c$i")
+    val planted = Seq(
+      (900L, core.mkString(" ")),
+      (901L, (core ++ Seq("z1", "z2", "z3")).mkString(" ")))
+    val docsDF = (hot ++ planted).toDF("doc_id", "text")
+    val cap = 4L
+
+    // JOIN VOLUME: uncapped, the df=50 shingles alone fan out into all
+    // 50·49 ordered hot-pair candidates; capped, they contribute ZERO
+    // index rows — only the in-band planted pair's candidates remain.
+    val (_, candUnc) = graft.queries.Text.containmentCandidates(docsDF, Long.MaxValue)
+    assert(candUnc.count() >= 50L * 49)
+    val (_, candCapped) = graft.queries.Text.containmentCandidates(docsDF, cap)
+    val cc = candCapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cc == Set((900L, 901L), (901L, 900L)), s"capped candidates: $cc")
+
+    // OUTPUT: capped keeps exactly the in-band pair; uncapped reports all
+    // 1225 boilerplate-only pairs plus it.
+    val outCapped = graft.queries.Text.containmentPairs(docsDF, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(outCapped == Set((900L, 901L)), s"capped output: $outCapped")
+    assert(graft.queries.Text.containmentPairs(docsDF, Long.MaxValue).count() == 50L * 49 / 2 + 1)
+    spark.catalog.clearCache() // containmentPairs caches per the SparkEntry contract
+  }
+
   test("simhash: token-shuffled duplicates collide at hamming 0 (q35 vs q42 ground truth)") {
     // q42 groups docs whose sorted distinct token sets match; multiset
     // shuffles are a subset of those — each such pair must appear in q35

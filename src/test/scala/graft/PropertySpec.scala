@@ -157,6 +157,59 @@ class PropertySpec extends SparkSpec {
     assert(got == (1L to 40L).map(_ -> 1L).toMap)
   }
 
+  test("q84 law: df-capped output == qualifying pairs sharing >= 1 in-band shingle") {
+    // The cap's exactness claim (Text.containmentPairs scaladoc): capped
+    // candidate generation finds EXACTLY the containment >= 4/5 pairs
+    // that share at least one shingle with 2 <= df <= cap. Checked on
+    // random corpora with planted embeddings (true containment pairs) and
+    // a planted boilerplate phrase (hot shingles), against the predicate
+    // recomputed driver-side from raw shingle sets. Corollary asserted in
+    // the VERDICT's phrasing: a pair whose smaller doc holds NO
+    // over-the-cap shingle is never lost.
+    val cap = 4L
+    val bp = (0 until 12).map(i => s"bp$i")
+    val docGen = for {
+      n <- Gen.choose(6, 14)
+      toks <- Gen.listOfN(n, Gen.choose(0, 60).map(i => s"t$i"))
+      hasBp <- Gen.prob(0.4)
+    } yield (toks, hasBp)
+    for (seed <- 1 to Samples) {
+      val bases = draw(Gen.listOfN(14, docGen), seed)
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      bases.zipWithIndex.foreach { case ((toks, hasBp), i) =>
+        docs += ((i.toLong, (if (hasBp) toks ++ bp else toks).mkString(" ")))
+        if (i % 2 == 0) // a superset doc embedding the base → containment pair
+          docs += ((100L + i,
+            (toks ++ List(s"x${i}a", s"x${i}b", s"x${i}c") ++ (if (hasBp) bp else Nil)).mkString(" ")))
+      }
+      val docsDF = docs.toSeq.toDF("doc_id", "text")
+
+      def shingles(text: String): Set[String] = {
+        val t = text.split(" ")
+        if (t.length < 3) Set.empty else t.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, tx) => id -> shingles(tx) }.toMap
+      val dfOf = docs.toSeq.flatMap { case (_, tx) => shingles(tx) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def sharesInBand(a: Long, b: Long): Boolean =
+        (sets(a) intersect sets(b)).exists(s => dfOf(s) <= cap)
+
+      def run(maxDf: Long): Set[(Long, Long, Long, Long, Long)] =
+        graft.queries.Text.containmentPairs(docsDF, maxDf).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val capped = run(cap)
+      val uncapped = run(Long.MaxValue)
+
+      assert(capped.subsetOf(uncapped), s"seed=$seed: capping added pairs")
+      assert(capped == uncapped.filter(t => sharesInBand(t._1, t._2)),
+        s"seed=$seed: capped output != in-band-sharing subset")
+      val smallAllInBand = uncapped.filter(t => sets(t._1).forall(s => dfOf(s) <= cap))
+      assert(smallAllInBand.subsetOf(capped),
+        s"seed=$seed: lost a pair whose smaller set is under the cap")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q51 law: split assignment is append-stable (a doc never moves when the corpus grows)") {
     // THE property hash-splitting buys over rand(): assignment is a pure
     // function of the doc key, so evaluating it over any subset yields the
