@@ -128,6 +128,7 @@ object SparkEntry {
     "q87_time_range_join"     -> Events.q87 _,
     "q88_heavy_hitters"       -> Text.q88 _,
     "q89_zipf_fit"            -> Text.q89 _,
+    "q90_ivf_knn"             -> Vectors.q90 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -132,11 +132,44 @@ object OracleSql {
        |LIMIT 10""".stripMargin
   }
 
+  /** q90 oracle: the trained chain + final assignment (the q56 mirror),
+    * then EVERY vector's NProbe nearest cells (row_number per vec_id with
+    * the one (csim DESC, cell) tie-break), the cell-join probe scan, and
+    * the per-src top-KnnK rank on the ROUND-4 cosine — the q77 ranking
+    * discipline pointed at IVF candidates. Cosines in the ranking fold
+    * sequentially (list_reduce) like the assignment sims, so the ROUND-4
+    * operand is bit-identical to Spark's aggregate() fold. */
+  private val ivfKnnSql = {
+    val R = Vectors.LloydRounds
+    val probe = R + 1
+    s"""${lloydChain(R)},
+       |${lloydAssign(probe)},
+       |probes AS (SELECT vec_id AS src, embedding AS emb_a, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM sims$probe) WHERE rn <= ${Vectors.NProbe}),
+       |cand AS (SELECT p.src, a.vec_id AS dst,
+       |    ROUND(
+       |      list_reduce(list_transform(range(1, CAST(len(p.emb_a) AS INTEGER) + 1),
+       |        j -> CAST(p.emb_a[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(p.emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))), 4) AS sim
+       |  FROM probes p JOIN a$probe a USING (cell)
+       |  WHERE a.vec_id <> p.src),
+       |r AS (SELECT src, dst, sim,
+       |        CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
+       |      FROM cand)
+       |SELECT src, rk, dst, sim
+       |FROM r WHERE rk <= ${Vectors.KnnK}
+       |ORDER BY src, rk""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q54_doc_chunking"  -> chunkSql,
     "q55_ivf_centroids" -> centroidSql,
     "q56_ivf_probe"     -> ivfProbeSql,
+    "q90_ivf_knn"       -> ivfKnnSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,

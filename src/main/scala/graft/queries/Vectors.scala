@@ -406,4 +406,59 @@ object Vectors {
       .select(col("src"), col("rk"), col("dst"), col("sim"))
       .orderBy(col("src"), col("rk"))
   }
+
+  /** q90: batch IVF probe — the ALL-queries form of the IVF family
+    * (q56 answers one query vector; this gives every vector its k nearest
+    * neighbors through the trained coarse quantizer, the IVF counterpart
+    * of q77's LSH k-NN graph). Every vector probes its NProbe nearest
+    * trained cells and ranks the cells' members by exact ROUND-4 cosine
+    * (ties by dst), keeping its top KnnK; output is the directed neighbor
+    * list (src, rk, dst, sim) — the same shape as q77 so the two ANN
+    * families are interchangeable downstream.
+    *
+    * Scale posture: training and assignment are the q55/q56 machinery
+    * (broadcast codebook, map-side similarity, one row_number shuffle);
+    * the probe is ONE equi-join on cell — per-source candidate volume is
+    * Σ|probed cells|, so total join volume is N·NProbe·(N/ncells) rows,
+    * the classic IVF regime where ncells grows as √N at corpus scale (the
+    * synthetic corpus seeds cells from `label`; a 100 TB deployment
+    * trains √N cells, making the probe sub-quadratic). Top-k runs
+    * PARTITIONED by src where the candidates live — no global sort. The
+    * cell key is low-cardinality by construction, so the probe join is
+    * exactly the planted-skew shape AQE's skew-join splitting handles
+    * (pinned in PlanSpec); nothing in the operator relies on the cells
+    * being balanced. */
+  def q90(spark: SparkSession, sfDir: String): DataFrame =
+    ivfKnn(spark, sfDir, NProbe)
+
+  /** q90 core, parameterized on the probe width so LlmOpsSpec can pin the
+    * limit identity: at nprobe = ncells the probe scans every cell, so
+    * the output must EQUAL the brute-force exact k-NN row for row — the
+    * law that validates the whole train/assign/probe machinery
+    * independent of how clusterable the corpus happens to be (recall at
+    * the production NProbe is corpus geometry, pinned separately). */
+  private[graft] def ivfKnn(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cells = codebook(trainedComponents(emb))
+    val sims = cellSims(emb, cells).cache()
+    val assigned = argmaxCell(sims)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val probes = sims
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("src"), col("embedding").as("emb_a"), col("cell"))
+    val members = assigned
+      .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    probes.join(members, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round4(cosine(col("emb_a"), col("emb_b"))).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select(col("src"), col("rk"), col("dst"), col("sim"))
+      .orderBy(col("src"), col("rk"))
+  }
 }

@@ -94,6 +94,64 @@ class LlmOpsSpec extends SparkSpec {
       s"q84 pairs at J>=0.5 missing from q36: ${q84atJ -- q36pairs}")
   }
 
+  test("q90 batch IVF probe: exact sims, dense ranks, recall vs brute-force ground truth (and q77)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Dsl.{cosine, round4}
+    val e = graft.tables.Tables.embeddings(spark, sf001)
+    // exact k-NN ground truth: brute-force all-pairs (500² rows — test-only)
+    val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst")
+    val exactDf = e.select($"vec_id".as("src"), $"embedding".as("emb_a"))
+      .crossJoin(e.select($"vec_id".as("dst"), $"embedding".as("emb_b")))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst", round4(cosine($"emb_a", $"emb_b")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= graft.queries.Vectors.KnnK)
+      .select($"src", $"rk", $"dst", $"sim")
+    val exact = exactDf
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+
+    def neighborSets(dfr: org.apache.spark.sql.DataFrame): Map[Long, Array[org.apache.spark.sql.Row]] =
+      dfr.collect().groupBy(_.getLong(0))
+    val q90 = neighborSets(graft.queries.Vectors.q90(spark, sf001))
+    // structural laws: dense ranks from 1, sims non-increasing, k-bounded
+    for ((src, rows) <- q90) {
+      val byRk = rows.sortBy(_.getInt(1))
+      assert(byRk.map(_.getInt(1)).toSeq == (1 to rows.length),
+        s"src $src: ranks not dense")
+      assert(rows.length <= graft.queries.Vectors.KnnK)
+      val sims = byRk.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"src $src: sims not sorted")
+    }
+    def recall(got: Map[Long, Array[org.apache.spark.sql.Row]]): Double = {
+      val per = exact.map { case (src, truth) =>
+        val found = got.get(src).map(_.map(_.getLong(2)).toSet).getOrElse(Set.empty)
+        (truth intersect found).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+    val r90 = recall(q90)
+    val r77 = recall(neighborSets(graft.queries.Vectors.q77(spark, sf001)))
+    info(f"q90 recall=$r90%.3f q77 recall=$r77%.3f")
+    // NProbe=3 of 10 trained cells: measured 0.588 on this corpus (the
+    // synthetic embeddings are near-uniform, so true neighbors scatter
+    // across cells — q77's 8-table LSH measures 0.704). The pin is the
+    // floor that detects machinery regressions, ~2× random cell coverage
+    // (3/10); geometry-dependent recall is NOT the operator's claim — the
+    // limit identity below is.
+    assert(r90 >= 0.5, f"q90 recall $r90%.3f below pin")
+
+    // LIMIT IDENTITY: probing every cell == brute-force exact k-NN, row
+    // for row (same ROUND-4 sims, same tie-breaks). This is the law that
+    // validates train/assign/probe end to end.
+    val ncells = e.select($"label").distinct().count().toInt
+    val full = graft.queries.Vectors.ivfKnn(spark, sf001, ncells).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exactRows = exactDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == exactRows, "nprobe=ncells probe != brute-force exact k-NN")
+    spark.catalog.clearCache()
+  }
+
   test("q84 df cap: planted boilerplate is dropped from candidate generation; in-band pairs survive") {
     // 50 docs that share ONLY a 12-token boilerplate phrase (10 pure-bp
     // shingles, df = 50) plus 2 unique tokens each: every pair qualifies
