@@ -38,24 +38,52 @@ import graft.queries.{Dedup, Text}
   * grouped signature aggregate, map-side combined) plus ONE left-semi
   * join of docs×Bands keys against the store — the store is read
   * filtered to the batch's band keys by the join, never collected, and
-  * grows by exactly the survivors' keys. The store is a plain
-  * partitioned parquet append: no compaction logic here, because the
-  * per-batch append is docs×Bands rows (tiny), and a real deployment
-  * periodically rewrites it with `graft.sources.Layout`'s compaction.
+  * grows by exactly the survivors' keys.
+  *
+  * REPLAY SAFETY (what makes "transaction" an earned word): foreachBatch
+  * is at-least-once — a batch can re-run after any partial failure. The
+  * admission decision is a pure function of (batch contents, store
+  * partitions with batch_id < this batch), because (1) every sink is
+  * PARTITIONED BY batch_id and written with dynamic-partition-overwrite,
+  * so a re-run REPLACES its own partition instead of appending next to
+  * the first attempt's rows, and (2) the store read filters
+  * batch_id < batchId, so a re-run never left-semi-joins the batch
+  * against its OWN just-stored band keys (which would flip its accepts
+  * to rejects). Partitions below the current batch are immutable —
+  * Structured Streaming starts batch N only after N−1 committed — so
+  * replays recompute bit-identical decisions and overwrite partitions
+  * with identical content: idempotent end to end (pinned in
+  * StreamingSpec by running the same batch twice).
+  *
+  * The store would otherwise accrete one small partition per batch
+  * forever; every CompactEvery batches [[compactStore]] folds all
+  * committed partitions into the single base partition batch_id = −1
+  * (still < every future batchId, so the read filter keeps seeing it).
+  * Every failure point of the fold preserves the store's KEY SET —
+  * duplicate keys across base and not-yet-deleted partitions are
+  * harmless to a left-semi — so compaction can never change an
+  * admission decision (the StreamingSpec law).
   */
 object IncrementalDedup {
+
+  /** Fold the store's base partition every this-many batches. */
+  val CompactEvery = 8L
 
   /** One micro-batch admission transaction. Exposed for direct testing. */
   def processBatch(batch: DataFrame, storeDir: String,
       acceptDir: String, rejectDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
+    if (batchId > 0 && batchId % CompactEvery == 0)
+      compactStore(spark, storeDir, batchId)
     val sh = Text.shinglesOf(batch)
       .select(col("doc_id"), (h60(col("shingle")) % Dedup.P).as("hm"))
     val bands = Dedup.bandKeys(Dedup.signatures(sh)).cache()
     try {
       val store =
-        try spark.read.parquet(storeDir).select(col("band_id"), col("bk"))
+        try spark.read.parquet(storeDir)
+          .filter(col("batch_id") < batchId) // replay: never see own keys
+          .select(col("band_id"), col("bk"))
         catch { case _: org.apache.spark.sql.AnalysisException =>
           spark.emptyDataFrame.select(lit(0).as("band_id"), lit("").as("bk")).limit(0) }
       val hitStore = bands
@@ -68,15 +96,51 @@ object IncrementalDedup {
             col("a.doc_id") > col("b.doc_id"))
         .select(col("a.doc_id").as("doc_id"))
       val rejected = hitStore.union(hitBatch).distinct().cache()
-      val accepted = batch.join(rejected, Seq("doc_id"), "left_anti")
-      accepted.write.mode("append").parquet(acceptDir)
-      batch.join(rejected, Seq("doc_id"), "left_semi")
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(rejectDir)
-      bands.join(rejected, Seq("doc_id"), "left_anti")
-        .write.mode("append").parquet(storeDir)
+      def writeOwnPartition(df: DataFrame, dir: String): Unit =
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(dir)
+      writeOwnPartition(batch.join(rejected, Seq("doc_id"), "left_anti"), acceptDir)
+      writeOwnPartition(batch.join(rejected, Seq("doc_id"), "left_semi"), rejectDir)
+      writeOwnPartition(bands.join(rejected, Seq("doc_id"), "left_anti"), storeDir)
       rejected.unpersist()
     } finally bands.unpersist()
+  }
+
+  /** Fold every committed store partition (0 ≤ batch_id < upToBatch) plus
+    * the previous base into ONE distinct-keyed base partition
+    * (batch_id = −1), then delete the folded per-batch partitions — the
+    * Layout-compaction step wired into the admission loop. Failure
+    * analysis, by write order: the base overwrite completes BEFORE any
+    * per-batch partition is deleted, so at every intermediate point the
+    * store's key set over batches < upToBatch is a superset of what one
+    * clean pass would leave (extra duplicates at worst, never a missing
+    * key), and a re-run folds the leftovers — admission decisions are
+    * invariant under crash + retry anywhere in this method. The read is
+    * localCheckpoint-pinned before the overwrite touches the same path. */
+  def compactStore(spark: SparkSession, storeDir: String, upToBatch: Long): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val dir = new Path(storeDir)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val folded = fs.listStatus(dir).map(_.getPath).filter { p =>
+      p.getName.startsWith("batch_id=") &&
+        scala.util.Try(p.getName.stripPrefix("batch_id=").toLong)
+          .toOption.exists(v => v >= 0 && v < upToBatch)
+    }
+    if (folded.isEmpty) return
+    val base = spark.read.parquet(storeDir)
+      .filter(col("batch_id") < upToBatch) // includes the previous base (−1)
+      .drop("batch_id").distinct()
+      .localCheckpoint(true) // pin: the overwrite below rewrites the source path
+    base.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+    folded.foreach(p => fs.delete(p, true))
   }
 
   /** Wire a streaming (doc_id, text, …) source into the admission loop. */

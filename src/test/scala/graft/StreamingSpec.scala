@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import graft.streaming.{BnplPipeline, Envelope, EventStats}
+import org.apache.spark.sql.functions.col
 
 /** Streaming e2e — the reference's manual runbook (readme:98-151) replayed
   * against the Structured Streaming pipeline (SURVEY.md §5.2.4):
@@ -47,7 +48,9 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       val accepted = spark.read.parquet(acceptDir).select("doc_id")
         .collect().map(_.getLong(0)).toSet
-      val rejected = spark.read.parquet(rejectDir).select("doc_id", "batch_id")
+      // batch_id is a partition column now — inferred numeric, cast to pin
+      val rejected = spark.read.parquet(rejectDir)
+        .select(col("doc_id"), col("batch_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(accepted == Set(1L, 3L, 5L), s"accepted $accepted")
       assert(rejected == Set((2L, 0L), (4L, 1L)), s"rejected $rejected")
@@ -56,6 +59,69 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(storeDocs == Set(1L, 3L, 5L), s"store $storeDocs")
     } finally query.stop()
+  }
+
+  test("s14 laws: batch replay is a no-op; store compaction never changes admission") {
+    import spark.implicits._
+    import graft.streaming.IncrementalDedup.{compactStore, processBatch}
+    val storeDir = tmpDir("inc-dedup2-store") + "/store"
+    val acceptDir = tmpDir("inc-dedup2-accept") + "/accept"
+    val rejectDir = tmpDir("inc-dedup2-reject") + "/reject"
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textB = "completely different content about spark structured streaming dedup state"
+    val textC = "a third unrelated document mentioning parquet columnar storage layouts"
+    val textD = "yet another novel document about adaptive query execution runtime planning"
+    def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def docSet(dir: String): Set[Long] =
+      spark.read.parquet(dir).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    processBatch(batchDf((1L, textA), (2L, textA), (3L, textB)),
+      storeDir, acceptDir, rejectDir, 0L)
+    processBatch(batchDf((4L, textA), (5L, textC)),
+      storeDir, acceptDir, rejectDir, 1L)
+    val acceptedOnce = docSet(acceptDir)
+    val acceptedRows = spark.read.parquet(acceptDir).count()
+    val storeKeys = spark.read.parquet(storeDir)
+      .select("doc_id", "band_id", "bk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(acceptedOnce == Set(1L, 3L, 5L))
+
+    // REPLAY LAW (the at-least-once repair): re-running batch 1 after a
+    // lost commit must leave every sink bit-identical — the re-run
+    // overwrites its own batch_id partition and reads only store
+    // partitions below itself, so no duplicate accepts, no spurious
+    // rejects of its own docs.
+    processBatch(batchDf((4L, textA), (5L, textC)),
+      storeDir, acceptDir, rejectDir, 1L)
+    assert(docSet(acceptDir) == acceptedOnce, "replay changed the accept set")
+    assert(spark.read.parquet(acceptDir).count() == acceptedRows, "replay duplicated accept rows")
+    assert(spark.read.parquet(storeDir)
+      .select("doc_id", "band_id", "bk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == storeKeys,
+      "replay changed the store key set")
+    assert(docSet(rejectDir) == Set(2L, 4L), "replay changed the reject set")
+
+    // COMPACTION LAW: folding partitions 0..1 into the base partition
+    // keeps the key set, removes the per-batch partitions...
+    compactStore(spark, storeDir, 2L)
+    val partsAfter = new java.io.File(storeDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(partsAfter == Set("batch_id=-1"), s"store partitions after fold: $partsAfter")
+    assert(spark.read.parquet(storeDir)
+      .select("doc_id", "band_id", "bk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == storeKeys,
+      "compaction changed the store key set")
+    // ...and admission behaves exactly as before it: a dup of a
+    // pre-compaction doc still rejects, a novel doc still lands.
+    processBatch(batchDf((6L, textA), (7L, textD)),
+      storeDir, acceptDir, rejectDir, 2L)
+    assert(docSet(acceptDir) == Set(1L, 3L, 5L, 7L))
+    assert(docSet(rejectDir) == Set(2L, 4L, 6L))
+    // replay across the compaction boundary is still a no-op
+    processBatch(batchDf((6L, textA), (7L, textD)),
+      storeDir, acceptDir, rejectDir, 2L)
+    assert(docSet(acceptDir) == Set(1L, 3L, 5L, 7L))
+    assert(spark.read.parquet(acceptDir).count() == 4L)
   }
 
   // The runbook is asserted on BOTH s04 forms: keyed RocksDB state
