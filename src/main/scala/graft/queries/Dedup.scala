@@ -205,7 +205,10 @@ object Dedup {
       .toDF("u", "v")
   }
 
-  def connectedComponents(edgesIn: DataFrame): DataFrame = {
+  /** `maxIters` defaults to the production cap; the spec overrides it to
+    * force the LSS escalation path on a small graph (with pointer jumping
+    * a chain would need diameter ~2^MaxCcIters to exhaust the real cap). */
+  def connectedComponents(edgesIn: DataFrame, maxIters: Int = MaxCcIters): DataFrame = {
     val pairs = contractLocal(edgesIn.toDF("u", "v"))
     val edges = pairs.union(pairs.select(col("v"), col("u"))).toDF("u", "v")
       .localCheckpoint(true)
@@ -222,10 +225,24 @@ object Dedup {
     var done = labels.isEmpty
     var prev = if (done) java.math.BigDecimal.ZERO else labelSum(labels)
     var iter = 0
-    while (!done && iter < MaxCcIters) {
-      val prop = labels.join(edges, col("node") === col("u"))
+    while (!done && iter < maxIters) {
+      // pointer jumping (the Shiloach-Vishkin shortcut), fused into the
+      // round: each node first adopts its LABEL's label — an INNER
+      // self-join, total because every label value is itself a labeled
+      // node (the universe is closed under min) — and the one-hop
+      // propagation then runs on the jumped frame. Labels only ever
+      // decrease (label(x) ≤ x, so label(label(n)) ≤ label(n)), so the
+      // sum-fixpoint test below remains exact: an unchanged sum means
+      // neither the jump nor the hop moved anything. Only the round's
+      // final Aggregate is checkpointed — the jump subtree stays inline,
+      // evaluated against the previous round's materialized labels.
+      val jumped = labels.as("p")
+        .join(labels.select(col("node").as("jn"), col("label").as("jl")),
+          col("p.label") === col("jn"))
+        .select(col("p.node").as("node"), col("jl").as("label"))
+      val prop = jumped.join(edges, col("node") === col("u"))
         .select(col("v").as("node"), col("label"))
-        .union(labels)
+        .union(jumped)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
       val next = prop.localCheckpoint(true)
       val cur = labelSum(next)

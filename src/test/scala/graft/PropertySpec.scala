@@ -118,8 +118,8 @@ class PropertySpec extends SparkSpec {
       // the large-star/small-star contraction — must produce the same
       // partitions as union-find, labeled by the component minimum.
       // (union-find roots are not canonical min — compare partitions.)
-      for ((algo, name) <- Seq(
-          (graft.queries.Dedup.connectedComponents _, "min-label"),
+      for ((algo, name) <- Seq[(org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, String)](
+          (graft.queries.Dedup.connectedComponents(_), "min-label"),
           (graft.queries.Dedup.connectedComponentsLss _, "large-small-star"))) {
         val got = algo(edges.toDF("u", "v"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -148,13 +148,18 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dup == Map(1L -> 1L, 2L -> 1L))
     // a 40-node chain spread one-edge-per-partition: partition-local
-    // contraction cannot shorten it, the min-label loop exhausts its
-    // 16-round cap, and the result must STILL be correct via the
-    // large-star/small-star fallback — the full escalation path.
+    // contraction cannot shorten it, but pointer jumping converges it
+    // well inside the 16-round cap (distance-to-minimum halves per round)
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("u", "v").repartition(32)
     val got = connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (1L to 40L).map(_ -> 1L).toMap)
+    // the LSS escalation path stays reachable and correct: force it by
+    // shrinking the iteration cap below what the chain needs (with
+    // jumping, exhausting the REAL cap would take a diameter-2^16 graph)
+    val viaFallback = graft.queries.Dedup.connectedComponents(chain, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback == (1L to 40L).map(_ -> 1L).toMap)
   }
 
   test("q84 law: df-capped output == qualifying pairs sharing >= 1 in-band shingle") {
