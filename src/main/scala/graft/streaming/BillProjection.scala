@@ -34,19 +34,23 @@ case class Bill(
   */
 object BillProjection {
 
-  /** The reference switch as a pure fold: MemberBillCreated inserts
-    * status='unpaid' (consumer/consumer.go:207); PaymentCompleted flips an
-    * EXISTING bill only (UPDATE … WHERE id=?, consumer/consumer.go:214-220
-    * — a no-op for unknown bills). Events apply in (ts, event_id) order. */
+  /** The reference switch as a pure fold: MemberBillCreated INSERTS
+    * status='unpaid' for a NEW bill only (consumer/consumer.go:207 is an
+    * SQL INSERT — a duplicate primary key is a no-op, not an upsert, so a
+    * re-delivered create in a later batch can never regress a paid bill
+    * back to 'unpaid' or re-arm its reminder timer); PaymentCompleted
+    * flips an EXISTING bill only (UPDATE … WHERE id=?,
+    * consumer/consumer.go:214-220 — a no-op for unknown bills). Events
+    * apply in (ts, event_id) order. */
   def fold(current: Bill, events: Iterator[RawEvent]): Bill =
     events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foldLeft(current) { (cur, e) =>
       e.event_type match {
-        case Envelope.MemberBillCreated =>
+        case Envelope.MemberBillCreated if cur == null =>
           Bill(e.bill_id, e.promise_id, e.user_id, e.amount, "unpaid",
             Date.valueOf(e.issued_date), null, e.ts)
         case Envelope.PaymentCompleted if cur != null =>
           cur.copy(status = "paid", paid_date = Date.valueOf(e.paid_date), updated_at = e.ts)
-        case _ => cur // unknown types never reach projections (R3, no default arm)
+        case _ => cur // duplicate create / unknown-bill payment / unknown type
       }
     }
 
@@ -112,6 +116,29 @@ object BillProjection {
       .transformWithState(new BillReminderProcessor(reminderDelayMs),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update)
   }
+
+  /** s13 on EVENT-TIME timers — the collections-deadline semantics done
+    * right: a bill's reminder is due `reminderDelayMs` after the bill's
+    * own event time (its create ts), and the timer fires when the
+    * WATERMARK passes that instant, not when a wall clock does. Replaying
+    * an old backlog therefore fires exactly the alerts the live run fired,
+    * with identical timestamps (the alert's updated_at is the event-time
+    * deadline itself) — the determinism [[applyTwsReminders]]'s
+    * processing-time timers cannot give, and the completion of the
+    * reference's at-most-once repair on the timer axis
+    * (consumer/consumer.go:64). Requires the caller-visible watermark on
+    * `ts`; `watermarkDelay` bounds how out-of-order the event log may be. */
+  def applyTwsRemindersEventTime(events: Dataset[RawEvent], reminderDelayMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Bill] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(e => e.event_type == Envelope.MemberBillCreated ||
+                   e.event_type == Envelope.PaymentCompleted)
+      .groupByKey(_.bill_id)
+      .transformWithState(new BillReminderProcessorEventTime(reminderDelayMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update)
+  }
 }
 
 /** transformWithState processor for the bill projection: one ValueState[Bill]
@@ -135,12 +162,14 @@ class BillProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Str
 
 /** [[BillProjection.applyTwsReminders]]'s processor: the shared fold plus a
   * per-bill overdue timer. Timer lifecycle: register when a bill ENTERS
-  * 'unpaid' (not on every event — a re-delivered create must not re-arm a
-  * later deadline), delete all pending timers when it flips to 'paid',
-  * alert from handleExpiredTimer only if still unpaid at expiry (state may
-  * have flipped between registration and firing in the same batch window —
-  * the re-check, not the deletion, is the correctness guard; deletion just
-  * keeps the timer store from growing). */
+  * 'unpaid' (not on every event — and the fold's INSERT-only create arm
+  * guarantees a re-delivered create never re-enters 'unpaid', so the
+  * guard holds across batches, not just within one), delete all pending
+  * timers when it flips to 'paid', alert from handleExpiredTimer only if
+  * still unpaid at expiry (state may have flipped between registration
+  * and firing in the same batch window — the re-check, not the deletion,
+  * is the correctness guard; deletion just keeps the timer store from
+  * growing). */
 class BillReminderProcessor(reminderDelayMs: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[String, RawEvent, Bill] {
   import org.apache.spark.sql.Encoders
@@ -160,6 +189,48 @@ class BillReminderProcessor(reminderDelayMs: Long)
       state.update(cur)
       if (cur.status == "unpaid" && (prev == null || prev.status != "unpaid"))
         getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + reminderDelayMs)
+      if (cur.status == "paid" && prev != null && prev.status == "unpaid")
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+      Iterator.single(cur)
+    }
+  }
+
+  override def handleExpiredTimer(billId: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[Bill] = {
+    if (state.exists() && state.get().status == "unpaid")
+      Iterator.single(state.get().copy(status = "overdue",
+        updated_at = new Timestamp(expiredTimerInfo.getExpiryTimeInMs())))
+    else Iterator.empty
+  }
+}
+
+/** [[BillProjection.applyTwsRemindersEventTime]]'s processor — identical
+  * lifecycle to [[BillReminderProcessor]] with one change that carries all
+  * the semantics: the timer instant is EVENT time (the bill's create ts +
+  * delay, read from the folded row's updated_at) instead of the current
+  * processing time, so firing is a pure function of the event log and the
+  * watermark. The emitted alert's updated_at is that same deadline —
+  * bit-identical across replays of the same backlog (the StatefulSpec
+  * determinism law). */
+class BillReminderProcessorEventTime(reminderDelayMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, RawEvent, Bill] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[Bill] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Bill]("bill", Encoders.product[Bill], TTLConfig.NONE)
+
+  override def handleInputRows(billId: String, rows: Iterator[RawEvent],
+      timerValues: TimerValues): Iterator[Bill] = {
+    val prev = if (state.exists()) state.get() else null
+    val cur = BillProjection.fold(prev, rows)
+    if (cur == null) Iterator.empty
+    else {
+      state.update(cur)
+      if (cur.status == "unpaid" && (prev == null || prev.status != "unpaid"))
+        getHandle.registerTimer(cur.updated_at.getTime + reminderDelayMs) // event time
       if (cur.status == "paid" && prev != null && prev.status == "unpaid")
         getHandle.listTimers().foreach(getHandle.deleteTimer)
       Iterator.single(cur)

@@ -167,6 +167,86 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("s13 event-time timers: replaying the same backlog yields identical alerts (RocksDB)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // the backlog: b1 issued 10:00 and never paid → deadline 10:01;
+      // b2 issued 10:00 and paid 10:00:30 → timer cancelled; b3 issued
+      // 10:30 → its 10:31 deadline stays ABOVE the final watermark
+      // (10:30), so it must never fire. Replayed twice from scratch, the
+      // alert set — including the alert timestamp, which is the
+      // event-time deadline itself — must be identical; a processing-time
+      // timer would stamp each run's wall clock instead.
+      val backlog = Seq(
+        ev("e1", Envelope.MemberBillCreated, "2024-03-01 10:00:00",
+          bill = "b1", promise = "p1", user = "u1", amount = 4000L, issued = "2024-04-01"),
+        ev("e2", Envelope.MemberBillCreated, "2024-03-01 10:00:00",
+          bill = "b2", promise = "p2", user = "u2", amount = 2000L, issued = "2024-04-01"),
+        ev("e3", Envelope.PaymentCompleted, "2024-03-01 10:00:30",
+          bill = "b2", user = "u2", paid = "2024-04-02"),
+        ev("e4", Envelope.MemberBillCreated, "2024-03-01 10:30:00",
+          bill = "b3", promise = "p3", user = "u3", amount = 1000L, issued = "2024-04-01"))
+      def replay(run: String): Set[(String, Timestamp)] = {
+        val input = MemoryStream[RawEvent]
+        val query = BillProjection.applyTwsRemindersEventTime(input.toDS(), reminderDelayMs = 60000L)
+          .writeStream
+          .format("memory")
+          .queryName(s"bills_evt_$run")
+          .outputMode(OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+          .option("checkpointLocation", tmpDir(s"bills-evt-ckpt-$run"))
+          .start()
+        try {
+          input.addData(backlog: _*)
+          // the timer batch runs only after the watermark advances at the
+          // end of the data batch — poll the sink instead of
+          // processAllAvailable (the s13 lesson)
+          val deadline = System.currentTimeMillis() + 60000L
+          def overdue() = spark.table(s"bills_evt_$run").collect()
+            .filter(_.getAs[String]("status") == "overdue")
+            .map(r => (r.getAs[String]("id"), r.getAs[Timestamp]("updated_at"))).toSet
+          while (System.currentTimeMillis() < deadline && overdue().isEmpty)
+            Thread.sleep(100)
+          overdue()
+        } finally query.stop()
+      }
+      val run1 = replay("r1")
+      val run2 = replay("r2")
+      // the alert is the EVENT-TIME deadline: create ts 10:00 + 60 s
+      assert(run1 == Set(("b1", Timestamp.valueOf("2024-03-01 10:01:00"))), s"run1 $run1")
+      assert(run2 == run1, s"replay diverged: $run2 vs $run1")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("fold create arm is INSERT, not upsert: a re-delivered create never regresses a paid bill") {
+    // the ADVICE hazard: create(b9) → pay(b9) in batch 1, then the create
+    // re-delivered ALONE in a later batch — the fold must keep 'paid'
+    // (reference semantics: duplicate-PK INSERT is a no-op), so the
+    // reminder processor's enters-unpaid guard can never re-arm a timer
+    val state = new TestGroupState[graft.streaming.Bill]
+    BillProjection.update("b9", Iterator(
+      ev("e1", Envelope.MemberBillCreated, "2024-03-01 10:00:00",
+        bill = "b9", promise = "p9", user = "u9", amount = 100L, issued = "2024-04-01"),
+      ev("e2", Envelope.PaymentCompleted, "2024-03-01 10:01:00", bill = "b9", paid = "2024-04-02")
+    ), state)
+    val out = BillProjection.update("b9", Iterator(
+      ev("e1", Envelope.MemberBillCreated, "2024-03-01 10:00:00",
+        bill = "b9", promise = "p9", user = "u9", amount = 100L, issued = "2024-04-01")
+    ), state).toSeq
+    assert(out.length == 1)
+    assert(out.head.status == "paid", s"re-delivered create regressed the bill: ${out.head}")
+    assert(out.head.paid_date.toString == "2024-04-02")
+  }
+
   test("same-batch create+pay resolves in (ts, event_id) order") {
     val state = new TestGroupState[graft.streaming.Bill]
     val out = BillProjection.update("b9", Iterator(
