@@ -81,6 +81,7 @@ class PlanSpec extends SparkSpec {
       "q31_similarity_topk",  // broadcast query vector row
       "q38_ann_lsh",          // broadcast query row (vector + buckets)
       "q56_ivf_probe",        // broadcast query row vs probed cells
+      "q90_ivf_knn",          // broadcast codebook vs every vector (O(n*ncells) assignment)
       "q58_tfidf",            // broadcast single-row corpus size N
       "q65_quantized_ann",    // broadcast quantized query row
       "q72_token_sharding",   // broadcast single-row grand total
@@ -231,5 +232,75 @@ class PlanSpec extends SparkSpec {
     assert(partSpecs.nonEmpty, "expected the partitioned local-cumsum window")
     assert(partSpecs.forall(_.nonEmpty),
       "found a global (unpartitioned) window — the single-task prefix sum is back")
+  }
+
+  /** Shuffle Exchanges (hash/range/single-partition) in the declared
+    * plan — BroadcastExchange excluded (broadcasts are the cheap,
+    * deliberate alternative the budgets are steering toward). For the
+    * iterative queries (q57/q66/q81) the count covers the post-fixpoint
+    * stages visible in the declared plan; the per-round shuffles live
+    * behind localCheckpoint barriers and are bounded by the round caps
+    * pinned in PropertySpec. */
+  private def numShuffles(df: DataFrame): Int = {
+    // formatted mode numbers each operator once (shared cached subtrees
+    // are not re-printed per consumer, unlike executedPlan.toString)
+    val s = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    "\\(\\d+\\) Exchange\\b".r.findAllIn(s).size
+  }
+
+  test("exchange budgets: the 10 most expensive queries keep their shuffle counts (SURVEY §7.5)") {
+    // A plan regression (lost broadcast, re-shuffle, de-bucketed join)
+    // shows up as an extra Exchange long before it shows up as a bench
+    // regression. Ceilings = the counts of the audited round-6 plans.
+    val budgets = Seq(
+      "q34_minhash_lsh"       -> 3,
+      "q36_ngram_jaccard"     -> 5,
+      "q57_dedup_clusters"    -> 2,
+      "q66_dedup_materialize" -> 3,
+      "q73_lm_perplexity"     -> 7,
+      "q77_knn_join"          -> 3,
+      "q81_semantic_dedup"    -> 2,
+      "q82_char_entropy"      -> 3,
+      "q83_source_overlap"    -> 7,
+      "q84_containment"       -> 5,
+      "q90_ivf_knn"           -> 7)
+    val over = budgets.flatMap { case (name, budget) =>
+      val n = numShuffles(SparkEntry.queries(name)(spark, sf001))
+      if (n > budget) Some(s"$name: $n shuffles > budget $budget") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+
+  test("AQE splits a planted skewed join partition (the automatic path next to q47's manual salting)") {
+    // q47 proves the hand-salted aggregate; this pins Spark's OWN skew
+    // repair so the 100x posture does not rest on manual salting alone.
+    // One join key holds ~50k of 51k rows; with the skew thresholds
+    // forced down to test scale, AQE must split that partition at runtime
+    // (the final adaptive plan marks the sort-merge join skew=true).
+    import org.apache.spark.sql.functions.{col, lit}
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32768",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(0, 50000).select(lit(0L).as("k"), col("id").as("payload"))
+        .union(spark.range(0, 1000).select((col("id") % 100 + 1).as("k"), col("id").as("payload")))
+      val dim = spark.range(0, 101).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = big.join(dim, "k")
+      assert(joined.count() == 51000L)
+      joined.collect() // finalize the adaptive plan of the join itself
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${finalPlan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
