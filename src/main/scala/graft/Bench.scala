@@ -70,8 +70,7 @@ object Bench {
         // live OUTSIDE the catalog and otherwise accumulate across the
         // 81-query run (observed: q66 warm runs slower than cold, and
         // BENCH_r04's q49=14s vs 1.2s isolated) — unpersist them too.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        SparkEntry.clearGraftCaches(spark)
         (ok, dt)
       }
       val good = runs.collect { case (true, dt) => dt }

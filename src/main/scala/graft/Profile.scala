@@ -31,10 +31,7 @@ object Profile {
         // ColumnPruning delete the very expressions being profiled
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        // localCheckpoint(true) blocks are not catalog-cached — free them
-        // too, or the CC queries' pinned RDDs skew every later iteration.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        SparkEntry.clearGraftCaches(spark)
         dt
       }
       println(f"PROFILE $name cold=${times(0)}%.2f warm=${times(1)}%.2f warm2=${times(2)}%.2f")

@@ -17,10 +17,9 @@ import graft.queries._
   * the cache is only populated when the CALLER runs an action, and only
   * the caller knows when the result is no longer live. Callers that run
   * many queries serially (Bench, Verify, Profile) call
-  * `spark.catalog.clearCache()` AND unpersist
-  * `spark.sparkContext.getPersistentRDDs` between queries; a long-lived
+  * [[SparkEntry.clearGraftCaches]] between queries; a long-lived
   * session embedding these operators must do the same or accept the
-  * storage. (The second call matters: the CC fixpoints (q57/q66/q81) and
+  * storage. (The RDD-unpersist half matters: the CC fixpoints (q57/q66/q81) and
   * q72's pinned frame use eager `localCheckpoint(true)` — correctness,
   * not just cost, depends on a single materialization — and checkpoint
   * blocks live OUTSIDE the catalog cache; relying on GC alone was the
@@ -31,6 +30,20 @@ object SparkEntry {
     * smoke-checks rows > 0 (202 purchase events exist at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     Events.q33(spark, "/root/testdata/sf0.001")
+
+  /** The cache-lifetime contract above, as a callable: drop every block a
+    * finished query result may still pin — catalog-cached DataFrames
+    * (the query-local `cache()`s) AND the localCheckpoint RDD blocks the
+    * CC fixpoints / q72 hold outside the catalog (the round-4 lesson:
+    * relying on GC for those inflated every later timing). Bench, Verify,
+    * and Profile call this between queries; embed it the same way in any
+    * long-lived session running these operators back to back. Blocking
+    * unpersist: the storage is actually gone when this returns, so the
+    * next query's timing or memory profile starts clean. */
+  def clearGraftCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> Relational.q01 _,

@@ -29,8 +29,7 @@ object Verify {
       // Same cache hygiene as Bench: don't let one query's cached
       // intermediates pressure the rest. localCheckpoint(true) blocks
       // (q57/q66/q81 CC fixpoints) are not catalog-cached — unpersist them.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      SparkEntry.clearGraftCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

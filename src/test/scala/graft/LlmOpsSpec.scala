@@ -94,6 +94,23 @@ class LlmOpsSpec extends SparkSpec {
       s"q84 pairs at J>=0.5 missing from q36: ${q84atJ -- q36pairs}")
   }
 
+  test("clearGraftCaches: zero retained storage after a q34 -> q57 sequence") {
+    // q34 catalog-caches its signature frame; q57's CC fixpoint pins
+    // localCheckpoint RDD blocks OUTSIDE the catalog. The one callable
+    // must drop both (the round-4 bench-inflation lesson made callable).
+    graft.queries.Dedup.q34(spark, sf001).write.format("noop").mode("overwrite").save()
+    graft.queries.Dedup.q57(spark, sf001).write.format("noop").mode("overwrite").save()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected pinned blocks before the clear (did q57 stop checkpointing?)")
+    SparkEntry.clearGraftCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "RDD handles survived the clear")
+    // the decisive check: no rdd block of any kind remains in the block
+    // manager (catalog cache and checkpoint blocks both live there)
+    val status = org.apache.spark.SparkEnv.get.blockManager.master.getStorageStatus
+    val cached = status.flatMap(_.blocks.keys).filter(_.isRDD)
+    assert(cached.isEmpty, s"blocks survived: ${cached.take(5).mkString(",")}")
+  }
+
   test("q90 batch IVF probe: exact sims, dense ranks, recall vs brute-force ground truth (and q77)") {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Dsl.{cosine, round4}
