@@ -29,10 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Misra-Gries update: tracked item → +1; room → insert at 1; full and
   * absent → decrement ALL counters by 1, dropping zeros (the classic
-  * variant; the arriving item is NOT inserted). The decrement is a
-  * global `offset` increment (O(1)); entries whose stored count falls to
-  * the offset are compacted lazily on the next full-and-absent update.
-  * Effective count = stored − offset.
+  * variant; the arriving item is NOT inserted). The decrement-all is an
+  * EAGER O(m) sweep, amortized O(1) per stream element: each unit of
+  * decrement cancels one previously added count unit, so total decrement
+  * work is bounded by the stream length (see Buffer). An O(1)-per-miss
+  * global-offset scheme exists but buys nothing here — m is a constant
+  * 256 and the sweep is a flat hash-map pass.
   *
   * eval returns the surviving (token, est) pairs as an
   * array<struct<token,est>> sorted by (est DESC, token) — deterministic;

@@ -165,19 +165,34 @@ object Events {
     * PlanSpec pins the absence of a nested-loop. Purchases with no
     * nearby click keep a row via the left join-back (n = 0, gap NULL).
     * All arithmetic is exact integer micros. */
-  def q87(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = RangeJoinWindowUs
-    val e = Tables.events(spark, sfDir)
+  def q87(spark: SparkSession, sfDir: String): DataFrame =
+    timeRangeJoin(Tables.events(spark, sfDir), RangeJoinWindowUs)
+
+  /** q87 core on an arbitrary events frame — parameterized so the spec
+    * can plant PRE-1970 timestamps, which the synthetic generator never
+    * emits and the oracle therefore cannot probe. */
+  private[graft] def timeRangeJoin(e: DataFrame, W: Long): DataFrame = {
+    // FLOOR division on the integer domain (`div` truncates toward zero).
+    // Truncation is ALSO complete — every trunc bin spans >= W integers
+    // (bin 0 spans 2W-1), so two timestamps <= W apart sit <= 1 bin apart
+    // under either semantics, pre-1970 included (brute-force-checked and
+    // pinned in SemanticsSpec) — but floor gives UNIFORM width-W bins, so
+    // the completeness and meets-exactly-once arguments in the scaladoc
+    // read off the definition instead of needing the bin-width lemma. The
+    // correction term is exact integer arithmetic (java.lang.Math.floorDiv
+    // semantics), not FLOOR of a double quotient.
+    def floorDivBin(c: String): org.apache.spark.sql.Column =
+      expr(s"($c div $W) - (CASE WHEN $c % $W < 0 THEN 1 ELSE 0 END)")
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
     val clicks = e.filter(col("event_type") === "click")
       .select(unix_micros(col("ts")).as("c_us"))
-      .withColumn("bin", expr(s"c_us div $W"))
+      .withColumn("bin", floorDivBin("c_us"))
     val probe = purchases
       .select(col("purchase_id"), col("p_us"),
         explode(array(lit(-1L), lit(0L), lit(1L))).as("db"))
       .select(col("purchase_id"), col("p_us"),
-        (expr(s"p_us div $W") + col("db")).as("bin"))
+        (floorDivBin("p_us") + col("db")).as("bin"))
     val near = probe.join(clicks, Seq("bin"))
       .filter(abs(col("c_us") - col("p_us")) <= W)
       .groupBy(col("purchase_id"))

@@ -16,6 +16,37 @@ class SemanticsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("q87 binning is complete and meets-exactly-once for pre-1970 timestamps (floor-div boundary)") {
+    // The generator never emits negative epoch micros, so the oracle
+    // cannot probe sign-boundary binning. Plant a grid of purchases and
+    // clicks straddling the epoch (bin boundaries at multiples of W on
+    // both sides of zero, offsets just inside/outside the window) and
+    // compare against the brute-force inequality-join semantics computed
+    // driver-side.
+    val W = 1000000L // 1 s window for the test
+    val micros = Seq(-2500000L, -2000001L, -2000000L, -1999999L, -1000001L,
+      -1000000L, -999999L, -1L, 0L, 1L, 999999L, 1000000L, 1500000L)
+    // exact micros, negative-epoch safe: floor-split into ms + nanos
+    def tsOfMicros(us: Long): Timestamp = {
+      val ms = Math.floorDiv(us, 1000000L) * 1000L
+      val t = new Timestamp(ms)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val events =
+      micros.zipWithIndex.map { case (us, i) => (s"p$i", "purchase", tsOfMicros(us)) } ++
+      micros.zipWithIndex.map { case (us, i) => (s"c$i", "click", tsOfMicros(us + 137L)) }
+    val df = events.toDF("event_id", "event_type", "ts")
+    val got = graft.queries.Events.timeRangeJoin(df, W).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val clickUs = micros.map(_ + 137L)
+    micros.zipWithIndex.foreach { case (pUs, i) =>
+      val near = clickUs.filter(c => Math.abs(c - pUs) <= W)
+      val want = (near.size.toLong, if (near.isEmpty) -1L else near.map(c => Math.abs(c - pUs)).min)
+      assert(got(s"p$i") == want, s"p$i at $pUs: got ${got(s"p$i")}, want $want")
+    }
+  }
+
   test("session_window: exactly-30-minute gap MERGES; only a strictly larger gap splits (q25 boundary)") {
     // Pins the boundary the q25 oracle must reproduce: Spark merges an event
     // whose ts equals the previous session's end (prev_ts + gap), so the
