@@ -125,14 +125,22 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Iteration cap for [[connectedComponents]]: with pointer jumping each
-    * round, label distance-to-minimum halves per round on top of the
-    * one-hop propagation, so 16 rounds covers components of diameter
-    * ~2^16 — far beyond any near-dup cluster (q81's thresholded cosine
-    * graph at sf0.1, diameter 16, converges in 6). A graph deeper than
-    * the cap is handed to [[connectedComponentsLss]] — the O(log n) star
+  /** Iteration cap for [[connectedComponents]]: rounds 0 until
+    * [[JumpAfterRounds]] are plain one-hop (enough for contracted
+    * near-dup graphs); from then on pointer jumping halves the label
+    * distance-to-minimum per round on top of the hop, so the remaining
+    * 16 − 4 rounds cover components of cross-partition diameter ~2^12 —
+    * far beyond any near-dup cluster. A graph deeper than the cap is
+    * handed to [[connectedComponentsLss]] — the O(log n) star
     * contraction — rather than ever returning unconverged labels. */
   val MaxCcIters = 16
+
+  /** First round index that pays for the pointer-jumping self-joins —
+    * shallow graphs (the production case after partition-local
+    * contraction) converge in the plain rounds below this and never pay
+    * the jump's overhead; deep graphs switch to log-round convergence
+    * from here. */
+  val JumpAfterRounds = 4
 
   /** Connected components of an undirected edge list (u, v) by iterative
     * min-label propagation: every node starts labeled with itself, each
@@ -227,22 +235,31 @@ object Dedup {
     var iter = 0
     while (!done && iter < maxIters) {
       // pointer jumping (the Shiloach-Vishkin shortcut), fused into the
-      // round: each node first adopts its LABEL's label — an INNER
-      // self-join, total because every label value is itself a labeled
-      // node (the universe is closed under min) — and the one-hop
-      // propagation then runs on the jumped frame. Labels only ever
-      // decrease (label(x) ≤ x, so label(label(n)) ≤ label(n)), so the
-      // sum-fixpoint test below remains exact: an unchanged sum means
-      // neither the jump nor the hop moved anything. Only the round's
-      // final Aggregate is checkpointed — the jump subtree stays inline,
-      // evaluated against the previous round's materialized labels.
-      val jumped = labels.as("p")
-        .join(labels.select(col("node").as("jn"), col("label").as("jl")),
-          col("p.label") === col("jn"))
-        .select(col("p.node").as("node"), col("jl").as("label"))
-      val prop = jumped.join(edges, col("node") === col("u"))
+      // round FROM ROUND JumpAfterRounds ON: each node first adopts its
+      // LABEL's label — an INNER self-join, total because every label
+      // value is itself a labeled node (the universe is closed under
+      // min) — and the one-hop propagation then runs on the jumped
+      // frame. The first rounds stay plain one-hop: after the
+      // partition-local contraction, real near-dup graphs converge
+      // within them (q57/q81 at sf0.1: 3 rounds), and the jump's two
+      // extra self-joins per round would be pure overhead there; a graph
+      // still unconverged past the threshold is deep, and from then on
+      // its label distance halves per round on top of the hop. Labels
+      // only ever decrease (label(x) ≤ x, so label(label(n)) ≤
+      // label(n)), so the sum-fixpoint test below remains exact under
+      // either round shape: an unchanged sum means nothing moved. Only
+      // the round's final Aggregate is checkpointed — the jump subtree
+      // stays inline, evaluated against the previous round's
+      // materialized labels.
+      val base =
+        if (iter < JumpAfterRounds) labels
+        else labels.as("p")
+          .join(labels.select(col("node").as("jn"), col("label").as("jl")),
+            col("p.label") === col("jn"))
+          .select(col("p.node").as("node"), col("jl").as("label"))
+      val prop = base.join(edges, col("node") === col("u"))
         .select(col("v").as("node"), col("label"))
-        .union(jumped)
+        .union(base)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
       val next = prop.localCheckpoint(true)
       val cur = labelSum(next)
