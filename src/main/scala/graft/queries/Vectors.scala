@@ -444,10 +444,16 @@ object Vectors {
     val assigned = argmaxCell(sims)
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    // rank cells on the NARROW (vec_id, cell, csim) frame — carrying the
+    // 64-float embedding through the window shuffle/sort costs ~10x the
+    // bytes for rows that are about to be filtered to NProbe per vector —
+    // then join the query embedding back onto the surviving probe rows
     val probes = sims
+      .select(col("vec_id"), col("cell"), col("csim"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("src"), col("embedding").as("emb_a"), col("cell"))
+      .select(col("vec_id").as("src"), col("cell"))
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_a")), Seq("src"))
     val members = assigned
       .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("emb_b"))
     val w = org.apache.spark.sql.expressions.Window
