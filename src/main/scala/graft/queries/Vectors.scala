@@ -65,6 +65,11 @@ object Vectors {
   /** q56 probe width: the query scans its NProbe nearest cells. */
   val NProbe = 3
 
+  /** q90 probe-join salt fan-out: spreads the ncells-cardinality cell key
+    * over ncells×ProbeSalt shuffle keys (see the salting note in
+    * [[ivfKnn]]). */
+  val ProbeSalt = 8L
+
   /** Per-(cell, component) scaled sums — the Lloyd's-step reduce shared
     * by q55/q56. One narrow shuffle of (cell, i, long); partial sums
     * combine map-side, so at 100 TB this is a single mergeable aggregation
@@ -454,11 +459,23 @@ object Vectors {
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("src"), col("cell"))
       .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_a")), Seq("src"))
+    // The probe join's key is `cell` — ncells-cardinality, so an unsalted
+    // shuffle uses at most ncells tasks (and one giant task per hot cell).
+    // Salt it the q47 way, deterministically: each member takes ONE salt
+    // from its dst hash (never rand() — replay/compare discipline), each
+    // probe row replicates across all ProbeSalt salts, so every
+    // (probe, member) pair still meets exactly once while the shuffle
+    // spreads over ncells×ProbeSalt keys. The cost — ProbeSalt copies of
+    // the (src, cell, emb_a) probe frame — is N·NProbe·ProbeSalt tiny rows;
+    // the member side (the big one at corpus scale) is never replicated.
     val members = assigned
       .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("emb_b"))
+      .withColumn("salt", pmod(xxhash64(col("dst")), lit(ProbeSalt)))
+    val saltedProbes = probes
+      .withColumn("salt", explode(sequence(lit(0L), lit(ProbeSalt - 1L))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-    probes.join(members, Seq("cell"))
+    saltedProbes.join(members, Seq("cell", "salt"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round4(cosine(col("emb_a"), col("emb_b"))).as("sim"))
