@@ -142,6 +142,9 @@ object SparkEntry {
     "q88_heavy_hitters"       -> Text.q88 _,
     "q89_zipf_fit"            -> Text.q89 _,
     "q90_ivf_knn"             -> Vectors.q90 _,
+    "q91_inverted_index"      -> Text.q91 _,
+    "q92_bm25"                -> Text.q92 _,
+    "q93_textrank"            -> Text.q93 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1206,7 +1206,85 @@ object OracleSql {
         |  md5(substr(text, 1, 64)) AS frame_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // q91: all-integer output; the posting sample mirrors the engine's
+    // rank-limited first-PostingSample-docs-by-doc_id semantics via an
+    // ordered array_agg sliced to the same constant.
+    "q91_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY token, doc_id)
+        |SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |  array_to_string(list_slice(
+        |    array_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR) ORDER BY doc_id),
+        |    1, ${Text.PostingSample}), ',') AS postings
+        |FROM tf GROUP BY token ORDER BY token""".stripMargin,
+
+    // q92: every float literal is interpolated from the SAME Scala
+    // constants the engine uses (so both engines parse the identical
+    // double), association is pinned left-to-right term-for-term, each
+    // per-term score is ROUND-6'd before the token-ordered fold (q73
+    // posture), and the sum is ROUND-4.
+    "q92_bm25" ->
+      s"""WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE token IN (${Text.Bm25Query.map(t => s"'$t'").mkString(", ")})
+        |       GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |terms AS (SELECT tf.doc_id, tf.token,
+        |    ROUND(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * ${Text.Bm25K1 + 1.0}) /
+        |       (CAST(tf AS DOUBLE) + ${Text.Bm25K1} * (1.0 - ${Text.Bm25B} + ${Text.Bm25B} * CAST(dl AS DOUBLE) /
+        |        (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6) AS s
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), corpus),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_hit,
+        |          list_reduce(list_prepend(0.0, array_agg(s ORDER BY token)), (p, q) -> p + q) AS sum_s
+        |        FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_hit, ROUND(sum_s, 4) AS bm25
+        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT ${Text.Bm25TopK}""".stripMargin,
+
+    "q93_textrank" -> textRankSql,
   )
+
+  /** q93 oracle: the TextRank fixpoint unrolled to exactly
+    * Text.TextRankIters rounds, assembled programmatically so the round
+    * count, damping literals (interpolated from the Scala-computed
+    * doubles — 1.0 − 0.85 is NOT the double the literal 0.15 parses to),
+    * and per-round ROUND-6 re-pin cannot drift from the Spark side. The
+    * per-contribution ROUND-6 + neighbor-ordered fold is the q73
+    * discipline applied per iteration. */
+  private def textRankSql: String = {
+    val d = Text.TextRankDamping
+    val base = 1.0 - d
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i + 1 AS INTEGER)] AS w2
+        |       FROM sp, unnest(generate_series(1, CAST(len(t) AS INTEGER) - 1)) AS u(i)),
+        |und AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, COUNT(*) AS w
+        |        FROM bi WHERE w1 <> w2 GROUP BY a, b),
+        |e AS (SELECT a AS src, b AS dst, w FROM und
+        |      UNION ALL SELECT b AS src, a AS dst, w FROM und),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY src),
+        |r0 AS (SELECT DISTINCT src AS v, 1.0 AS r FROM e)""".stripMargin)
+    for (i <- 1 to Text.TextRankIters) {
+      sb.append(
+        s""",
+          |c$i AS (SELECT e.dst AS dst, e.src AS src,
+          |          ROUND(r.r * CAST(e.w AS DOUBLE) / CAST(ow.wout AS DOUBLE), 6) AS c
+          |        FROM e JOIN ow USING (src) JOIN r${i - 1} r ON r.v = e.src),
+          |r$i AS (SELECT dst AS v,
+          |          ROUND($base + $d * list_reduce(list_prepend(0.0, array_agg(c ORDER BY src)), (p, q) -> p + q), 6) AS r
+          |        FROM c$i GROUP BY dst)""".stripMargin)
+    }
+    sb.append(
+      s"""
+        |SELECT v AS token, ROUND(r, 4) AS score FROM r${Text.TextRankIters}
+        |ORDER BY score DESC, token LIMIT ${Text.TextRankTopK}""".stripMargin)
+    sb.toString
+  }
 
   /** q34 oracle: every MinHash constant (Dedup.P/K/Bands/aCoef/bCoef) and
     * the shingle construction mirror graft.queries.Dedup.q34 exactly; the

@@ -835,4 +835,159 @@ object Text {
       .distinct()
     (perDoc, cand)
   }
+
+  /** q91 posting-list sample width: each term's output row carries its df,
+    * cf, and the FIRST [[PostingSample]] postings by doc_id — a constant,
+    * so no output row grows with the corpus (the full posting lists of a
+    * production index are written term-range-partitioned to storage, not
+    * carried in a result row; the sample is the index-build audit view). */
+  val PostingSample = 5
+
+  /** q91: inverted-index construction — the retrieval-side table every
+    * search/RAG stack builds from a training corpus: per term, its document
+    * frequency, corpus frequency, and a bounded posting sample
+    * "doc:tf,doc:tf,…" over the first [[PostingSample]] docs by doc_id.
+    * All-integer output — no float discipline needed.
+    *
+    * Scale posture: term-level tf is ONE shuffle of the token stream on
+    * (token, doc_id) with map-side partial counts; df/cf aggregate the tf
+    * table (vocab × avg-df rows, not the stream). The posting sample is
+    * rank-limited BEFORE any collect: a per-token row_number window keeps
+    * ≤ [[PostingSample]] rows per term (WindowGroupLimit pushes the limit
+    * into the sort), so the later collect_list is bounded by a constant —
+    * a stopword with df = 10⁷ never materializes a 10⁷-element array.
+    * Reference tie: the term-lookup side of the reference's status reads,
+    * generalized to corpus retrieval (`main.go:214`). */
+  def q91(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = tokens(spark, sfDir)
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .cache() // feeds the stats agg AND the capped posting sample
+    val stats = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val wp = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val postings = tf
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= PostingSample)
+      .groupBy(col("token"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+          e => concat_ws(":", e.getField("doc_id").cast("string"),
+            e.getField("tf").cast("string")))).as("postings"))
+    stats.join(postings, Seq("token"))
+      .select(col("token"), col("df"), col("cf"), col("postings"))
+      .orderBy(col("token"))
+  }
+
+  /** q92 retrieval constants: the fixed query term set (all present in the
+    * synthetic vocabulary), the standard Robertson k1/b, and the result
+    * cutoff. */
+  val Bm25Query: Seq[String] = Seq("merge", "spark", "window")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 15
+
+  /** q92: BM25 retrieval — Okapi BM25 scoring of the corpus against a
+    * fixed query term set, the ranking function actually used by the
+    * lexical half of every retrieval stack (q58's tf-idf is the weighting
+    * view; this is the query-time scorer with length normalization).
+    * Output: top [[Bm25TopK]] docs by score (ties by doc_id) with the
+    * number of query terms hit.
+    *
+    * Scale posture: the token stream is FILTERED to the query terms before
+    * any shuffle (predicate on the exploded stream — candidate volume is
+    * the terms' posting lists, not the corpus); df is an aggregate of the
+    * tiny filtered tf table and broadcasts back; doc length joins from a
+    * narrow (doc_id, dl) projection; N and Σdl are a broadcast single-row
+    * aggregate. Final ranking is orderBy+limit = TakeOrdered (per-partition
+    * heaps, no full sort).
+    *
+    * Determinism (q73 posture): each per-term score is computed on
+    * identical-operand float math — idf's ln on a BIGINT-derived ratio,
+    * the length norm on (tf, dl, avgdl = Σdl/N exact-integer ratio) — and
+    * ROUND-6'd BEFORE the per-doc fold, which adds in token order; the
+    * final sum is ROUND-4. Association is pinned left-to-right and
+    * mirrored token-for-token in the oracle SQL. */
+  def q92(spark: SparkSession, sfDir: String): DataFrame = {
+    val dl = docs(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = tokens(spark, sfDir)
+      .filter(col("token").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val num = tfd * lit(Bm25K1 + 1.0)
+    val den = tfd + lit(Bm25K1) *
+      (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl)
+    val terms = tf.join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("token"), round(idf * (num / den), 6).as("s"))
+    terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"),
+        aggregate(transform(array_sort(collect_list(struct(col("token"), col("s")))),
+          e => e.getField("s")), lit(0.0), (acc, v) => acc + v).as("sum_s"))
+      .select(col("doc_id"), col("n_hit"), round(col("sum_s"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  /** q93 TextRank constants: standard damping, a fixed iteration count
+    * (the oracle unrolls exactly this many rounds), and the keyword
+    * cutoff. */
+  val TextRankDamping = 0.85
+  val TextRankIters = 3
+  val TextRankTopK = 20
+
+  /** q93: TextRank keyword extraction — weighted PageRank over the token
+    * co-occurrence graph (undirected edges between ADJACENT tokens,
+    * weight = adjacency count; Mihalcea & Tarau, EMNLP'04): the classic
+    * unsupervised keyphrase signal a data pipeline runs to tag and route
+    * corpus slices. r₀ = 1; rᵢ₊₁(v) = (1−d) + d·Σᵤ w(u,v)/W(u)·rᵢ(u) for
+    * [[TextRankIters]] rounds; output the top [[TextRankTopK]] tokens by
+    * final score (ROUND-4, ties by token).
+    *
+    * This is the WEIGHTED-propagation member of the iterative family next
+    * to q57's min-label CC: same join-per-round shape, but each round is a
+    * weighted gather instead of a min, so it exercises float-deterministic
+    * iteration (per-contribution ROUND-6, fold in neighbor order,
+    * per-round ROUND-6 re-pin — both engines propagate bit-identical
+    * scores into the next round).
+    *
+    * Scale posture: the edge list aggregates the bigram stream once
+    * (vocab²-bounded, far smaller in practice); out-weights aggregate the
+    * edge list. Each iteration is ONE equi-join of edges against the
+    * (node, score) frame — |V|-sized, the small side at corpus scale —
+    * plus one grouped fold, with lineage truncated per round by eager
+    * localCheckpoint exactly like the CC fixpoint (no lineage growth,
+    * fixed round count, no driver-side graph). */
+  def q93(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = bigramPairs(spark, sfDir)
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"), greatest(col("w1"), col("w2")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e2 = edges.join(outW, Seq("src")).cache() // reused every round
+    var r = e2.select(col("src").as("v")).distinct().withColumn("r", lit(1.0))
+    for (_ <- 1 to TextRankIters) {
+      val contrib = e2.join(r, e2("src") === r("v"))
+        .select(col("dst"), col("src"),
+          round(col("r") * col("w").cast("double") / col("wout").cast("double"), 6).as("c"))
+      r = contrib.groupBy(col("dst"))
+        .agg(aggregate(transform(array_sort(collect_list(struct(col("src"), col("c")))),
+          e => e.getField("c")), lit(0.0), (acc, v) => acc + v).as("sum_c"))
+        .select(col("dst").as("v"),
+          round(lit(1.0 - TextRankDamping) + lit(TextRankDamping) * col("sum_c"), 6).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(col("v").as("token"), round(col("r"), 4).as("score"))
+      .orderBy(col("score").desc, col("token"))
+      .limit(TextRankTopK)
+  }
 }
