@@ -87,7 +87,8 @@ class PlanSpec extends SparkSpec {
       "q72_token_sharding",   // broadcast single-row grand total
       "q73_lm_perplexity",    // broadcast single-row vocab size V
       "q74_pmi_collocations", // broadcast single-row bigram total
-      "q80_mixture_weights")  // broadcast single-row weight total
+      "q80_mixture_weights",  // broadcast single-row weight total
+      "q92_bm25")             // broadcast single-row corpus stats (N, avgdl)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
