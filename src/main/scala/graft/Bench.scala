@@ -10,7 +10,15 @@ object Bench {
     * a stray compaction — and the observed failure mode was exactly that:
     * single-run numbers 2–7× the query's true time. The min of two runs
     * is the honest "how fast does this plan execute" figure; mean−min is
-    * the noise diagnostic. */
+    * the noise diagnostic.
+    *
+    * The repeats are INTERLEAVED (pass 1 of every query, then pass 2),
+    * not back-to-back: BENCH_r06's q49=10.07 s / q34=8.04 s (true times
+    * ~1.1/1.5 s) happened because adjacent repeats both sat inside the
+    * same contended window — one noisy minute poisoned BOTH samples and
+    * min() couldn't save them. With whole-suite passes between repeats
+    * the two samples are minutes apart, so a transient contender has to
+    * span the entire run to corrupt a min. */
   val Runs = 2
 
   def main(args: Array[String]): Unit = {
@@ -48,32 +56,35 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").count() // JIT/codegen warmup outside any timer
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (1 to Runs).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink, not count(): count() lets ColumnPruning delete every
-        // projected expression a query computes (a projection-only query
-        // would "benchmark" a row count), while the noop write evaluates
-        // the full result rows exactly like the correctness gate's parquet
-        // dump — minus the I/O.
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Queries that cache an intermediate (q34/q35 signatures) would
-        // otherwise accumulate storage across the serial run and tax later
-        // queries with eviction + GC. Clearing is outside the timer — and
-        // between the repeats, so run 2 measures execution, not cache hits.
-        // clearCache only drops catalog-cached DataFrames; the CC fixpoint
-        // queries (q57/q66/q81) pin localCheckpoint(true) RDD blocks that
-        // live OUTSIDE the catalog and otherwise accumulate across the
-        // 81-query run (observed: q66 warm runs slower than cold, and
-        // BENCH_r04's q49=14s vs 1.2s isolated) — unpersist them too.
-        SparkEntry.clearGraftCaches(spark)
-        (ok, dt)
-      }
-      val good = runs.collect { case (true, dt) => dt }
+    val ordered = SparkEntry.queries.toSeq
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to Runs; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      // noop sink, not count(): count() lets ColumnPruning delete every
+      // projected expression a query computes (a projection-only query
+      // would "benchmark" a row count), while the noop write evaluates
+      // the full result rows exactly like the correctness gate's parquet
+      // dump — minus the I/O.
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries that cache an intermediate (q34/q35 signatures) would
+      // otherwise accumulate storage across the serial run and tax later
+      // queries with eviction + GC. Clearing is outside the timer — and
+      // between the passes, so pass 2 measures execution, not cache hits.
+      // clearCache only drops catalog-cached DataFrames; the CC fixpoint
+      // queries (q57/q66/q81) pin localCheckpoint(true) RDD blocks that
+      // live OUTSIDE the catalog and otherwise accumulate across the
+      // 90+-query run (observed: q66 warm runs slower than cold, and
+      // BENCH_r04's q49=14s vs 1.2s isolated) — unpersist them too.
+      SparkEntry.clearGraftCaches(spark)
+      if (ok) samples(name) = dt :: samples(name)
+    }
+    val results = ordered.map { case (name, _) =>
+      val good = samples(name)
       // -1 sentinel: a crashed query must read as a failure, not as a
       // suspiciously fast benchmark number.
       name -> (if (good.isEmpty) (-1.0, -1.0) else (good.min, good.sum / good.size))
@@ -90,7 +101,7 @@ object Bench {
         .mkString("{", ",", "}")
     val errors = results.collect { case (n, (m, _)) if m < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.collect { case (m, _) if m >= 0 => m }.sum
+    val total = results.collect { case (_, (m, _)) if m >= 0 => m }.sum
     val detail = results.map { case (k, (mn, mean)) =>
       s"""{"name":"$k","min_sec":${fmt(mn)},"mean_sec":${fmt(mean)}}""" }
       .mkString("[\n", ",\n", "\n]")

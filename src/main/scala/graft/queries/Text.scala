@@ -850,30 +850,32 @@ object Text {
     * All-integer output — no float discipline needed.
     *
     * Scale posture: term-level tf is ONE shuffle of the token stream on
-    * (token, doc_id) with map-side partial counts; df/cf aggregate the tf
-    * table (vocab × avg-df rows, not the stream). The posting sample is
-    * rank-limited BEFORE any collect: a per-token row_number window keeps
-    * ≤ [[PostingSample]] rows per term (WindowGroupLimit pushes the limit
-    * into the sort), so the later collect_list is bounded by a constant —
-    * a stopword with df = 10⁷ never materializes a 10⁷-element array.
+    * (token, doc_id) with map-side partial counts; everything after is a
+    * SINGLE pass over the tf table — a per-token row_number window (one
+    * exchange on token) feeds one grouped aggregate that computes df/cf
+    * over every row while the posting sample collects only the rows with
+    * rn ≤ [[PostingSample]] (`when` yields null past the cap and
+    * collect_list skips nulls, so the aggregation buffer is bounded by a
+    * constant — a stopword with df = 10⁷ never materializes a
+    * 10⁷-element array). The groupBy rides the window's hash partitioning
+    * on token, so no further exchange; no corpus-scale intermediate is
+    * cached and there is no stats⋈postings join (both earlier drafts —
+    * the r6 form cached the full tf table, the largest cached
+    * intermediate in the query family at corpus scale).
     * Reference tie: the term-lookup side of the reference's status reads,
     * generalized to corpus retrieval (`main.go:214`). */
   def q91(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = tokens(spark, sfDir)
       .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .cache() // feeds the stats agg AND the capped posting sample
-    val stats = tf.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     val wp = Window.partitionBy(col("token")).orderBy(col("doc_id"))
-    val postings = tf
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= PostingSample)
+    tf.withColumn("rn", row_number().over(wp))
       .groupBy(col("token"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
-          e => concat_ws(":", e.getField("doc_id").cast("string"),
-            e.getField("tf").cast("string")))).as("postings"))
-    stats.join(postings, Seq("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        concat_ws(",",
+          transform(array_sort(collect_list(
+            when(col("rn") <= PostingSample, struct(col("doc_id"), col("tf"))))),
+            e => concat_ws(":", e.getField("doc_id").cast("string"),
+              e.getField("tf").cast("string")))).as("postings"))
       .select(col("token"), col("df"), col("cf"), col("postings"))
       .orderBy(col("token"))
   }
@@ -938,9 +940,18 @@ object Text {
 
   /** q93 TextRank constants: standard damping, a fixed iteration count
     * (the oracle unrolls exactly this many rounds), and the keyword
-    * cutoff. */
+    * cutoff.
+    *
+    * [[TextRankIters]] is a FIXED-ROUND TRUNCATION, not run-to-
+    * convergence: the oracle must unroll the exact same rounds, so the
+    * round count is a constant shared by both engines. 10 rounds (up from
+    * the r6 draft's 3, which was closer to weighted-degree ranking than
+    * to TextRank) is where the top-[[TextRankTopK]] SET is stable on the
+    * synthetic corpus; the true tolerance-driven fixpoint — what a
+    * production tagger runs — is [[textRankConverged]] below, tied to
+    * this query by a PropertySpec law instead of an oracle. */
   val TextRankDamping = 0.85
-  val TextRankIters = 3
+  val TextRankIters = 10
   val TextRankTopK = 20
 
   /** q93: TextRank keyword extraction — weighted PageRank over the token
@@ -966,6 +977,15 @@ object Text {
     * localCheckpoint exactly like the CC fixpoint (no lineage growth,
     * fixed round count, no driver-side graph). */
   def q93(spark: SparkSession, sfDir: String): DataFrame = {
+    val e2 = textRankEdges(spark, sfDir).cache() // reused every round
+    var r = textRankInit(e2)
+    for (_ <- 1 to TextRankIters) r = textRankStep(e2, r)
+    textRankTopKOf(r)
+  }
+
+  /** q93 graph: the weighted undirected adjacency list with each edge's
+    * source out-weight joined on (so a round is one join, not two). */
+  private def textRankEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val und = bigramPairs(spark, sfDir)
       .filter(col("w1") =!= col("w2"))
       .select(least(col("w1"), col("w2")).as("a"), greatest(col("w1"), col("w2")).as("b"))
@@ -973,21 +993,71 @@ object Text {
     val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val e2 = edges.join(outW, Seq("src")).cache() // reused every round
-    var r = e2.select(col("src").as("v")).distinct().withColumn("r", lit(1.0))
-    for (_ <- 1 to TextRankIters) {
-      val contrib = e2.join(r, e2("src") === r("v"))
-        .select(col("dst"), col("src"),
-          round(col("r") * col("w").cast("double") / col("wout").cast("double"), 6).as("c"))
-      r = contrib.groupBy(col("dst"))
-        .agg(aggregate(transform(array_sort(collect_list(struct(col("src"), col("c")))),
-          e => e.getField("c")), lit(0.0), (acc, v) => acc + v).as("sum_c"))
-        .select(col("dst").as("v"),
-          round(lit(1.0 - TextRankDamping) + lit(TextRankDamping) * col("sum_c"), 6).as("r"))
-        .localCheckpoint(true)
-    }
+    edges.join(outW, Seq("src"))
+  }
+
+  private def textRankInit(e2: DataFrame): DataFrame =
+    e2.select(col("src").as("v")).distinct().withColumn("r", lit(1.0))
+
+  /** One TextRank round — the float-determinism disciplines (per-
+    * contribution ROUND-6, neighbor-ordered fold, per-round ROUND-6
+    * re-pin) live HERE so the fixed-round query and the convergence
+    * variant propagate bit-identical states by construction. */
+  private def textRankStep(e2: DataFrame, r: DataFrame): DataFrame = {
+    val contrib = e2.join(r, e2("src") === r("v"))
+      .select(col("dst"), col("src"),
+        round(col("r") * col("w").cast("double") / col("wout").cast("double"), 6).as("c"))
+    contrib.groupBy(col("dst"))
+      .agg(aggregate(transform(array_sort(collect_list(struct(col("src"), col("c")))),
+        e => e.getField("c")), lit(0.0), (acc, v) => acc + v).as("sum_c"))
+      .select(col("dst").as("v"),
+        round(lit(1.0 - TextRankDamping) + lit(TextRankDamping) * col("sum_c"), 6).as("r"))
+      .localCheckpoint(true)
+  }
+
+  private def textRankTopKOf(r: DataFrame): DataFrame =
     r.select(col("v").as("token"), round(col("r"), 4).as("score"))
       .orderBy(col("score").desc, col("token"))
       .limit(TextRankTopK)
+
+  /** Convergence cap for [[textRankConverged]] — a fixpoint loop without
+    * a round bound is an outage waiting for a pathological graph. */
+  val TextRankMaxRounds = 50
+
+  /** q93's production form: TextRank iterated to a TOLERANCE instead of a
+    * fixed round count — the q57-fixpoint pattern (one scalar probe per
+    * round, hard round cap, per-round localCheckpoint lineage
+    * truncation). Stops when max |rᵢ₊₁(v) − rᵢ(v)| ≤ tol; because each
+    * round's state is ROUND-6-quantized, exact convergence (delta = 0) is
+    * reachable and makes further rounds no-ops — which is what ties this
+    * to q93: with tol = 0 and the cap at [[TextRankIters]], the final
+    * state IS q93's state (PropertySpec law), so the oracle-checked
+    * fixed-round query certifies this variant's iteration machinery.
+    * Kept out of the oracle set: the round count where the tolerance
+    * fires is corpus geometry, not portable SQL. */
+  private[graft] def textRankConverged(spark: SparkSession, sfDir: String,
+      tol: Double = 1e-4, maxRounds: Int = TextRankMaxRounds): DataFrame =
+    textRankConvergedWithRounds(spark, sfDir, tol, maxRounds)._1
+
+  /** [[textRankConverged]] plus the number of rounds actually run, so the
+    * PropertySpec law can assert the tolerance FIRES before the cap (a
+    * loop that always exhausts its cap is a fixed-round query with extra
+    * steps, not a convergence loop). */
+  private[graft] def textRankConvergedWithRounds(spark: SparkSession, sfDir: String,
+      tol: Double, maxRounds: Int): (DataFrame, Int) = {
+    val e2 = textRankEdges(spark, sfDir).cache()
+    var r = textRankInit(e2)
+    var round = 0
+    var delta = Double.MaxValue
+    while (round < maxRounds && delta > tol) {
+      val rNext = textRankStep(e2, r)
+      // scalar probe: one max-abs-diff aggregate per round (q57 posture —
+      // the only driver-side value is one double)
+      delta = rNext.as("n").join(r.as("p"), col("n.v") === col("p.v"))
+        .agg(max(abs(col("n.r") - col("p.r")))).head().getDouble(0)
+      r = rNext
+      round += 1
+    }
+    (textRankTopKOf(r), round)
   }
 }

@@ -341,4 +341,38 @@ class PropertySpec extends SparkSpec {
       assert(fps == wantFps, s"seed=$seed (simhash)")
     }
   }
+
+  test("q93 law: fixed-round TextRank == convergence variant capped at the same round count") {
+    // The tolerance-driven fixpoint (textRankConverged) shares q93's
+    // per-round step, so with tol = 0 and the cap at TextRankIters its
+    // final state must BE q93's state — and because each round's scores
+    // are ROUND-6-quantized, an exact early fixpoint (delta == 0) makes
+    // the remaining rounds no-ops, so the law holds whether or not the
+    // loop runs all TextRankIters rounds. This is what lets the oracle-
+    // checked fixed-round query certify the production iteration loop.
+    import graft.queries.Text
+    val fixed = SparkEntry.queries("q93_textrank")(spark, sf001).collect().toSeq
+    val conv = Text.textRankConverged(spark, sf001,
+      tol = 0.0, maxRounds = Text.TextRankIters).collect().toSeq
+    assert(fixed == conv, "convergence variant diverged from the fixed-round query")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("q93 law: default-tolerance TextRank converges before the round cap and keeps the top-k set") {
+    // The production setting must actually CONVERGE on the corpus (the
+    // cap is an outage guard, not the expected exit) and the keyword SET
+    // it reports must agree with the oracle-checked fixed-round query —
+    // scores may differ in late decimals, membership may not.
+    import graft.queries.Text
+    val (convDf, rounds) = Text.textRankConvergedWithRounds(spark, sf001,
+      tol = 1e-4, maxRounds = Text.TextRankMaxRounds)
+    val conv = convDf.collect()
+    assert(rounds < Text.TextRankMaxRounds,
+      s"tolerance never fired: ran all $rounds rounds")
+    val fixed = SparkEntry.queries("q93_textrank")(spark, sf001).collect()
+    assert(conv.length == fixed.length)
+    assert(conv.map(_.getString(0)).toSet == fixed.map(_.getString(0)).toSet,
+      "converged top-k keyword set drifted from the fixed-round query")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
