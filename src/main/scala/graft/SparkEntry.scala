@@ -145,6 +145,7 @@ object SparkEntry {
     "q91_inverted_index"      -> Text.q91 _,
     "q92_bm25"                -> Text.q92 _,
     "q93_textrank"            -> Text.q93 _,
+    "q94_bpe_merges"          -> Tokenize.q94 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

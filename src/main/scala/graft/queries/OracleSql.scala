@@ -1245,7 +1245,49 @@ object OracleSql {
         |FROM agg ORDER BY bm25 DESC, doc_id LIMIT ${Text.Bm25TopK}""".stripMargin,
 
     "q93_textrank" -> textRankSql,
+    "q94_bpe_merges" -> bpeSql,
   )
+
+  /** q94 oracle: the BPE merge loop unrolled to exactly
+    * Tokenize.BpeMerges rounds, assembled programmatically like
+    * textRankSql so the round count cannot drift from the Spark side.
+    * Every CTE is AS MATERIALIZED: each round references the previous
+    * vocabulary state TWICE (pair argmax + rewrite), so DuckDB's default
+    * inlining would expand the chain 2^rounds-fold (observed as a
+    * too-many-open-files blowup at 16 rounds). The merge rewrite encodes
+    * the symbol list as "(s1)(s2)…" and string-replaces "(a)(b)" with
+    * "(ab)" — non-overlapping left-to-right, identical to the engine's
+    * greedy fold (symbols are corpus characters, so they never contain
+    * parentheses and tokens cannot collide across the delimiters). */
+  private def bpeSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT token, COUNT(*) AS freq,
+        |         list_transform(generate_series(1, CAST(len(token) AS INTEGER)),
+        |                        i -> token[CAST(i AS INTEGER)]) AS seq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token)""".stripMargin)
+    for (r <- 1 to Tokenize.BpeMerges) {
+      sb.append(
+        s""",
+          |b$r AS MATERIALIZED (
+          |  SELECT seq[CAST(i AS INTEGER)] AS a, seq[CAST(i AS INTEGER) + 1] AS b,
+          |         CAST(SUM(freq) AS BIGINT) AS cnt
+          |  FROM v${r - 1}, unnest(generate_series(1, CAST(len(seq) AS INTEGER) - 1)) AS u(i)
+          |  GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+          |v$r AS MATERIALIZED (
+          |  SELECT token, freq,
+          |         string_split(trim(replace('(' || array_to_string(seq, ')(') || ')',
+          |           '(' || a || ')(' || b || ')', '(' || a || b || ')'), '()'), ')(') AS seq
+          |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin)
+    }
+    val union = (1 to Tokenize.BpeMerges)
+      .map(r => s"SELECT $r AS rule_id, a, b, a || b AS merged, cnt FROM b$r")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    sb.append(s"\nSELECT * FROM ($union) ORDER BY rule_id")
+    sb.toString
+  }
 
   /** q93 oracle: the TextRank fixpoint unrolled to exactly
     * Text.TextRankIters rounds, assembled programmatically so the round

@@ -342,6 +342,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q94 law: distributed BPE merge learning == driver-side reference on random vocabularies") {
+    import graft.queries.Tokenize
+    // Small alphabet + short words force the hard cases: count ties
+    // (resolved (a, b)-lexicographic), merged symbols re-merging in later
+    // rounds ("aa" + "a"), and overlapping-run rewrites ("a a a a" ->
+    // "aa aa", never "a aa a").
+    val vocabGen = Gen.listOfN(12, for {
+      len <- Gen.choose(1, 6)
+      word <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      freq <- Gen.choose(1L, 9L)
+    } yield (freq, word.toVector))
+    def refBpe(vocab0: List[(Long, Vector[String])], m: Int): List[(Int, String, String, String, Long)] = {
+      def applyMerge(seq: Vector[String], a: String, b: String): Vector[String] =
+        seq.foldLeft(Vector.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+          else acc :+ s
+        }
+      var v = vocab0
+      val out = List.newBuilder[(Int, String, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= m && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        for ((f, seq) <- v; i <- 0 until seq.length - 1)
+          counts((seq(i), seq(i + 1))) += f
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), cnt) = counts.toList.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((r, a, b, a + b, cnt))
+          v = v.map { case (f, seq) => (f, applyMerge(seq, a, b)) }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    for (seed <- 1 to Samples) {
+      val vocab = draw(vocabGen, 9000 + seed)
+      val df = vocab.toDF("freq", "seq")
+      val got = graft.queries.Tokenize.learnMerges(spark, df, 8).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toList
+      val want = refBpe(vocab, 8)
+      assert(got == want, s"seed=$seed")
+      // argmax counts are monotone non-increasing: a merge only removes
+      // occurrences of other pairs, and pairs it creates are bounded by
+      // its own count — a later round can never beat an earlier one
+      assert(got.map(_._5) == got.map(_._5).sortBy(-_), s"seed=$seed (monotone)")
+      SparkEntry.clearGraftCaches(spark)
+    }
+    val _ = Tokenize.BpeMerges // the q94 constant is the production m
+  }
+
   test("q93 law: fixed-round TextRank == convergence variant capped at the same round count") {
     // The tolerance-driven fixpoint (textRankConverged) shares q93's
     // per-round step, so with tol = 0 and the cap at TextRankIters its
