@@ -146,6 +146,7 @@ object SparkEntry {
     "q92_bm25"                -> Text.q92 _,
     "q93_textrank"            -> Text.q93 _,
     "q94_bpe_merges"          -> Tokenize.q94 _,
+    "q95_retrieval_eval"      -> RetrievalEval.q95 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

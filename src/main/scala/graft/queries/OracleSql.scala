@@ -139,7 +139,7 @@ object OracleSql {
     * discipline pointed at IVF candidates. Cosines in the ranking fold
     * sequentially (list_reduce) like the assignment sims, so the ROUND-4
     * operand is bit-identical to Spark's aggregate() fold. */
-  private val ivfKnnSql = {
+  private def ivfKnnCtes = {
     val R = Vectors.LloydRounds
     val probe = R + 1
     s"""${lloydChain(R)},
@@ -158,11 +158,14 @@ object OracleSql {
        |  WHERE a.vec_id <> p.src),
        |r AS (SELECT src, dst, sim,
        |        CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
-       |      FROM cand)
+       |      FROM cand)""".stripMargin
+  }
+
+  private val ivfKnnSql =
+    s"""$ivfKnnCtes
        |SELECT src, rk, dst, sim
        |FROM r WHERE rk <= ${Vectors.KnnK}
        |ORDER BY src, rk""".stripMargin
-  }
 
   val all: Map[String, String] = Map(
 
@@ -1224,27 +1227,10 @@ object OracleSql {
     // double), association is pinned left-to-right term-for-term, each
     // per-term score is ROUND-6'd before the token-ordered fold (q73
     // posture), and the sum is ROUND-4.
-    "q92_bm25" ->
-      s"""WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-        |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
-        |       WHERE token IN (${Text.Bm25Query.map(t => s"'$t'").mkString(", ")})
-        |       GROUP BY doc_id, token),
-        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-        |terms AS (SELECT tf.doc_id, tf.token,
-        |    ROUND(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-        |      ((CAST(tf AS DOUBLE) * ${Text.Bm25K1 + 1.0}) /
-        |       (CAST(tf AS DOUBLE) + ${Text.Bm25K1} * (1.0 - ${Text.Bm25B} + ${Text.Bm25B} * CAST(dl AS DOUBLE) /
-        |        (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6) AS s
-        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), corpus),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_hit,
-        |          list_reduce(list_prepend(0.0, array_agg(s ORDER BY token)), (p, q) -> p + q) AS sum_s
-        |        FROM terms GROUP BY doc_id)
-        |SELECT doc_id, n_hit, ROUND(sum_s, 4) AS bm25
-        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT ${Text.Bm25TopK}""".stripMargin,
+    "q92_bm25" -> bm25Sql,
 
     "q93_textrank" -> textRankSql,
+    "q95_retrieval_eval" -> retrievalEvalSql,
     "q94_bpe_merges" -> bpeSql,
   )
 
@@ -1287,6 +1273,98 @@ object OracleSql {
       .mkString("\n", "\nUNION ALL\n", "\n")
     sb.append(s"\nSELECT * FROM ($union) ORDER BY rule_id")
     sb.toString
+  }
+
+  /** q92 oracle body through `agg` (per-doc BM25 sums) — shared with the
+    * q95 eval, which re-ranks the same 15-row result. Every float literal
+    * is interpolated from the SAME Scala constants the engine uses. */
+  private def bm25Ctes: String =
+    s"""dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+       |       WHERE token IN (${Text.Bm25Query.map(t => s"'$t'").mkString(", ")})
+       |       GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |terms AS (SELECT tf.doc_id, tf.token,
+       |    ROUND(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |      ((CAST(tf AS DOUBLE) * ${Text.Bm25K1 + 1.0}) /
+       |       (CAST(tf AS DOUBLE) + ${Text.Bm25K1} * (1.0 - ${Text.Bm25B} + ${Text.Bm25B} * CAST(dl AS DOUBLE) /
+       |        (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6) AS s
+       |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), corpus),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_hit,
+       |          list_reduce(list_prepend(0.0, array_agg(s ORDER BY token)), (p, q) -> p + q) AS sum_s
+       |        FROM terms GROUP BY doc_id)""".stripMargin
+
+  // q92: every float literal is interpolated from the SAME Scala
+  // constants the engine uses (so both engines parse the identical
+  // double), association is pinned left-to-right term-for-term, each
+  // per-term score is ROUND-6'd before the token-ordered fold (q73
+  // posture), and the sum is ROUND-4.
+  private def bm25Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, n_hit, ROUND(sum_s, 4) AS bm25
+       |FROM agg ORDER BY bm25 DESC, doc_id LIMIT ${Text.Bm25TopK}""".stripMargin
+
+  /** q95 oracle: the ivfKnn chain (at the production NProbe) evaluated
+    * against a brute-force exact panel, plus the q92 chain evaluated
+    * against conjunctive lexical relevance. `tru` and `ivf_per` are
+    * referenced twice downstream, so they are AS MATERIALIZED (the
+    * q94 lesson: DuckDB inlines multiply-referenced CTEs). Macro MRR
+    * uses the engine's exact-integer rescaling (MrrScale // first_rank)
+    * so both engines sum identical integers. */
+  private def retrievalEvalSql: String = {
+    val Q = RetrievalEval.EvalQueries
+    val S = RetrievalEval.MrrScale
+    val k = Vectors.KnnK
+    s"""$ivfKnnCtes,
+       |ret AS (SELECT src, rk, dst FROM r WHERE rk <= $k AND src < $Q),
+       |panel AS (SELECT vec_id AS src, embedding AS qv FROM embeddings WHERE vec_id < $Q),
+       |bf AS (SELECT p.src, e.vec_id AS dst,
+       |    ROUND(
+       |      list_reduce(list_transform(range(1, CAST(len(p.qv) AS INTEGER) + 1),
+       |        j -> CAST(p.qv[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE)), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))), 4) AS sim
+       |  FROM embeddings e CROSS JOIN panel p WHERE e.vec_id <> p.src),
+       |tru AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+       |    FROM bf) WHERE rn <= $k),
+       |trel AS (SELECT src, COUNT(*) AS n_rel FROM tru GROUP BY src),
+       |ihits AS (SELECT ret.src, COUNT(t.dst) AS n_hit,
+       |            MIN(CASE WHEN t.dst IS NOT NULL THEN ret.rk END) AS fr
+       |          FROM ret LEFT JOIN tru t ON t.src = ret.src AND t.dst = ret.dst
+       |          GROUP BY ret.src),
+       |ivf_per AS MATERIALIZED (SELECT 'ivf' AS method, CAST(h.src AS BIGINT) AS query_id,
+       |    CAST(tr.n_rel AS BIGINT) AS n_rel, CAST(h.n_hit AS BIGINT) AS n_hit,
+       |    CAST(COALESCE(h.fr, 0) AS BIGINT) AS first_rank,
+       |    ${ratio4Sql("h.n_hit", "tr.n_rel")} AS recall4,
+       |    CASE WHEN h.fr IS NULL THEN 0.0 ELSE ${ratio4Sql("1", "h.fr")} END AS rr4
+       |  FROM ihits h JOIN trel tr ON tr.src = h.src),
+       |ivf_mac AS (SELECT 'ivf_macro' AS method, CAST(-1 AS BIGINT) AS query_id,
+       |    CAST(SUM(n_rel) AS BIGINT) AS n_rel, CAST(SUM(n_hit) AS BIGINT) AS n_hit,
+       |    CAST(0 AS BIGINT) AS first_rank,
+       |    ${ratio4Sql("SUM(n_hit)", "SUM(n_rel)")} AS recall4,
+       |    ${ratio4Sql(s"SUM(CASE WHEN first_rank > 0 THEN $S // first_rank ELSE 0 END)", s"COUNT(*) * $S")} AS rr4
+       |  FROM ivf_per),
+       |$bm25Ctes,
+       |ret15 AS (SELECT doc_id, rk FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY ROUND(sum_s, 4) DESC, doc_id) AS rk
+       |    FROM agg) WHERE rk <= ${Text.Bm25TopK}),
+       |brel AS (SELECT doc_id FROM tf GROUP BY doc_id
+       |         HAVING COUNT(DISTINCT token) = ${Text.Bm25Query.size}),
+       |bnrel AS (SELECT COUNT(*) AS n_rel FROM brel),
+       |bm_row AS (SELECT 'bm25' AS method, CAST(-1 AS BIGINT) AS query_id,
+       |    CAST(n.n_rel AS BIGINT) AS n_rel, CAST(h.n_hit AS BIGINT) AS n_hit,
+       |    CAST(COALESCE(h.fr, 0) AS BIGINT) AS first_rank,
+       |    CASE WHEN n.n_rel = 0 THEN 0.0 ELSE ${ratio4Sql("h.n_hit", "n.n_rel")} END AS recall4,
+       |    CASE WHEN h.fr IS NULL THEN 0.0 ELSE ${ratio4Sql("1", "h.fr")} END AS rr4
+       |  FROM (SELECT COUNT(b.doc_id) AS n_hit,
+       |          MIN(CASE WHEN b.doc_id IS NOT NULL THEN r15.rk END) AS fr
+       |        FROM ret15 r15 LEFT JOIN brel b ON b.doc_id = r15.doc_id) h, bnrel n)
+       |SELECT * FROM (
+       |  SELECT * FROM ivf_per UNION ALL SELECT * FROM ivf_mac UNION ALL SELECT * FROM bm_row)
+       |ORDER BY method, query_id""".stripMargin
   }
 
   /** q93 oracle: the TextRank fixpoint unrolled to exactly

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Dsl.{cosine, ratio4, round4}
+import graft.tables.Tables
+
+/** Retrieval evaluation (SURVEY.md §2.2 q95) — the audit every RAG/search
+  * stack runs over its retrieval layer: recall@k and MRR of the engine's
+  * own retrieval lists against exact ground truth.
+  */
+object RetrievalEval {
+
+  /** Size of the fixed evaluation query sample (vectors with
+    * vec_id < EvalQueries). The sample is what keeps the GROUND-TRUTH
+    * side scale-safe: exact brute-force k-NN for all N vectors is O(N²),
+    * but for a constant Q-query panel it is Q·N — one broadcast of the
+    * panel against the corpus, the standard recall-audit shape. */
+  val EvalQueries = 64L
+
+  /** LCM(1 .. 15): rescales 1/rank to an exact integer for every rank the
+    * eval can produce (IVF ranks ≤ Vectors.KnnK = 5, BM25 ranks ≤
+    * Text.Bm25TopK = 15), so the macro MRR numerator is an exact integer
+    * SUM — no float fold order to pin — and the final value is one
+    * ratio4 of integers. */
+  val MrrScale = 360360L
+
+  /** q95: retrieval evaluation — per-query recall@k / reciprocal rank of
+    * (a) the IVF ANN lists (q90's machinery at the production NProbe)
+    * against exact brute-force cosine top-k ground truth over the
+    * [[EvalQueries]]-vector panel, plus the macro average, and (b) the
+    * BM25 top-[[Text.Bm25TopK]] list (q92) against conjunctive lexical
+    * ground truth (documents containing ALL query terms). One row per
+    * panel query (`method = 'ivf'`), one macro row (`'ivf_macro'`,
+    * integer-sum aggregation: recall = Σhits/Σrel, MRR =
+    * Σ(MrrScale/rank)/(MrrScale·Q) — all-integer, so deterministic with
+    * no fold discipline), and one row for the single fixed BM25 query
+    * (`'bm25'`; its own macro would equal itself). first_rank = 0 encodes
+    * "no relevant result retrieved".
+    *
+    * Scale posture: the IVF side reads the ANN output the pipeline
+    * already computes (restricted to the panel) and brute-forces ONLY the
+    * panel (Q·N map-side cosine under a Q-row broadcast, one per-src
+    * window). The BM25 side is the q92 plan plus one aggregate over its
+    * 15-row result and one over the query-term posting lists. Every
+    * metric is an integer ratio through [[ratio4]] — HALF_UP-law pinned,
+    * no float accumulation anywhere. */
+  def q95(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = ivfEval(spark, sfDir, Vectors.NProbe).cache()
+    val mac = ivfMacro(per)
+    per.union(mac).union(bm25Eval(spark, sfDir))
+      .orderBy(col("method"), col("query_id"))
+  }
+
+  /** Per-panel-query IVF eval rows, parameterized on the probe width so
+    * LlmOpsSpec can pin recall MONOTONICITY in nprobe: the candidate set
+    * grows with nprobe, retrieved∩truth = candidates∩truth (a true
+    * neighbor in the candidate set can be outranked only by other true
+    * neighbors), so macro recall is non-decreasing and hits 1.0 exactly
+    * at nprobe = ncells. */
+  private[graft] def ivfEval(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val panel = emb.filter(col("vec_id") < EvalQueries)
+      .select(col("vec_id").as("src"), col("embedding").as("qv"))
+    val wt = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val truth = emb.join(broadcast(panel))
+      .filter(col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        round4(cosine(col("embedding"), col("qv"))).as("sim"))
+      .withColumn("rk", row_number().over(wt))
+      .filter(col("rk") <= Vectors.KnnK)
+      .select(col("src"), col("dst"))
+    val nrel = truth.groupBy(col("src")).agg(count(lit(1)).as("n_rel"))
+    val ret = Vectors.ivfKnn(spark, sfDir, nprobe)
+      .filter(col("src") < EvalQueries)
+      .select(col("src"), col("rk"), col("dst"))
+    ret.join(truth.withColumn("rel", lit(1)), Seq("src", "dst"), "left")
+      .groupBy(col("src"))
+      .agg(sum(coalesce(col("rel"), lit(0))).as("n_hit"),
+        min(when(col("rel") === 1, col("rk"))).as("fr"))
+      .join(nrel, Seq("src"))
+      .select(lit("ivf").as("method"), col("src").cast("long").as("query_id"),
+        col("n_rel").cast("long").as("n_rel"), col("n_hit").cast("long").as("n_hit"),
+        coalesce(col("fr"), lit(0)).cast("long").as("first_rank"),
+        ratio4(col("n_hit"), col("n_rel")).as("recall4"),
+        when(col("fr").isNull, lit(0.0))
+          .otherwise(ratio4(lit(1), col("fr"))).as("rr4"))
+  }
+
+  /** Macro average over the per-query rows — integer sums only: the MRR
+    * numerator rescales each 1/first_rank to the exact integer
+    * MrrScale/first_rank (exact because first_rank ≤ 15 divides
+    * MrrScale). */
+  private def ivfMacro(per: DataFrame): DataFrame =
+    per.agg(
+      sum(col("n_rel")).as("srel"), sum(col("n_hit")).as("shit"),
+      sum(when(col("first_rank") > 0, (lit(MrrScale) / col("first_rank")).cast("long"))
+        .otherwise(lit(0L))).as("smrr"),
+      count(lit(1)).as("nq"))
+      .select(lit("ivf_macro").as("method"), lit(-1L).as("query_id"),
+        col("srel").as("n_rel"), col("shit").as("n_hit"), lit(0L).as("first_rank"),
+        ratio4(col("shit"), col("srel")).as("recall4"),
+        ratio4(col("smrr"), col("nq") * lit(MrrScale)).as("rr4"))
+
+  /** The lexical half: q92's top-15 against conjunctive relevance (docs
+    * containing every query term — [[Text.Bm25Query]] is a 3-term AND).
+    * The rank window is global but runs on the already-limited 15-row
+    * result, not a corpus-scale frame. */
+  private def bm25Eval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Text.q92(spark, sfDir)
+      .select(col("doc_id"), col("bm25"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+    val rel = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(Text.Bm25Query: _*))
+      .groupBy(col("doc_id")).agg(countDistinct(col("token")).as("nt"))
+      .filter(col("nt") === Text.Bm25Query.size)
+      .select(col("doc_id"))
+    val nrel = rel.agg(count(lit(1)).as("n_rel"))
+    ranked.join(rel.withColumn("rel", lit(1)), Seq("doc_id"), "left")
+      .agg(sum(coalesce(col("rel"), lit(0))).as("n_hit"),
+        min(when(col("rel") === 1, col("rk"))).as("fr"))
+      .crossJoin(broadcast(nrel))
+      .select(lit("bm25").as("method"), lit(-1L).as("query_id"),
+        col("n_rel").cast("long").as("n_rel"), col("n_hit").cast("long").as("n_hit"),
+        coalesce(col("fr"), lit(0)).cast("long").as("first_rank"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(ratio4(col("n_hit"), col("n_rel"))).as("recall4"),
+        when(col("fr").isNull, lit(0.0))
+          .otherwise(ratio4(lit(1), col("fr"))).as("rr4"))
+  }
+}

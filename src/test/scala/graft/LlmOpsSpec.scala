@@ -169,6 +169,41 @@ class LlmOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q95 eval laws: macro recall monotone in nprobe, exactly 1.0 at nprobe=ncells, metrics in range") {
+    import graft.queries.RetrievalEval
+    // Recall monotonicity is a THEOREM of the eval, not corpus geometry:
+    // the IVF candidate set grows with nprobe, and retrieved∩truth ==
+    // candidates∩truth (a true top-k neighbor in the candidate set can be
+    // outranked only by other true neighbors under the shared
+    // (sim DESC, dst) total order), so macro recall = |C∩T|/|T| summed is
+    // non-decreasing — and at nprobe = ncells the candidates are the
+    // whole corpus, forcing recall exactly 1.0 and MRR exactly 1.0.
+    val e = graft.tables.Tables.embeddings(spark, sf001)
+    val ncells = e.select($"label").distinct().count().toInt
+    def macroOf(nprobe: Int): (Double, Double) = {
+      val per = graft.queries.RetrievalEval.ivfEval(spark, sf001, nprobe).collect()
+      assert(per.nonEmpty)
+      for (r <- per) {
+        assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, "recall out of range")
+        assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, "rr out of range")
+        // first_rank = 0 iff no hit, and then rr must be 0
+        assert((r.getLong(4) == 0L) == (r.getDouble(6) == 0.0), "first_rank/rr disagree")
+      }
+      val srel = per.map(_.getLong(2)).sum.toDouble
+      val shit = per.map(_.getLong(3)).sum.toDouble
+      val smrr = per.map(r => if (r.getLong(4) > 0) RetrievalEval.MrrScale / r.getLong(4) else 0L).sum.toDouble
+      SparkEntry.clearGraftCaches(spark)
+      (shit / srel, smrr / (per.length * RetrievalEval.MrrScale))
+    }
+    val (rec1, _) = macroOf(1)
+    val (recP, _) = macroOf(graft.queries.Vectors.NProbe)
+    val (recAll, mrrAll) = macroOf(ncells)
+    assert(rec1 <= recP + 1e-12 && recP <= recAll + 1e-12,
+      f"recall not monotone: $rec1%.4f -> $recP%.4f -> $recAll%.4f")
+    assert(recAll == 1.0, f"nprobe=ncells recall $recAll%.4f != 1.0")
+    assert(mrrAll == 1.0, f"nprobe=ncells MRR $mrrAll%.4f != 1.0")
+  }
+
   test("q84 df cap: planted boilerplate is dropped from candidate generation; in-band pairs survive") {
     // 50 docs that share ONLY a 12-token boilerplate phrase (10 pure-bp
     // shingles, df = 50) plus 2 unique tokens each: every pair qualifies

@@ -88,7 +88,8 @@ class PlanSpec extends SparkSpec {
       "q73_lm_perplexity",    // broadcast single-row vocab size V
       "q74_pmi_collocations", // broadcast single-row bigram total
       "q80_mixture_weights",  // broadcast single-row weight total
-      "q92_bm25")             // broadcast single-row corpus stats (N, avgdl)
+      "q92_bm25",             // broadcast single-row corpus stats (N, avgdl)
+      "q95_retrieval_eval")   // broadcast constant 64-row eval panel + single-row n_rel
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
