@@ -864,9 +864,23 @@ object Text {
     * intermediate in the query family at corpus scale).
     * Reference tie: the term-lookup side of the reference's status reads,
     * generalized to corpus retrieval (`main.go:214`). */
-  def q91(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = tokens(spark, sfDir)
+  def q91(spark: SparkSession, sfDir: String): DataFrame =
+    indexOf(termFrequencies(docs(spark, sfDir)))
+
+  /** The (token, doc_id, tf) term-frequency table of an arbitrary
+    * (doc_id, text, …) frame — shared with the streaming incremental
+    * index (s15), whose micro-batches are not table loads; batch and
+    * stream tokenize and count identically BY CONSTRUCTION because this
+    * is the one definition. */
+  private[graft] def termFrequencies(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  /** q91 aggregation on an arbitrary (token, doc_id, tf) frame — the
+    * read-side view of the streaming incremental index store runs this
+    * same code over its materialized tf rows. */
+  private[graft] def indexOf(tf: DataFrame): DataFrame = {
     val wp = Window.partitionBy(col("token")).orderBy(col("doc_id"))
     tf.withColumn("rn", row_number().over(wp))
       .groupBy(col("token"))

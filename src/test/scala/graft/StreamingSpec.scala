@@ -124,6 +124,87 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(acceptDir).count() == 4L)
   }
 
+  test("s15: incremental inverted index tracks streamed docs, updates supersede (LWW)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val storeDir = tmpDir("inc-idx-store") + "/store"
+    val ckptDir = tmpDir("inc-idx-ckpt")
+    val textA = "spark shuffles the big table"
+    val textA2 = "spark broadcasts the small table"
+    val textB = "window functions rank the rows"
+    val textC = "merge learning builds the tokenizer"
+    def expectIndex(docs: (Long, String)*): Set[(String, Long, Long, String)] =
+      graft.queries.Text.indexOf(
+        graft.queries.Text.termFrequencies(docs.toList.toDF("doc_id", "text")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    def gotIndex(): Set[(String, Long, Long, String)] =
+      graft.streaming.IncrementalIndex.readIndex(spark, storeDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.IncrementalIndex.start(
+      input.toDF().toDF("doc_id", "text"), storeDir, ckptDir)
+    try {
+      input.addData((1L, textA), (2L, textB))
+      query.processAllAvailable()
+      assert(gotIndex() == expectIndex((1L, textA), (2L, textB)))
+      // batch 2 RE-SUBMITS doc 1 with new text (an update) — the read
+      // view must reflect only the latest version (LWW per doc)
+      input.addData((1L, textA2), (3L, textC))
+      query.processAllAvailable()
+      assert(gotIndex() == expectIndex((1L, textA2), (2L, textB), (3L, textC)),
+        "stale postings of the superseded doc version leaked into the index")
+    } finally query.stop()
+  }
+
+  test("s15 laws: batch-parity with q91 after N batches; replay no-op; compaction never changes the index") {
+    import graft.streaming.IncrementalIndex.{compactStore, processBatch, readIndex}
+    val storeDir = tmpDir("inc-idx2-store") + "/store"
+    def idx(): Set[(String, Long, Long, String)] =
+      readIndex(spark, storeDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+    // BATCH PARITY: stream the sf0.001 documents table in 3 disjoint
+    // batches; the read view must equal q91's batch build of the same
+    // corpus (same kernel on both sides makes this a law of the store
+    // machinery, not the tokenizer).
+    val docs = graft.tables.Tables.documents(spark, sf001)
+    for (b <- 0L to 2L)
+      processBatch(docs.filter(col("doc_id") % 3 === b), storeDir, b)
+    val q91 = graft.queries.Text.q91(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val streamed = idx()
+    assert(streamed == q91, "streamed index != q91 batch build")
+
+    // REPLAY LAW: an at-least-once re-run of batch 1 rewrites its own
+    // partition with identical rows — the index is bit-identical.
+    processBatch(docs.filter(col("doc_id") % 3 === 1), storeDir, 1L)
+    assert(idx() == q91, "replay changed the index")
+
+    // COMPACTION LAW: folding partitions 0..2 into the base leaves one
+    // partition and the identical index.
+    compactStore(spark, storeDir, 3L)
+    val partsAfter = new java.io.File(storeDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(partsAfter == Set("batch_id=-1"), s"store partitions after fold: $partsAfter")
+    assert(idx() == q91, "compaction changed the index")
+
+    // post-compaction updates still supersede the folded base (LWW
+    // across the base/new-batch boundary), and replay across the
+    // compaction boundary is still a no-op
+    import spark.implicits._
+    val upd = Seq((0L, "one replaced document")).toDF("doc_id", "text")
+    processBatch(upd, storeDir, 3L)
+    val afterUpd = idx()
+    val expectUpd = graft.queries.Text.indexOf(graft.queries.Text.termFrequencies(
+      docs.filter(col("doc_id") =!= 0L).select(col("doc_id"), col("text"))
+        .union(upd))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(afterUpd == expectUpd, "post-compaction update not LWW-resolved")
+    processBatch(upd, storeDir, 3L)
+    assert(idx() == afterUpd, "replay across compaction changed the index")
+  }
+
   // The runbook is asserted on BOTH s04 forms: keyed RocksDB state
   // (default) and the parquet-MERGE fallback — same events, same checks.
   test("runbook e2e (keyed state): purchase -> promise -> bill -> payment -> notify; duplicate replay is a no-op") {
