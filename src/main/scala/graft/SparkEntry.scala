@@ -147,6 +147,7 @@ object SparkEntry {
     "q93_textrank"            -> Text.q93 _,
     "q94_bpe_merges"          -> Tokenize.q94 _,
     "q95_retrieval_eval"      -> RetrievalEval.q95 _,
+    "q96_sequence_packing"    -> Pack.q96 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1232,6 +1232,37 @@ object OracleSql {
     "q93_textrank" -> textRankSql,
     "q95_retrieval_eval" -> retrievalEvalSql,
     "q94_bpe_merges" -> bpeSql,
+
+    // q96: the next-fit recurrence is sequential per shard, so the oracle
+    // walks it with a recursive CTE — the working table holds exactly one
+    // row per shard per step (rn advances in lockstep), so recursion depth
+    // is the longest shard, not the corpus. The base CTE is MATERIALIZED:
+    // it is referenced from both the anchor and the recursive step.
+    "q96_sequence_packing" ->
+      s"""WITH RECURSIVE d AS MATERIALIZED (
+        |  SELECT doc_id % ${Pack.PackShards} AS shard_id, doc_id,
+        |         least(CAST(len(string_split(text, ' ')) AS BIGINT),
+        |               ${Pack.PackContext}) AS t,
+        |         CAST(row_number() OVER (PARTITION BY doc_id % ${Pack.PackShards}
+        |                                 ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard_id, doc_id, t, rn, CAST(0 AS BIGINT) AS bin_id, t AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard_id, d.doc_id, d.t, d.rn,
+        |         CASE WHEN p.fill + d.t > ${Pack.PackContext}
+        |              THEN p.bin_id + 1 ELSE p.bin_id END,
+        |         CASE WHEN p.fill + d.t > ${Pack.PackContext}
+        |              THEN d.t ELSE p.fill + d.t END
+        |  FROM p JOIN d ON d.shard_id = p.shard_id AND d.rn = p.rn + 1)
+        |SELECT shard_id, bin_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  ${ratio4Sql("CAST(SUM(t) AS BIGINT)", Pack.PackContext.toString)} AS fill4
+        |FROM p
+        |GROUP BY shard_id, bin_id
+        |ORDER BY shard_id, bin_id""".stripMargin,
   )
 
   /** q94 oracle: the BPE merge loop unrolled to exactly

@@ -427,4 +427,58 @@ class PropertySpec extends SparkSpec {
       "converged top-k keyword set drifted from the fixed-round query")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("q96 law: streaming next-fit fold == composed HOF twin == driver reference on random shards") {
+    import graft.queries.Pack
+    val C = Pack.PackContext
+    // Lengths cluster around the hard cases: exact fits (t == C), the
+    // C/2 boundary (two docs exactly fill a bin), oversize-capped docs,
+    // and tiny docs that pack many-per-bin.
+    val docsGen = Gen.listOfN(60, for {
+      id <- Gen.choose(0L, 100000L)
+      t <- Gen.oneOf(Gen.choose(1L, C), Gen.const(C), Gen.const(C / 2),
+        Gen.const(C / 2 + 1))
+    } yield (id, t))
+    def refNextFit(docs: List[(Long, Long, Long)]): List[(Long, Long, Long, Long)] =
+      docs.groupBy(_._1).toList.flatMap { case (shard, ds) =>
+        var fill = -1L; var bin = 0L
+        ds.sortBy(_._2).map { case (_, d, t) =>
+          if (fill < 0) { fill = t }
+          else if (fill + t > C) { bin += 1; fill = t }
+          else fill += t
+          (shard, d, t, bin)
+        }
+      }.sortBy(r => (r._1, r._2))
+    for (seed <- 1 to Samples) {
+      val raw = draw(docsGen, 9600 + seed).distinctBy(_._1)
+      val docs = raw.map { case (id, t) => (id % Pack.PackShards, id, t) }
+      val df = docs.toDF("shard_id", "doc_id", "t")
+      val fold = Pack.packAssignments(spark, df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2)).toList
+      val hof = Pack.packComposedFrame(spark, df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2)).toList
+      val want = refNextFit(docs)
+      assert(fold == want, s"seed=$seed (fold vs reference)")
+      assert(hof == want, s"seed=$seed (HOF twin vs reference)")
+      // packing invariants: no bin overflows, every doc assigned exactly
+      // once, and bin ids per shard are contiguous from 0
+      val byBin = want.groupBy(r => (r._1, r._4))
+      assert(byBin.values.forall(_.map(_._3).sum <= C), s"seed=$seed (overflow)")
+      assert(want.map(_._2).distinct.length == docs.length, s"seed=$seed (coverage)")
+      for ((shard, rows) <- want.groupBy(_._1)) {
+        val bins = rows.map(_._4).distinct.sorted
+        assert(bins == (0L until bins.length.toLong).toList, s"seed=$seed shard=$shard (gaps)")
+      }
+    }
+    // and on the real corpus frame: the two forms agree row for row
+    val real = Pack.docFrame(spark, sf001)
+    val a = Pack.packAssignments(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(r => (r._1, r._2))
+    val b = Pack.packComposedFrame(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(r => (r._1, r._2))
+    assert(a.sameElements(b), "corpus: fold vs HOF twin drifted")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
