@@ -148,6 +148,7 @@ object SparkEntry {
     "q94_bpe_merges"          -> Tokenize.q94 _,
     "q95_retrieval_eval"      -> RetrievalEval.q95 _,
     "q96_sequence_packing"    -> Pack.q96 _,
+    "q97_repeated_spans"      -> Dedup.q97 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Dsl._
 
@@ -483,4 +484,90 @@ object Dedup {
       .select(col("digest"), col("n_occurrences"), col("n_docs"),
         col("n_chunk_tokens"), col("min_doc"), col("max_doc"))
       .orderBy(col("digest"))
+
+  /** q97 span granularity: the minimum repeat length that counts as a
+    * duplicated passage. Sliding L-grams (stride 1), unlike q76's fixed
+    * chunk grid — a repeat that straddles a chunk boundary is invisible
+    * to q76 but flagged here. */
+  val SpanL = 5
+
+  /** q97: repeated-span detection — the exact-substring dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22): any ≥[[SpanL]]-token passage occurring more than
+    * once in the corpus (across documents OR repeated within one) is a
+    * memorization hazard, and the pipeline wants the MAXIMAL spans to cut,
+    * not raw L-gram hits. Three declarative stages:
+    *   1. slide an L-token window over every document (map-side
+    *      transform + explode; the shingle key is the raw space-joined
+    *      token string — tokens contain no spaces and L is fixed, so key
+    *      equality IS token-sequence equality, and the oracle mirrors it
+    *      without any hash to agree on);
+    *   2. flag positions whose shingle occurs ≥ 2 times corpus-wide: a
+    *      map-side-combined groupBy(shingle) count, then a semi-join of
+    *      the position stream against the qualifying keys — output is
+    *      bounded by the position stream (never pairwise like q84's
+    *      candidate enumeration; a df=10⁶ boilerplate shingle costs its
+    *      own occurrence rows and nothing more);
+    *   3. merge overlapping/adjacent flagged windows [pos, pos+L) into
+    *      maximal spans per document — gaps-and-islands on one window
+    *      shuffle: prev_end = max(pos+L) over rows (-∞, -1), a new island
+    *      opens where pos > prev_end, island id = running sum of opens,
+    *      then span = [min(pos), max(pos)+L) per island.
+    * Output: per affected document, the span count, duplicated-token
+    * total, and the duplicated fraction (ratio4) — the per-doc cut list
+    * a dedup materialization pass consumes.
+    *
+    * Scale posture: stage 1 is generate-only (no shuffle); stage 2 is one
+    * uniform-key shuffle (the 60-bit-spread... here raw-string-keyed —
+    * partials collapse hot keys map-side) plus one equi-semi-join keyed
+    * the same way (AQE skew-split applies); stage 3 shuffles once on
+    * doc_id and both window passes plus the island aggregate ride that
+    * single partitioning. The document table is scanned twice (occurrence
+    * stream is rebuilt for the join side) — deliberately NOT cached: the
+    * stream is corpus-scale, and the q91 round-7 lesson is that a
+    * corpus-scale cache is a worse cost than a second codegen'd scan. */
+  def q97(spark: SparkSession, sfDir: String): DataFrame =
+    repeatedSpans(graft.tables.Tables.documents(spark, sfDir))
+
+  /** q97 core on an arbitrary (doc_id, text) frame — exposed so the
+    * planted-boilerplate law (LlmOpsSpec) can pin span maximality:
+    * overlapping and adjacent flagged windows merge into ONE span,
+    * disjoint repeats stay separate, and unique text contributes
+    * nothing. */
+  private[graft] def repeatedSpans(documents: DataFrame): DataFrame = {
+    val L = SpanL
+    def occ = {
+      val arr = split(col("text"), " ")
+      documents
+        .select(col("doc_id"), arr.as("t"))
+        .filter(size(col("t")) >= L) // sequence(0, n-L) would DESCEND for n < L
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("t")) - L),
+            i => struct(i.cast("long").as("pos"),
+              array_join(slice(col("t"), i + 1, lit(L)), " ").as("sh")))).as("o"))
+        .select(col("doc_id"), col("o.pos").as("pos"), col("o.sh").as("sh"))
+    }
+    val dup = occ.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("sh"))
+    val flagged = occ.join(dup, Seq("sh"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + L).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = flagged
+      .withColumn("prev_end", prevEnd)
+      .withColumn("opens", when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("opens"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) + L - min(col("pos"))).as("span_tokens"))
+    val nTokens = documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    spans
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+      .join(nTokens, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        graft.ops.Dsl.ratio4(col("dup_tokens"), col("n_tokens")).as("dup_ratio4"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1263,6 +1263,42 @@ object OracleSql {
         |FROM p
         |GROUP BY shard_id, bin_id
         |ORDER BY shard_id, bin_id""".stripMargin,
+
+    // q97: the shingle key is the raw space-joined L-gram on both engines
+    // (token-sequence equality, no hash to agree on); occ is MATERIALIZED
+    // because it is read twice (df count + flagged positions). The island
+    // merge is the same two-window gaps-and-islands the Spark side runs.
+    "q97_repeated_spans" -> {
+      val L = Dedup.SpanL
+      s"""WITH occ AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER) + ${L - 1}], ' ') AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+        |       unnest(generate_series(1, CAST(len(t) AS INTEGER) - $L + 1)) AS u(i)),
+        |dup AS (SELECT sh FROM occ GROUP BY sh HAVING COUNT(*) >= 2),
+        |f AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (sh)),
+        |g AS (SELECT doc_id, pos,
+        |        max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM f),
+        |isl AS (SELECT doc_id, pos,
+        |        SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM g),
+        |sp AS (SELECT doc_id, island,
+        |         MAX(pos) + $L - MIN(pos) AS span_tokens
+        |       FROM isl GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+        |          CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        |        FROM sp GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |SELECT agg.doc_id, agg.n_spans, agg.dup_tokens, n.n_tokens,
+        |  ${ratio4Sql("agg.dup_tokens", "n.n_tokens")} AS dup_ratio4
+        |FROM agg JOIN n USING (doc_id)
+        |ORDER BY agg.doc_id""".stripMargin
+    },
   )
 
   /** q94 oracle: the BPE merge loop unrolled to exactly

@@ -631,4 +631,29 @@ class LlmOpsSpec extends SparkSpec {
         s"source ${r.getString(0)}: epochs ${r.getDouble(5)} vs $viaRatio")
     }
   }
+
+  test("repeated spans: planted boilerplate merges to maximal spans, unique text is silent (q97)") {
+    import graft.queries.Dedup
+    val L = Dedup.SpanL // 5
+    // Vocabulary chosen so no 5-gram repeats by accident: unique fillers
+    // u0..u39, one 8-token boilerplate block B repeated in docs 1 and 2,
+    // and a doc-3 SELF-repeat of a 5-token run with a gap (two islands).
+    val B = (0 until 8).map(i => s"b$i").mkString(" ")       // 8-token block
+    val R = (0 until L).map(i => s"r$i").mkString(" ")       // 5-token run
+    def u(from: Int, n: Int) = (from until from + n).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${u(0, 6)} $B ${u(6, 6)}"),          // B at pos 6..13
+      (2L, s"${u(12, 3)} $B ${u(15, 8)}"),        // B at pos 3..10
+      (3L, s"$R ${u(23, 7)} $R"),                 // R at pos 0 and pos 12
+      (4L, u(30, 10))                             // all unique — no output row
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // docs 1/2: the 8-token block yields 4 overlapping flagged windows
+    // merging into ONE maximal span of exactly 8 tokens — not 4 spans, not
+    // 5+ tokens of slop. doc 3: two disjoint 5-token islands. doc 4: absent.
+    assert(got == List((1L, 1L, 8L, 20L), (2L, 1L, 8L, 19L), (3L, 2L, 10L, 17L)),
+      got.toString)
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
