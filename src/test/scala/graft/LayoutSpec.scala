@@ -100,4 +100,40 @@ class LayoutSpec extends SparkSpec {
     // the partition column round-trips (moved from data to directory and back)
     assert(pruned.columns.contains("event_type"))
   }
+
+  test("z-order clustering serves bands on EITHER dimension; linear sort reads the world for the other") {
+    val base = tmpDir("graft-zorder")
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    // the baseline every warehouse starts from: range-clustered on ONE column
+    li.repartitionByRange(16, col("l_partkey")).sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(s"$base/linear")
+    Layout.writeZOrdered(li, s"$base/zorder", "l_partkey", "l_suppkey", files = 16)
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name()).distinct().count()
+    // quarter-ish bands on each dimension (l_partkey 0..199, l_suppkey 0..9)
+    val aBand = col("l_partkey") >= 150
+    val bBand = col("l_suppkey") >= 8
+    val all = lit(true)
+    val total = filesTouched(s"$base/zorder", all)
+    val (linA, linB) = (filesTouched(s"$base/linear", aBand), filesTouched(s"$base/linear", bBand))
+    val (zA, zB) = (filesTouched(s"$base/zorder", aBand), filesTouched(s"$base/zorder", bBand))
+    // linear answers its own sort column sharply — and pays with a full
+    // scan for the other dimension
+    assert(linA * 2 <= total, s"linear a-band touched $linA of $total")
+    assert(linB >= total - 1, s"linear layout should read ~all files for a b-band, got $linB")
+    // one z-ordered layout prunes BOTH: each band fixes that dimension's
+    // high curve bits, leaving only the other dimension's fan-out
+    assert(zA * 2 <= total, s"z a-band touched $zA of $total")
+    assert(zB * 2 <= total, s"z b-band touched $zB of $total")
+    assert(zB * 2 <= linB, s"z b-band ($zB) not better than linear ($linB)")
+    // a 2-D box intersects both slabs — never more files than either band
+    val zBox = filesTouched(s"$base/zorder", aBand && bBand)
+    assert(zBox <= zA && zBox <= zB, s"box $zBox vs bands $zA/$zB")
+    // the layout changed file placement, not the data
+    assert(spark.read.parquet(s"$base/zorder").count() == li.count())
+    assert(spark.read.parquet(s"$base/zorder").filter(aBand && bBand).count() ==
+      li.filter(aBand && bBand).count())
+  }
 }
