@@ -586,4 +586,85 @@ class StreamingSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(total == 1000L)
   }
+
+  test("s16 laws: streamed sketch == exact counts below eviction; replay no-op; crash-window compaction invisible") {
+    import spark.implicits._
+    import graft.streaming.HeavyHitters.{foldBase, merged, processBatch, sweepFolded}
+    val storeDir = tmpDir("hh-store") + "/store"
+    def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def mergedMap(): Map[String, Long] =
+      merged(spark, storeDir).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    // distinct tokens (8) far below m = 256: no eviction fires anywhere,
+    // so the merged sketch must equal EXACT stream counts at every step
+    val b0 = batchDf((1L, "a a a b c"), (2L, "a b b d"))
+    val b1 = batchDf((3L, "a c c e f"), (4L, "b a g h"))
+    val b2 = batchDf((5L, "a a h h h"))
+    processBatch(b0, storeDir, 0L)
+    processBatch(b1, storeDir, 1L)
+    val exact01 = Map("a" -> 6L, "b" -> 4L, "c" -> 3L, "d" -> 1L, "e" -> 1L,
+      "f" -> 1L, "g" -> 1L, "h" -> 1L)
+    assert(mergedMap() == exact01, mergedMap().toString)
+
+    // REPLAY LAW: re-running batch 1 overwrites its own partition with
+    // recomputed content — the additive store must not double-count
+    processBatch(b1, storeDir, 1L)
+    assert(mergedMap() == exact01, "replay changed the merged counts")
+
+    // COMPACTION with the crash window held OPEN: after foldBase commits
+    // the watermarked base, the folded partitions still sit on disk —
+    // and must already be invisible to readers (no double count)
+    foldBase(spark, storeDir, 2L)
+    val partsBeforeSweep = new java.io.File(storeDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(partsBeforeSweep == Set("batch_id=-1", "batch_id=0", "batch_id=1"),
+      s"unexpected partitions: $partsBeforeSweep")
+    assert(mergedMap() == exact01, "folded-but-unswept partitions were double-counted")
+    // a foldBase re-run (crashed compaction retried) is also a no-op
+    foldBase(spark, storeDir, 2L)
+    assert(mergedMap() == exact01, "foldBase retry changed the merged counts")
+    // the sweep is pure GC
+    sweepFolded(spark, storeDir)
+    val partsAfter = new java.io.File(storeDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(partsAfter == Set("batch_id=-1"), s"sweep left: $partsAfter")
+    assert(mergedMap() == exact01, "sweep changed the merged counts")
+
+    // streaming continues across the compaction boundary
+    processBatch(b2, storeDir, 2L)
+    val exact012 = exact01 ++ Map("a" -> 8L, "h" -> 4L)
+    assert(mergedMap() == exact012, mergedMap().toString)
+
+    // EVICTION REGIME (m = 2): the merged estimates keep the Misra-Gries
+    // guarantees vs the true counts: est <= true <= est + N/(m+1), and
+    // the dominant token survives every fold
+    val smStore = tmpDir("hh-small") + "/store"
+    val s0 = batchDf((1L, "x x x x y z"), (2L, "x x y w"))
+    val s1 = batchDf((3L, "x x x v y u"), (4L, "x t"))
+    processBatch(s0, smStore, 0L, m = 2)
+    processBatch(s1, smStore, 1L, m = 2)
+    val trueCounts = Map("x" -> 10L, "y" -> 3L, "z" -> 1L, "w" -> 1L,
+      "v" -> 1L, "u" -> 1L, "t" -> 1L)
+    val n = trueCounts.values.sum
+    val bound = n / (2 + 1) // N/(m+1)
+    val est = merged(spark, smStore, m = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est.size <= 2, s"more than m survivors: $est")
+    for ((tok, e) <- est) {
+      val t = trueCounts(tok)
+      assert(e <= t && t - e <= bound, s"$tok: est $e vs true $t (bound $bound)")
+    }
+    // x (count 10 > N/(m+1) = 5) must be present — the presence guarantee
+    assert(est.contains("x"), s"heavy hitter evicted: $est")
+    // and folding must preserve all of the above
+    foldBase(spark, smStore, 2L, m = 2)
+    sweepFolded(spark, smStore)
+    val estC = merged(spark, smStore, m = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(estC.size <= 2 && estC.contains("x"))
+    for ((tok, e) <- estC) {
+      val t = trueCounts(tok)
+      assert(e <= t && t - e <= bound, s"post-fold $tok: est $e vs true $t")
+    }
+  }
 }
