@@ -74,7 +74,7 @@ object Vectors {
     * by q55/q56. One narrow shuffle of (cell, i, long); partial sums
     * combine map-side, so at 100 TB this is a single mergeable aggregation
     * regardless of corpus size. Input rows: (cell, embedding). */
-  private def centroidComponents(assigned: DataFrame): DataFrame =
+  private[graft] def centroidComponents(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cell"), (col("pos") + 1).as("i"))
@@ -86,7 +86,7 @@ object Vectors {
     * two IEEE divisions in the same order as the oracle, so the codebook
     * is bit-identical across engines and downstream fold-parity cosines
     * stay exact. */
-  private def codebook(comps: DataFrame): DataFrame =
+  private[graft] def codebook(comps: DataFrame): DataFrame =
     comps
       .select(col("cell"), col("i"),
         ((col("sq").cast("double") / CentroidScale) / col("n")).as("c"))
@@ -102,7 +102,7 @@ object Vectors {
     * (ExpressionSpec) — while running fused in whole-stage codegen
     * instead of interpreting 64 lambda calls per (vector, cell).
     * Map-side (broadcast join, no shuffle). */
-  private def cellSims(emb: DataFrame, cells: DataFrame): DataFrame =
+  private[graft] def cellSims(emb: DataFrame, cells: DataFrame): DataFrame =
     emb.join(broadcast(cells))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine(col("embedding"), col("cvec")).as("csim"))
@@ -111,7 +111,7 @@ object Vectors {
     * training assignment, probe assignment, and the oracle's row_number
     * ORDER BY all mirror this single definition. One row_number shuffle
     * on vec_id. */
-  private def argmaxCell(sims: DataFrame): DataFrame = {
+  private[graft] def argmaxCell(sims: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
     sims
@@ -121,7 +121,7 @@ object Vectors {
   }
 
   /** Nearest-centroid assignment = [[cellSims]] + [[argmaxCell]]. */
-  private def assign(emb: DataFrame, cells: DataFrame): DataFrame =
+  private[graft] def assign(emb: DataFrame, cells: DataFrame): DataFrame =
     argmaxCell(cellSims(emb, cells))
 
   /** IVF coarse-quantizer training: centroids seeded from the label
@@ -131,7 +131,7 @@ object Vectors {
     * `localCheckpoint(true)` truncating the tiny (cells × dim) component
     * frame between rounds so round k's plan does not replay rounds
     * 1..k-1. Empty cells drop out identically on both engines. */
-  private def trainedComponents(emb: DataFrame): DataFrame = {
+  private[graft] def trainedComponents(emb: DataFrame): DataFrame = {
     var comps = centroidComponents(emb.select(col("label").as("cell"), col("embedding")))
     for (_ <- 1 to LloydRounds)
       comps = centroidComponents(

@@ -667,4 +667,64 @@ class StreamingSpec extends SparkSpec {
       assert(e <= t && t - e <= bound, s"post-fold $tok: est $e vs true $t")
     }
   }
+
+  test("s17 laws: streamed IVF membership == batch assignment; LWW update; replay and compaction no-ops; probe parity") {
+    import graft.queries.Vectors
+    import graft.streaming.VectorIndex.{compactStore, currentMembers, probe, processBatch}
+    val storeDir = tmpDir("vidx-store") + "/store"
+    val emb = graft.tables.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    // static codebook — trained offline on the full corpus, pinned once
+    val cells = Vectors.codebook(Vectors.trainedComponents(
+      graft.tables.Tables.embeddings(spark, sf001))).localCheckpoint(true)
+    def membership(): Set[(Long, Long)] =
+      currentMembers(spark, storeDir)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def expected(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Vectors.assign(corpus, cells)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // stream the corpus in three batches split by vec_id mod 3
+    for (b <- 0L to 2L)
+      processBatch(emb.filter(col("vec_id") % 3 === b), cells, storeDir, b)
+    val full = expected(emb)
+    assert(membership() == full, "streamed membership drifted from batch assignment")
+
+    // REPLAY: re-running batch 1 overwrites its own partition — no dupes
+    processBatch(emb.filter(col("vec_id") % 3 === 1), cells, storeDir, 1L)
+    assert(membership() == full, "replay changed the membership")
+
+    // LWW UPDATE: vec 7 re-arrives with a different embedding (negated);
+    // the view must track the UPDATED corpus's assignment
+    val v7new = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id"), org.apache.spark.sql.functions
+        .transform(col("embedding"), x => -x).as("embedding"))
+    processBatch(v7new, cells, storeDir, 3L)
+    val updated = expected(emb.filter(col("vec_id") =!= 7).union(v7new))
+    assert(membership() == updated, "LWW update not reflected")
+
+    // PROBE PARITY: the store probe equals the same probe over a clean
+    // one-batch store of the identical corpus (batching is invisible)
+    val cleanDir = tmpDir("vidx-clean") + "/store"
+    processBatch(emb.filter(col("vec_id") =!= 7).union(v7new), cells, cleanDir, 0L)
+    def probeRows(dir: String) = probe(spark, dir, cells, qId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).toList
+    assert(probeRows(storeDir) == probeRows(cleanDir), "probe depends on batching")
+
+    // COMPACTION: fold everything into the base — view and probe invariant
+    compactStore(spark, storeDir, 4L)
+    val parts = new java.io.File(storeDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(parts == Set("batch_id=-1"), s"store partitions after fold: $parts")
+    assert(membership() == updated, "compaction changed the membership")
+    assert(probeRows(storeDir) == probeRows(cleanDir), "compaction changed the probe")
+    // and streaming continues across the boundary: a novel vector lands
+    val vNew = emb.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    processBatch(vNew, cells, storeDir, 4L)
+    assert(membership() == expected(
+      emb.filter(col("vec_id") =!= 7).union(v7new).union(vNew)))
+  }
 }
