@@ -149,6 +149,8 @@ object SparkEntry {
     "q95_retrieval_eval"      -> RetrievalEval.q95 _,
     "q96_sequence_packing"    -> Pack.q96 _,
     "q97_repeated_spans"      -> Dedup.q97 _,
+    "q98_novelty_curve"       -> Text.q98 _,
+    "q99_dedup_eval"          -> Dedup.q99 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

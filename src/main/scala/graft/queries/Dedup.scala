@@ -83,7 +83,16 @@ object Dedup {
     * Jaccard ≥ 0.5 (estimate = fraction of agreeing signature components;
     * exact rational n/64, so the double compare is engine-stable). q36 is
     * the exact verifier of this operator's output. */
-  def q34(spark: SparkSession, sfDir: String): DataFrame = {
+  def q34(spark: SparkSession, sfDir: String): DataFrame =
+    minhashStages(spark, sfDir)._2
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The two observable stages of the q34 MinHash-LSH pipeline, exposed
+    * so q99's evaluation can score each against exact ground truth:
+    * `_1` = the band-collision CANDIDATE pairs (pre-verification — what
+    * the equi-join emits), `_2` = the REPORTED pairs (est_sim ≥ 0.5,
+    * unordered; q34 is exactly this plus its output ORDER BY). */
+  private[graft] def minhashStages(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     // Raw (non-distinct) shingle stream (Text.rawShingles — shared with
     // q36, including its one-projection-per-token-array barrier): MIN is
     // duplicate-insensitive, so the signatures don't need the
@@ -117,13 +126,54 @@ object Dedup {
       zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
 
-    cand
+    val reported = cand
       .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
       .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (nEqual.cast("double") / lit(K.toDouble)).as("est_sim"))
       .filter(col("est_sim") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+    (cand, reported)
+  }
+
+  /** q99: dedup-stack evaluation — precision/recall of the MinHash-LSH
+    * pipeline's two stages against EXACT ground truth, the dedup
+    * analogue of q95's retrieval audit: ground truth is q36's complete
+    * exact-Jaccard ≥ 0.5 pair set (complete by the PPJoin pigeonhole),
+    * and each stage of q34 — band-collision candidates, then
+    * est_sim-verified reported pairs — is scored as (n_pairs, n_truth,
+    * tp, fn, ratio4 precision, ratio4 recall). This is the audit that
+    * justifies running the sketch INSTEAD of the exact verifier at
+    * 100 TB: candidate recall says what banding loses, reported
+    * precision says what the estimator hallucinates, and both are
+    * all-integer counts until the final ratio4.
+    *
+    * Scale posture: both stage frames and the truth frame are pair
+    * tables (sub-quadratic by their own constructions — banding and
+    * prefix filtering); the metrics are left-semi joins on (doc_a,
+    * doc_b) + single-row count aggregates cross-joined as broadcasts
+    * (the q74 single-row pattern — allowlisted BNLJ). Nothing here adds
+    * a corpus-scale stage on top of the audited pipelines; ratios are
+    * NULL-guarded for empty denominators in both engines. */
+  def q99(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Dsl.ratio4
+    val (cand, reported) = minhashStages(spark, sfDir)
+    val truth = Text.q36(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    def metrics(stage: String, pairs: DataFrame): DataFrame = {
+      val n = pairs.agg(count(lit(1)).as("n_pairs"))
+      val tp = pairs.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      n.crossJoin(broadcast(tp)).crossJoin(broadcast(nt))
+        .select(lit(stage).as("stage"), col("n_pairs"), col("n_truth"), col("tp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          when(col("n_pairs") > 0, ratio4(col("tp"), col("n_pairs")))
+            .otherwise(lit(null).cast("double")).as("precision4"),
+          when(col("n_truth") > 0, ratio4(col("tp"), col("n_truth")))
+            .otherwise(lit(null).cast("double")).as("recall4"))
+    }
+    metrics("candidates", cand)
+      .unionByName(metrics("reported", reported))
+      .orderBy(col("stage"))
   }
 
   /** Iteration cap for [[connectedComponents]]: rounds 0 until

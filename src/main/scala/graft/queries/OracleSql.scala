@@ -871,6 +871,8 @@ object OracleSql {
         |LIMIT 10""".stripMargin,
 
     "q34_minhash_lsh" -> minhashSql,
+
+    "q99_dedup_eval" -> dedupEvalSql,
     "q35_simhash" -> simhashSql,
     "q38_ann_lsh" -> annSql,
     "q57_dedup_clusters" -> dedupClustersSql,
@@ -1299,6 +1301,36 @@ object OracleSql {
         |FROM agg JOIN n USING (doc_id)
         |ORDER BY agg.doc_id""".stripMargin
     },
+
+    // q98: trigram first-seer = MIN(doc_id) per shingle — order-free, so
+    // the ingest-order curve needs no replay; the cumulative sum is an
+    // ordinary window here (the oracle states semantics; the engine's
+    // two-phase range-partitioned prefix sum is the scale execution).
+    // Engine shingles are hashed (q36 posture); counts agree from raw
+    // strings. Ratios through ratio4; per-doc novelty NULL when the doc
+    // has no trigrams (< 3 tokens).
+    "q98_novelty_curve" ->
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |idx AS (SELECT doc_id, s, unnest(generate_series(1, len(s) - 2)) AS i
+        |        FROM sp WHERE len(s) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] || ' ' || s[i+2] AS shingle FROM idx),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM sh GROUP BY doc_id),
+        |fs AS (SELECT shingle, MIN(doc_id) AS fmin FROM sh GROUP BY shingle),
+        |np AS (SELECT fmin AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY fmin),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM fs),
+        |base AS (SELECT d.doc_id, COALESCE(per.ns, 0) AS ns, COALESCE(np.n_new, 0) AS n_new
+        |         FROM documents d
+        |         LEFT JOIN per ON per.doc_id = d.doc_id
+        |         LEFT JOIN np ON np.doc_id = d.doc_id),
+        |cum AS (SELECT doc_id, ns, n_new,
+        |          CAST(SUM(n_new) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_new
+        |        FROM base)
+        |SELECT doc_id, ns, n_new, cum_new,
+        |  CASE WHEN ns > 0 THEN ${ratio4Sql("n_new", "ns")} ELSE NULL END AS novelty4,
+        |  ${ratio4Sql("cum_new", "n_total")} AS coverage4
+        |FROM cum, tot
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** q94 oracle: the BPE merge loop unrolled to exactly
@@ -1506,6 +1538,44 @@ object OracleSql {
     s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, est_sim FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q99 oracle: q34's two stages (cand / pairs from [[minhashCtes]])
+    * scored against q36's exact-Jaccard truth (its CTE chain inlined
+    * under j-prefixed names to avoid colliding with minhash's sp/sh).
+    * Counts are scalar subqueries; ratios NULL-guard empty denominators
+    * exactly like the Spark side. */
+  private def dedupEvalSql: String =
+    s"""WITH $minhashCtes,
+       |jsp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+       |jidx AS (SELECT doc_id, s, unnest(generate_series(1, len(s) - 2)) AS i
+       |         FROM jsp WHERE len(s) >= 3),
+       |jsh AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] || ' ' || s[i+2] AS shingle FROM jidx),
+       |jsizes AS (SELECT doc_id, COUNT(*) AS ns FROM jsh GROUP BY doc_id),
+       |jinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |           FROM jsh a JOIN jsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id),
+       |truth AS (SELECT doc_a, doc_b FROM jinter
+       |          JOIN jsizes x ON doc_a = x.doc_id JOIN jsizes y ON doc_b = y.doc_id
+       |          WHERE CAST(n_inter AS DOUBLE) / CAST(x.ns + y.ns - n_inter AS DOUBLE) >= 0.5),
+       |m AS (
+       |  SELECT 'candidates' AS stage,
+       |         (SELECT COUNT(*) FROM cand) AS n_pairs,
+       |         (SELECT COUNT(*) FROM truth) AS n_truth,
+       |         (SELECT COUNT(*) FROM cand c JOIN truth t
+       |            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS tp
+       |  UNION ALL
+       |  SELECT 'reported',
+       |         (SELECT COUNT(*) FROM pairs),
+       |         (SELECT COUNT(*) FROM truth),
+       |         (SELECT COUNT(*) FROM pairs p JOIN truth t
+       |            ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b))
+       |SELECT stage, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(n_truth AS BIGINT) AS n_truth, CAST(tp AS BIGINT) AS tp,
+       |  CAST(n_truth - tp AS BIGINT) AS fn,
+       |  CASE WHEN n_pairs > 0 THEN ${ratio4Sql("tp", "n_pairs")} ELSE NULL END AS precision4,
+       |  CASE WHEN n_truth > 0 THEN ${ratio4Sql("tp", "n_truth")} ELSE NULL END AS recall4
+       |FROM m
+       |ORDER BY stage""".stripMargin
 
   /** q57/q66 shared CTE chain: q34's candidate pairs resolved into
     * connected components. DuckDB enumerates every (node, reachable label)

@@ -1074,4 +1074,86 @@ object Text {
     }
     (textRankTopKOf(r), round)
   }
+
+  /** q98 range-partition count for the two-phase prefix sum (the q72
+    * machinery; raise with the cluster — the offsets side stays one row
+    * per partition regardless). */
+  val NoveltyRanges = 32
+
+  /** q98: trigram-novelty / corpus-saturation curve — in doc_id
+    * (= ingest) order, how many NEW distinct word-trigrams each document
+    * contributes and how much of the corpus's final distinct-trigram
+    * universe is covered so far. This is the "is more data still buying
+    * diversity" audit a dataset-assembly pass runs before mixing (q80)
+    * and after dedup (q66): a corpus whose curve saturates early is
+    * repeating itself — more ingest adds tokens, not information — and
+    * per-doc novelty near zero is the document-level symptom q78/q82
+    * score by other means. Output per document: distinct trigrams `ns`,
+    * first-occurrence count `n_new`, running `cum_new`, ratio4 per-doc
+    * novelty (NULL for docs with < 3 tokens, which have no trigrams) and
+    * ratio4 cumulative coverage of the final universe.
+    *
+    * A trigram's "first seer" is the minimum doc_id holding it —
+    * order-free (MIN is the same under any execution order), which is
+    * what makes an ingest-order curve computable without replaying
+    * ingest. Engine-side trigrams are xxhash64'd (the q36 posture:
+    * fixed-width longs through every shuffle; the oracle recomputes from
+    * raw strings).
+    *
+    * Scale posture: one distinct-shingle shuffle on (doc_id, hm); ns
+    * aggregates that stream per doc; the first-seer table aggregates it
+    * per shingle (uniform 64-bit key, map-side partials); n_new then
+    * aggregates the SHINGLE TABLE by its fmin column — never joins back
+    * to the stream. The curve itself runs on the doc-cardinality frame:
+    * the q72 two-phase range-partitioned prefix sum (per-partition
+    * totals → triangular offset join over P rows → pid-partitioned local
+    * cumsum), so no row ever crosses a single-task global window; the
+    * universe size broadcasts as a single-row aggregate (q74 pattern).
+    * The narrow (doc_id, ns, n_new, pid) frame is localCheckpoint(true)-
+    * pinned for the same reason as q72: spark_partition_id must be read
+    * off ONE materialization. */
+  def q98(spark: SparkSession, sfDir: String): DataFrame =
+    noveltyCurveOf(docs(spark, sfDir))
+
+  /** q98 core on an arbitrary (doc_id, text) frame — exposed so the
+    * planted-corpus law (LlmOpsSpec) can pin first-seer semantics: a doc
+    * repeating only earlier-doc trigrams contributes zero novelty, the
+    * lowest doc_id is all-new, and the curve ends at exactly 1.0. */
+  private[graft] def noveltyCurveOf(documents: DataFrame): DataFrame = {
+    import graft.ops.Dsl.ratio4
+    val sh = shinglesOf(documents)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
+      .distinct()
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val firstSeen = sh.groupBy(col("hm")).agg(min(col("doc_id")).as("fmin"))
+    val newPerDoc = firstSeen.groupBy(col("fmin")).agg(count(lit(1)).as("n_new"))
+      .select(col("fmin").as("doc_id"), col("n_new"))
+    val universe = firstSeen.agg(count(lit(1)).as("n_total"))
+    val base = documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(newPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ns"), lit(0L)).as("ns"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .repartitionByRange(NoveltyRanges, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = base.groupBy(col("pid")).agg(sum(col("n_new")).as("ptot"))
+    val offsets = totals
+      .join(broadcast(totals.select(col("pid").as("prev_pid"), col("ptot").as("prev_tot"))),
+        col("prev_pid") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(coalesce(sum(col("prev_tot")), lit(0L)).as("poff"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("lcum", sum(col("n_new")).over(w))
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(universe))
+      .select(col("doc_id"), col("ns"), col("n_new"),
+        (col("poff") + col("lcum")).as("cum_new"),
+        when(col("ns") > 0, ratio4(col("n_new"), col("ns")))
+          .otherwise(lit(null).cast("double")).as("novelty4"),
+        ratio4(col("poff") + col("lcum"), col("n_total")).as("coverage4"))
+      .orderBy(col("doc_id"))
+  }
 }

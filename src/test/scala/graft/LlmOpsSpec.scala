@@ -656,4 +656,59 @@ class LlmOpsSpec extends SparkSpec {
       got.toString)
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("novelty curve: first-seer semantics on a planted corpus, curve ends at exactly 1.0 (q98)") {
+    import graft.queries.Text
+    // doc 1: 5 tokens -> 3 distinct trigrams, all new (it's the first).
+    // doc 2: pure repeat of doc 1 -> zero novelty.
+    // doc 3: shares doc 1's prefix trigram "a b c" but adds two new ones.
+    // doc 4: too short for any trigram -> ns = 0, novelty4 NULL.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "a b c x y"),
+      (4L, "z q")
+    ).toDF("doc_id", "text")
+    val got = Text.noveltyCurveOf(docs).collect()
+    val rows = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // universe: doc1 {abc,bcd,cde}; doc3 adds {bcx,cxy} -> 5 total
+    assert(rows == List((1L, 3L, 3L, 3L), (2L, 3L, 0L, 3L), (3L, 3L, 2L, 5L), (4L, 0L, 0L, 5L)),
+      rows.toString)
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getDouble(4) == 1.0)   // first doc is all-new
+    assert(byId(2L).getDouble(4) == 0.0)   // pure repeat contributes nothing
+    assert(byId(4L).isNullAt(4))           // no trigrams -> NULL novelty
+    assert(byId(4L).getDouble(5) == 1.0)   // curve ends at exactly 1.0
+    // the real corpus obeys the same boundary laws
+    val curve = SparkEntry.queries("q98_novelty_curve")(spark, sf001).collect()
+    assert(curve.nonEmpty)
+    assert(curve.last.getDouble(5) == 1.0)
+    val cums = curve.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, "cum_new must be non-decreasing")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("dedup eval: stage metrics consistent, candidate stage dominates reported (q99)") {
+    val rows = SparkEntry.queries("q99_dedup_eval")(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toList == List("candidates", "reported"))
+    val m = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((stage, (nPairs, nTruth, tp, fn)) <- m) {
+      assert(tp <= nPairs && tp <= nTruth, s"$stage: tp exceeds a stage count")
+      assert(fn == nTruth - tp, s"$stage: fn inconsistent")
+    }
+    // reported ⊆ candidates, so the candidate stage can only have MORE
+    // pairs and at least as many true positives (higher-or-equal recall);
+    // verification can only RAISE precision's numerator share it keeps
+    assert(m("candidates")._1 >= m("reported")._1)
+    assert(m("candidates")._3 >= m("reported")._3)
+    // both stages see the same ground truth
+    assert(m("candidates")._2 == m("reported")._2)
+    // the planted sf0.001 near-dups give the banding real work: non-empty
+    // truth and a reported recall above the q34-vs-q36 floor
+    assert(m("reported")._2 > 0)
+    val recall = m("reported")._3.toDouble / m("reported")._2
+    assert(recall >= 0.8, s"reported recall $recall")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }

@@ -89,7 +89,9 @@ class PlanSpec extends SparkSpec {
       "q74_pmi_collocations", // broadcast single-row bigram total
       "q80_mixture_weights",  // broadcast single-row weight total
       "q92_bm25",             // broadcast single-row corpus stats (N, avgdl)
-      "q95_retrieval_eval")   // broadcast constant 64-row eval panel + single-row n_rel
+      "q95_retrieval_eval",   // broadcast constant 64-row eval panel + single-row n_rel
+      "q98_novelty_curve",    // broadcast single-row trigram-universe size
+      "q99_dedup_eval")       // broadcast single-row stage/truth counts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
@@ -234,6 +236,17 @@ class PlanSpec extends SparkSpec {
     assert(partSpecs.nonEmpty, "expected the partitioned local-cumsum window")
     assert(partSpecs.forall(_.nonEmpty),
       "found a global (unpartitioned) window — the single-task prefix sum is back")
+  }
+
+  test("q98: the novelty curve's cumsum is two-phase — every window partitioned") {
+    val df = SparkEntry.queries("q98_novelty_curve")(spark, sf001)
+    val partSpecs = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(partSpecs.nonEmpty, "expected the partitioned local-cumsum window")
+    assert(partSpecs.forall(_.nonEmpty),
+      "found a global (unpartitioned) window — the single-task prefix sum is back")
+    SparkEntry.clearGraftCaches(spark)
   }
 
   /** Shuffle Exchanges (hash/range/single-partition) in the declared
