@@ -926,10 +926,19 @@ object Text {
   def q92(spark: SparkSession, sfDir: String): DataFrame = {
     val dl = docs(spark, sfDir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = tokens(spark, sfDir)
       .filter(col("token").isin(Bm25Query: _*))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, dl)
+  }
+
+  /** q92's scoring on arbitrary (doc_id, token, tf) / (doc_id, dl)
+    * frames — the s18 streaming search runs this SAME kernel over the
+    * incremental posting store (whose Σtf per doc IS the whitespace
+    * token count, so both sides feed it bit-identical inputs by
+    * construction). `tf` must already be filtered to the query terms. */
+  private[graft] def bm25Rank(tf: DataFrame, dl: DataFrame): DataFrame = {
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +

@@ -122,6 +122,31 @@ object IncrementalIndex {
     folded.foreach(p => fs.delete(p, true))
   }
 
+  /** s18: BM25 search served FROM the incremental store — the query-time
+    * read path that makes s15 an index rather than an archive. Document
+    * lengths come from the store itself (Σtf per doc IS the whitespace
+    * token count, exactly q92's `size(split(text))`), the tf frame is the
+    * LWW-resolved postings filtered to the query terms, and the scoring
+    * is the SAME [[Text.bm25Rank]] kernel q92 runs — so search-vs-batch
+    * parity is by construction, pinned as a StreamingSpec law (equality
+    * with Text.q92 after streaming the same corpus, and LWW: an updated
+    * doc is scored only in its latest version).
+    *
+    * Scale posture: the length frame is one map-side-combined aggregate
+    * of the store (vocab × avg-df rows, already far below corpus token
+    * scale); the term filter bounds the scoring side to the query terms'
+    * posting lists before any shuffle (q92's argument); the final
+    * ranking is a TakeOrdered. The LWW window rides the store's own
+    * doc_id partitioning. */
+  def search(spark: SparkSession, storeDir: String,
+      terms: Seq[String] = Text.Bm25Query): DataFrame = {
+    val cur = currentPostings(spark, storeDir)
+    val dl = cur.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tf = cur.filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("tf"))
+    Text.bm25Rank(tf, dl)
+  }
+
   /** Wire a streaming (doc_id, text, …) source into the upsert loop. */
   def start(docs: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =
     docs.writeStream

@@ -205,6 +205,45 @@ class StreamingSpec extends SparkSpec {
     assert(idx() == afterUpd, "replay across compaction changed the index")
   }
 
+  test("s18: BM25 search over the streamed store == batch q92; an update re-scores only the new version") {
+    import graft.streaming.IncrementalIndex.{processBatch, search}
+    import graft.queries.Text
+    val storeDir = tmpDir("inc-idx3-store") + "/store"
+    val docs = graft.tables.Tables.documents(spark, sf001)
+    for (b <- 0L to 2L)
+      processBatch(docs.filter(col("doc_id") % 3 === b), storeDir, b)
+    def got(): List[(Long, Long, Double)] = search(spark, storeDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+
+    // SEARCH PARITY: the same bm25Rank kernel over the store's postings
+    // must reproduce the batch query row for row (score ties included —
+    // the store's Σtf doc lengths equal q92's token counts exactly).
+    val batch = Text.q92(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got() == batch, "streamed search != batch q92")
+
+    // LWW RE-SCORE: replace the top-ranked doc with text containing no
+    // query term; search must now equal the batch kernel run over the
+    // modified corpus (the superseded version never scores).
+    import spark.implicits._
+    val topDoc = batch.head._1
+    val upd = Seq((topDoc, "nothing relevant here")).toDF("doc_id", "text")
+    processBatch(upd, storeDir, 3L)
+    val docsMod = docs.filter(col("doc_id") =!= topDoc)
+      .select(col("doc_id"), col("text")).union(upd)
+    val tfMod = Text.termFrequencies(docsMod)
+      .filter(col("token").isin(Text.Bm25Query: _*))
+      .select(col("doc_id"), col("token"), col("tf"))
+    val dlMod = docsMod.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("dl"))
+    val expected = Text.bm25Rank(tfMod, dlMod).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val after = got()
+    assert(!after.exists(_._1 == topDoc), "superseded doc still scored")
+    assert(after == expected, "post-update search != batch kernel on the modified corpus")
+  }
+
   // The runbook is asserted on BOTH s04 forms: keyed RocksDB state
   // (default) and the parquet-MERGE fallback — same events, same checks.
   test("runbook e2e (keyed state): purchase -> promise -> bill -> payment -> notify; duplicate replay is a no-op") {
