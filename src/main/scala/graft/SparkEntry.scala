@@ -151,6 +151,7 @@ object SparkEntry {
     "q97_repeated_spans"      -> Dedup.q97 _,
     "q98_novelty_curve"       -> Text.q98 _,
     "q99_dedup_eval"          -> Dedup.q99 _,
+    "q100_leakage_safe_split" -> Sampling.q100 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

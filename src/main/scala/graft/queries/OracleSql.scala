@@ -873,6 +873,8 @@ object OracleSql {
     "q34_minhash_lsh" -> minhashSql,
 
     "q99_dedup_eval" -> dedupEvalSql,
+
+    "q100_leakage_safe_split" -> leakageSplitSql,
     "q35_simhash" -> simhashSql,
     "q38_ann_lsh" -> annSql,
     "q57_dedup_clusters" -> dedupClustersSql,
@@ -1592,6 +1594,35 @@ object OracleSql {
        |  UNION
        |  SELECT e.v, w.r FROM reach w JOIN edges e ON e.u = w.node),
        |comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)""".stripMargin
+
+  /** q100 oracle: [[ccCtes]]'s component table drives the same
+    * "csplit:"-salted h60 coin as the Spark side, keyed by
+    * COALESCE(component, doc_id); the leakage audit (clusters with >1
+    * distinct split) is mirrored even though the construction forces it
+    * to zero — the point is that an edit breaking cluster atomicity
+    * fails the hash compare. */
+  private def leakageSplitSql: String =
+    s"""$ccCtes,
+       |k AS (SELECT d.doc_id, d.n_chars, c.component,
+       |        COALESCE(c.component, d.doc_id) AS skey
+       |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |a AS (SELECT doc_id, n_chars, component,
+       |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |             ELSE 'test' END AS split
+       |      FROM (SELECT k.*,
+       |              ('0x' || substr(md5('csplit:' || CAST(skey AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+       |            FROM k)),
+       |leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaky_clusters FROM (
+       |           SELECT component FROM a WHERE component IS NOT NULL
+       |           GROUP BY component HAVING COUNT(DISTINCT split) > 1)),
+       |g AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |        CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+       |        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |      FROM a GROUP BY split)
+       |SELECT split, n_docs, sum_chars, n_clusters, min_doc, max_doc, leaky_clusters
+       |FROM g, leak
+       |ORDER BY split""".stripMargin
 
   private def dedupClustersSql: String =
     s"""$ccCtes

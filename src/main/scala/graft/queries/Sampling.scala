@@ -239,4 +239,60 @@ object Sampling {
         ratio4(col("planned_tokens"), col("tokens")).as("epochs"))
       .orderBy(col("source"))
   }
+
+  /** q100: leakage-safe (cluster-aware) train/val/test split — q51's
+    * hash split with the property q51 alone cannot give: NEAR-DUPLICATES
+    * never straddle a split boundary. A per-doc hash split puts the two
+    * halves of a near-dup pair in train and test with probability
+    * 2·0.8·0.1 + … ≈ 20% per pair — test-set contamination measured as
+    * memorization — so the split key is the document's q57 dedup-cluster
+    * id (its connected component over the MinHash-LSH pair graph;
+    * unclustered docs key by their own doc_id): every member of a
+    * cluster hashes identically, so clusters move atomically. The
+    * assignment stays a pure h60 function ("csplit:" salt — independent
+    * of q51/q52's coins), so it inherits q51's reproducibility and
+    * append-stability. Output per split: docs, char volume, CLUSTER
+    * count, doc range, plus the corpus-wide leakage audit column
+    * (clusters spanning >1 split — zero by construction, surfaced so a
+    * future edit that breaks the invariant fails the oracle, not just a
+    * code read). LlmOpsSpec law: Σ n_clusters across splits equals the
+    * distinct component count — the equality that holds iff no cluster
+    * spans two splits.
+    *
+    * Scale posture: the component table is near-dup-cluster-sized (far
+    * below corpus), its join onto documents is a doc_id equi-join, the
+    * assignment is map-side arithmetic, and both audits are grouped
+    * aggregates over cluster- or split-cardinality frames; the one-row
+    * leakage count broadcasts (allowlisted BNLJ). */
+  def q100(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = Dedup.connectedComponents(
+        Dedup.q34(spark, sfDir).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("component"))
+    leakageSafeSplit(Tables.documents(spark, sfDir), comp)
+  }
+
+  /** q100 core on arbitrary (doc_id, n_chars) documents and (doc_id,
+    * component) cluster frames — exposed so the LlmOpsSpec law can plant
+    * clusters directly. */
+  private[graft] def leakageSafeSplit(documents: DataFrame, comp: DataFrame): DataFrame = {
+    val keyed = documents
+      .select(col("doc_id"), col("n_chars"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("skey", coalesce(col("component"), col("doc_id")))
+    val bucket = h60(concat(lit("csplit:"), col("skey").cast("string"))) % 100
+    val assigned = keyed.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val leak = assigned.filter(col("component").isNotNull)
+      .groupBy(col("component")).agg(countDistinct(col("split")).as("nsp"))
+      .filter(col("nsp") > 1)
+      .agg(count(lit(1)).as("leaky_clusters"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("component")).as("n_clusters"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .crossJoin(broadcast(leak))
+      .orderBy(col("split"))
+  }
 }

@@ -711,4 +711,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"reported recall $recall")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("leakage-safe split: clusters move atomically, planted and real (q100)") {
+    import graft.queries.Sampling
+    // planted: 12 docs, two clusters {1,2,3} and {7,8}; the rest single.
+    // Whatever splits the hash picks, a cluster's members share one.
+    val docs = (1L to 12L).map(i => (i, i * 10L)).toDF("doc_id", "n_chars")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "component")
+    val planted = Sampling.leakageSafeSplit(docs, comp).collect()
+    assert(planted.forall(_.getLong(6) == 0L), "planted leakage audit nonzero")
+    // sum of per-split cluster counts == total distinct clusters — the
+    // equality that holds iff no cluster appears in two splits
+    assert(planted.map(_.getLong(3)).sum == 2L, planted.mkString(";"))
+    assert(planted.map(_.getLong(1)).sum == 12L)
+    // the real corpus obeys the same law against its own q57 clusters
+    val real = SparkEntry.queries("q100_leakage_safe_split")(spark, sf001).collect()
+    assert(real.forall(_.getLong(6) == 0L))
+    val nComponents = graft.queries.Dedup.q57(spark, sf001)
+      .select($"component").distinct().count()
+    assert(real.map(_.getLong(3)).sum == nComponents,
+      s"cluster counts ${real.map(_.getLong(3)).toList} vs $nComponents distinct components")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }

@@ -91,7 +91,8 @@ class PlanSpec extends SparkSpec {
       "q92_bm25",             // broadcast single-row corpus stats (N, avgdl)
       "q95_retrieval_eval",   // broadcast constant 64-row eval panel + single-row n_rel
       "q98_novelty_curve",    // broadcast single-row trigram-universe size
-      "q99_dedup_eval")       // broadcast single-row stage/truth counts
+      "q99_dedup_eval",       // broadcast single-row stage/truth counts
+      "q100_leakage_safe_split") // broadcast single-row leakage audit
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
