@@ -152,6 +152,7 @@ object SparkEntry {
     "q98_novelty_curve"       -> Text.q98 _,
     "q99_dedup_eval"          -> Dedup.q99 _,
     "q100_leakage_safe_split" -> Sampling.q100 _,
+    "q101_bloom_decontamination" -> Text.q101 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

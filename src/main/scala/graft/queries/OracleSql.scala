@@ -883,21 +883,12 @@ object OracleSql {
     // q67: the same distinct-trigram construction as q34/q36's CTEs,
     // constrained to train (source <> src0) × benchmark (source = src0);
     // intersection counts are exact integers.
-    "q67_decontamination" ->
-      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
-        |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)]))) AS shingle
-        |       FROM sp),
-        |s AS (SELECT sh.doc_id, d.source, sh.shingle
-        |      FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
-        |b AS (SELECT doc_id AS bench_doc, shingle FROM s WHERE source = 'src0'),
-        |tr AS (SELECT doc_id AS train_doc, shingle FROM s WHERE source <> 'src0')
-        |SELECT train_doc, bench_doc, COUNT(*) AS n_shared
-        |FROM tr JOIN b USING (shingle)
-        |GROUP BY train_doc, bench_doc
-        |HAVING COUNT(*) >= ${Text.ContamMinShared}
-        |ORDER BY train_doc, bench_doc""".stripMargin,
+    "q67_decontamination" -> decontaminationSql,
+
+    // q101: the Bloom prefilter is a pure candidate reducer — false
+    // positives die in the exact join, false negatives cannot exist —
+    // so the sketch-accelerated form answers to the SAME oracle as q67.
+    "q101_bloom_decontamination" -> decontaminationSql,
 
     // q51/q52: the h60 split/sample hashes, mirrored from graft.ops.Dsl.h60
     // with the same per-operator salts ("split:" / "strat:").
@@ -1623,6 +1614,25 @@ object OracleSql {
        |SELECT split, n_docs, sum_chars, n_clusters, min_doc, max_doc, leaky_clusters
        |FROM g, leak
        |ORDER BY split""".stripMargin
+
+  /** q67/q101 shared oracle: the exact train-x-benchmark shingle
+    * audit. q101's Bloom prefilter is candidate reduction only, so
+    * both queries answer to this same SQL. */
+  private def decontaminationSql: String =
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
+        |         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)]))) AS shingle
+        |       FROM sp),
+        |s AS (SELECT sh.doc_id, d.source, sh.shingle
+        |      FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+        |b AS (SELECT doc_id AS bench_doc, shingle FROM s WHERE source = 'src0'),
+        |tr AS (SELECT doc_id AS train_doc, shingle FROM s WHERE source <> 'src0')
+        |SELECT train_doc, bench_doc, COUNT(*) AS n_shared
+        |FROM tr JOIN b USING (shingle)
+        |GROUP BY train_doc, bench_doc
+        |HAVING COUNT(*) >= ${Text.ContamMinShared}
+        |ORDER BY train_doc, bench_doc""".stripMargin
 
   private def dedupClustersSql: String =
     s"""$ccCtes

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -378,6 +378,78 @@ object Text {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= ContamMinShared)
       .orderBy(col("train_doc"), col("bench_doc"))
+  }
+
+  /** q101 Bloom sizing: capacity upper bound for the BENCHMARK side's
+    * distinct shingles and the target false-positive rate. Capacity only
+    * tunes prefilter efficiency, never correctness — false positives are
+    * removed by the exact join, false negatives are impossible by the
+    * Bloom guarantee. */
+  val BloomEstItems = 1L << 17
+  val BloomFpp = 0.01
+
+  /** q101: Bloom-prefiltered decontamination — q67's audit restructured
+    * the way Spark's own runtime row-level filtering works, for the
+    * regime where the TRAIN shingle stream is 100 TB-scale and the
+    * benchmark side is (by definition) small: build a Bloom filter over
+    * the benchmark's distinct shingle hashes with the native
+    * `BloomFilterAggregate` (one-pass, mergeable partials — the q88
+    * sketch posture), ship the serialized sketch to every task as a
+    * literal (exactly how `InjectRuntimeFilter` plants its subquery
+    * result), and drop train shingles map-side BEFORE the shuffle-join
+    * against the benchmark set. The exact join then removes the Bloom's
+    * false positives, so the RESULT is bit-identical to q67 — the two
+    * queries share one oracle, and LlmOpsSpec pins row equality plus the
+    * prefilter's no-false-negative superset law.
+    *
+    * Scale posture: the prefilter turns the join's train-side input from
+    * "every distinct train shingle" into "train shingles that (probably)
+    * appear in the benchmark" — at fpp 1% the shuffled volume drops to
+    * ~1% of the stream plus the true overlap, while the Bloom itself is
+    * ~154 KB at 2^17 capacity (a broadcast-dim-sized artifact built
+    * distributed, one row to the driver). might_contain is codegen'd, so
+    * the drop happens inside the scan's WholeStageCodegen. */
+  def q101(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = rawShingles(spark, sfDir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
+      .distinct()
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val bench = s.filter(col("source") === "src0")
+      .select(col("doc_id").as("bench_doc"), col("hm"))
+    val train = s.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_doc"), col("hm"))
+    val bloom = bloomOf(bench.select(col("hm")))
+    train.filter(mightContain(bloom, col("hm")))
+      .join(bench, Seq("hm"))
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamMinShared)
+      .orderBy(col("train_doc"), col("bench_doc"))
+  }
+
+  /** Distributed one-pass Bloom build over a single LONG column `hm`;
+    * returns the serialized sketch (null for an empty frame — the
+    * might_contain literal then rejects everything, matching the empty
+    * benchmark's empty audit). */
+  private[graft] def bloomOf(hm: DataFrame): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(BloomEstItems, BloomFpp)
+    val agg = GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftColumnBridge.expression(col("hm")),
+        Literal(BloomEstItems), Literal(numBits)).toAggregateExpression())
+    hm.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd membership probe against a driver-built Bloom literal. */
+  private[graft] def mightContain(bloom: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression(c)))
   }
 
   /** q70: edit-distance threshold for the fuzzy vocabulary audit. */

@@ -734,4 +734,23 @@ class LlmOpsSpec extends SparkSpec {
       s"cluster counts ${real.map(_.getLong(3)).toList} vs $nComponents distinct components")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("bloom decontamination: no false negatives, result equals exact q67 (q101)") {
+    import graft.queries.Text
+    // NO-FALSE-NEGATIVE law on the raw kernel: every inserted hash passes
+    // the membership probe (the Bloom guarantee the prefilter relies on)
+    val planted = (1L to 5000L).map(i => i * 2654435761L).toDF("hm")
+    val bloom = Text.bloomOf(planted)
+    assert(bloom != null)
+    val misses = planted.filter(!Text.mightContain(bloom, col("hm"))).count()
+    assert(misses == 0L, s"$misses false negatives")
+    // END-TO-END: the prefiltered audit is bit-identical to the exact one
+    val exact = graft.queries.Text.q67(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val pre = SparkEntry.queries("q101_bloom_decontamination")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(exact.nonEmpty)
+    assert(pre == exact, "bloom-prefiltered result differs from exact q67")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
