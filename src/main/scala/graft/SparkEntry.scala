@@ -152,7 +152,14 @@ object SparkEntry {
     "q98_novelty_curve"       -> Text.q98 _,
     "q99_dedup_eval"          -> Dedup.q99 _,
     "q100_leakage_safe_split" -> Sampling.q100 _,
+    // NOTE: q101 construction is NOT lazy — bloomOf runs a Spark job
+    // (distributed Bloom build + single-row collect) while the plan is
+    // being BUILT, so callers that only want the DataFrame (PlanSpec,
+    // explain tooling) still pay the benchmark-side aggregation.
     "q101_bloom_decontamination" -> Text.q101 _,
+    "q102_embedding_stats"    -> Vectors.q102 _,
+    "q103_token_histogram"    -> Text.q103 _,
+    "q104_mutual_knn_clusters" -> Vectors.q104 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -156,8 +156,16 @@ object Dedup {
     * NULL-guarded for empty denominators in both engines. */
   def q99(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Dsl.ratio4
-    val (cand, reported) = minhashStages(spark, sfDir)
-    val truth = Text.q36(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    // Each stage frame feeds TWO aggregates (count + truth semi-join) and
+    // `reported` additionally re-derives `cand`; the truth frame feeds
+    // FOUR (tp and n_truth per stage). Without pinning, the q36 PPJoin
+    // pipeline would execute four times per q99 run (advisor r7 flagged
+    // the same shape on s18). cache() keeps construction lazy and is
+    // dropped by SparkEntry.clearGraftCaches.
+    val (candRaw, reportedRaw) = minhashStages(spark, sfDir)
+    val cand = candRaw.cache()
+    val reported = reportedRaw.cache()
+    val truth = Text.q36(spark, sfDir).select(col("doc_a"), col("doc_b")).cache()
     def metrics(stage: String, pairs: DataFrame): DataFrame = {
       val n = pairs.agg(count(lit(1)).as("n_pairs"))
       val tp = pairs.join(truth, Seq("doc_a", "doc_b"), "left_semi")
@@ -336,10 +344,15 @@ object Dedup {
     * q34 uses plus a recursive min-reachability CTE (OracleSql mirrors the
     * semantics, not the algorithm — DuckDB enumerates reachable labels,
     * Spark propagates them; both yield min-of-component). */
+  /** Unordered q34 pair table for downstream consumers (q57/q66/q100):
+    * connectedComponents doesn't care about order, so skip q34's
+    * output-contract ORDER BY and its full sort of the pair table. */
+  private[graft] def reportedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashStages(spark, sfDir)._2.select(col("doc_a"), col("doc_b"))
+
   def q57(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = q34(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    connectedComponents(pairs)
+    connectedComponents(reportedPairs(spark, sfDir))
       .select(col("node").as("doc_id"), col("label").as("component"))
       .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("component"))))
       .orderBy(col("doc_id"))
@@ -415,7 +428,7 @@ object Dedup {
     * Filtering `keep` materializes the training corpus; at 100 TB this is
     * the map-side anti-join every pipeline runs before tokenization. */
   def q66(spark: SparkSession, sfDir: String): DataFrame = {
-    val comp = connectedComponents(q34(spark, sfDir).select(col("doc_a"), col("doc_b")))
+    val comp = connectedComponents(reportedPairs(spark, sfDir))
       .select(col("node").as("doc_id"), col("label").as("component"))
     graft.tables.Tables.documents(spark, sfDir).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")

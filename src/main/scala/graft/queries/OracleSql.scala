@@ -1301,7 +1301,9 @@ object OracleSql {
     // two-phase range-partitioned prefix sum is the scale execution).
     // Engine shingles are hashed (q36 posture); counts agree from raw
     // strings. Ratios through ratio4; per-doc novelty NULL when the doc
-    // has no trigrams (< 3 tokens).
+    // has no trigrams (< 3 tokens); coverage NULL when the trigram
+    // universe itself is empty (mirrors the engine-side guard — without
+    // it Spark's 0/0 and DuckDB's NaN handling diverge).
     "q98_novelty_curve" ->
       s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |idx AS (SELECT doc_id, s, unnest(generate_series(1, len(s) - 2)) AS i
@@ -1321,9 +1323,60 @@ object OracleSql {
         |        FROM base)
         |SELECT doc_id, ns, n_new, cum_new,
         |  CASE WHEN ns > 0 THEN ${ratio4Sql("n_new", "ns")} ELSE NULL END AS novelty4,
-        |  ${ratio4Sql("cum_new", "n_total")} AS coverage4
+        |  CASE WHEN n_total > 0 THEN ${ratio4Sql("cum_new", "n_total")} ELSE NULL END AS coverage4
         |FROM cum, tot
         |ORDER BY doc_id""".stripMargin,
+
+    // q102: per-dimension stats from exact scaled-integer sums — mean4 via
+    // the q55 signed half-up BIGINT division (operands positive inside the
+    // CASE arms, so DuckDB's floor-div == Spark's trunc-div); min6/max6 are
+    // MIN/MAX over the floor-quantized BIGINTs, reported /1e6.
+    "q102_embedding_stats" -> {
+      val sc = Vectors.StatScale
+      s"""WITH e AS (SELECT vec_id, embedding AS s FROM embeddings),
+        |idx AS (SELECT vec_id, s, unnest(generate_series(1, CAST(len(s) AS INTEGER))) AS i FROM e),
+        |v AS (SELECT CAST(i AS INTEGER) AS i, CAST(s[i] AS DOUBLE) AS x FROM idx),
+        |q AS (SELECT i, CAST(FLOOR(x * $sc) AS BIGINT) AS qx,
+        |             CASE WHEN x > 0 THEN 1 ELSE 0 END AS pos1 FROM v),
+        |agg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |               CAST(SUM(pos1) AS BIGINT) AS n_pos,
+        |               CAST(SUM(qx) AS BIGINT) AS sq,
+        |               CAST(MIN(qx) AS BIGINT) AS mnq,
+        |               CAST(MAX(qx) AS BIGINT) AS mxq
+        |        FROM q GROUP BY i)
+        |SELECT i, n, n_pos,
+        |  (CASE WHEN sq >= 0 THEN (sq * 10000 + (n * $sc) // 2) // (n * $sc)
+        |        ELSE -(((-sq) * 10000 + (n * $sc) // 2) // (n * $sc)) END) / 10000.0 AS mean4,
+        |  CAST(mnq AS DOUBLE) / $sc AS min6,
+        |  CAST(mxq AS DOUBLE) / $sc AS max6
+        |FROM agg
+        |ORDER BY i""".stripMargin
+    },
+
+    // q103: fixed-width token-count histogram; shares/cumulative shares by
+    // exact-integer ratio4; BIGINT floor-div (operands nonnegative, so
+    // DuckDB's // == Spark's div).
+    "q103_token_histogram" -> {
+      val w = Text.HistBinW
+      s"""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |b AS (SELECT nt // $w AS bin, nt FROM t),
+        |agg AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |               CAST(SUM(nt) AS BIGINT) AS sum_tokens
+        |        FROM b GROUP BY bin),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM agg),
+        |c AS (SELECT bin, n_docs, sum_tokens,
+        |        CAST(SUM(n_docs) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs
+        |      FROM agg)
+        |SELECT bin, bin * $w AS lo_tokens, bin * $w + ${w - 1} AS hi_tokens,
+        |  n_docs, sum_tokens,
+        |  ${ratio4Sql("n_docs", "total_docs")} AS share4,
+        |  ${ratio4Sql("cum_docs", "total_docs")} AS cum_share4
+        |FROM c, tot
+        |ORDER BY bin""".stripMargin
+    },
+
+    "q104_mutual_knn_clusters" -> mutualKnnSql,
   )
 
   /** q94 oracle: the BPE merge loop unrolled to exactly
@@ -1687,11 +1740,11 @@ object OracleSql {
     * shared table bucket makes a candidate; ROUND-4 cosine then
     * row_number per src (sim DESC, dst) ≤ KnnK. Candidate-set equality,
     * not plan shape, is what the compare checks. */
-  private def knnSql: String = {
+  private def knnCtes: String = {
     import graft.ops.Ann.Tables
     val bucketCols = annBucketCols
     val anyMatch = (0 until Tables).map(t => s"a.b$t = c.b$t").mkString(" OR ")
-    s"""WITH s AS (SELECT vec_id, embedding, $bucketCols FROM embeddings),
+    s"""s AS (SELECT vec_id, embedding, $bucketCols FROM embeddings),
        |cand AS (SELECT a.vec_id AS src, c.vec_id AS dst,
        |  ROUND(
        |    list_sum(list_transform(range(1, CAST(len(a.embedding) AS INTEGER) + 1),
@@ -1701,11 +1754,34 @@ object OracleSql {
        |  FROM s a JOIN s c ON a.vec_id <> c.vec_id AND ($anyMatch)),
        |r AS (SELECT src, dst, sim,
        |        CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
-       |      FROM cand)
+       |      FROM cand)""".stripMargin
+  }
+
+  private def knnSql: String =
+    s"""WITH $knnCtes
        |SELECT src, rk, dst, sim
        |FROM r WHERE rk <= ${Vectors.KnnK}
        |ORDER BY src, rk""".stripMargin
-  }
+
+  /** q104 oracle: q77's neighbor CTE + the reciprocal filter + the q57
+    * recursive min-reachability components. */
+  private def mutualKnnSql: String =
+    s"""WITH RECURSIVE $knnCtes,
+       |knn AS (SELECT src, dst FROM r WHERE rk <= ${Vectors.KnnK}),
+       |mut AS (SELECT a.src, a.dst FROM knn a
+       |        JOIN knn b ON b.src = a.dst AND b.dst = a.src
+       |        WHERE a.src < a.dst),
+       |edges AS (SELECT src AS u, dst AS v FROM mut
+       |          UNION ALL SELECT dst, src FROM mut),
+       |reach(node, lbl) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, w.lbl FROM reach w JOIN edges e ON e.u = w.node),
+       |comp AS (SELECT node AS vec_id, MIN(lbl) AS cluster FROM reach GROUP BY node)
+       |SELECT vec_id, cluster,
+       |       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+       |FROM comp
+       |ORDER BY vec_id""".stripMargin
 
   /** q85 oracle: the first JlDims planes rendered as literal lists, each
     * projection a sequential-double list_reduce (the Ann discipline) then

@@ -265,8 +265,7 @@ object Sampling {
     * aggregates over cluster- or split-cardinality frames; the one-row
     * leakage count broadcasts (allowlisted BNLJ). */
   def q100(spark: SparkSession, sfDir: String): DataFrame = {
-    val comp = Dedup.connectedComponents(
-        Dedup.q34(spark, sfDir).select(col("doc_a"), col("doc_b")))
+    val comp = Dedup.connectedComponents(Dedup.reportedPairs(spark, sfDir))
       .select(col("node").as("doc_id"), col("label").as("component"))
     leakageSafeSplit(Tables.documents(spark, sfDir), comp)
   }

@@ -1234,7 +1234,45 @@ object Text {
         (col("poff") + col("lcum")).as("cum_new"),
         when(col("ns") > 0, ratio4(col("n_new"), col("ns")))
           .otherwise(lit(null).cast("double")).as("novelty4"),
-        ratio4(col("poff") + col("lcum"), col("n_total")).as("coverage4"))
+        when(col("n_total") > 0, ratio4(col("poff") + col("lcum"), col("n_total")))
+          .otherwise(lit(null).cast("double")).as("coverage4"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q103 histogram bin width (whitespace tokens per bin). */
+  val HistBinW = 64L
+
+  /** q103: document-length histogram — the token-count distribution panel
+    * every dataset audit opens with (sequence-length planning for packing
+    * (q96), truncation-loss estimates, outlier screens): docs bucketed by
+    * whitespace token count (q41's kernel) into fixed-width bins of
+    * [[HistBinW]], per bin → doc count, token mass, corpus share and
+    * cumulative share (exact-integer ratio4).
+    *
+    * Scale posture: one map-side projection (token count is computed in
+    * the scan's codegen stage) + ONE mergeable groupBy(bin); everything
+    * after runs on the bin-cardinality frame — bounded by
+    * max-doc-len/[[HistBinW]], a constant like q89's top-N frame — so the
+    * cumulative window and the single-row total broadcast never see
+    * corpus-sized input. */
+  def q103(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Dsl.ratio4
+    val agg = docs(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("nt"))
+      .select(expr(s"nt div ${HistBinW}L").as("bin"), col("nt"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+    val tot = agg.agg(sum(col("n_docs")).as("total_docs"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"),
+        (col("bin") * HistBinW).as("lo_tokens"),
+        (col("bin") * HistBinW + HistBinW - 1L).as("hi_tokens"),
+        col("n_docs"), col("sum_tokens"),
+        ratio4(col("n_docs"), col("total_docs")).as("share4"),
+        ratio4(col("cum_docs"), col("total_docs")).as("cum_share4"))
+      .orderBy(col("bin"))
   }
 }

@@ -388,7 +388,13 @@ object Vectors {
     * single-task stage; PlanSpec pins both). The ranking reads the
     * ROUND-4 sim (ties broken by dst), so the k-set is deterministic
     * across engines. */
-  def q77(spark: SparkSession, sfDir: String): DataFrame = {
+  def q77(spark: SparkSession, sfDir: String): DataFrame =
+    knnPairs(spark, sfDir).orderBy(col("src"), col("rk"))
+
+  /** q77 core without the output-contract ORDER BY, so q104 (which feeds
+    * the pairs into connected components — order-free) skips the full
+    * sort of the neighbor table (the same split as Dedup.reportedPairs). */
+  private[graft] def knnPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val sig = e.select(col("vec_id"),
         posexplode(graft.ops.Ann.buckets(col("embedding"))).as(Seq("t", "bucket")))
@@ -409,7 +415,6 @@ object Vectors {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
       .select(col("src"), col("rk"), col("dst"), col("sim"))
-      .orderBy(col("src"), col("rk"))
   }
 
   /** q90: batch IVF probe — the ALL-queries form of the IVF family
@@ -483,5 +488,79 @@ object Vectors {
       .filter(col("rk") <= KnnK)
       .select(col("src"), col("rk"), col("dst"), col("sim"))
       .orderBy(col("src"), col("rk"))
+  }
+
+  /** q102 quantization scale for the per-dimension stats: 1e6 keeps every
+    * scaled component exact in signed-64 (|x| < 10³ → |qx| < 10⁹; summed
+    * over 10¹² corpus rows still < 2⁶³) while preserving 6 decimal digits
+    * — the same floor-quantize discipline as [[CentroidScale]]. */
+  val StatScale = 1000000L
+
+  /** q102: embedding-column audit — per-dimension distribution stats over
+    * the whole corpus, the pre-training sanity panel every vector pipeline
+    * runs (dead dimensions, scale drift, saturated signs): for each
+    * dimension i → n, n_pos (strictly positive count), mean4 (half-up from
+    * exact scaled-integer sums — the q55 centroid discipline, so the
+    * corpus-wide float SUM never depends on partial-agg combine order),
+    * and min6/max6 (MIN/MAX over the floor-quantized BIGINTs — order-free
+    * — reported at the 1e-6 quantization).
+    *
+    * Scale posture: ONE pass — posexplode to (i, x) rows (map-side, no
+    * duplication beyond the 64× the stats themselves need), then a single
+    * mergeable groupBy(i) with exact-integer partials; output is
+    * dim-cardinality (64 rows) regardless of corpus size. No window, no
+    * join, no float accumulation anywhere. */
+  def q102(spark: SparkSession, sfDir: String): DataFrame = {
+    val den = s"(n * ${StatScale}L)"
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("int").as("i"),
+        floor(col("x").cast("double") * StatScale).cast("long").as("qx"),
+        when(col("x") > 0, 1L).otherwise(0L).as("pos1"))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("pos1")).as("n_pos"),
+        sum(col("qx")).as("sq"), min(col("qx")).as("mnq"), max(col("qx")).as("mxq"))
+      .withColumn("m4",
+        expr(s"CASE WHEN sq >= 0 THEN (sq * 10000 + $den div 2) div $den " +
+          s"ELSE -(((-sq) * 10000 + $den div 2) div $den) END"))
+      .select(col("i"), col("n"), col("n_pos"),
+        (col("m4").cast("double") / 10000.0).as("mean4"),
+        (col("mnq").cast("double") / StatScale.toDouble).as("min6"),
+        (col("mxq").cast("double") / StatScale.toDouble).as("max6"))
+      .orderBy(col("i"))
+  }
+
+  /** q104: mutual-kNN semantic clusters — the graph-clustering step on
+    * top of the q77 neighbor lists: keep only MUTUAL edges (u is in v's
+    * top-k AND v is in u's — the classic reciprocal-NN filter that
+    * discards asymmetric hub links), then resolve connected components
+    * with the q57 machinery. Output: every clustered vector with its
+    * cluster id (= min vec_id in the cluster) and cluster size — the
+    * "semantic dedup groups" q81 approximates pairwise, here derived from
+    * the kNN graph the pipeline already materializes.
+    *
+    * Scale posture: the neighbor table is N·k rows (bucket-collision
+    * bounded, per q77); the mutual filter is ONE left-semi equi-join of
+    * that table against its own flip — no new quadratic term; components
+    * run the lineage-truncated min-label fixpoint (edge table ≤ N·k/2).
+    * The oracle mirrors semantics with q77's bucket CTE + a recursive
+    * reachability CTE (the q57 oracle pattern). */
+  def q104(spark: SparkSession, sfDir: String): DataFrame = {
+    // localCheckpoint(true), NOT cache(): both sides of the reciprocal
+    // semi-join are this one frame, and a lazy cache first materialized
+    // from inside the CC loop's checkpoint job was observed returning an
+    // under-matched semi-join (fragmented clusters) on a cold session —
+    // the eager checkpoint gives both branches one immutable evaluation.
+    val nn = knnPairs(spark, sfDir).select(col("src"), col("dst")).localCheckpoint(true)
+    val mutual = nn
+      .join(nn.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    Dedup.connectedComponents(mutual)
+      .select(col("node").as("vec_id"), col("label").as("cluster"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("vec_id"))
   }
 }

@@ -140,7 +140,10 @@ object IncrementalIndex {
     * doc_id partitioning. */
   def search(spark: SparkSession, storeDir: String,
       terms: Seq[String] = Text.Bm25Query): DataFrame = {
-    val cur = currentPostings(spark, storeDir)
+    // Materialize the LWW resolution ONCE: dl and tf both derive from it,
+    // and without the pin the full store scan + max-batch window would
+    // execute twice per search (advisor r7).
+    val cur = currentPostings(spark, storeDir).localCheckpoint(true)
     val dl = cur.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val tf = cur.filter(col("token").isin(terms: _*))
       .select(col("doc_id"), col("token"), col("tf"))

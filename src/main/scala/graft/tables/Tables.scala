@@ -33,12 +33,23 @@ object Tables {
 
   /** Event log with `ts` normalized to TimestampType (micros, UTC).
     *
-    * `ts div 1000` is integer division on the raw nanos — a double-precision
-    * division would lose sub-microsecond bits (nanos ~1.7e18 > 2^53).
-    */
+    * The driver has shipped `ts` in two physical forms across rounds:
+    * TIMESTAMP(NANOS) (rounds 1-7; read as raw nanos via the legacy conf,
+    * then `ts div 1000` — INTEGER division: a double division would lose
+    * sub-microsecond bits, nanos ~1.7e18 > 2^53) and TIMESTAMP(MICROS)
+    * (round 8+; arrives as TIMESTAMP_NTZ, cast to TimestampType — an
+    * identity on the wall-clock under the UTC session timezone). Both
+    * normalize to the same micros value, so downstream queries and the
+    * DuckDB oracle (`CAST(ts AS TIMESTAMP)`) are unaffected by which
+    * vintage of the testdata is on disk. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    val norm = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", norm)
   }
 }

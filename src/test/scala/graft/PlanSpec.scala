@@ -92,7 +92,8 @@ class PlanSpec extends SparkSpec {
       "q95_retrieval_eval",   // broadcast constant 64-row eval panel + single-row n_rel
       "q98_novelty_curve",    // broadcast single-row trigram-universe size
       "q99_dedup_eval",       // broadcast single-row stage/truth counts
-      "q100_leakage_safe_split") // broadcast single-row leakage audit
+      "q100_leakage_safe_split", // broadcast single-row leakage audit
+      "q103_token_histogram")   // broadcast single-row doc total
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
