@@ -83,6 +83,29 @@ object Bench {
       SparkEntry.clearGraftCaches(spark)
       if (ok) samples(name) = dt :: samples(name)
     }
+    // Adaptive third pass (the round-6 verdict's "bump Runs for noisy
+    // queries" suggestion, made data-driven): two samples disagreeing by
+    // >1.5x means one of them sat in a contended window — a third sample,
+    // taken minutes after both, lets min() escape it. Bounded by
+    // construction: only the noisy queries re-run, so a quiet machine
+    // adds ~zero wall-clock.
+    val noisy = ordered.filter { case (name, _) =>
+      val s = samples(name)
+      s.size == Runs && s.min > 0 && s.max / s.min > 1.5
+    }
+    if (noisy.nonEmpty)
+      System.err.println(s"[bench] third pass for ${noisy.size} noisy queries: " +
+        noisy.map(_._1).mkString(","))
+    for ((name, fn) <- noisy) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      SparkEntry.clearGraftCaches(spark)
+      if (ok) samples(name) = dt :: samples(name)
+    }
     val results = ordered.map { case (name, _) =>
       val good = samples(name)
       // -1 sentinel: a crashed query must read as a failure, not as a

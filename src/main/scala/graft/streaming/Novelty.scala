@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.Text
+
+/** s20: streaming corpus-novelty tracking — the PRODUCTION form of q98's
+  * trigram first-seer audit: documents arrive as a stream and each
+  * micro-batch's novelty (trigrams never seen in ANY earlier batch or in
+  * a smaller-id doc of its own batch) is computed incrementally against
+  * a persistent first-seer store, instead of re-scanning the corpus the
+  * way the batch curve does.
+  *
+  * Store layout: one batch_id partition of (hm, fmin) rows per batch —
+  * the shingle hashes FIRST SEEN in that batch and the doc that saw them
+  * (min doc_id within the batch, q98's tie-break). Per batch:
+  *
+  *   1. shingle + hash the batch (`Text.shinglesOf` + xxhash64 — the
+  *      exact q98 engine-side kernel), reduce to the batch's first-seer
+  *      candidates (min doc per distinct hash — one map-side-combined
+  *      aggregation over the batch's shingle volume);
+  *   2. LEFT-ANTI join against the store read FILTERED to
+  *      batch_id < current — survivors are globally new;
+  *   3. append survivors as the batch's own partition (dynamic-partition
+  *      overwrite), and write the per-doc audit (doc_id, ns, n_new) to
+  *      the audit sink the same way.
+  *
+  * REPLAY SAFETY follows s14's argument, not s15's: the decision READS
+  * the store, but only partitions with batch_id < current — immutable by
+  * the time batch N runs (Structured Streaming commits N−1 first) — so a
+  * re-run recomputes bit-identical novelty and overwrites its own
+  * partitions with identical content.
+  *
+  * Scale posture: per batch, work is one aggregation of the batch's
+  * shingles plus one anti-join of the batch's DISTINCT hashes (uniform
+  * 64-bit keys) against the store — the store side is never collected,
+  * and the store grows by exactly the universe's growth (it IS the
+  * distinct-trigram universe, the same asymptote the batch q98 scans).
+  * Arrival order defines novelty — the stream is the ingest log q98's
+  * doc_id ordering models, so streaming the corpus in doc_id order
+  * reproduces the batch curve exactly (the StreamingSpec parity law).
+  *
+  * StreamingSpec pins: per-doc (ns, n_new) parity with q98 when batches
+  * arrive in doc_id order; Σ n_new == the store's row count == the
+  * distinct-trigram universe; replay no-op; a duplicate document
+  * contributes zero novelty. */
+object Novelty {
+
+  /** One batch's first-seer candidates: (hm, fmin, ns-contribution). */
+  private def batchFirstSeers(batch: DataFrame): DataFrame =
+    Text.shinglesOf(batch)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
+      .distinct()
+      .groupBy(col("hm")).agg(min(col("doc_id")).as("fmin"))
+
+  /** foreachBatch body: novelty against the committed store, then the
+    * replay-safe partitioned writes (store first, then audit — a crash
+    * between the two replays the batch, which rewrites both
+    * identically). */
+  private[graft] def processBatch(batch: DataFrame, storeDir: String,
+      auditDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // distinct (doc_id, hm) of the batch — both ns and the new-shingle
+    // credit read it, so pin one evaluation (shingling is the expensive
+    // part of the whole operator)
+    val sh = Text.shinglesOf(batch)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
+      .distinct()
+      .localCheckpoint(true)
+    val firstSeers = sh.groupBy(col("hm")).agg(min(col("doc_id")).as("fmin"))
+    val prior = priorStore(spark, storeDir, batchId)
+    val fresh = firstSeers.join(prior, Seq("hm"), "left_anti")
+      .localCheckpoint(true) // the store write below extends the source dir
+    fresh.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+    val ns = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val newPerDoc = fresh.groupBy(col("fmin").as("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    batch.select(col("doc_id")).distinct()
+      .join(ns, Seq("doc_id"), "left")
+      .join(newPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ns"), lit(0L)).as("ns"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(auditDir)
+  }
+
+  /** The store restricted to batches committed BEFORE `batchId` —
+    * replays must not see their own (or any later) partition. Empty
+    * schema-stable frame when the store does not exist yet. */
+  private def priorStore(spark: SparkSession, storeDir: String, batchId: Long): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      spark.range(0).select(col("id").as("hm"))
+    else
+      spark.read.parquet(storeDir)
+        .filter(col("batch_id").cast("long") < batchId)
+        .select(col("hm"))
+  }
+
+  /** The per-doc novelty audit accumulated so far (every batch). */
+  def readAudit(spark: SparkSession, auditDir: String): DataFrame =
+    spark.read.parquet(auditDir).select(col("doc_id"), col("ns"), col("n_new"))
+
+  /** The first-seer universe seen so far (== Σ n_new by construction). */
+  def universeSize(spark: SparkSession, storeDir: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0L else spark.read.parquet(storeDir).count()
+  }
+
+  /** Wire a streaming (doc_id, text, …) source into the novelty loop. */
+  def start(docs: DataFrame, storeDir: String, auditDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, storeDir, auditDir, batchId)
+      }
+      .start()
+}

@@ -766,4 +766,86 @@ class StreamingSpec extends SparkSpec {
     assert(membership() == expected(
       emb.filter(col("vec_id") =!= 7).union(v7new).union(vNew)))
   }
+
+  test("s19: streamed decontamination audit == batch q67; replay no-op; clean batch adds nothing") {
+    import graft.streaming.Decontamination.{auditBatch, benchIndexOf, processBatch, readAudit}
+    import spark.implicits._
+    val auditDir = tmpDir("decon-audit") + "/audit"
+    val docs = graft.tables.Tables.documents(spark, sf001)
+    val bench = benchIndexOf(docs.filter(col("source") === "src0"))
+    val train = docs.filter(col("source") =!= "src0")
+    def got(): Set[(Long, Long, Long)] = readAudit(spark, auditDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // BATCH PARITY: stream the train corpus in 3 disjoint batches; the
+    // accumulated audit must equal batch q67 (whose output q101 is
+    // bit-equal to) — the audit is per-doc-complete, so batching cannot
+    // change it.
+    for (b <- 0L to 2L)
+      processBatch(train.filter(col("doc_id") % 3 === b), bench, auditDir, b)
+    val batch67 = graft.queries.Text.q67(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == batch67, "streamed audit != batch q67")
+
+    // REPLAY: re-running batch 1 rewrites its own partition identically.
+    processBatch(train.filter(col("doc_id") % 3 === 1), bench, auditDir, 1L)
+    assert(got() == batch67, "replay changed the audit")
+
+    // CLEAN BATCH: a doc sharing no shingle with the benchmark
+    // contributes zero rows (and the Bloom prefilter rejects it map-side).
+    val clean = Seq((99999L, "entirely novel words nowhere in benchmark suite today"))
+      .toDF("doc_id", "text")
+    assert(auditBatch(clean, bench).count() == 0L)
+    processBatch(clean, bench, auditDir, 3L)
+    assert(got() == batch67, "clean batch changed the audit")
+  }
+
+  test("s20: streamed novelty == q98 per-doc counts in doc_id order; store == universe; replay + duplicate laws") {
+    import graft.streaming.Novelty.{processBatch, readAudit, universeSize}
+    import spark.implicits._
+    val storeDir = tmpDir("novelty-store") + "/store"
+    val auditDir = tmpDir("novelty-audit") + "/audit"
+    val docs = graft.tables.Tables.documents(spark, sf001)
+    def got(): Map[Long, (Long, Long)] = readAudit(spark, auditDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // PARITY: stream in doc_id order (3 contiguous ranges) — arrival
+    // order then IS q98's ingest order, so per-doc (ns, n_new) must
+    // match the batch curve's columns exactly.
+    val n = docs.count()
+    val cut1 = n / 3
+    val cut2 = 2 * n / 3
+    processBatch(docs.filter(col("doc_id") < cut1), storeDir, auditDir, 0L)
+    processBatch(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+      storeDir, auditDir, 1L)
+    processBatch(docs.filter(col("doc_id") >= cut2), storeDir, auditDir, 2L)
+    val q98 = graft.queries.Text.q98(spark, sf001)
+      .select(col("doc_id"), col("ns"), col("n_new"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val streamed = got()
+    assert(streamed == q98, "streamed per-doc novelty != q98 (doc_id-ordered arrival)")
+
+    // UNIVERSE: the store IS the distinct-trigram universe, and credits
+    // sum to it.
+    val sumNew = streamed.values.map(_._2).sum
+    assert(universeSize(spark, storeDir) == sumNew,
+      "store size != total novelty credit")
+
+    // REPLAY: batch 1 re-run rewrites both its partitions identically.
+    processBatch(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+      storeDir, auditDir, 1L)
+    assert(got() == q98, "replay changed the audit")
+    assert(universeSize(spark, storeDir) == sumNew, "replay changed the store")
+
+    // DUPLICATE: re-streaming an already-seen text as a NEW doc_id earns
+    // zero novelty (its trigrams all have earlier first-seers).
+    val dupText = docs.filter(col("doc_id") === 0).select(col("text"))
+      .collect().head.getString(0)
+    val dup = Seq((100000L, dupText)).toDF("doc_id", "text")
+    processBatch(dup, storeDir, auditDir, 3L)
+    val after = got()
+    assert(after(100000L)._2 == 0L, "duplicate text earned novelty")
+    assert(after(100000L)._1 == q98(0L)._1, "duplicate ns != original ns")
+    assert(universeSize(spark, storeDir) == sumNew, "duplicate grew the store")
+  }
 }
