@@ -160,6 +160,7 @@ object SparkEntry {
     "q102_embedding_stats"    -> Vectors.q102 _,
     "q103_token_histogram"    -> Text.q103 _,
     "q104_mutual_knn_clusters" -> Vectors.q104 _,
+    "q105_kn_bigram_lm"       -> Text.q105 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1377,6 +1377,34 @@ object OracleSql {
     },
 
     "q104_mutual_knn_clusters" -> mutualKnnSql,
+
+    // q105: interpolated Kneser-Ney over the q64 bigram CTE shape —
+    // everything integer over the common denominator 4*c1*n_big
+    // (d = 3/4), one ratio4 at the end. SUM(BIGINT) is HUGEINT in
+    // DuckDB → cast; the LIMIT happens before the stat joins, as in the
+    // engine.
+    "q105_kn_bigram_lm" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT
+        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |           i -> t[CAST(i AS INTEGER)])) AS w1,
+        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+        |           i -> t[CAST(i + 1 AS INTEGER)])) AS w2
+        |       FROM d),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+        |h AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |             CAST(COUNT(*) AS BIGINT) AS n1p_head FROM c GROUP BY w1),
+        |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_cont FROM c GROUP BY w2),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM c),
+        |top AS (SELECT w1, w2, c12 FROM c ORDER BY c12 DESC, w1, w2 LIMIT ${Text.KnTopK})
+        |SELECT t.w1, t.w2, t.c12, h.c1, h.n1p_head, ct.n1p_cont, nb.n_big,
+        |  ${ratio4Sql("((4 * t.c12 - 3) * nb.n_big + 3 * h.n1p_head * ct.n1p_cont)",
+                       "(4 * h.c1 * nb.n_big)")} AS pkn4
+        |FROM top t
+        |JOIN h ON h.w1 = t.w1
+        |JOIN ct ON ct.w2 = t.w2, nb
+        |ORDER BY t.c12 DESC, t.w1, t.w2""".stripMargin,
   )
 
   /** q94 oracle: the BPE merge loop unrolled to exactly

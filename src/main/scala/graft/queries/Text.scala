@@ -1275,4 +1275,63 @@ object Text {
         ratio4(col("cum_docs"), col("total_docs")).as("cum_share4"))
       .orderBy(col("bin"))
   }
+
+  /** q105 output size: the top bigrams (by count) whose smoothed
+    * probability is reported. */
+  val KnTopK = 20
+
+  /** q105: interpolated Kneser-Ney bigram probabilities — the smoothing
+    * capstone of the language-model family (q64 raw bigram MLE, q73
+    * perplexity, q94 BPE merges): for the [[KnTopK]] most frequent
+    * bigrams,
+    *
+    *   P_kn(w2|w1) = max(c12 − d, 0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/N_big
+    *
+    * with discount d = 3/4 (Chen & Goodman'98's fixed-discount form).
+    * The continuation probability N1+(·w2)/N_big — "in how many contexts
+    * does w2 complete a bigram" — is what distinguishes KN from simple
+    * backoff and what makes it the production smoother.
+    *
+    * d = 3/4 makes everything exact INTEGER arithmetic: over the common
+    * denominator 4·c1·N_big the numerator is (4·c12 − 3)·N_big +
+    * 3·N1+(w1·)·N1+(·w2), and pkn4 is one [[graft.ops.Dsl.ratio4]] of
+    * those BIGINTs (numerator·20000 stays double-exact up to corpus
+    * scales of ~10⁹ bigram types; beyond that the quotient moves to
+    * DECIMAL — the documented ratio4 bound). No float accumulates
+    * anywhere, so the hash compare is exact.
+    *
+    * Scale posture: ONE corpus-scale shuffle (the bigram count, shared
+    * shape with q64); every other frame aggregates the vocab²-bounded
+    * COUNTS table (head totals, continuation counts, the single-row
+    * N_big); the top-k is a TakeOrdered (no global sort), and the two
+    * stat joins run AFTER the limit — [[KnTopK]] rows against
+    * vocab-sized tables, broadcast by size. The counts table is
+    * localCheckpoint-pinned: four consumers would otherwise re-shuffle
+    * the corpus four times (the q99 lesson). */
+  def q105(spark: SparkSession, sfDir: String): DataFrame =
+    knBigrams(docs(spark, sfDir))
+
+  /** q105 core on an arbitrary (doc_id, text) frame, so LlmOpsSpec can
+    * pin hand-computed probabilities on a planted corpus. */
+  private[graft] def knBigrams(documents: DataFrame): DataFrame = {
+    import graft.ops.Dsl.ratio4
+    val c = bigramsOf(documents)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val heads = c.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_head"))
+    val conts = c.groupBy(col("w2")).agg(count(lit(1)).as("n1p_cont"))
+    val nbig = c.agg(count(lit(1)).as("n_big"))
+    c.orderBy(col("c12").desc, col("w1"), col("w2")).limit(KnTopK)
+      .join(heads, Seq("w1"))
+      .join(conts, Seq("w2"))
+      .crossJoin(broadcast(nbig))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1p_head"), col("n1p_cont"), col("n_big"),
+        ratio4(
+          (lit(4L) * col("c12") - lit(3L)) * col("n_big") +
+            lit(3L) * col("n1p_head") * col("n1p_cont"),
+          lit(4L) * col("c1") * col("n_big")).as("pkn4"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+  }
 }

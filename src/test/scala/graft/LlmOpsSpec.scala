@@ -753,4 +753,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(pre == exact, "bloom-prefiltered result differs from exact q67")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("Kneser-Ney bigram LM: hand-computed probabilities on a planted corpus (q105)") {
+    import graft.queries.Text
+    // corpus "a b a c": bigrams (a,b), (b,a), (a,c) — all count 1.
+    //   heads: a -> c1=2, N1+(a.)=2; b -> c1=1, N1+(b.)=1
+    //   continuations: N1+(.b)=1, N1+(.a)=1, N1+(.c)=1; N_big=3
+    //   P_kn(b|a) = (1-3/4)/2 + (3/4 * 2/2)*(1/3) = 1/8 + 1/4 = 0.375
+    //   P_kn(a|b) = (1-3/4)/1 + (3/4 * 1/1)*(1/3) = 1/4 + 1/4 = 0.5
+    val planted = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val got = Text.knBigrams(planted).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(7))).toMap
+    assert(got(("a", "b")) == 0.375, s"P(b|a) = ${got(("a", "b"))}")
+    assert(got(("b", "a")) == 0.5, s"P(a|b) = ${got(("b", "a"))}")
+    assert(got(("a", "c")) == 0.375, s"P(c|a) = ${got(("a", "c"))}")
+    // every reported probability is a genuine probability, and the
+    // discounted-MLE floor holds: pkn > (c12 - d)/c1 strictly (the
+    // continuation term is > 0 whenever the bigram was observed)
+    val full = SparkEntry.queries("q105_kn_bigram_lm")(spark, sf001).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      val (c12, c1, p) = (r.getLong(2), r.getLong(3), r.getDouble(7))
+      assert(p > 0.0 && p <= 1.0, s"pkn4 out of range: $p")
+      assert(p > (c12 - 0.75) / c1 - 1e-4,
+        s"pkn4 $p below the discounted-MLE floor for c12=$c12 c1=$c1")
+    }
+    SparkEntry.clearGraftCaches(spark)
+  }
 }

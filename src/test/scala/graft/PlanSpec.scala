@@ -93,7 +93,8 @@ class PlanSpec extends SparkSpec {
       "q98_novelty_curve",    // broadcast single-row trigram-universe size
       "q99_dedup_eval",       // broadcast single-row stage/truth counts
       "q100_leakage_safe_split", // broadcast single-row leakage audit
-      "q103_token_histogram")   // broadcast single-row doc total
+      "q103_token_histogram",   // broadcast single-row doc total
+      "q105_kn_bigram_lm")      // broadcast single-row bigram-type count
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
