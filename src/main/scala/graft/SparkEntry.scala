@@ -161,6 +161,8 @@ object SparkEntry {
     "q103_token_histogram"    -> Text.q103 _,
     "q104_mutual_knn_clusters" -> Vectors.q104 _,
     "q105_kn_bigram_lm"       -> Text.q105 _,
+    "q106_source_top_terms"   -> Text.q106 _,
+    "q107_embedding_outliers" -> Vectors.q107 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

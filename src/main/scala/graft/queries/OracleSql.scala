@@ -1405,6 +1405,35 @@ object OracleSql {
         |JOIN h ON h.w1 = t.w1
         |JOIN ct ON ct.w2 = t.w2, nb
         |ORDER BY t.c12 DESC, t.w1, t.w2""".stripMargin,
+
+    // q106: per-source exact top terms; rank over the counts table only.
+    "q106_source_top_terms" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM tok GROUP BY source, token),
+        |r AS (SELECT source, token, n,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS INTEGER) AS rk
+        |      FROM c)
+        |SELECT source, token, n, rk
+        |FROM r WHERE rk <= ${Text.SourceTopK}
+        |ORDER BY source, rk""".stripMargin,
+
+    // q107: fold-parity sequential sum-of-squares (list_reduce — same
+    // order as Spark's aggregate() from 0.0, since 0+x1 == x1 exactly),
+    // sqrt of identical doubles, floor-quantize to 1e-6; the deviation
+    // score is exact integer |qnorm*n - s|.
+    "q107_embedding_outliers" ->
+      s"""WITH q AS (SELECT vec_id,
+        |    CAST(FLOOR(sqrt(list_reduce(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) * 1000000) AS BIGINT) AS qnorm
+        |  FROM embeddings),
+        |st AS (SELECT CAST(SUM(qnorm) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM q)
+        |SELECT vec_id, CAST(qnorm AS DOUBLE) / 1000000 AS norm6,
+        |       ABS(qnorm * n - s) AS score
+        |FROM q, st
+        |ORDER BY score DESC, vec_id
+        |LIMIT ${Vectors.OutlierTopK}""".stripMargin,
   )
 
   /** q94 oracle: the BPE merge loop unrolled to exactly

@@ -1334,4 +1334,29 @@ object Text {
           lit(4L) * col("c1") * col("n_big")).as("pkn4"))
       .orderBy(col("c12").desc, col("w1"), col("w2"))
   }
+
+  /** q106 output size: top tokens kept per source. */
+  val SourceTopK = 10
+
+  /** q106: per-source top terms — the slice-characterization audit next
+    * to the corpus-global q88 heavy hitters: for every source, its
+    * [[SourceTopK]] most frequent whitespace tokens (count desc, token
+    * asc) with exact counts. The panel a dataset curator reads to see
+    * WHAT each source contributes before weighting it (q80) — a source
+    * whose top terms are boilerplate is a dedup target, one whose top
+    * terms are code keywords mixes differently than prose.
+    *
+    * Scale posture: one map-side explode + ONE mergeable groupBy
+    * (source, token); the rank window partitions by source over the
+    * vocab-bounded counts table (never the token stream) and keeps the
+    * WindowGroupLimit rank-limit pushdown (the q58 shape). */
+  def q106(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("token"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceTopK)
+      .orderBy(col("source"), col("rk"))
+  }
 }

@@ -563,4 +563,37 @@ object Vectors {
       .withColumn("n_members", count(lit(1)).over(w))
       .orderBy(col("vec_id"))
   }
+
+  /** q107 output size: top outliers reported. */
+  val OutlierTopK = 20
+
+  /** q107: embedding-norm outlier screen — the per-VECTOR audit next to
+    * q102's per-dimension panel: the [[OutlierTopK]] vectors whose L2
+    * norm deviates most from the corpus mean (broken encodings, zero
+    * vectors, scale glitches — the rows a vector pipeline quarantines
+    * before indexing). Norm is the fold-parity sequential sum of squares
+    * (the Ann/list_reduce discipline — bit-identical across engines),
+    * floor-quantized to 1e-6; the deviation SCORE is exact integer
+    * arithmetic: |qnorm·N − Σqnorm| (the absolute deviation from the
+    * mean, rescaled by N·10⁶ so no division ever happens — exact in
+    * signed-64 up to qnorm·N ~ 9·10¹⁸, i.e. norms ≤ ~10³ at 10⁹
+    * vectors; beyond that the score moves to DECIMAL).
+    *
+    * Scale posture: one map-side projection computes qnorm inside the
+    * scan stage; the corpus statistic is a single-row aggregate
+    * broadcast back (allowlisted BNLJ); the top-k is a TakeOrdered —
+    * no shuffle ever carries the embedding column. */
+  def q107(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm2 = aggregate(col("embedding"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), floor(sqrt(norm2) * 1000000.0).cast("long").as("qnorm"))
+    val st = q.agg(sum(col("qnorm")).as("s"), count(lit(1)).as("n"))
+    q.crossJoin(broadcast(st))
+      .select(col("vec_id"),
+        (col("qnorm").cast("double") / 1000000.0).as("norm6"),
+        abs(col("qnorm") * col("n") - col("s")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(OutlierTopK)
+  }
 }

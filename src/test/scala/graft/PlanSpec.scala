@@ -94,7 +94,8 @@ class PlanSpec extends SparkSpec {
       "q99_dedup_eval",       // broadcast single-row stage/truth counts
       "q100_leakage_safe_split", // broadcast single-row leakage audit
       "q103_token_histogram",   // broadcast single-row doc total
-      "q105_kn_bigram_lm")      // broadcast single-row bigram-type count
+      "q105_kn_bigram_lm",      // broadcast single-row bigram-type count
+      "q107_embedding_outliers") // broadcast single-row corpus norm stats
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
@@ -110,6 +111,13 @@ class PlanSpec extends SparkSpec {
     val plan = planString(SparkEntry.queries("q87_time_range_join")(spark, sf001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "range join degraded to a nested loop — binning lost")
+  }
+
+  test("q106: per-source top-k keeps the rank-limit pushdown; q107 outliers end in a TakeOrdered") {
+    val p106 = planString(SparkEntry.queries("q106_source_top_terms")(spark, sf001))
+    assert(p106.contains("WindowGroupLimit"), "q106 lost the rank-limit pushdown")
+    val p107 = planString(SparkEntry.queries("q107_embedding_outliers")(spark, sf001))
+    assert(p107.contains("TakeOrderedAndProject"), "q107 top-k fell back to global sort+limit")
   }
 
   test("q84: containment probe-vs-index join stays an equi-join (no cartesian)") {
