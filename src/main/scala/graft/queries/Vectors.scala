@@ -510,9 +510,16 @@ object Vectors {
     * mergeable groupBy(i) with exact-integer partials; output is
     * dim-cardinality (64 rows) regardless of corpus size. No window, no
     * join, no float accumulation anywhere. */
-  def q102(spark: SparkSession, sfDir: String): DataFrame = {
-    val den = s"(n * ${StatScale}L)"
-    Tables.embeddings(spark, sfDir)
+  def q102(spark: SparkSession, sfDir: String): DataFrame =
+    statFinalize(statPartials(Tables.embeddings(spark, sfDir)))
+
+  /** q102's mergeable partial frame (i, n, n_pos, sq, mnq, mxq) — exact
+    * integers, so partials from disjoint corpus slices combine by
+    * sum/sum/sum/min/max with no precision question. Shared with the
+    * streaming store (s21), which is what makes stream-vs-batch parity
+    * by construction. */
+  private[graft] def statPartials(emb: DataFrame): DataFrame =
+    emb
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .select((col("pos") + 1).cast("int").as("i"),
         floor(col("x").cast("double") * StatScale).cast("long").as("qx"),
@@ -520,6 +527,11 @@ object Vectors {
       .groupBy(col("i"))
       .agg(count(lit(1)).as("n"), sum(col("pos1")).as("n_pos"),
         sum(col("qx")).as("sq"), min(col("qx")).as("mnq"), max(col("qx")).as("mxq"))
+
+  /** q102's output formula over a (possibly merged) partial frame. */
+  private[graft] def statFinalize(partials: DataFrame): DataFrame = {
+    val den = s"(n * ${StatScale}L)"
+    partials
       .withColumn("m4",
         expr(s"CASE WHEN sq >= 0 THEN (sq * 10000 + $den div 2) div $den " +
           s"ELSE -(((-sq) * 10000 + $den div 2) div $den) END"))

@@ -848,4 +848,49 @@ class StreamingSpec extends SparkSpec {
     assert(after(100000L)._1 == q98(0L)._1, "duplicate ns != original ns")
     assert(universeSize(spark, storeDir) == sumNew, "duplicate grew the store")
   }
+
+  test("s21: streamed embedding stats == batch q102; replay no-op; compaction crash window invisible") {
+    import graft.streaming.VectorStats.{foldBase, processBatch, stats, sweepFolded}
+    val storeDir = tmpDir("vstats-store") + "/store"
+    val emb = graft.tables.Tables.embeddings(spark, sf001)
+    def got(): List[(Int, Long, Long, Double, Double, Double)] =
+      stats(spark, storeDir).collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toList
+
+    // BATCH PARITY: the exact-integer partials combine is
+    // batch-split-invariant, so 3 disjoint batches must reproduce q102
+    // row for row (mean4/min6/max6 doubles included).
+    for (b <- 0L to 2L)
+      processBatch(emb.filter(col("vec_id") % 3 === b), storeDir, b)
+    val batch = SparkEntry.queries("q102_embedding_stats")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toList
+    assert(got() == batch, "streamed stats != batch q102")
+
+    // REPLAY: re-running batch 1 overwrites its partition identically.
+    processBatch(emb.filter(col("vec_id") % 3 === 1), storeDir, 1L)
+    assert(got() == batch, "replay changed the stats")
+
+    // COMPACTION with the crash window held open: after foldBase the
+    // folded partitions are already invisible (watermark), so the panel
+    // is identical BEFORE the sweep, after it, and after both.
+    foldBase(spark, storeDir, 3L)
+    assert(got() == batch, "stats changed inside the fold/sweep crash window")
+    sweepFolded(spark, storeDir)
+    assert(got() == batch, "sweep changed the stats")
+    val parts = new java.io.File(storeDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(parts == Set("batch_id=-1"), s"partitions after compaction: $parts")
+
+    // streaming continues across the compaction boundary
+    val vNew = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"), col("label"))
+    processBatch(vNew, storeDir, 3L)
+    val expected = graft.queries.Vectors.statFinalize(
+      graft.queries.Vectors.statPartials(emb.unionByName(vNew)))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toList
+    assert(got() == expected, "post-compaction batch not absorbed")
+  }
 }
