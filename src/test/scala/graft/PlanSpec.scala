@@ -118,6 +118,8 @@ class PlanSpec extends SparkSpec {
     assert(p106.contains("WindowGroupLimit"), "q106 lost the rank-limit pushdown")
     val p107 = planString(SparkEntry.queries("q107_embedding_outliers")(spark, sf001))
     assert(p107.contains("TakeOrderedAndProject"), "q107 top-k fell back to global sort+limit")
+    val p105 = planString(SparkEntry.queries("q105_kn_bigram_lm")(spark, sf001))
+    assert(p105.contains("TakeOrderedAndProject"), "q105 top-k fell back to global sort+limit")
   }
 
   test("q84: containment probe-vs-index join stays an equi-join (no cartesian)") {
