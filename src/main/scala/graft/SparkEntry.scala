@@ -163,6 +163,7 @@ object SparkEntry {
     "q105_kn_bigram_lm"       -> Text.q105 _,
     "q106_source_top_terms"   -> Text.q106 _,
     "q107_embedding_outliers" -> Vectors.q107 _,
+    "q108_quality_buckets"    -> Text.q108 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

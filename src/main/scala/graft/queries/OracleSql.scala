@@ -742,32 +742,35 @@ object OracleSql {
     // sequentially from 0.0 (list_reduce parity with Spark's aggregate),
     // then ROUND 4. -x/n and exp(-x/n) evaluate on identical doubles.
     "q73_lm_perplexity" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 2),
-        |bi AS (SELECT doc_id,
-        |         unnest(generate_series(1, CAST(len(t) AS INTEGER) - 1)) AS pos,
-        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
-        |           i -> t[CAST(i AS INTEGER)])) AS w1,
-        |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
-        |           i -> t[CAST(i + 1 AS INTEGER)])) AS w2
-        |       FROM d),
-        |c AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
-        |h AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS n_head FROM c GROUP BY w1),
-        |v AS (SELECT COUNT(DISTINCT token) AS v
-        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)),
-        |lp AS (SELECT bi.doc_id, bi.pos,
-        |         ROUND(ln(CAST(c.c + 1 AS DOUBLE) / CAST(h.n_head + v.v AS DOUBLE)), 6) AS lp
-        |       FROM bi JOIN c ON c.w1 = bi.w1 AND c.w2 = bi.w2
-        |       JOIN h ON h.w1 = bi.w1, v),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-        |          list_reduce(list_prepend(0.0, array_agg(lp ORDER BY pos)),
-        |            (p, q) -> p + q) AS sum_lp
-        |        FROM lp GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams,
-        |  ROUND(-sum_lp / CAST(n_bigrams AS DOUBLE), 4) AS avg_neg_logp,
-        |  ROUND(exp(-sum_lp / CAST(n_bigrams AS DOUBLE)), 4) AS perplexity
-        |FROM agg
+      s"""WITH $lmPerDocCtes
+        |SELECT doc_id, n_bigrams, avg_neg_logp, perplexity
+        |FROM sc
         |ORDER BY doc_id""".stripMargin,
+
+    // q108: CCNet-style quality buckets over the q73 per-doc scores —
+    // thresholds are ORDER STATISTICS of the fixed hash-ordered sample
+    // (elements of the score multiset, never interpolated), so both
+    // engines bucket against bit-identical doubles.
+    "q108_quality_buckets" ->
+      s"""WITH $lmPerDocCtes,
+        |samp AS (SELECT avg_neg_logp FROM sc
+        |         ORDER BY ('0x' || substr(md5('qsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                  doc_id
+        |         LIMIT ${Text.QualitySampleN}),
+        |thr AS (SELECT ss[CAST((len(ss) + 2) // 3 AS INTEGER)] AS t1,
+        |               ss[CAST((2 * len(ss) + 2) // 3 AS INTEGER)] AS t2
+        |        FROM (SELECT array_agg(avg_neg_logp ORDER BY avg_neg_logp) AS ss FROM samp))
+        |SELECT CASE WHEN avg_neg_logp <= t1 THEN 'head'
+        |            WHEN avg_neg_logp <= t2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |       t1, t2,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(avg_neg_logp) AS min_score,
+        |       MAX(avg_neg_logp) AS max_score,
+        |       CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
+        |FROM sc, thr
+        |GROUP BY bucket, t1, t2
+        |ORDER BY bucket""".stripMargin,
 
     // q74: margins aggregated from the counts CTE; PMI operands cast to
     // DOUBLE before multiplying (BIGINT product would overflow at scale;
@@ -1790,6 +1793,36 @@ object OracleSql {
     * the exact-integer half-up quotient: floor((a·20000 + b) / (2b)) /
     * 10⁴. See Dsl.ratio4 for why ROUND of the double is not
     * engine-portable (the q55 lesson). */
+  /** q73/q108 shared per-doc LM score chain: add-one-smoothed bigram
+    * log-probs (ROUND-6 per row), ordered per-doc fold, ROUND-4 score —
+    * ends in the `sc` CTE (doc_id, n_bigrams, avg_neg_logp, perplexity). */
+  private def lmPerDocCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (SELECT doc_id,
+      |         unnest(generate_series(1, CAST(len(t) AS INTEGER) - 1)) AS pos,
+      |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+      |           i -> t[CAST(i AS INTEGER)])) AS w1,
+      |         unnest(list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 1),
+      |           i -> t[CAST(i + 1 AS INTEGER)])) AS w2
+      |       FROM d),
+      |c AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+      |h AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS n_head FROM c GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT token) AS v
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)),
+      |lp AS (SELECT bi.doc_id, bi.pos,
+      |         ROUND(ln(CAST(c.c + 1 AS DOUBLE) / CAST(h.n_head + v.v AS DOUBLE)), 6) AS lp
+      |       FROM bi JOIN c ON c.w1 = bi.w1 AND c.w2 = bi.w2
+      |       JOIN h ON h.w1 = bi.w1, v),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |          list_reduce(list_prepend(0.0, array_agg(lp ORDER BY pos)),
+      |            (p, q) -> p + q) AS sum_lp
+      |        FROM lp GROUP BY doc_id),
+      |sc AS (SELECT doc_id, n_bigrams,
+      |         ROUND(-sum_lp / CAST(n_bigrams AS DOUBLE), 4) AS avg_neg_logp,
+      |         ROUND(exp(-sum_lp / CAST(n_bigrams AS DOUBLE)), 4) AS perplexity
+      |       FROM agg)""".stripMargin
+
   private def ratio4Sql(a: String, b: String): String =
     s"FLOOR((CAST($a AS DOUBLE) * 20000.0 + $b) / (CAST($b AS DOUBLE) * 2.0)) / 10000.0"
 

@@ -499,7 +499,12 @@ object Text {
     * then ROUND-4. Scale: bigram stream is the q64 shape; the model
     * tables are vocab-sized aggregates; the per-doc fold sorts each doc's
     * OWN array. */
-  def q73(spark: SparkSession, sfDir: String): DataFrame = {
+  def q73(spark: SparkSession, sfDir: String): DataFrame =
+    perDocLm(spark, sfDir).orderBy(col("doc_id"))
+
+  /** q73 core without the output ORDER BY — shared with q108, whose
+    * bucketing is order-free. */
+  private[graft] def perDocLm(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = bigramPairs(spark, sfDir)
       .cache() // feeds the model counts AND the scoring join
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
@@ -527,7 +532,6 @@ object Text {
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("sum_lp") / col("n_bigrams").cast("double"), 4).as("avg_neg_logp"),
         round(exp(-col("sum_lp") / col("n_bigrams").cast("double")), 4).as("perplexity"))
-      .orderBy(col("doc_id"))
   }
 
   /** q74: collocation strength floor and output size. */
@@ -1358,5 +1362,62 @@ object Text {
     counts.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= SourceTopK)
       .orderBy(col("source"), col("rk"))
+  }
+
+  /** q108 threshold-sample size: thresholds are order statistics of a
+    * FIXED-size hash-ordered sample, so the threshold computation runs on
+    * a constant frame at any corpus size (the CCNet deployment shape —
+    * percentile cuts from a sample, applied map-side to the stream). */
+  val QualitySampleN = 256
+
+  /** q108: perplexity quality buckets — the CCNet-style (Wenzek et al.
+    * LREC'20) corpus partition by language-model score: every scoreable
+    * document (≥ 2 tokens) is assigned to head / middle / tail by its
+    * q73 per-doc avg-neg-logprob against tercile thresholds, and the
+    * output is the per-bucket panel (doc count, score range, bigram
+    * mass) plus the thresholds themselves for auditability.
+    *
+    * Thresholds are ORDER STATISTICS (the ⌈n/3⌉-th and ⌈2n/3⌉-th
+    * smallest sample scores), not interpolated percentiles: an order
+    * statistic is an ELEMENT of the score multiset, so both engines
+    * compare against bit-identical doubles, where interpolation
+    * arithmetic could differ by an ulp and flip a boundary doc's bucket.
+    * The sample is the first [[QualitySampleN]] docs by the salted h60
+    * hash order ("qsample:") — deterministic, uniform, and
+    * size-bounded.
+    *
+    * Scale posture: scoring is q73's machinery (its one corpus-scale
+    * fold is per-doc and bounded by doc length); the sample is a
+    * TakeOrdered over (hash, doc_id) — constant output; thresholds
+    * aggregate the 256-row sample into ONE broadcast row; bucketing is
+    * a map-side comparison; the final panel is a ≤3-row grouped
+    * aggregate. The score frame is localCheckpoint-pinned (sample +
+    * bucket branches — the q104 lesson). */
+  def q108(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Dsl.h60
+    val sc = perDocLm(spark, sfDir)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_neg_logp"))
+      .localCheckpoint(true)
+    val samp = sc
+      .select(col("doc_id"), col("avg_neg_logp"),
+        h60(concat(lit("qsample:"), col("doc_id").cast("string"))).as("hk"))
+      .orderBy(col("hk"), col("doc_id"))
+      .limit(QualitySampleN)
+    val thr = samp.agg(sort_array(collect_list(col("avg_neg_logp"))).as("ss"))
+      .select(
+        expr("element_at(ss, CAST((size(ss) + 2) div 3 AS INT))").as("t1"),
+        expr("element_at(ss, CAST((2 * size(ss) + 2) div 3 AS INT))").as("t2"))
+    sc.crossJoin(broadcast(thr))
+      .select(
+        when(col("avg_neg_logp") <= col("t1"), "head")
+          .when(col("avg_neg_logp") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"),
+        col("avg_neg_logp"), col("n_bigrams"), col("t1"), col("t2"))
+      .groupBy(col("bucket"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_neg_logp")).as("min_score"),
+        max(col("avg_neg_logp")).as("max_score"),
+        sum(col("n_bigrams")).as("sum_bigrams"))
+      .orderBy(col("bucket"))
   }
 }

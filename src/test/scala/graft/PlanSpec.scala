@@ -95,7 +95,8 @@ class PlanSpec extends SparkSpec {
       "q100_leakage_safe_split", // broadcast single-row leakage audit
       "q103_token_histogram",   // broadcast single-row doc total
       "q105_kn_bigram_lm",      // broadcast single-row bigram-type count
-      "q107_embedding_outliers") // broadcast single-row corpus norm stats
+      "q107_embedding_outliers", // broadcast single-row corpus norm stats
+      "q108_quality_buckets")   // broadcast single-row tercile thresholds
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
