@@ -164,6 +164,7 @@ object SparkEntry {
     "q106_source_top_terms"   -> Text.q106 _,
     "q107_embedding_outliers" -> Vectors.q107 _,
     "q108_quality_buckets"    -> Text.q108 _,
+    "q109_dq_audit"           -> Quality.q109 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

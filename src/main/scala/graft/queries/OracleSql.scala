@@ -1437,6 +1437,43 @@ object OracleSql {
         |FROM q, st
         |ORDER BY score DESC, vec_id
         |LIMIT ${Vectors.OutlierTopK}""".stripMargin,
+
+    // q109: each check is one scalar subquery; the embedding dim
+    // reference mirrors the engine's max-dim broadcast. Events ts plays
+    // no role, so the vintage difference (nanos/micros) cannot matter.
+    "q109_dq_audit" -> {
+      val types = Quality.EventTypes.map(t => s"'$t'").mkString(", ")
+      s"""SELECT * FROM (VALUES
+        |  ('customer_orphans',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))),
+        |  ('documents_empty_text',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |     WHERE n_chars <= 0 OR len(text) = 0)),
+        |  ('embeddings_dim_drift',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |     WHERE len(embedding) <> (SELECT MAX(len(embedding)) FROM embeddings))),
+        |  ('events_null_user',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id IS NULL)),
+        |  ('events_unknown_type',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        |     WHERE event_type NOT IN ($types))),
+        |  ('lineitem_discount_range',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     WHERE l_discount < 0 OR l_discount > 1)),
+        |  ('lineitem_nonpositive_qty',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0)),
+        |  ('lineitem_orphans',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))),
+        |  ('orders_nonpositive_total',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice <= 0)),
+        |  ('orders_orphans',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        |) AS t(check_name, n_violations)
+        |ORDER BY check_name""".stripMargin
+    },
   )
 
   /** q94 oracle: the BPE merge loop unrolled to exactly

@@ -96,7 +96,8 @@ class PlanSpec extends SparkSpec {
       "q103_token_histogram",   // broadcast single-row doc total
       "q105_kn_bigram_lm",      // broadcast single-row bigram-type count
       "q107_embedding_outliers", // broadcast single-row corpus norm stats
-      "q108_quality_buckets")   // broadcast single-row tercile thresholds
+      "q108_quality_buckets",   // broadcast single-row tercile thresholds
+      "q109_dq_audit")          // broadcast single-row embedding-dim reference
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")

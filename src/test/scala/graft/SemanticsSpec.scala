@@ -252,4 +252,39 @@ class SemanticsSpec extends SparkSpec {
       graft.ops.Dsl.cosine($"embedding", $"embedding")).as("s")).collect()
     assert(self.forall(_.getDouble(0) == 1.0))
   }
+
+  test("dq audit counts planted violations; clean corpus is all-zero (q109)") {
+    import graft.queries.Quality
+    import org.apache.spark.sql.functions.{col, lit}
+    // the driver corpus is clean — the oracle row alone would pass
+    // vacuously at 0 violations, so plant one of each class
+    val sf = sf001
+    val t = graft.tables.Tables
+    val clean = SparkEntry.queries("q109_dq_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.values.forall(_ == 0L), s"clean corpus has violations: $clean")
+    assert(clean.size == 10)
+    val badLineitem = t.lineitem(spark, sf).limit(1)
+      .select(lit(-999999L).as("l_orderkey") +: t.lineitem(spark, sf).columns.toSeq
+        .filter(_ != "l_orderkey").map(col): _*)
+      .withColumn("l_quantity", lit(-5.0))
+      .unionByName(t.lineitem(spark, sf), allowMissingColumns = false)
+    val badEvents = t.events(spark, sf).limit(1)
+      .withColumn("event_type", lit("mystery"))
+      .withColumn("user_id", lit(null).cast("long"))
+      .unionByName(t.events(spark, sf))
+    val badEmb = t.embeddings(spark, sf).limit(1)
+      .withColumn("embedding", org.apache.spark.sql.functions.slice(col("embedding"), 1, 3))
+      .unionByName(t.embeddings(spark, sf))
+    val planted = Quality.dqAudit(badLineitem, t.orders(spark, sf),
+      t.customer(spark, sf), t.nation(spark, sf), badEvents,
+      t.documents(spark, sf), badEmb).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(planted("lineitem_orphans") == 1L)
+    assert(planted("lineitem_nonpositive_qty") == 1L)
+    assert(planted("events_unknown_type") == 1L)
+    assert(planted("events_null_user") == 1L)
+    assert(planted("embeddings_dim_drift") == 1L)
+    assert(planted("orders_orphans") == 0L)
+  }
 }
