@@ -534,6 +534,50 @@ object Text {
         round(exp(-col("sum_lp") / col("n_bigrams").cast("double")), 4).as("perplexity"))
   }
 
+  /** A FROZEN add-one bigram LM — the deployable form of q73's model:
+    * vocab²-bounded count tables (checkpointed — they are read per
+    * scoring batch) plus the scalar vocab size. At 100 TB the counts
+    * table is the stream-static join side (s11's posture), never the
+    * corpus. */
+  final case class LmModel(counts: DataFrame, heads: DataFrame, v: Long)
+
+  /** Train [[LmModel]] on a (doc_id, text, …) corpus frame. */
+  private[graft] def lmModelOf(documents: DataFrame): LmModel = {
+    val bi = bigramsOf(documents).select(col("w1"), col("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val heads = counts.groupBy(col("w1")).agg(sum(col("c")).as("n_head"))
+      .localCheckpoint(true)
+    val v = documents.select(explode(split(col("text"), " ")).as("token"))
+      .agg(countDistinct(col("token"))).first().getLong(0)
+    LmModel(counts, heads, v)
+  }
+
+  /** Score arbitrary documents against a FROZEN model — q73's per-row
+    * ROUND-6 + ordered-fold discipline, generalized to out-of-corpus
+    * text: an unseen bigram takes c = 0 and an unseen head n_head = 0,
+    * so the add-one estimate degrades to 1/(0+V) instead of being
+    * undefined. On the model's own training corpus every join hits and
+    * this is EXACTLY perDocLm (LlmOpsSpec pins row equality), which is
+    * what makes stream-vs-batch score parity (s22) by construction. */
+  private[graft] def scoreWithModel(documents: DataFrame, m: LmModel): DataFrame = {
+    val logp = round(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("n_head"), lit(0L)) + lit(m.v)).cast("double")), 6)
+    bigramsOf(documents)
+      .join(m.counts, Seq("w1", "w2"), "left")
+      .join(m.heads, Seq("w1"), "left")
+      .select(col("doc_id"), col("pos"), logp.as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+            s => s.getField("lp")),
+          lit(0.0), (acc, v) => acc + v).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_lp") / col("n_bigrams").cast("double"), 4).as("avg_neg_logp"),
+        round(exp(-col("sum_lp") / col("n_bigrams").cast("double")), 4).as("perplexity"))
+  }
+
   /** q74: collocation strength floor and output size. */
   val PmiMinCount = 5
   val PmiTopK = 50
@@ -1394,20 +1438,10 @@ object Text {
     * aggregate. The score frame is localCheckpoint-pinned (sample +
     * bucket branches — the q104 lesson). */
   def q108(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.Dsl.h60
     val sc = perDocLm(spark, sfDir)
       .select(col("doc_id"), col("n_bigrams"), col("avg_neg_logp"))
       .localCheckpoint(true)
-    val samp = sc
-      .select(col("doc_id"), col("avg_neg_logp"),
-        h60(concat(lit("qsample:"), col("doc_id").cast("string"))).as("hk"))
-      .orderBy(col("hk"), col("doc_id"))
-      .limit(QualitySampleN)
-    val thr = samp.agg(sort_array(collect_list(col("avg_neg_logp"))).as("ss"))
-      .select(
-        expr("element_at(ss, CAST((size(ss) + 2) div 3 AS INT))").as("t1"),
-        expr("element_at(ss, CAST((2 * size(ss) + 2) div 3 AS INT))").as("t2"))
-    sc.crossJoin(broadcast(thr))
+    sc.crossJoin(broadcast(thrOf(sc)))
       .select(
         when(col("avg_neg_logp") <= col("t1"), "head")
           .when(col("avg_neg_logp") <= col("t2"), "middle")
@@ -1419,5 +1453,21 @@ object Text {
         max(col("avg_neg_logp")).as("max_score"),
         sum(col("n_bigrams")).as("sum_bigrams"))
       .orderBy(col("bucket"))
+  }
+
+  /** q108's tercile thresholds as a single-row (t1, t2) frame — THE
+    * definition, shared by the batch query and the streaming router's
+    * freeze step (s22) so the two cannot drift. */
+  private[graft] def thrOf(sc: DataFrame): DataFrame = {
+    import graft.ops.Dsl.h60
+    val samp = sc
+      .select(col("doc_id"), col("avg_neg_logp"),
+        h60(concat(lit("qsample:"), col("doc_id").cast("string"))).as("hk"))
+      .orderBy(col("hk"), col("doc_id"))
+      .limit(QualitySampleN)
+    samp.agg(sort_array(collect_list(col("avg_neg_logp"))).as("ss"))
+      .select(
+        expr("element_at(ss, CAST((size(ss) + 2) div 3 AS INT))").as("t1"),
+        expr("element_at(ss, CAST((2 * size(ss) + 2) div 3 AS INT))").as("t2"))
   }
 }

@@ -754,6 +754,29 @@ class LlmOpsSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("frozen-model scorer equals q73 on the training corpus; unseen text stays defined") {
+    import graft.queries.Text
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val model = Text.lmModelOf(docs)
+    val frozen = Text.scoreWithModel(docs, model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val batch = Text.q73(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(frozen == batch, "frozen-model scores != q73 on the training corpus")
+    // a doc of entirely unseen tokens: every bigram scores ln(1/(0+V)) —
+    // finite, deterministic, and the worst (largest) possible neg-logprob
+    val alien = Seq((777777L, "zzqx1 zzqx2 zzqx3")).toDF("doc_id", "text")
+    val s = Text.scoreWithModel(alien, model).collect()
+    assert(s.length == 1 && !s(0).getDouble(2).isNaN && !s(0).getDouble(2).isInfinite)
+    val lp6 = BigDecimal(math.log(1.0 / model.v))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = BigDecimal(-lp6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s(0).getDouble(2) == expected, s"alien doc score ${s(0).getDouble(2)} != uniform floor $expected")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("Kneser-Ney bigram LM: hand-computed probabilities on a planted corpus (q105)") {
     import graft.queries.Text
     // corpus "a b a c": bigrams (a,b), (b,a), (a,c) — all count 1.

@@ -893,4 +893,43 @@ class StreamingSpec extends SparkSpec {
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toList
     assert(got() == expected, "post-compaction batch not absorbed")
   }
+
+  test("s22: streamed quality routing matches the q108 panel; replay no-op; alien docs route") {
+    import graft.streaming.QualityRouter.{freeze, processBatch, readRouted, routeBatch}
+    import spark.implicits._
+    val outDir = tmpDir("router-out") + "/out"
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val frozen = freeze(docs)
+
+    // PANEL PARITY: stream the reference corpus in 3 batches; the routed
+    // per-bucket counts must equal batch q108's n_docs (the scorer
+    // equals q73 on the training corpus, and the cuts come from the
+    // same thrOf definition).
+    for (b <- 0L to 2L)
+      processBatch(docs.filter(col("doc_id") % 3 === b), frozen, outDir, b)
+    val routedCounts = readRouted(spark, outDir)
+      .groupBy(col("bucket")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val panel = SparkEntry.queries("q108_quality_buckets")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(routedCounts == panel, s"routed $routedCounts != q108 panel $panel")
+
+    // REPLAY: re-running batch 1 rewrites its partition identically.
+    processBatch(docs.filter(col("doc_id") % 3 === 1), frozen, outDir, 1L)
+    assert(readRouted(spark, outDir).groupBy(col("bucket")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == panel,
+      "replay changed the routing")
+
+    // ALIEN DOC: entirely unseen tokens still score (the uniform floor
+    // -ln(1/V) — finite) and receive a routing verdict. Which bucket is
+    // corpus geometry (seen-head/unseen-continuation bigrams can score
+    // WORSE than the alien floor, since their denominator n_head+V > V),
+    // so the law is "routed, deterministically", not a specific bucket.
+    val alien = Seq((888888L, "zzqa zzqb zzqc zzqd")).toDF("doc_id", "text")
+    val verdict = routeBatch(alien, frozen).collect()
+    assert(verdict.length == 1)
+    assert(Set("head", "middle", "tail")(verdict(0).getString(3)))
+    assert(!verdict(0).getDouble(2).isNaN && !verdict(0).getDouble(2).isInfinite)
+  }
 }
