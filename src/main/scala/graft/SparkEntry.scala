@@ -165,6 +165,7 @@ object SparkEntry {
     "q107_embedding_outliers" -> Vectors.q107 _,
     "q108_quality_buckets"    -> Text.q108 _,
     "q109_dq_audit"           -> Quality.q109 _,
+    "q110_grouping_sets"      -> Aggregates.q110 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

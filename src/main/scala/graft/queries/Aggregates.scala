@@ -80,6 +80,31 @@ object Aggregates {
         col("l_returnflag"), col("l_linestatus"), col("n"), col("sum_qty"))
       .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
 
+  /** q110: explicit GROUPING SETS — the third member of the
+    * multi-granularity family (q11 ROLLUP is the prefix chain, q49 CUBE
+    * the power set): ARBITRARY set selection, here the two single-column
+    * marginals plus the grand total WITHOUT the (flag, status) cross
+    * cells — the report shape where the cross table is noise but both
+    * marginals and the total must come from one scan. Same determinism
+    * discipline as q11 (grouping() flags as sort keys, decimal-exact
+    * sum).
+    *
+    * Scale posture: one pass, one shuffle — Catalyst expands the sets
+    * into an Expand (3 rows per input row here) feeding ONE partial+final
+    * hash aggregate; three separate GROUP BYs would scan three times. */
+  def q110(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("g_flag"), col("g_status"),
+        col("l_returnflag"), col("l_linestatus"), col("n"), col("sum_qty"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
   /** q28: event-log audit — events per type per day (the `events` table
     * scan of readme:65-70 generalized to a grouped audit). */
   def q28(spark: SparkSession, sfDir: String): DataFrame =

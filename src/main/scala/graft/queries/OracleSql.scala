@@ -264,6 +264,15 @@ object OracleSql {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
 
+    "q110_grouping_sets" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |       l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
     "q12_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
