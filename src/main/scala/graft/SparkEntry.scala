@@ -166,6 +166,9 @@ object SparkEntry {
     "q108_quality_buckets"    -> Text.q108 _,
     "q109_dq_audit"           -> Quality.q109 _,
     "q110_grouping_sets"      -> Aggregates.q110 _,
+    "q111_bpe_encode"         -> Tokenize.q111 _,
+    "q112_pq_adc"             -> Vectors.q112 _,
+    "q113_scd2_history"       -> Events.q113 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -109,7 +109,11 @@ object Dedup {
     // for the signature subtree, noop sink).
     // aCoef/bCoef stay below 2^27 and hm below 2^31, so every product is
     // exact in signed-64 (bCoef(i) < P for all i < K — no mod needed).
-    val sig = signatures(sh).cache()
+    // localCheckpoint(true), NOT cache(): `bands` below is derived from
+    // this frame and then SELF-joined, and the signature arrays join back
+    // twice more — the exact lazy-cache-on-both-join-sides shape the q104
+    // find showed can under-match on a cold session (r9 pinning sweep).
+    val sig = signatures(sh).localCheckpoint(true)
 
     // Band keys from array slices — interpreted HOFs, but over docs×Bands
     // rows only (the signature table), never the shingle stream.
@@ -157,15 +161,20 @@ object Dedup {
   def q99(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Dsl.ratio4
     // Each stage frame feeds TWO aggregates (count + truth semi-join) and
-    // `reported` additionally re-derives `cand`; the truth frame feeds
+    // `reported` additionally nests `cand`'s plan; the truth frame feeds
     // FOUR (tp and n_truth per stage). Without pinning, the q36 PPJoin
     // pipeline would execute four times per q99 run (advisor r7 flagged
-    // the same shape on s18). cache() keeps construction lazy and is
-    // dropped by SparkEntry.clearGraftCaches.
+    // the same shape on s18). localCheckpoint(true), NOT cache(): the
+    // q104 find showed a lazy cache first materialized mid-job can serve
+    // an under-matched semi-join on a cold session, and reported's
+    // lineage nests cand's cached plan — the eager checkpoint gives every
+    // consumer one immutable evaluation (advisor r8; blocks dropped by
+    // SparkEntry.clearGraftCaches' RDD-unpersist half).
     val (candRaw, reportedRaw) = minhashStages(spark, sfDir)
-    val cand = candRaw.cache()
-    val reported = reportedRaw.cache()
-    val truth = Text.q36(spark, sfDir).select(col("doc_a"), col("doc_b")).cache()
+    val cand = candRaw.localCheckpoint(true)
+    val reported = reportedRaw.localCheckpoint(true)
+    val truth = Text.q36(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     def metrics(stage: String, pairs: DataFrame): DataFrame = {
       val n = pairs.agg(count(lit(1)).as("n_pairs"))
       val tp = pairs.join(truth, Seq("doc_a", "doc_b"), "left_semi")
@@ -486,7 +495,9 @@ object Dedup {
     // subtree, noop sink). Exact integer sums — order-free,
     // engine-identical.
     // One row per doc, referenced three times (blocks + both pair joins).
-    val fp = simhashFingerprints(tok).cache()
+    // Eager localCheckpoint, not lazy cache: `blocks` self-joins below —
+    // the q104 cold-session under-match shape (r9 pinning sweep).
+    val fp = simhashFingerprints(tok).localCheckpoint(true)
 
     val blockStructs = (0 until SimBlocks).map(b =>
       struct(lit(b).as("block_id"),

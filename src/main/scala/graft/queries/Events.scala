@@ -230,7 +230,10 @@ object Events {
       .agg(collect_set(col("d")).as("days"))
       .select(col("user_id"), array_min(col("days")).as("cohort_day"),
         explode(col("days")).as("d"))
-      .cache() // feeds cohort sizes AND the retention aggregate
+      // eager pin, not lazy cache: `sizes` (an aggregate of this frame)
+      // joins back onto the retention aggregate OF this frame — both join
+      // sides share the one plan (q104 shape; r9 pinning sweep)
+      .localCheckpoint(true)
     val sizes = perUser.filter(col("d") === col("cohort_day"))
       .groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))
     perUser
@@ -241,5 +244,40 @@ object Events {
       .select(col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_n"),
         ratio4(col("n_active"), col("cohort_n")).as("retention"))
       .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** q113: SCD2 projection HISTORY — the temporal form of the q27
+    * last-writer-wins projection (R8, consumer/consumer.go:214-220):
+    * instead of only the latest state per user, every validity interval
+    * the state ever occupied. A new interval opens on each status CHANGE
+    * (consecutive same-status events extend the open interval, the
+    * standard type-2 collapse); `valid_to` is the next change's
+    * `valid_from`, NULL on the open interval — R10's NULL discipline for
+    * "not yet ended" (main.go:252,264-266). `event_id` of the opening
+    * event rides along as the surrogate key every SCD2 table carries
+    * (and makes the output order total under duplicate timestamps).
+    *
+    * Scale posture: ONE shuffle on user_id serves both windows — the
+    * change-detection lag and the interval-close lead share the
+    * (user_id; ts, event_id) sort, and the filter between them preserves
+    * partitioning AND order, so Catalyst plans lag → filter → lead with
+    * a single Exchange and a single Sort (PlanSpec pins the budget).
+    * State per user is one row in flight — nothing accumulates. */
+  def q113(spark: SparkSession, sfDir: String): DataFrame =
+    scd2(Tables.events(spark, sfDir))
+
+  /** q113 core on a plain (user_id, event_id, event_type, ts) frame so
+    * SemanticsSpec can pin the collapse/open-interval boundaries on
+    * planted rows. */
+  private[graft] def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type").as("status"), col("ts"))
+      .withColumn("prev_status", lag(col("status"), 1).over(w))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("status"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("status"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 }

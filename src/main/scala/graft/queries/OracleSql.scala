@@ -109,6 +109,77 @@ object OracleSql {
        |ORDER BY cell, i""".stripMargin
   }
 
+  /** q112 oracle: the PQ train/encode/ADC chain unrolled from the SAME
+    * constants the engine uses (PqSub/PqSubDim/PqCells/CentroidScale/
+    * LloydRounds). Distances fold from a prepended 0.0 (the engine's
+    * aggregate() seed); assignment is row_number with the (d2, cell)
+    * tie-break — semantically the engine's MIN_BY over struct(d2, cell);
+    * the ADC rank key is the exact BIGINT sum of floor-quantized lookup
+    * values, so the top-10 order is integer-deterministic in both
+    * engines. */
+  private val pqSql: String = {
+    val sc = Vectors.CentroidScale
+    val (m, d, k) = (Vectors.PqSub, Vectors.PqSubDim, Vectors.PqCells)
+    val R = Vectors.LloydRounds
+    def comp(r: Int) =
+      s"""pcomp$r AS MATERIALIZED (
+         |  SELECT s, cell, CAST(i AS INTEGER) AS i,
+         |    CAST(SUM(CAST(FLOOR(sv[CAST(i AS INTEGER)] * $sc) AS BIGINT)) AS BIGINT) AS sq,
+         |    COUNT(*) AS n
+         |  FROM pa$r, unnest(generate_series(1, $d)) AS u(i)
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    def assign(r: Int) =
+      s"""pcent$r AS MATERIALIZED (
+         |  SELECT s, cell, list(CAST(sq AS DOUBLE) / $sc / n ORDER BY i) AS cvec
+         |  FROM pcomp${r - 1} GROUP BY s, cell),
+         |psims$r AS (SELECT v.vec_id, v.s, v.sv, c.cell,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
+         |      j -> (v.sv[CAST(j AS INTEGER)] - c.cvec[CAST(j AS INTEGER)])
+         |         * (v.sv[CAST(j AS INTEGER)] - c.cvec[CAST(j AS INTEGER)]))),
+         |      (a, b) -> a + b) AS d2
+         |  FROM sub v JOIN pcent$r c ON v.s = c.s),
+         |pa$r AS MATERIALIZED (SELECT vec_id, s, sv, cell FROM (
+         |    SELECT vec_id, s, sv, cell,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rn
+         |    FROM psims$r) WHERE rn = 1)""".stripMargin
+    val probe = R + 1
+    (Seq(
+      s"""WITH nv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(x AS DOUBLE) / nrm END) AS nx
+         |  FROM (SELECT vec_id, embedding,
+         |          sqrt(list_reduce(list_prepend(0.0,
+         |            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |            (a, b) -> a + b)) AS nrm
+         |        FROM embeddings)),
+         |sub AS MATERIALIZED (
+         |  SELECT vec_id, CAST(s AS INTEGER) AS s,
+         |         nx[CAST(s * $d + 1 AS INTEGER) : CAST(s * $d + $d AS INTEGER)] AS sv
+         |  FROM nv, unnest(generate_series(0, ${m - 1})) AS u(s)),
+         |pa0 AS MATERIALIZED (
+         |  SELECT vec_id, s, sv, CAST(vec_id % $k AS INTEGER) AS cell FROM sub)""".stripMargin,
+      comp(0)) ++
+      (1 to R).flatMap(r => Seq(assign(r), comp(r))) ++
+      Seq(assign(probe),
+        s"""lut AS (SELECT c.s, c.cell,
+           |    CAST(FLOOR(list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
+           |      j -> (q.sv[CAST(j AS INTEGER)] - c.cvec[CAST(j AS INTEGER)])
+           |         * (q.sv[CAST(j AS INTEGER)] - c.cvec[CAST(j AS INTEGER)]))),
+           |      (a, b) -> a + b) * 1000000.0) AS BIGINT) AS dq
+           |  FROM (SELECT s, sv FROM sub WHERE vec_id = 0) q
+           |  JOIN pcent$probe c ON q.s = c.s)""".stripMargin))
+      .mkString(",\n") +
+      s"""
+         |SELECT vec_id, qd, qd / 1000000.0 AS adist6
+         |FROM (SELECT a.vec_id, CAST(SUM(l.dq) AS BIGINT) AS qd
+         |      FROM pa$probe a JOIN lut l ON a.s = l.s AND a.cell = l.cell
+         |      WHERE a.vec_id <> 0
+         |      GROUP BY a.vec_id)
+         |ORDER BY qd, vec_id
+         |LIMIT 10""".stripMargin
+  }
+
   private val ivfProbeSql = {
     val R = Vectors.LloydRounds
     val probe = R + 1
@@ -173,6 +244,7 @@ object OracleSql {
     "q55_ivf_centroids" -> centroidSql,
     "q56_ivf_probe"     -> ivfProbeSql,
     "q90_ivf_knn"       -> ivfKnnSql,
+    "q112_pq_adc"       -> pqSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -262,6 +334,8 @@ object OracleSql {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |HAVING COUNT(*) > 0 -- mirror Spark: no grand-total row on EMPTY input (every
+        |                    -- real group has n >= 1, so this never fires on data)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
 
     "q110_grouping_sets" ->
@@ -271,7 +345,24 @@ object OracleSql {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |HAVING COUNT(*) > 0 -- mirror Spark's empty-input GROUPING SETS (see q11)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    // q113: change-rows then interval close — LAG detects the status
+    // change, the filtered set takes LEAD(ts) as valid_to (NULL = open
+    // interval). Both windows share the (user_id; ts, event_id) order.
+    "q113_scd2_history" ->
+      (eventsCte +
+      """,
+        |m AS (SELECT user_id, event_id, event_type AS status, ts,
+        |             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status
+        |      FROM e),
+        |c AS (SELECT user_id, event_id, status, ts FROM m
+        |      WHERE prev_status IS NULL OR prev_status <> status)
+        |SELECT user_id, event_id, status, ts AS valid_from,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM c
+        |ORDER BY user_id, valid_from, event_id""".stripMargin),
 
     "q12_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
@@ -553,8 +644,12 @@ object OracleSql {
         |        list_reduce(list_prepend(0.0, array_agg(ROUND(x * x, 6) ORDER BY rk)), (p, q) -> p + q) AS sxx
         |      FROM r)
         |SELECT n_ranks,
-        |  ROUND((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 4) AS zipf_slope,
-        |  ROUND((sy - ((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)) * sx) / n_ranks, 4) AS zipf_intercept
+        |  CASE WHEN n_ranks > 0 AND (n_ranks * sxx - sx * sx) <> 0
+        |       THEN ROUND((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 4)
+        |       ELSE NULL END AS zipf_slope,
+        |  CASE WHEN n_ranks > 0 AND (n_ranks * sxx - sx * sx) <> 0
+        |       THEN ROUND((sy - ((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)) * sx) / n_ranks, 4)
+        |       ELSE NULL END AS zipf_intercept
         |FROM s""".stripMargin,
 
     // q88: on this corpus the 31-token alphabet fits the 256-counter
@@ -1205,6 +1300,7 @@ object OracleSql {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |HAVING COUNT(*) > 0 -- mirror Spark's empty-input CUBE (see q11)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
 
     "q43_media_pipeline" ->
@@ -1239,6 +1335,7 @@ object OracleSql {
     "q93_textrank" -> textRankSql,
     "q95_retrieval_eval" -> retrievalEvalSql,
     "q94_bpe_merges" -> bpeSql,
+    "q111_bpe_encode" -> bpeEncodeSql,
 
     // q96: the next-fit recurrence is sequential per shard, so the oracle
     // walks it with a recursive CTE — the working table holds exactly one
@@ -1497,6 +1594,17 @@ object OracleSql {
     * greedy fold (symbols are corpus characters, so they never contain
     * parentheses and tokens cannot collide across the delimiters). */
   private def bpeSql: String = {
+    val union = (1 to Tokenize.BpeMerges)
+      .map(r => s"SELECT $r AS rule_id, a, b, a || b AS merged, cnt FROM b$r")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"$bpeChainCtes\nSELECT * FROM ($union) ORDER BY rule_id"
+  }
+
+  /** The q94 learn chain (v0 … v{BpeMerges}, b1 … b{BpeMerges}) shared
+    * by the q94 rule dump and the q111 encode audit: v{BpeMerges} IS
+    * "every distinct word encoded with the learned table" — the engine's
+    * encode-replays-the-learner law, used as the oracle's shortcut. */
+  private def bpeChainCtes: String = {
     val sb = new StringBuilder
     sb.append(
       """WITH v0 AS MATERIALIZED (
@@ -1519,12 +1627,30 @@ object OracleSql {
           |           '(' || a || ')(' || b || ')', '(' || a || b || ')'), '()'), ')(') AS seq
           |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin)
     }
-    val union = (1 to Tokenize.BpeMerges)
-      .map(r => s"SELECT $r AS rule_id, a, b, a || b AS merged, cnt FROM b$r")
-      .mkString("\n", "\nUNION ALL\n", "\n")
-    sb.append(s"\nSELECT * FROM ($union) ORDER BY rule_id")
     sb.toString
   }
+
+  /** q111 oracle: per-source stats over the final vocabulary state — the
+    * oracle-side form of "encoding the corpus is the learner's last
+    * rewrite". Word counts re-derive per (source, token) so a word's
+    * symbol count multiplies by its occurrences exactly as the engine's
+    * vocab-encode + count join does. */
+  private def bpeEncodeSql: String =
+    s"""$bpeChainCtes,
+       |pw AS (SELECT source, token, COUNT(*) AS cnt
+       |       FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+       |             FROM documents)
+       |       WHERE len(token) >= 1
+       |       GROUP BY source, token)
+       |SELECT source, n_words, n_chars, n_tokens,
+       |       ${ratio4Sql("n_chars", "n_tokens")} AS cpt4
+       |FROM (SELECT source,
+       |        CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |        CAST(SUM(cnt * len(token)) AS BIGINT) AS n_chars,
+       |        CAST(SUM(cnt * len(seq)) AS BIGINT) AS n_tokens
+       |      FROM pw JOIN v${Tokenize.BpeMerges} USING (token)
+       |      GROUP BY source)
+       |ORDER BY source""".stripMargin
 
   /** q92 oracle body through `agg` (per-doc BM25 sums) — shared with the
     * q95 eval, which re-ranks the same 15-row result. Every float literal

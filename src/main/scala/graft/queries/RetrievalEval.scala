@@ -47,6 +47,10 @@ object RetrievalEval {
     * metric is an integer ratio through [[ratio4]] — HALF_UP-law pinned,
     * no float accumulation anywhere. */
   def q95(spark: SparkSession, sfDir: String): DataFrame = {
+    // r9 pinning sweep: audited and left as lazy cache() on purpose —
+    // `per` fans out into a UNION plus an aggregate (ivfMacro), never
+    // into two join branches, so the q104 cold-session semi-join
+    // under-match shape cannot arise here.
     val per = ivfEval(spark, sfDir, Vectors.NProbe).cache()
     val mac = ivfMacro(per)
     per.union(mac).union(bm25Eval(spark, sfDir))
@@ -124,7 +128,10 @@ object RetrievalEval {
         min(when(col("rel") === 1, col("rk"))).as("fr"))
       .crossJoin(broadcast(nrel))
       .select(lit("bm25").as("method"), lit(-1L).as("query_id"),
-        col("n_rel").cast("long").as("n_rel"), col("n_hit").cast("long").as("n_hit"),
+        col("n_rel").cast("long").as("n_rel"),
+        // empty-corpus guard (r9 sweep): SUM over the zero-row ranked
+        // frame is NULL in Spark where the oracle's join yields 0
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
         coalesce(col("fr"), lit(0)).cast("long").as("first_rank"),
         when(col("n_rel") === 0, lit(0.0))
           .otherwise(ratio4(col("n_hit"), col("n_rel"))).as("recall4"),

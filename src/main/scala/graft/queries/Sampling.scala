@@ -73,12 +73,14 @@ object Sampling {
     * positional token stream; reassembly sorts each doc's OWN array
     * (the q63 pattern), never the stream. */
   def q71(spark: SparkSession, sfDir: String): DataFrame = {
-    // cached: the positional token stream feeds both the vocabulary
+    // pinned: the positional token stream feeds both the vocabulary
     // aggregate and the redaction join (the q36 shared-stream pattern —
-    // without it the scan+explode subtree runs twice)
+    // without it the scan+explode subtree runs twice). Eager
+    // localCheckpoint, not lazy cache: `vocab` derives from this frame
+    // and joins back onto it (q104 shape; r9 pinning sweep).
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-      .cache()
+      .localCheckpoint(true)
     // top-K by (count desc, token asc) as orderBy+limit, which plans as
     // TakeOrderedAndProject: each partition keeps its local top-K and the
     // driver merges K·P rows — vs the previous global row_number window,

@@ -116,7 +116,9 @@ object Text {
     val sh = rawShingles(spark, sfDir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
       .distinct()
-      .cache()
+      // eager pin: dfShared (an aggregate of this frame) joins back onto
+      // it inside docShingleArrays (q104 shape; r9 pinning sweep)
+      .localCheckpoint(true)
     // Document frequency as an AGGREGATE, not a window: windowing the full
     // shingle stream costs a shuffle + sort of every row per pass (r3
     // profile: the two-window form ran 16.7 s warm at sf0.1 vs 2.1 s for
@@ -134,7 +136,10 @@ object Text {
     // df of an unshared shingle is 1 via the left join — the rank must be
     // computed over the WHOLE set for the completeness guarantee to hold.
     val perDoc = docShingleArrays(sh, dfShared)
-      .cache() // three consumers below: prefix explode + both verify joins
+      // three consumers below: prefix explode + both verify joins — and
+      // `prefix` SELF-joins, so lazy cache risks the q104 cold-session
+      // under-match (r9 pinning sweep)
+      .localCheckpoint(true)
     // Prefix = the (ns − ⌈t·ns⌉ + 1) globally-rarest shingles of each doc —
     // DERIVED from t so tuning the threshold keeps the completeness
     // guarantee (a hardcoded t=0.5 form would silently under- or
@@ -506,7 +511,9 @@ object Text {
     * bucketing is order-free. */
   private[graft] def perDocLm(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = bigramPairs(spark, sfDir)
-      .cache() // feeds the model counts AND the scoring join
+      // feeds the model counts AND the scoring join — the counts join
+      // back onto this same frame (q104 shape; r9 pinning sweep)
+      .localCheckpoint(true)
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val heads = counts.groupBy(col("w1")).agg(sum(col("c")).as("n_head"))
     val vocabSize = docs(spark, sfDir)
@@ -596,7 +603,10 @@ object Text {
     * N is a broadcast single-row aggregate. */
   def q74(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = bigramPairs(spark, sfDir).select(col("w1"), col("w2"))
-    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")).cache()
+    // eager pin: heads/tails are aggregates OF counts and join back onto
+    // it (q104 shape; r9 pinning sweep)
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val heads = counts.groupBy(col("w1")).agg(sum(col("c")).as("n_head"))
     val tails = counts.groupBy(col("w2")).agg(sum(col("c")).as("n_tail"))
     val total = counts.agg(sum(col("c")).as("n_total"))
@@ -740,7 +750,9 @@ object Text {
       .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), xxhash64(col("shingle")).as("hm"))
       .distinct()
-      .cache() // three consumers: per-source sizes + both sides of the pair join
+      // three consumers: per-source sizes + both sides of the pair join —
+      // a literal self-join of this frame (q104 shape; r9 pinning sweep)
+      .localCheckpoint(true)
     val sizes = bySource.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val shared = bySource.select(col("source").as("source_a"), col("hm"))
       .join(bySource.select(col("source").as("source_b"), col("hm")), Seq("hm"))
@@ -826,12 +838,19 @@ object Text {
         fold("y", col("y")).as("sy"),
         fold("xy", round(col("x") * col("y"), 6)).as("sxy"),
         fold("xx", round(col("x") * col("x"), 6)).as("sxx"))
-      .select(col("n_ranks"),
-        round((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_ranks") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
-        round((col("sy") - ((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_ranks") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
-          col("n_ranks"), 4).as("zipf_intercept"))
+      .select({
+        // degenerate guard (r9 sweep): an empty corpus, or one whose
+        // top-N collapses to a single rank (sxx == sx² at n = 1), zeroes
+        // the regression denominator — NULL fit, mirrored in the oracle
+        val den = col("n_ranks") * col("sxx") - col("sx") * col("sx")
+        val slope = (col("n_ranks") * col("sxy") - col("sx") * col("sy")) / den
+        Seq(col("n_ranks"),
+          when(col("n_ranks") > 0 && den =!= 0.0, round(slope, 4))
+            .otherwise(lit(null).cast("double")).as("zipf_slope"),
+          when(col("n_ranks") > 0 && den =!= 0.0,
+            round((col("sy") - slope * col("sx")) / col("n_ranks"), 4))
+            .otherwise(lit(null).cast("double")).as("zipf_intercept"))
+      }: _*)
   }
 
   /** q84 containment threshold as an exact rational (4/5 = 0.8): every
@@ -932,10 +951,13 @@ object Text {
     val sh = shinglesOf(documents)
       .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
       .distinct()
-      .cache()
+      // eager pins (both): dfShared joins back onto sh, and probe/index
+      // below are BOTH derived from perDoc and joined against each other
+      // (q104 shape; r9 pinning sweep)
+      .localCheckpoint(true)
     val dfShared = sh.groupBy(col("hm")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-    val perDoc = docShingleArrays(sh, dfShared).cache()
+    val perDoc = docShingleArrays(sh, dfShared).localCheckpoint(true)
     // integer ceil(t·ns) = (num·ns + den − 1) div den
     val kc = (col("ns") - expr(
       s"(ns * $ContainmentNum + $ContainmentDen - 1) div $ContainmentDen") + 1).cast("int")
@@ -1120,7 +1142,10 @@ object Text {
     * localCheckpoint exactly like the CC fixpoint (no lineage growth,
     * fixed round count, no driver-side graph). */
   def q93(spark: SparkSession, sfDir: String): DataFrame = {
-    val e2 = textRankEdges(spark, sfDir).cache() // reused every round
+    // reused every round; eager pin so every round's join reads one
+    // immutable evaluation instead of lazily filling a cache from inside
+    // round 1's checkpoint job (r9 pinning sweep)
+    val e2 = textRankEdges(spark, sfDir).localCheckpoint(true)
     var r = textRankInit(e2)
     for (_ <- 1 to TextRankIters) r = textRankStep(e2, r)
     textRankTopKOf(r)
@@ -1188,7 +1213,7 @@ object Text {
     * steps, not a convergence loop). */
   private[graft] def textRankConvergedWithRounds(spark: SparkSession, sfDir: String,
       tol: Double, maxRounds: Int): (DataFrame, Int) = {
-    val e2 = textRankEdges(spark, sfDir).cache()
+    val e2 = textRankEdges(spark, sfDir).localCheckpoint(true) // as q93
     var r = textRankInit(e2)
     var round = 0
     var delta = Double.MaxValue
@@ -1467,7 +1492,13 @@ object Text {
       .limit(QualitySampleN)
     samp.agg(sort_array(collect_list(col("avg_neg_logp"))).as("ss"))
       .select(
-        expr("element_at(ss, CAST((size(ss) + 2) div 3 AS INT))").as("t1"),
-        expr("element_at(ss, CAST((2 * size(ss) + 2) div 3 AS INT))").as("t2"))
+        // empty-corpus guard (r9 sweep): size(ss) = 0 makes the tercile
+        // index 0, which element_at rejects — NULL thresholds instead
+        // (the panel is empty anyway; the oracle's list_extract already
+        // returns NULL at index 0)
+        expr("CASE WHEN size(ss) = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE element_at(ss, CAST((size(ss) + 2) div 3 AS INT)) END").as("t1"),
+        expr("CASE WHEN size(ss) = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE element_at(ss, CAST((2 * size(ss) + 2) div 3 AS INT)) END").as("t2"))
   }
 }

@@ -59,6 +59,16 @@ object Tokenize {
   private[graft] def learnMerges(spark: SparkSession, vocab: DataFrame,
       merges: Int): DataFrame = {
     import spark.implicits._
+    learnMergeRules(vocab, merges)
+      .toDF("rule_id", "a", "b", "merged", "cnt")
+      .orderBy(col("rule_id"))
+  }
+
+  /** The learn loop itself, returning the driver-side rule list (M rows —
+    * the only driver state q94 ever holds) so the q111 ENCODE pass can
+    * replay the rules without re-deriving them from the output frame. */
+  private[graft] def learnMergeRules(vocab: DataFrame,
+      merges: Int): Seq[(Int, String, String, String, Long)] = {
     var v = vocab.localCheckpoint(true)
     val rules = Seq.newBuilder[(Int, String, String, String, Long)]
     var exhausted = false
@@ -83,9 +93,62 @@ object Tokenize {
           .localCheckpoint(true)
       }
     }
-    rules.result().toDF("rule_id", "a", "b", "merged", "cnt")
-      .orderBy(col("rule_id"))
+    rules.result()
   }
+
+  /** q111: BPE ENCODE — the forward pass q94's learner was missing: apply
+    * the learned merge table to every document and audit the compression
+    * it buys, per source: word count, character count (the 0-rule token
+    * count), BPE token count, and chars-per-token (the ratio a tokenizer
+    * team actually tracks). Encoding is the reference BPE apply: each
+    * word's character sequence rewritten by every rule in rule_id order,
+    * greedily left-to-right per rule — the SAME [[mergePair]] fold the
+    * learner uses, so "encode the training corpus" is definitionally the
+    * learner's final vocabulary state (the law LlmOpsSpec pins).
+    *
+    * Scale posture: the corpus-scale work is ONE (source, token) count
+    * shuffle with map-side partials; the encode itself runs on the
+    * DISTINCT-vocabulary frame (each word encoded once, however many
+    * billion times it occurs), and the stats join re-keys vocab-sized
+    * frames only. The rule table is driver-side M rows (the q94
+    * posture) compiled INTO the projection — no join against rules, no
+    * per-row interpretation of the table. */
+  def q111(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Dsl.ratio4
+    val rules = learnMergeRules(
+      Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) >= 1)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          transform(sequence(lit(1), length(col("token"))),
+            i => col("token").substr(i, lit(1))).as("seq")),
+      BpeMerges).map(r => (r._2, r._3))
+    val perWord = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) >= 1)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val encoded = perWord.select(col("token")).distinct()
+      .select(col("token"), size(encodeWith(col("token"), rules)).as("n_sym"))
+    perWord.join(encoded, Seq("token"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("token"))).as("n_chars"),
+        sum(col("cnt") * col("n_sym")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+        ratio4(col("n_chars"), col("n_tokens")).as("cpt4"))
+      .orderBy(col("source"))
+  }
+
+  /** The BPE forward pass as one column expression: split a word into
+    * characters, then fold each (a, b) rule over it in order. With zero
+    * rules this IS the character baseline — the q111 law anchor. */
+  private[graft] def encodeWith(token: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(
+      transform(sequence(lit(1), length(token)), i => token.substr(i, lit(1)))) {
+      case (seq, (a, b)) => mergePair(seq, a, b)
+    }
 
   /** Greedy left-to-right merge of adjacent (a, b) into a+b — the
     * reference BPE rewrite as a fold: a freshly merged symbol can itself

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Dsl._
 import graft.tables.Tables
@@ -295,7 +295,9 @@ object Vectors {
     val e = Tables.embeddings(spark, sfDir)
     val sig = e.select(col("label"), col("vec_id"),
         posexplode(graft.ops.Ann.buckets(col("embedding"))).as(Seq("t", "bucket")))
-      .cache()
+      // eager pin: this frame self-joins for the bucket pairs (q104
+      // shape; r9 pinning sweep)
+      .localCheckpoint(true)
     val pairs = sig.select(col("label"), col("t"), col("bucket"), col("vec_id").as("vec_a"))
       .join(sig.select(col("label"), col("t"), col("bucket"), col("vec_id").as("vec_b")),
         Seq("label", "t", "bucket"))
@@ -398,7 +400,9 @@ object Vectors {
     val e = Tables.embeddings(spark, sfDir)
     val sig = e.select(col("vec_id"),
         posexplode(graft.ops.Ann.buckets(col("embedding"))).as(Seq("t", "bucket")))
-      .cache()
+      // eager pin: this frame self-joins for the bucket pairs (q104
+      // shape; r9 pinning sweep)
+      .localCheckpoint(true)
     val cand = sig.select(col("t"), col("bucket"), col("vec_id").as("src"))
       .join(sig.select(col("t"), col("bucket"), col("vec_id").as("dst")),
         Seq("t", "bucket"))
@@ -450,7 +454,9 @@ object Vectors {
   private[graft] def ivfKnn(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val cells = codebook(trainedComponents(emb))
-    val sims = cellSims(emb, cells).cache()
+    // eager pin: `assigned` and `probes` both derive from this frame and
+    // meet again in the probe join (q104 shape; r9 pinning sweep)
+    val sims = cellSims(emb, cells).localCheckpoint(true)
     val assigned = argmaxCell(sims)
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
@@ -607,5 +613,136 @@ object Vectors {
         abs(col("qnorm") * col("n") - col("s")).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(OutlierTopK)
+  }
+
+  /** q112 geometry: the 64-dim space split into PqSub contiguous
+    * 8-dim subspaces, PqCells centroids per subspace — the classic
+    * m=8 / k=16 product-quantization layout (Jégou et al., TPAMI'11):
+    * each vector stores 8×4 = 32 bits, a 64× shrink over float32. */
+  val PqSub = 8
+  val PqSubDim = 8
+  val PqCells = 16
+
+  /** q112: product quantization + ADC ranking — the third ANN storage
+    * point next to q59/q65's scalar quantization: per-subspace k-means
+    * codebooks (the q55 Lloyd machinery on sub-vectors, same
+    * scaled-integer centroid discipline, seeded vec_id mod k), every
+    * vector encoded as its 8 nearest-subcentroid codes, and the query
+    * ranked by ASYMMETRIC distance — the query's exact sub-vectors
+    * against each subspace's centroid table, so the only approximation
+    * is the database side's quantization. Vectors are L2-normalized
+    * first (the q65 discipline), which makes squared-L2 ranking agree
+    * with cosine ranking (d² = 2 − 2·cos on unit vectors) — that is
+    * what makes the LlmOpsSpec recall floor vs exact q31 meaningful.
+    *
+    * Determinism: centroids are exact-integer scaled sums finalized by
+    * two IEEE divisions (q55); every distance folds sequentially from
+    * 0.0 (list_reduce parity); assignment ties break (d2, cell)
+    * lexicographic via MIN over a struct — an order-free mergeable
+    * aggregate, not a window; and the ADC ranking key is an exact
+    * BIGINT: per-(subspace, cell) lookup values floor-quantized to 1e6
+    * and SUMMED as longs, so the top-10 order never touches float
+    * association.
+    *
+    * Scale posture: training shuffles only (s, cell, i, long) partials
+    * (map-side combined, 8·16·8 = 1024 output rows regardless of corpus
+    * size); the codebook broadcasts (1024 doubles); encode is a
+    * broadcast join + mergeable MIN aggregate — one narrow shuffle of
+    * (vec_id, s) rows; ADC is a broadcast 128-row LUT join + one
+    * (vec_id, long) sum + TakeOrdered. No corpus-scale window, no
+    * embedding column through any shuffle after the sub-split. */
+  def q112(spark: SparkSession, sfDir: String): DataFrame = {
+    val sub = subVectors(Tables.embeddings(spark, sfDir))
+      // eager pin: feeds every Lloyd round AND the final encode (r9
+      // pinning discipline — multi-join-branch consumer)
+      .localCheckpoint(true)
+    val comps = trainedPqComponents(sub)
+    val cb = pqCodebook(comps)
+    val codes = pqAssign(sub, cb)
+    // the query's exact (unquantized) sub-vectors → per-(s, cell) lookup
+    // table, floor-quantized so the rank key is an exact integer
+    val lut = sub.filter(col("vec_id") === 0)
+      .select(col("s"), col("sv").as("qsv"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("s"), col("cell"),
+        floor(subDist(col("qsv"), col("cvec")) * lit(1000000.0)).cast("long").as("dq"))
+    codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(lut), Seq("s", "cell"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("dq")).as("qd"))
+      .select(col("vec_id"), col("qd"),
+        (col("qd").cast("double") / 1000000.0).as("adist6"))
+      .orderBy(col("qd"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** (vec_id, s, sv): each vector L2-normalized (zero vectors stay zero)
+    * and split into [[PqSub]] contiguous [[PqSubDim]]-dim sub-vectors. */
+  private[graft] def subVectors(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .select(col("vec_id"), col("xd"),
+        sqrt(aggregate(col("xd"), lit(0.0), (a, v) => a + v * v)).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("xd"), v =>
+          when(col("nrm") === 0.0, lit(0.0)).otherwise(v / col("nrm"))).as("nx"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqSub - 1))).as("s"), col("nx"))
+      .select(col("vec_id"), col("s"),
+        slice(col("nx"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+
+  /** Sequential-fold squared L2 between a sub-vector and a centroid —
+    * the one distance definition, list_reduce-parity on both engines. */
+  private[graft] def subDist(sv: Column, cvec: Column): Column =
+    aggregate(zip_with(sv, cvec, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, v) => a + v)
+
+  /** Per-(s, cell, i) scaled component sums — the q55 reduce on
+    * sub-vectors. Input rows: (s, cell, sv). */
+  private def pqComponents(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("s"), col("cell"), (col("pos") + 1).as("i"))
+      .agg(sum(floor(col("x") * CentroidScale).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+
+  /** (s, cell) → ordered centroid vector (exact BIGINT / scale / n —
+    * the q55 codebook finalize). */
+  private[graft] def pqCodebook(comps: DataFrame): DataFrame =
+    comps
+      .select(col("s"), col("cell"), col("i"),
+        ((col("sq").cast("double") / CentroidScale) / col("n")).as("c"))
+      .groupBy(col("s"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        e => e.getField("c")).as("cvec"))
+
+  /** Nearest-subcentroid assignment per (vec_id, s): broadcast codebook
+    * join, then MIN_BY over the struct(d2, cell) ordering key —
+    * lexicographic, so the tie-break is (d2 asc, cell asc) inside a
+    * mergeable map-side aggregate instead of a corpus-scale window sort;
+    * the sub-vector rides along in the value struct so the training loop
+    * never joins back against the corpus. The ordering key is unique per
+    * group (cell is in it), so MIN_BY is deterministic. */
+  private[graft] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        struct(col("cell").as("cell"), col("sv").as("sv")).as("cs"),
+        struct(subDist(col("sv"), col("cvec")).as("d2"), col("cell").as("cell")).as("dc"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cs"), col("dc")).as("m"))
+      .select(col("vec_id"), col("s"),
+        col("m").getField("cell").as("cell"), col("m").getField("sv").as("sv"))
+
+  /** Per-subspace Lloyd training: vec_id-mod-k seeding, then LloydRounds
+    * × (assign → recompute), lineage-truncated per round (q55's loop on
+    * (s, cell) keys). */
+  private[graft] def trainedPqComponents(sub: DataFrame): DataFrame = {
+    var comps = pqComponents(
+      sub.select(col("s"), pmod(col("vec_id"), lit(PqCells.toLong)).cast("int").as("cell"),
+        col("sv")))
+    for (_ <- 1 to LloydRounds)
+      comps = pqComponents(
+        pqAssign(sub, pqCodebook(comps)).select(col("s"), col("cell"), col("sv")))
+        .localCheckpoint(true)
+    comps
   }
 }

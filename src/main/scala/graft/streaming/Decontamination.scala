@@ -76,10 +76,17 @@ object Decontamination {
       .partitionBy("batch_id")
       .parquet(auditDir)
 
-  /** The accumulated audit (all batches). */
+  /** The accumulated audit (all batches). Schema-stable empty frame
+    * when no batch has written yet OR every batch so far was clean (an
+    * all-clean batch's dynamic overwrite leaves only `_SUCCESS`, no
+    * footers — advisor r8; see [[StoreRead.hasParquetData]]). */
   def readAudit(spark: SparkSession, auditDir: String): DataFrame =
-    spark.read.parquet(auditDir)
-      .select(col("train_doc"), col("bench_doc"), col("n_shared"))
+    if (!StoreRead.hasParquetData(spark, auditDir))
+      spark.range(0).select(col("id").as("train_doc"),
+        col("id").as("bench_doc"), col("id").as("n_shared"))
+    else
+      spark.read.parquet(auditDir)
+        .select(col("train_doc"), col("bench_doc"), col("n_shared"))
 
   /** Wire a streaming (doc_id, text, …) train-doc source into the audit
     * loop against a fixed benchmark index. */

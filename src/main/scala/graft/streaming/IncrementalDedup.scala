@@ -78,7 +78,12 @@ object IncrementalDedup {
       compactStore(spark, storeDir, batchId)
     val sh = Text.shinglesOf(batch)
       .select(col("doc_id"), (h60(col("shingle")) % Dedup.P).as("hm"))
-    val bands = Dedup.bandKeys(Dedup.signatures(sh)).cache()
+    // Eager localCheckpoint, not lazy cache: `hitBatch` below SELF-joins
+    // this frame (q104 shape; r9 pinning sweep). Checkpoint blocks live
+    // outside the catalog, so the per-batch cleanup diffs the persistent-
+    // RDD set instead of calling DataFrame.unpersist.
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val bands = Dedup.bandKeys(Dedup.signatures(sh)).localCheckpoint(true)
     try {
       val store =
         try spark.read.parquet(storeDir)
@@ -95,7 +100,8 @@ object IncrementalDedup {
           col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") > col("b.doc_id"))
         .select(col("a.doc_id").as("doc_id"))
-      val rejected = hitStore.union(hitBatch).distinct().cache()
+      // eager pin: feeds the anti/semi/anti join trio below (r9 sweep)
+      val rejected = hitStore.union(hitBatch).distinct().localCheckpoint(true)
       def writeOwnPartition(df: DataFrame, dir: String): Unit =
         df.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
@@ -105,8 +111,12 @@ object IncrementalDedup {
       writeOwnPartition(batch.join(rejected, Seq("doc_id"), "left_anti"), acceptDir)
       writeOwnPartition(batch.join(rejected, Seq("doc_id"), "left_semi"), rejectDir)
       writeOwnPartition(bands.join(rejected, Seq("doc_id"), "left_anti"), storeDir)
-      rejected.unpersist()
-    } finally bands.unpersist()
+    } finally {
+      // free this batch's checkpoint blocks (and nothing else's)
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !rddsBefore.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Fold every committed store partition (0 ≤ batch_id < upToBatch) plus

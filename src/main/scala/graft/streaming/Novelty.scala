@@ -109,9 +109,15 @@ object Novelty {
         .select(col("hm"))
   }
 
-  /** The per-doc novelty audit accumulated so far (every batch). */
+  /** The per-doc novelty audit accumulated so far (every batch).
+    * Schema-stable empty frame before the first write — same guard as
+    * the flagged Decontamination/VectorStats readers (advisor r8). */
   def readAudit(spark: SparkSession, auditDir: String): DataFrame =
-    spark.read.parquet(auditDir).select(col("doc_id"), col("ns"), col("n_new"))
+    if (!StoreRead.hasParquetData(spark, auditDir))
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("ns"),
+        col("id").as("n_new"))
+    else
+      spark.read.parquet(auditDir).select(col("doc_id"), col("ns"), col("n_new"))
 
   /** The first-seer universe seen so far (== Σ n_new by construction). */
   def universeSize(spark: SparkSession, storeDir: String): Long = {

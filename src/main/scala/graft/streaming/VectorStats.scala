@@ -69,9 +69,21 @@ object VectorStats {
         sum(col("sq")).as("sq"), min(col("mnq")).as("mnq"), max(col("mxq")).as("mxq"))
 
   /** The queryable panel over everything streamed so far — q102's exact
-    * output shape (same finalize formula, same ordering). */
-  def stats(spark: SparkSession, storeDir: String): DataFrame =
-    Vectors.statFinalize(combine(liveRows(spark.read.parquet(storeDir))))
+    * output shape (same finalize formula, same ordering). Querying the
+    * panel before the first non-empty batch returns the empty frame in
+    * that same shape instead of throwing (advisor r8): the empty partial
+    * frame flows through combine+finalize, so the schema is derived from
+    * the one real path, not duplicated here. */
+  def stats(spark: SparkSession, storeDir: String): DataFrame = {
+    val rows =
+      if (!StoreRead.hasParquetData(spark, storeDir))
+        spark.range(0).select(
+          col("id").cast("int").as("i"), col("id").as("n"),
+          col("id").as("n_pos"), col("id").as("sq"),
+          col("id").as("mnq"), col("id").as("mxq"))
+      else liveRows(spark.read.parquet(storeDir))
+    Vectors.statFinalize(combine(rows))
+  }
 
   /** Phase 1 of compaction: fold base + batch partitions in
     * [old watermark, upToBatch) into a new base with covered_upto =

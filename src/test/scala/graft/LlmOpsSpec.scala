@@ -803,4 +803,77 @@ class LlmOpsSpec extends SparkSpec {
     }
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("product quantization: codebook geometry, integer ADC ranking, recall vs exact cosine (q112)") {
+    import graft.queries.Vectors
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    // codebook geometry: ≤ PqSub × PqCells rows, every centroid exactly
+    // PqSubDim wide; every vector carries exactly PqSub codes
+    val sub = Vectors.subVectors(Tables.embeddings(spark, sf001)).localCheckpoint(true)
+    val cb = Vectors.pqCodebook(Vectors.trainedPqComponents(sub)).localCheckpoint(true)
+    assert(cb.count() <= Vectors.PqSub.toLong * Vectors.PqCells)
+    assert(cb.filter(size(col("cvec")) =!= Vectors.PqSubDim).isEmpty)
+    val codes = Vectors.pqAssign(sub, cb)
+    assert(codes.groupBy(col("vec_id")).count()
+      .filter(col("count") =!= Vectors.PqSub.toLong).isEmpty)
+    // the shipped ranking: exact-integer key, nonnegative, nondecreasing,
+    // and adist6 is literally qd/1e6 (no float path into the order)
+    val out = SparkEntry.queries("q112_pq_adc")(spark, sf001).collect()
+    assert(out.length == 10)
+    val qds = out.map(_.getLong(1))
+    assert(qds.forall(_ >= 0L) && (qds sameElements qds.sorted))
+    out.foreach(r => assert(r.getDouble(2) == r.getLong(1).toDouble / 1000000.0))
+    // recall floor vs the exact ranking: normalized-L2 ADC approximates
+    // cosine order, so the PQ top-10 must intersect the exact cosine
+    // top-20 (observed recall@10 ≈ 0.2 on this corpus — the floor is the
+    // law, the margin absorbs per-round data regeneration)
+    val emb = Tables.embeddings(spark, sf001)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact20 = emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), graft.ops.Dsl.cosine(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).count(exact20.contains) >= 1,
+      "PQ top-10 shares nothing with the exact cosine top-20")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("BPE encode: 0 rules is the character baseline, tokens bounded by words and chars (q111)") {
+    import graft.queries.Tokenize
+    import org.apache.spark.sql.functions._
+    // 0-rule anchor: encodeWith on no rules IS the character split, so
+    // every token's symbol count equals its length — the baseline the
+    // compression ratio is measured against.
+    val words = Seq("hello", "a", "payment", "分割").toDF("token")
+    words.select(col("token"),
+        size(Tokenize.encodeWith(col("token"), Nil)).as("n"),
+        length(col("token")).as("len"))
+      .collect().foreach(r => assert(r.getInt(1) == r.getInt(2), r.getString(0)))
+    // greedy-fold semantics carry over from the learner: "aaa" under
+    // (a,a) encodes as [aa, a] (left-to-right, merged symbol never
+    // re-matches as plain `a`)
+    val got = Seq("aaa").toDF("token")
+      .select(Tokenize.encodeWith(col("token"), Seq(("a", "a"))).as("seq"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("aa", "a"), got.toString)
+    // corpus audit: the whitespace word count FLOORS the BPE token count
+    // (a word never encodes below one symbol) and the char count CEILS it
+    // (a merge only ever shrinks the sequence); compression is chars per
+    // token, so it sits in [1, max word length].
+    val full = SparkEntry.queries("q111_bpe_encode")(spark, sf001).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      val (words, chars, toks, cpt) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(toks >= words, s"tokens $toks below the whitespace floor $words")
+      assert(toks <= chars, s"tokens $toks above the char baseline $chars")
+      assert(cpt >= 1.0, s"cpt4 $cpt below 1")
+    }
+    // the 16 learned rules actually buy compression on their own training
+    // corpus (strictly fewer tokens than characters in aggregate)
+    assert(full.map(_.getLong(3)).sum < full.map(_.getLong(2)).sum)
+    SparkEntry.clearGraftCaches(spark)
+  }
 }

@@ -170,9 +170,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q34/q35: sketch builds run the native imperative aggregates, not a per-row explode") {
-    val p34 = planString(SparkEntry.queries("q34_minhash_lsh")(spark, sf001))
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dsl.h60
+    // The signature frames inside q34/q35 are localCheckpoint-pinned (r9
+    // pinning sweep), which truncates the build subtree out of the final
+    // query plan — so this pin inspects the subtrees themselves, exactly
+    // as q34/q35 construct them.
+    val sh = graft.queries.Text.rawShingles(spark, sf001)
+      .select(col("doc_id"), (h60(col("shingle")) % graft.queries.Dedup.P).as("hm"))
+    val p34 = planString(graft.queries.Dedup.signatures(sh))
     assert(p34.contains("minhash_sig"), "q34 fell back off the native MinHash aggregate")
-    val p35 = planString(SparkEntry.queries("q35_simhash")(spark, sf001))
+    val tok = graft.tables.Tables.documents(spark, sf001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), h60(col("token")).as("hm"))
+    val p35 = planString(graft.queries.Dedup.simhashFingerprints(tok))
     assert(p35.contains("simhash_sig"), "q35 fell back off the native SimHash aggregate")
     // TypedImperativeAggregate plans through ObjectHashAggregate — the
     // map-side partial buffers are the point (one buffer per doc, not

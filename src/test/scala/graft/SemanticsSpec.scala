@@ -287,4 +287,35 @@ class SemanticsSpec extends SparkSpec {
     assert(planted("embeddings_dim_drift") == 1L)
     assert(planted("orders_orphans") == 0L)
   }
+
+  test("SCD2 history: consecutive same-status events collapse, open interval has NULL valid_to (q113)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ts = (s: Int) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1: A, A (collapses), B, A — three intervals, last one open;
+    // user 2: one event — a single open interval from its own ts
+    val ev = Seq(
+      (1L, 10L, "A", ts(0)), (1L, 11L, "A", ts(1)),
+      (1L, 12L, "B", ts(2)), (1L, 13L, "A", ts(3)),
+      (2L, 20L, "X", ts(5))).toDF("user_id", "event_id", "event_type", "ts")
+    val got = graft.queries.Events.scd2(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4))))
+    assert(got.toSeq == Seq(
+      (1L, 10L, "A", ts(0), Some(ts(2))),
+      (1L, 12L, "B", ts(2), Some(ts(3))),
+      (1L, 13L, "A", ts(3), None),
+      (2L, 20L, "X", ts(5), None)))
+    // intervals tile: each user's valid_from chain is contiguous (next
+    // valid_from == previous valid_to) — the SCD2 invariant a reader
+    // joins on
+    // same-instant change: ties order by event_id, so the later event_id
+    // wins the open interval and the earlier one closes at the SAME ts
+    // (zero-width interval, never lost)
+    val tied = Seq((3L, 30L, "P", ts(7)), (3L, 31L, "Q", ts(7)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val gotTied = graft.queries.Events.scd2(tied).collect()
+      .map(r => (r.getLong(1), r.getString(2), Option(r.getTimestamp(4))))
+    assert(gotTied.toSeq == Seq((30L, "P", Some(ts(7))), (31L, "Q", None)))
+  }
 }

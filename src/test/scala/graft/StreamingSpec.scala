@@ -932,4 +932,45 @@ class StreamingSpec extends SparkSpec {
     assert(Set("head", "middle", "tail")(verdict(0).getString(3)))
     assert(!verdict(0).getDouble(2).isNaN && !verdict(0).getDouble(2).isInfinite)
   }
+
+  test("s23: streamed packing == batch q96 in doc_id order; bins span batches; replay no-op; panel guard") {
+    import graft.streaming.SequencePacker.{packedSummary, processBatch}
+    val tailDir = tmpDir("s23-tail") + "/tails"
+    val assignDir = tmpDir("s23-asg") + "/assign"
+    // panel guard: schema-stable empty frame before any write
+    val empty = packedSummary(spark, assignDir)
+    assert(empty.columns.toSeq ==
+      Seq("shard_id", "bin_id", "n_docs", "bin_tokens", "min_doc", "max_doc", "fill4"))
+    assert(empty.collect().isEmpty)
+    def summaryRows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    // the corpus in three doc_id-ordered batches — the arrival order the
+    // batch-parity law assumes (next-fit is a left fold; the carried
+    // (fill, bin) tail is its entire state)
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    processBatch(docs.filter(col("doc_id") <= cut1), tailDir, assignDir, 0L)
+    processBatch(docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      tailDir, assignDir, 1L)
+    processBatch(docs.filter(col("doc_id") > cut2), tailDir, assignDir, 2L)
+    val want = summaryRows(graft.queries.Pack.q96(spark, sf001))
+    assert(summaryRows(packedSummary(spark, assignDir)) == want,
+      "streamed summary diverged from batch q96")
+    // the law is non-vacuous: some open bin crossed a batch boundary
+    val spanning = spark.read.parquet(assignDir)
+      .groupBy(col("shard_id"), col("bin_id"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("batch_id")).as("nb"))
+      .filter(col("nb") >= 2).count()
+    assert(spanning > 0, "no bin spanned a batch boundary — split the corpus differently")
+    // replay law: re-running batch 1 after batch 2 reads only tails with
+    // batch_id < 1, recomputes identical content, overwrites its own
+    // partitions — every sink bit-identical
+    processBatch(docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      tailDir, assignDir, 1L)
+    assert(summaryRows(packedSummary(spark, assignDir)) == want, "replay changed the summary")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
