@@ -1,0 +1,293 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Vectors
+
+/** Scale rehearsal (VERDICT r8 item 1): one measured point well beyond
+  * sf0.1. Runs the most expensive queries of BENCH_r08 against
+  * [[ScaleGen]]-amplified corpora (default ×1 / ×4 / ×32 of sf0.1) and
+  * fits per-query growth exponents, then drives the streaming stores
+  * (s14/s15/s17) over the largest corpus — converting SURVEY §2.2's
+  * 100 TB plan-shape arguments into measurements.
+  *
+  * What "holds at scale" means here, per family:
+  *  - map-side / single-shuffle families (q82 entropy, q93 TextRank,
+  *    q36/q84 PPJoin, the q34-fed q57/q66/q99/q100): wall-time exponent
+  *    ~1 in corpus size (log-time fit between the ×4 and ×32 points —
+  *    the ×1 point carries fixed costs: session, codegen, Lloyd's
+  *    constant rounds — so exp_lo reads low/noisy by construction and
+  *    exp_hi is the scaling verdict).
+  *  - LSH ANN (q77/q104): run at the DENSITY-SCALED design point —
+  *    bits = 4 + log2(A) per table ([[graft.ops.Ann.bucketsWide]], the
+  *    "denser corpora raise k" knob), which holds expected bucket
+  *    occupancy at the tuning density, so candidate volume and wall time
+  *    stay ~linear. The fixed-bits form is quadratic BY CONSTRUCTION
+  *    (occupancy ∝ density → Σ|bucket|² ∝ N²·2^-k) — measured once at ×4
+  *    as `q77_fixed_bits` to demonstrate the knob is load-bearing, not
+  *    run at ×32.
+  *  - IVF (q90/q95): ncells grows ~√A via the amplifier's label groups
+  *    (the declared ncells ∝ √N regime), so probe volume
+  *    N·NProbe·(N/ncells) and assignment volume N·ncells both grow
+  *    ~A^1.5 — the documented IVF trade, NOT a defect; the measured
+  *    exponent is asserted against 1.5, not 1.
+  *
+  * Output: `BENCH_scale.json` (per-query times/rows/exponents, streaming
+  * ingest/read times, heap peak, AQE skew evidence) + one JSON line on
+  * stdout. Heap is the default driver size — completing ×32 in the same
+  * JVM the sf0.1 bench uses IS the no-driver-OOM assertion.
+  */
+object BenchScale {
+
+  /** Density-scaled LSH bits: 4 at the sf0.1 tuning point, +1 per
+    * density doubling (A = 32 → 9 bits). */
+  def scaledBits(a: Int): Int =
+    4 + math.ceil(math.log(a.toDouble) / math.log(2.0)).toInt
+
+  private def buildQueries(a: Int): Seq[(String, (SparkSession, String) => DataFrame, String)] = {
+    val std = Seq(
+      "q36_ngram_jaccard" -> "count",
+      "q57_dedup_clusters" -> "count",
+      "q66_dedup_materialize" -> "count",
+      "q82_char_entropy" -> "noop",
+      "q84_containment" -> "count",
+      "q93_textrank" -> "count",
+      "q99_dedup_eval" -> "count",
+      "q100_leakage_safe_split" -> "count",
+      "q90_ivf_knn" -> "count",
+      "q95_retrieval_eval" -> "count"
+    ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
+    val bits = scaledBits(a)
+    val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)
+    val scaled = Seq(
+      (s"q77_knn_join[k=$bits]",
+        (s: SparkSession, dir: String) =>
+          Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, dir), wide)
+            .orderBy(col("src"), col("rk")),
+        "count"),
+      (s"q104_mutual_knn_clusters[k=$bits]",
+        (s: SparkSession, dir: String) =>
+          Vectors.mutualKnnClustersOn(
+            Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, dir), wide)),
+        "count"))
+    std ++ scaled
+  }
+
+  private def runOnce(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => DataFrame, dir: String,
+      action: String): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var rows = -1L
+    try {
+      val df = fn(spark, dir)
+      if (action == "noop") df.write.format("noop").mode("overwrite").save()
+      else rows = df.count()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench-scale] $name FAILED: ${e.getMessage}")
+        return (-1.0, -1L)
+    } finally SparkEntry.clearGraftCaches(spark)
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,4,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").count()
+
+    val rt = Runtime.getRuntime
+    var heapPeakMb = 0L
+    def noteHeap(): Unit = {
+      val used = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      if (used > heapPeakMb) heapPeakMb = used
+    }
+
+    // factor -> (query -> (seconds, rows))
+    val times = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.LinkedHashMap[String, (Double, Long)]]
+    var q90SkewMarkers = -1
+    var q90AqePlanSeen = false
+
+    for (a <- factors.sorted) {
+      val dir = s"$scaleRoot/x$a"
+      val tGen0 = System.nanoTime()
+      ScaleGen.amplify(spark, base, dir, a)
+      System.err.println(f"[bench-scale] x$a corpus ready in ${(System.nanoTime() - tGen0) / 1e9}%.1f s")
+      val qs = buildQueries(a)
+      val byQ = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+      val passes = if (a <= 4) 2 else 1
+      for (p <- 1 to passes; (name, fn, action) <- qs) {
+        val (dt, rows) = runOnce(spark, name, fn, dir, action)
+        noteHeap()
+        if (dt >= 0) {
+          val prev = byQ.get(name)
+          if (prev.isEmpty || prev.get._1 > dt) byQ(name) = (dt, rows)
+          System.err.println(f"[bench-scale] x$a pass$p $name%-32s $dt%8.2f s rows=$rows")
+        }
+      }
+      // AQE evidence on the skew-shaped probe join: execute q90's OWN
+      // plan tree (a noop write — count() executes a different tree whose
+      // final adaptive plan this df would not carry) and read the
+      // finalized AdaptiveSparkPlan for skew-handling markers.
+      if (a == factors.max) {
+        try {
+          val df = SparkEntry.queries("q90_ivf_knn")(spark, dir)
+          df.write.format("noop").mode("overwrite").save()
+          val lower = df.queryExecution.executedPlan.toString().toLowerCase
+          q90SkewMarkers = "skew".r.findAllIn(lower).length
+          q90AqePlanSeen = lower.contains("adaptivesparkplan")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench-scale] q90 plan capture failed: ${e.getMessage}")
+        } finally SparkEntry.clearGraftCaches(spark)
+      }
+      // Demonstrate the LSH density knob is load-bearing: fixed 4-bit
+      // buckets at ×4 (≈16× the candidate volume of the scaled form).
+      if (a == 4) {
+        val (dt, rows) = runOnce(spark, "q77_fixed_bits",
+          (s, d) => Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, d),
+            graft.ops.Ann.buckets).orderBy(col("src"), col("rk")),
+          dir, "count")
+        noteHeap()
+        if (dt >= 0) byQ("q77_fixed_bits") = (dt, rows)
+        System.err.println(f"[bench-scale] x$a q77_fixed_bits $dt%8.2f s rows=$rows")
+      }
+      times(a) = byQ
+    }
+
+    // ---- streaming stores over the largest corpus ----
+    val aMax = factors.max
+    val bigDir = s"$scaleRoot/x$aMax"
+    val streamRoot = s"$scaleRoot/stream_x$aMax"
+    def rmrf(p: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
+    rmrf(streamRoot)
+    val nBatches = 4
+    val repsPerBatch = math.max(1, aMax / nBatches)
+    def docBatch(b: Int): DataFrame =
+      spark.read.parquet(s"$bigDir/documents.parquet")
+        .filter((col("doc_id") / ScaleGen.IdStride).cast("int")
+          .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+    def vecBatch(b: Int): DataFrame =
+      spark.read.parquet(s"$bigDir/embeddings.parquet")
+        .filter((col("vec_id") / ScaleGen.IdStride).cast("int")
+          .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+
+    val streaming = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+
+    locally { // s14 incremental dedup: 4-batch admission
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.IncrementalDedup.processBatch(docBatch(b),
+          s"$streamRoot/s14/store", s"$streamRoot/s14/accept",
+          s"$streamRoot/s14/reject", b.toLong)
+      val accepted = spark.read.parquet(s"$streamRoot/s14/accept").count()
+      streaming("s14_incremental_dedup") = ((System.nanoTime() - t0) / 1e9, accepted)
+      noteHeap()
+    }
+    locally { // s15 incremental index: 4-batch build + one read-side view
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.IncrementalIndex.processBatch(docBatch(b),
+          s"$streamRoot/s15/store", b.toLong)
+      val indexRows = graft.streaming.IncrementalIndex
+        .readIndex(spark, s"$streamRoot/s15/store").count()
+      streaming("s15_incremental_index") = ((System.nanoTime() - t0) / 1e9, indexRows)
+      noteHeap()
+    }
+    locally { // s17 vector index: offline codebook + 4-batch ingest + probe
+      val t0 = System.nanoTime()
+      val emb = spark.read.parquet(s"$bigDir/embeddings.parquet")
+      val cells = Vectors.codebook(Vectors.trainedComponents(emb))
+        .localCheckpoint(true)
+      for (b <- 0 until nBatches)
+        graft.streaming.VectorIndex.processBatch(vecBatch(b), cells,
+          s"$streamRoot/s17/store", b.toLong)
+      val probed = graft.streaming.VectorIndex
+        .probe(spark, s"$streamRoot/s17/store", cells, 0L, 10).count()
+      streaming("s17_vector_index") = ((System.nanoTime() - t0) / 1e9, probed)
+      noteHeap()
+      SparkEntry.clearGraftCaches(spark)
+    }
+
+    // ---- report ----
+    def jnum(d: Double): String =
+      if (d.isNaN) "null" else f"$d%.3f"
+    val sorted = factors.sorted
+    val qNames = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      for (a <- sorted; n <- times(a).keys) seen += n.takeWhile(_ != '[')
+      seen.toSeq
+    }
+    val queryJson = qNames.map { baseName =>
+      def at(a: Int): Option[(Double, Long)] = {
+        val key = times.get(a).flatMap(m =>
+          m.keys.find(_.takeWhile(_ != '[') == baseName))
+        key.flatMap(k => times(a).get(k))
+      }
+      val tStr = sorted.map(a => at(a) match {
+        case Some((t, _)) => f""""x$a":$t%.2f"""
+        case None => s""""x$a":null"""
+      }).mkString(",")
+      val rStr = sorted.map(a => at(a) match {
+        case Some((_, r)) if r >= 0 => s""""x$a":$r"""
+        case _ => s""""x$a":null"""
+      }).mkString(",")
+      // exponents fit on base names across factors
+      def fitBase(lo: Int, hi: Int): Double = (for {
+        tl <- at(lo).map(_._1) if tl > 0
+        th <- at(hi).map(_._1) if th > 0
+      } yield math.log(th / tl) / math.log(hi.toDouble / lo)).getOrElse(Double.NaN)
+      val expLo = if (sorted.size >= 2) fitBase(sorted(0), sorted(1)) else Double.NaN
+      val expHi = if (sorted.size >= 3) fitBase(sorted(1), sorted(2)) else Double.NaN
+      s"""    "$baseName": {"t":{$tStr},"rows":{$rStr},"exp_lo":${jnum(expLo)},"exp_hi":${jnum(expHi)}}"""
+    }.mkString(",\n")
+    val streamJson = streaming.map { case (n, (t, r)) =>
+      f"""    "$n": {"sec":$t%.2f,"rows":$r}"""
+    }.mkString(",\n")
+    val json =
+      s"""{
+  "metric": "scale_rehearsal",
+  "base_sf_dir": "$base",
+  "factors": [${sorted.mkString(",")}],
+  "docs_at_max": ${spark.read.parquet(s"$bigDir/documents.parquet").count()},
+  "vectors_at_max": ${spark.read.parquet(s"$bigDir/embeddings.parquet").count()},
+  "lsh_bits": {${sorted.map(a => s""""x$a":${scaledBits(a)}""").mkString(",")}},
+  "queries": {
+$queryJson
+  },
+  "streaming_x$aMax": {
+$streamJson
+  },
+  "q90_aqe_plan": $q90AqePlanSeen,
+  "q90_skew_markers": $q90SkewMarkers,
+  "heap_peak_mb": $heapPeakMb,
+  "driver_xmx_mb": ${rt.maxMemory() / (1024 * 1024)}
+}
+"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    // one-line summary for log scrapers
+    val line = sorted.map { a =>
+      val tot = times(a).collect { case (n, (t, _)) if t > 0 && !n.startsWith("q77_fixed") => t }.sum
+      f""""x$a":$tot%.1f"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_rehearsal_total_sec",$line,"heap_peak_mb":$heapPeakMb}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal corpus amplifier (VERDICT r8 item 1): replicates the
+  * sf0.1 `documents` / `embeddings` tables A× with per-replica re-salting
+  * so the dedup/cluster structure stays NON-DEGENERATE — each replica
+  * keeps the original corpus's internal near-dup pairs, shingle df
+  * profile and kNN geometry, while contributing nothing across replicas:
+  *
+  *  - documents: `doc_id += r·IdStride`; every whitespace token of
+  *    replica r > 0 gets the suffix `~r`, so shingles/tokens/vocab are
+  *    replica-scoped — within-replica Jaccard/MinHash/containment
+  *    structure is EXACTLY the original's (token identity is the only
+  *    thing the kernels see), cross-replica overlap is zero. Without the
+  *    salt every original doc would become an A-clone cluster and the
+  *    pair tables would grow as A² — a degenerate corpus no real 32×
+  *    crawl resembles; with it, ground-truth pair volume is exactly A×.
+  *  - embeddings: `vec_id += r·IdStride`; replica r's vectors are
+  *    cyclically rotated by (13·r) mod 64 dims — an orthogonal transform,
+  *    so within-replica cosines (hence the kNN graph, IVF geometry and
+  *    LSH collision structure) are bit-preserved while cross-replica
+  *    cosines scramble. `label += (r mod ⌈√A⌉)·100000`, so the
+  *    label-seeded IVF codebook trains ~√A× more cells at A× the data —
+  *    the ncells ∝ √N production design point SURVEY §2.2 (q90) declares.
+  *
+  * The other eight tables are byte-copied: the rehearsal's query set is
+  * the document/embedding families (the expensive tail of BENCH_r08);
+  * lineitem-family scaling is exercised by the sf ladder itself.
+  *
+  * Driven by `tools/make_scale.sh` / [[BenchScale]]. Writes only under
+  * the given output dir (never into /root/testdata).
+  */
+object ScaleGen {
+
+  /** Replica id block stride — far above any testdata id. */
+  val IdStride = 10000000L
+
+  /** Label-group count: ncells multiplies by ~√A (see class doc). */
+  def labelGroups(a: Int): Int = math.ceil(math.sqrt(a.toDouble)).toInt
+
+  private[graft] def amplifyDocuments(docs: DataFrame, a: Int): DataFrame = {
+    val reps = docs.sparkSession.range(a).select(col("id").cast("int").as("r"))
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("r").cast("long") * IdStride).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("~"), col("r").cast("string"))),
+            " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private[graft] def amplifyEmbeddings(emb: DataFrame, a: Int): DataFrame = {
+    val reps = emb.sparkSession.range(a).select(col("id").cast("int").as("r"))
+    val shift = (col("r") * 13) % 64
+    emb.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("r").cast("long") * IdStride).as("vec_id"),
+        when(col("r") === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), shift + 1, lit(64) - shift),
+            slice(col("embedding"), lit(1), shift))).as("embedding"),
+        (col("label") + pmod(col("r"), lit(labelGroups(a))) * 100000)
+          .cast("int").as("label"))
+  }
+
+  /** Build the amplified corpus at `outDir` (idempotent via an _OK marker;
+    * pass force = true to rebuild). File counts scale with A so the scan
+    * parallelism grows with the data like a real ingest's would. */
+  def amplify(spark: SparkSession, srcDir: String, outDir: String, a: Int,
+      force: Boolean = false): Unit = {
+    val okFile = new java.io.File(outDir, "_OK")
+    if (okFile.exists() && !force) return
+    val out = new java.io.File(outDir)
+    if (out.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(out)
+    }
+    out.mkdirs()
+    amplifyDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), a)
+      .repartition(math.max(2, a / 2))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    amplifyEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), a)
+      .repartition(math.max(2, a / 4))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$outDir/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    okFile.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale")
+    val a = sys.env.getOrElse("SPARK_GRAFT_SCALE_A", "32").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    amplify(spark, src, s"$outRoot/x$a", a, force = true)
+    spark.stop()
+  }
+}

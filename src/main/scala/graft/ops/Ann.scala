@@ -28,16 +28,24 @@ object Ann {
   val Planes = Tables * BitsPerTable
   val Dim = 64
 
+  /** Widest k the scale path can request (k = 4 + log2(density) covers
+    * density amplification up to 2^8 = 256× before running out). */
+  val MaxBitsPerTable = 12
+
   /** Fixed hyperplane weights in [-4, 4]: LCG (Knuth MMIX constants), seed
     * 42 — deterministic, dependency-free, and identical wherever the table
-    * is rebuilt (Scala here, string-literal lists in OracleSql). */
-  val weights: Array[Array[Long]] = {
+    * is rebuilt (Scala here, string-literal lists in OracleSql). The first
+    * [[Planes]] planes are the production family mirrored into the oracle;
+    * the tail (up to Tables × MaxBitsPerTable) extends the SAME LCG stream
+    * for [[bucketsWide]] — the prefix never changes when the tail grows. */
+  private val allWeights: Array[Array[Long]] = {
     var state = 42L
-    Array.fill(Planes, Dim) {
+    Array.fill(Tables * MaxBitsPerTable, Dim) {
       state = state * 6364136223846793005L + 1442695040888963407L
       ((state >>> 33) % 9) - 4
     }
   }
+  val weights: Array[Array[Long]] = allWeights.take(Planes)
 
   /** Each plane as ONE Literal node of ArrayType(Long) — `typedLit` carries
     * the 64 weights as constant ArrayData instead of a 64-node
@@ -67,6 +75,30 @@ object Ann {
   /** All L table buckets as an array column (index = table id). */
   def buckets(emb: Column): Column =
     array((0 until Tables).map(t => bucket(emb, t)): _*)
+
+  /** The density knob the scaladoc's "denser corpora raise k" names, as a
+    * bucket family: L tables of `bits` sign bits each, planes drawn from
+    * the extended LCG stream (table t uses planes t·bits .. t·bits+bits−1,
+    * so bits = [[BitsPerTable]] reproduces [[buckets]] exactly — same
+    * planes, same order). Expected bucket occupancy halves per extra bit:
+    * a corpus N× denser than the tuning point runs bits + log2(N) to keep
+    * per-bucket candidate volume — and hence the LSH join's output — at
+    * the design density. Collision probability for near pairs falls as
+    * p^bits per table (OR-amplified across L), the standard k/L trade.
+    * No oracle mirrors the wide family (it exists for the scale
+    * rehearsal, not the declared inventory); its planes are literals from
+    * the same generator, so a future oracle could. */
+  def bucketsWide(emb: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= MaxBitsPerTable, s"bits=$bits out of range")
+    def wideBucket(t: Int): Column =
+      (0 until bits)
+        .map { j =>
+          val p = typedLit(allWeights(t * bits + j).toSeq)
+          when(graft.ops.Dsl.dotFold(emb, p) > 0, lit(1L << j)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+    array((0 until Tables).map(wideBucket): _*)
+  }
 
   /** Raw (pre-sign) projection onto plane `p` — q85's JL component. The
     * LSH bucket bits above are exactly the SIGNS of these projections, so

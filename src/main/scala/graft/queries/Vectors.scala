@@ -396,10 +396,19 @@ object Vectors {
   /** q77 core without the output-contract ORDER BY, so q104 (which feeds
     * the pairs into connected components — order-free) skips the full
     * sort of the neighbor table (the same split as Dedup.reportedPairs). */
-  private[graft] def knnPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+  private[graft] def knnPairs(spark: SparkSession, sfDir: String): DataFrame =
+    knnPairsOn(Tables.embeddings(spark, sfDir), graft.ops.Ann.buckets)
+
+  /** q77 core on an arbitrary embeddings frame with a pluggable bucket
+    * family — the production path passes [[graft.ops.Ann.buckets]]; the
+    * scale rehearsal passes `bucketsWide(_, 4 + log2(density))` so bucket
+    * occupancy (and the candidate join volume) stays at the design
+    * density as the corpus amplifies (the Ann scaladoc's "denser corpora
+    * raise k" knob, measured in BENCH_scale.json). */
+  private[graft] def knnPairsOn(e: DataFrame,
+      bucketsOf: Column => Column): DataFrame = {
     val sig = e.select(col("vec_id"),
-        posexplode(graft.ops.Ann.buckets(col("embedding"))).as(Seq("t", "bucket")))
+        posexplode(bucketsOf(col("embedding"))).as(Seq("t", "bucket")))
       // eager pin: this frame self-joins for the bucket pairs (q104
       // shape; r9 pinning sweep)
       .localCheckpoint(true)
@@ -563,13 +572,18 @@ object Vectors {
     * run the lineage-truncated min-label fixpoint (edge table ≤ N·k/2).
     * The oracle mirrors semantics with q77's bucket CTE + a recursive
     * reachability CTE (the q57 oracle pattern). */
-  def q104(spark: SparkSession, sfDir: String): DataFrame = {
+  def q104(spark: SparkSession, sfDir: String): DataFrame =
+    mutualKnnClustersOn(knnPairs(spark, sfDir))
+
+  /** q104 core on an arbitrary (src, dst, …) neighbor table so the scale
+    * rehearsal can feed it the density-scaled [[knnPairsOn]] output. */
+  private[graft] def mutualKnnClustersOn(pairs: DataFrame): DataFrame = {
     // localCheckpoint(true), NOT cache(): both sides of the reciprocal
     // semi-join are this one frame, and a lazy cache first materialized
     // from inside the CC loop's checkpoint job was observed returning an
     // under-matched semi-join (fragmented clusters) on a cold session —
     // the eager checkpoint gives both branches one immutable evaluation.
-    val nn = knnPairs(spark, sfDir).select(col("src"), col("dst")).localCheckpoint(true)
+    val nn = pairs.select(col("src"), col("dst")).localCheckpoint(true)
     val mutual = nn
       .join(nn.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")

@@ -275,6 +275,27 @@ class PlanSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("q103: its one unpartitioned window runs on the bin-cardinality frame (post-aggregate), never the corpus") {
+    // VERDICT r8 watch item: q103's cumulative-share window is the only
+    // deliberate global window outside the q72-pattern prefix sums —
+    // sound ONLY because it runs on the grouped bin frame (≤ max-doc-len
+    // / HistBinW rows). This pin fails if a refactor ever moves a global
+    // window below the bin aggregate, i.e. onto a corpus-scale frame.
+    val df = SparkEntry.queries("q103_token_histogram")(spark, sf001)
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty, "q103 declares one global window over the bin frame")
+    globals.foreach { w =>
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggBelow.isDefined,
+        "q103's global cumulative window must sit above the bin aggregate")
+    }
+  }
+
   /** Shuffle Exchanges (hash/range/single-partition) in the declared
     * plan — BroadcastExchange excluded (broadcasts are the cheap,
     * deliberate alternative the budgets are steering toward). For the
