@@ -122,6 +122,17 @@ object BenchScale {
 
     for (a <- factors.sorted) {
       val dir = s"$scaleRoot/x$a"
+      // Partition count tracks the data, exactly as a cluster deployment
+      // sizes spark.sql.shuffle.partitions to input-bytes / ~128 MB: ×32
+      // the corpus on a FIXED 32 partitions means ×32 the bytes per
+      // shuffle partition — sorts that fit at the tuning density spill at
+      // the amplified one, and the measured curve bends for a reason that
+      // has nothing to do with the operator (the first ×32 run, 8 GiB
+      // heap + 32 partitions, measured q77 at exponent 1.8 while its
+      // candidate VOLUME grew at 1.06). local[32] still runs 32 tasks at
+      // a time; the extra partitions only cap per-task memory.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        (cpus.toInt * math.max(1, a / 8)).toString)
       val tGen0 = System.nanoTime()
       ScaleGen.amplify(spark, base, dir, a)
       System.err.println(f"[bench-scale] x$a corpus ready in ${(System.nanoTime() - tGen0) / 1e9}%.1f s")

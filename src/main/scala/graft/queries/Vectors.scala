@@ -404,27 +404,42 @@ object Vectors {
     * scale rehearsal passes `bucketsWide(_, 4 + log2(density))` so bucket
     * occupancy (and the candidate join volume) stays at the design
     * density as the corpus amplifies (the Ann scaladoc's "denser corpora
-    * raise k" knob, measured in BENCH_scale.json). */
+    * raise k" knob, measured in BENCH_scale.json).
+    *
+    * Plan shape (r9 scale-rehearsal fix): the cosine is computed WHERE
+    * THE PAIR IS BORN — the bucket self-join co-locates both embedding
+    * arrays in the (t, bucket) partition, and the join output is
+    * projected to thin (src, dst, sim) rows inside the same codegen
+    * stage, so no candidate-volume exchange ever carries a 64-double
+    * array. The first cut attached both arrays AFTER a distinct — at the
+    * ×32 rehearsal point that shuffled ~80 M pair rows × ~1 KB (≈ 45 GB)
+    * through the dst join and measured a 1.8 growth exponent; this form
+    * shuffles the fat arrays only at signature cardinality (N·L rows)
+    * and the candidate mass as ≤ 28-byte rows. Multi-table duplicate
+    * pairs now cost one extra 64-FMA cosine each instead of a distinct
+    * over the fat stream — they collapse in the thin (src, dst) max-sim
+    * aggregate (sim is identical across a pair's duplicates, so max is
+    * the value; map-side partials absorb most duplicates before the
+    * exchange). */
   private[graft] def knnPairsOn(e: DataFrame,
       bucketsOf: Column => Column): DataFrame = {
-    val sig = e.select(col("vec_id"),
+    val sig = e.select(col("vec_id"), col("embedding"),
         posexplode(bucketsOf(col("embedding"))).as(Seq("t", "bucket")))
       // eager pin: this frame self-joins for the bucket pairs (q104
       // shape; r9 pinning sweep)
       .localCheckpoint(true)
-    val cand = sig.select(col("t"), col("bucket"), col("vec_id").as("src"))
-      .join(sig.select(col("t"), col("bucket"), col("vec_id").as("dst")),
+    val thin = sig
+      .select(col("t"), col("bucket"), col("vec_id").as("src"),
+        col("embedding").as("emb_a"))
+      .join(sig.select(col("t"), col("bucket"), col("vec_id").as("dst"),
+          col("embedding").as("emb_b")),
         Seq("t", "bucket"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-      .distinct()
-    val ea = e.select(col("vec_id").as("src"), col("embedding").as("emb_a"))
-    val eb = e.select(col("vec_id").as("dst"), col("embedding").as("emb_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-    cand.join(ea, Seq("src")).join(eb, Seq("dst"))
       .select(col("src"), col("dst"),
         round4(cosine(col("emb_a"), col("emb_b"))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    thin.groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
       .select(col("src"), col("rk"), col("dst"), col("sim"))
