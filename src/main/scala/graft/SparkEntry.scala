@@ -169,6 +169,7 @@ object SparkEntry {
     "q111_bpe_encode"         -> Tokenize.q111 _,
     "q112_pq_adc"             -> Vectors.q112 _,
     "q113_scd2_history"       -> Events.q113 _,
+    "q114_bill_aging"         -> Events.q114 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

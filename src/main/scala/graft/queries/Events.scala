@@ -266,6 +266,66 @@ object Events {
   def q113(spark: SparkSession, sfDir: String): DataFrame =
     scd2(Tables.events(spark, sfDir))
 
+  /** q114: promise aging report — the receivables view every BNPL/credit
+    * book runs against its open payment promises (the R6 derived event,
+    * consumer/consumer.go:137: due = purchase ts + 30 days): each promise
+    * bucketed by how many days past due it stands, with count, distinct
+    * debtors, and decimal-exact outstanding amount per bucket. The report
+    * is anchored at `ref_date` = the log's horizon (max event ts, any
+    * type — the log clock, not the purchase clock) + 16 days: the
+    * mid-cycle snapshot, when the newest promises are still current
+    * (due ≥ ref — "due today" counts as current, the age ≤ 0 boundary)
+    * and the oldest are two weeks past due — so the synthetic 30-day log
+    * populates current + both week buckets + the 15-30 edge, while
+    * `4_past_over_30` is vacuously empty there and pinned on planted
+    * rows instead (the q29/q109 vacuity discipline; note over-30 is
+    * reachable only when the log spans more than 30−16 days — any fixed
+    * anchor trades which buckets the finite window can reach). Weekly
+    * buckets (1-7 / 8-14 / 15-30 / over-30) are the short-cycle aging
+    * grid a 30-day credit product actually tracks; bucket keys carry a
+    * numeric sort prefix so the output order is the aging order without
+    * a CASE in the ORDER BY.
+    *
+    * Scale posture: ref_date is ONE aggregate row broadcast back onto the
+    * promise stream (allowlisted single-row BNLJ — the q58/q103 shape),
+    * then one filter-pushed scan and ONE hash aggregate over ≤5 grouping
+    * keys with map-side partials; nothing shuffles at event cardinality
+    * except the count-distinct expand, which AQE handles like any
+    * distinct aggregate. Age arithmetic is pure DATE integer math —
+    * `date(ts + 30d)` and `datediff` — no float anywhere. */
+  def q114(spark: SparkSession, sfDir: String): DataFrame =
+    aging(Tables.events(spark, sfDir))
+
+  /** q114 core on a plain (user_id, event_type, ts, value) frame so
+    * SemanticsSpec can pin the vacuous buckets (current / over-30) and
+    * the bucket boundaries (1, 7, 8, 14, 15, 30, 31 days) on planted
+    * rows. */
+  private[graft] def aging(events: DataFrame): DataFrame = {
+    val refRow = events.agg(
+      date_add(to_date(max(col("ts"))), 16).as("ref_date"))
+    val age = datediff(col("ref_date"), col("due_date")).cast("long")
+    events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"),
+        to_date(col("ts") + expr("INTERVAL 30 DAY")).as("due_date"))
+      .crossJoin(broadcast(refRow))
+      .select(col("user_id"), col("value"), col("ref_date"),
+        when(age <= 0, "0_current")
+          .when(age <= 7, "1_past_1_7")
+          .when(age <= 14, "2_past_8_14")
+          .when(age <= 30, "3_past_15_30")
+          .otherwise("4_past_over_30").as("bucket"),
+        age.as("age"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_promises"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_due"),
+        min(col("age")).as("min_age"),
+        max(col("age")).as("max_age"),
+        first(col("ref_date")).as("ref_date"))
+      .orderBy(col("bucket"))
+  }
+
   /** q113 core on a plain (user_id, event_id, event_type, ts) frame so
     * SemanticsSpec can pin the collapse/open-interval boundaries on
     * planted rows. */

@@ -364,6 +364,34 @@ object OracleSql {
         |FROM c
         |ORDER BY user_id, valid_from, event_id""".stripMargin),
 
+    // q114: the ref_date scalar is a one-row CTE cross-joined onto the
+    // promise stream (the engine's broadcast); DuckDB date subtraction
+    // returns days as BIGINT directly — both sides do pure integer DATE
+    // math so the buckets cannot drift by an ulp.
+    "q114_bill_aging" ->
+      (eventsCte +
+      """,
+        |p AS (SELECT user_id, value,
+        |             CAST(ts + INTERVAL 30 DAY AS DATE) AS due_date
+        |      FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT CAST(MAX(ts) AS DATE) + 16 AS ref_date FROM e),
+        |a AS (SELECT p.user_id, p.value, r.ref_date,
+        |             CAST(r.ref_date - p.due_date AS BIGINT) AS age
+        |      FROM p, r)
+        |SELECT CASE WHEN age <= 0 THEN '0_current'
+        |            WHEN age <= 7 THEN '1_past_1_7'
+        |            WHEN age <= 14 THEN '2_past_8_14'
+        |            WHEN age <= 30 THEN '3_past_15_30'
+        |            ELSE '4_past_over_30' END AS bucket,
+        |       COUNT(*) AS n_promises,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_due,
+        |       MIN(age) AS min_age, MAX(age) AS max_age,
+        |       MIN(ref_date) AS ref_date
+        |FROM a
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin),
+
     "q12_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

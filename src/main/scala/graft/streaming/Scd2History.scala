@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** s24: streaming SCD2 projection history — the online form of q113,
+  * completing the projection family's symmetry: q27 (latest state) has
+  * its streaming upsert in s04, and q113 (the full validity-interval
+  * history) gets this. Events arrive in micro-batches (per-user ts order
+  * when the upstream is the log feed) and each batch extends the SAME
+  * interval table a single batch q113 pass would build, by carrying
+  * exactly the state the fold needs: each user's OPEN interval —
+  * (event_id, status, valid_from) — one row per active user, the s14
+  * key-set store discipline.
+  *
+  * Store layout: `tailDir` holds the open intervals, LWW by batch_id
+  * (the s15/s17 read rule) in batch_id partitions; `closedDir` holds
+  * closed intervals — immutable once written, appended in the batch's
+  * own partition. Replay safety is s23's argument verbatim: a re-run of
+  * batch b reads only tails with batch_id < b (its own previous writes
+  * invisible), recomputes byte-identically — processBatch never reads
+  * closedDir at all — and dynamic overwrite replaces its own partitions.
+  *
+  * Per batch the work is ONE shuffle on user_id: the stored tails of the
+  * touched users (a left-semi-filtered LWW read) union the batch's
+  * events, and q113's lag → filter → lead kernel runs per user over the
+  * combined frame ordered by (ts, event_id) — the tail row carries its
+  * ORIGINAL valid_from and opening event_id, so an interval that merely
+  * persists through a batch is re-written unchanged (same surrogate key)
+  * and one that closes emits with the valid_from it opened with, however
+  * many batches ago. Rows whose lead is non-NULL are this batch's closed
+  * intervals; the one NULL-lead row per user is its new tail.
+  *
+  * Batch-parity law (StreamingSpec): when each user's events arrive in
+  * (ts, event_id) order across batches, [[history]] EQUALS batch q113 on
+  * the concatenated log — SCD2 is a per-user left fold and the open
+  * interval is its entire state.
+  */
+object Scd2History {
+
+  private def emptyTails(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("user_id"), col("id").as("event_id"),
+      lit("").as("status"), lit(null).cast("timestamp").as("valid_from"))
+
+  /** Live open interval per user: highest-batch_id tail row below
+    * `batchId`. Schema-stable empty frame before any write. */
+  private[graft] def readTails(spark: SparkSession, tailDir: String,
+      batchId: Long): DataFrame = {
+    if (!StoreRead.hasParquetData(spark, tailDir)) return emptyTails(spark)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    spark.read.parquet(tailDir)
+      .filter(col("batch_id") < batchId) // replay: never see own tails
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("status"), col("valid_from"))
+  }
+
+  /** One micro-batch of (user_id, event_id, event_type, ts): extend the
+    * touched users' histories, write closed intervals + new tails to the
+    * batch's own partitions. */
+  def processBatch(batch: DataFrame, tailDir: String, closedDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val ev = batch.select(col("user_id"), col("event_id"),
+      col("event_type").as("status"), col("ts"))
+    // only the batch's users can change state; everyone else's tail
+    // stays live in an older partition untouched. NULL-safe semi join:
+    // batch q113's window treats the NULL user_id as one ordinary group
+    // (the log DOES carry null users — q109's null screen counts them),
+    // so the null-user tail must keep chaining across batches too.
+    val stored = readTails(spark, tailDir, batchId)
+    val batchUsers = ev.select(col("user_id").as("bu")).distinct()
+    val tails = stored
+      .join(batchUsers, stored("user_id") <=> batchUsers("bu"), "left_semi")
+      .select(col("user_id"), col("event_id"), col("status"),
+        col("valid_from").as("ts"))
+    // q113's kernel over tail ∪ batch: the tail sorts first under the
+    // arrival-order assumption (its (ts, event_id) precedes the batch's)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val intervals = tails.unionByName(ev)
+      .withColumn("prev_status", lag(col("status"), 1).over(w))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("status"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("status"),
+        col("ts").as("valid_from"), col("valid_to"))
+      // eager pin: feeds both the closed write and the tail write, and
+      // the dynamic overwrite below rewrites paths a lazy plan might
+      // re-read (r9 pinning discipline)
+      .localCheckpoint(true)
+    intervals.filter(col("valid_to").isNotNull)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(closedDir)
+    intervals.filter(col("valid_to").isNull)
+      .select(col("user_id"), col("event_id"), col("status"), col("valid_from"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(tailDir)
+  }
+
+  /** The q113-shaped history over everything ingested so far: all closed
+    * intervals plus the live open interval per user (NULL valid_to —
+    * R10's not-yet-ended discipline). Schema-stable empty frame before
+    * the first write. */
+  def history(spark: SparkSession, tailDir: String, closedDir: String): DataFrame = {
+    val closed =
+      if (!StoreRead.hasParquetData(spark, closedDir))
+        emptyTails(spark).withColumn("valid_to", lit(null).cast("timestamp"))
+      else
+        spark.read.parquet(closedDir)
+          .select(col("user_id"), col("event_id"), col("status"),
+            col("valid_from"), col("valid_to"))
+    val open = readTails(spark, tailDir, Long.MaxValue)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    closed.unionByName(open)
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  /** Wire a streaming (user_id, event_id, event_type, ts) source into
+    * the history loop. */
+  def start(events: DataFrame, tailDir: String, closedDir: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, tailDir, closedDir, batchId)
+      }
+      .start()
+}

@@ -97,7 +97,8 @@ class PlanSpec extends SparkSpec {
       "q105_kn_bigram_lm",      // broadcast single-row bigram-type count
       "q107_embedding_outliers", // broadcast single-row corpus norm stats
       "q108_quality_buckets",   // broadcast single-row tercile thresholds
-      "q109_dq_audit")          // broadcast single-row embedding-dim reference
+      "q109_dq_audit",          // broadcast single-row embedding-dim reference
+      "q114_bill_aging")        // broadcast single-row ref_date anchor
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")

@@ -318,4 +318,38 @@ class SemanticsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getString(2), Option(r.getTimestamp(4))))
     assert(gotTied.toSeq == Seq((30L, "P", Some(ts(7))), (31L, "Q", None)))
   }
+
+  test("q114 aging: every bucket boundary (0/1/7/8/14/15/30/31) and the log-clock anchor, on planted promises") {
+    import spark.implicits._
+    // Horizon is a CLICK at 2024-06-30 (the log clock, not the purchase
+    // clock) → ref_date = 2024-07-16; age = ref − (ts_date + 30) =
+    // maxdate − ts_date − 14. One planted promise per boundary age,
+    // including the over-30 bucket the synthetic 30-day log can never
+    // reach (vacuity discipline), and same-user pairs so n_users <
+    // n_promises in every bucket that has them.
+    val ev = Seq(
+      (9L, "click", ts("2024-06-30 23:00:00"), 0.0),
+      (1L, "purchase", ts("2024-06-30 10:00:00"), 10.00), // age -14: current
+      (1L, "purchase", ts("2024-06-16 09:00:00"), 5.50),  // age 0: due == ref is still current
+      (2L, "purchase", ts("2024-06-15 01:00:00"), 1.25),  // age 1
+      (3L, "purchase", ts("2024-06-09 23:59:59"), 2.75),  // age 7
+      (2L, "purchase", ts("2024-06-08 00:00:00"), 3.00),  // age 8
+      (2L, "purchase", ts("2024-06-02 12:00:00"), 4.00),  // age 14
+      (4L, "purchase", ts("2024-06-01 00:00:01"), 6.00),  // age 15
+      (4L, "purchase", ts("2024-05-17 00:00:00"), 7.00),  // age 30
+      (5L, "purchase", ts("2024-05-16 00:00:00"), 8.00),  // age 31
+      (5L, "purchase", ts("2024-01-01 00:00:00"), 9.00)   // age 167
+    ).toDF("user_id", "event_type", "ts", "value")
+    val got = graft.queries.Events.aging(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5),
+        r.getDate(6).toString))).toMap
+    assert(got.keySet == Set("0_current", "1_past_1_7", "2_past_8_14",
+      "3_past_15_30", "4_past_over_30"))
+    assert(got("0_current") == ((2L, 1L, 15.50, -14L, 0L, "2024-07-16")))
+    assert(got("1_past_1_7") == ((2L, 2L, 4.00, 1L, 7L, "2024-07-16")))
+    assert(got("2_past_8_14") == ((2L, 1L, 7.00, 8L, 14L, "2024-07-16")))
+    assert(got("3_past_15_30") == ((2L, 1L, 13.00, 15L, 30L, "2024-07-16")))
+    assert(got("4_past_over_30") == ((2L, 1L, 17.00, 31L, 167L, "2024-07-16")))
+  }
 }

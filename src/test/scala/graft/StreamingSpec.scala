@@ -973,4 +973,61 @@ class StreamingSpec extends SparkSpec {
     assert(summaryRows(packedSummary(spark, assignDir)) == want, "replay changed the summary")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s24: streamed SCD2 == batch q113 in ts order; intervals span batches; null-user chain; replay no-op") {
+    import graft.streaming.Scd2History.{history, processBatch}
+    val tailDir = tmpDir("s24-tail") + "/tails"
+    val closedDir = tmpDir("s24-closed") + "/closed"
+    // guard: schema-stable empty frame before any write
+    val empty = history(spark, tailDir, closedDir)
+    assert(empty.columns.toSeq ==
+      Seq("user_id", "event_id", "status", "valid_from", "valid_to"))
+    assert(empty.collect().isEmpty)
+    // the log in three ts-ordered batches — a global ts cut respects
+    // every user's (ts, event_id) order, the arrival order the
+    // batch-parity law assumes (SCD2 is a per-user left fold; the open
+    // interval is its entire state)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .localCheckpoint(true)
+    val tsSorted = ev.select(col("ts")).orderBy(col("ts")).collect().map(_.getTimestamp(0))
+    val (t1, t2) = (tsSorted(tsSorted.length / 3), tsSorted(2 * tsSorted.length / 3))
+    processBatch(ev.filter(col("ts") <= t1), tailDir, closedDir, 0L)
+    processBatch(ev.filter(col("ts") > t1 && col("ts") <= t2), tailDir, closedDir, 1L)
+    processBatch(ev.filter(col("ts") > t2), tailDir, closedDir, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_id"), col("status"),
+        col("valid_from"), col("valid_to"))
+      .collect().toSet
+    val want = rows(graft.queries.Events.q113(spark, sf001))
+    assert(rows(history(spark, tailDir, closedDir)) == want,
+      "streamed history diverged from batch q113")
+    // non-vacuous: some interval OPENED before batch 1 and closed at or
+    // after it — the carried tail did real work across a boundary
+    val spanning = spark.read.parquet(closedDir)
+      .filter(col("batch_id") >= 1 && col("valid_from") <= t1).count()
+    assert(spanning > 0, "no interval spanned a batch boundary — split differently")
+    // replay law: re-running batch 1 after batch 2 reads only tails with
+    // batch_id < 1, recomputes identical content, overwrites its own
+    // partitions — the history is bit-identical
+    processBatch(ev.filter(col("ts") > t1 && col("ts") <= t2), tailDir, closedDir, 1L)
+    assert(rows(history(spark, tailDir, closedDir)) == want, "replay changed the history")
+    // the null-user group chains across batches like any other key (the
+    // synthetic log is clean, so plant one: batch q113's window treats
+    // NULL user_id as an ordinary group and the null-safe semi join must
+    // keep its tail flowing)
+    import spark.implicits._
+    val mk = (s: Int) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val planted = Seq(
+      (Option.empty[Long], 1L, "A", mk(0)), (Option.empty[Long], 2L, "A", mk(1)),
+      (Option.empty[Long], 3L, "B", mk(2)), (Some(7L), 4L, "A", mk(3))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val (td2, cd2) = (tmpDir("s24-ntail") + "/t", tmpDir("s24-nclosed") + "/c")
+    processBatch(planted.filter(col("ts") <= mk(1)), td2, cd2, 0L)
+    processBatch(planted.filter(col("ts") > mk(1)), td2, cd2, 1L)
+    assert(rows(history(spark, td2, cd2)) ==
+      rows(graft.queries.Events.scd2(planted)),
+      "null-user chain diverged from batch SCD2")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
