@@ -170,6 +170,8 @@ object SparkEntry {
     "q112_pq_adc"             -> Vectors.q112 _,
     "q113_scd2_history"       -> Events.q113 _,
     "q114_bill_aging"         -> Events.q114 _,
+    "q115_join_full_outer"    -> Relational.q115 _,
+    "q116_shipping_priority"  -> Relational.q116 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -364,6 +364,46 @@ object OracleSql {
         |FROM c
         |ORDER BY user_id, valid_from, event_id""".stripMargin),
 
+    // q115: explicit ON + COALESCE key (not USING) so the full-outer key
+    // coalescing is spelled out identically in both engines; counts
+    // coalesce to 0, purchase_value stays NULL for click-only users
+    // (R10's NULL-for-absent discipline, mirrored in the engine).
+    "q115_join_full_outer" ->
+      (eventsCte +
+      """,
+        |c AS (SELECT user_id, COUNT(*) AS n_clicks FROM e
+        |      WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id, COUNT(*) AS n_purchases,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        |       CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+        |            WHEN p.user_id IS NULL THEN 'click_only'
+        |            ELSE 'both' END AS presence,
+        |       COALESCE(c.n_clicks, 0) AS n_clicks,
+        |       COALESCE(p.n_purchases, 0) AS n_purchases,
+        |       p.purchase_value
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        |ORDER BY user_id""".stripMargin),
+
+    // q116: revenue follows q02's cast-raw-columns-to-DECIMAL-first
+    // discipline; the decimal-exact revenue makes (revenue DESC,
+    // o_orderkey) a deterministic cross-engine sort for the top 10.
+    "q116_shipping_priority" ->
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+
     // q114: the ref_date scalar is a one-row CTE cross-joined onto the
     // promise stream (the engine's broadcast); DuckDB date subtraction
     // returns days as BIGINT directly — both sides do pure integer DATE

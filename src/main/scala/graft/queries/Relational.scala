@@ -98,6 +98,80 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  /** q115: FULL OUTER join — the one join type the zoo (q03–q08) lacked:
+    * reconciliation of two derived per-user ledgers (click counts vs
+    * purchase counts/value), keeping users present on EITHER side — the
+    * audit every CQRS projection pair needs ("who clicked but never
+    * bought, who bought without a tracked click, do the populations
+    * tile?"). `presence` tags each row from pre-coalesce nullity;
+    * `purchase_value` stays NULL (not 0) for click-only users — R10's
+    * NULL-for-absent discipline (main.go:252,264-266), while counts
+    * coalesce to 0 (a count of nothing IS 0).
+    *
+    * Scale posture: both inputs are map-side-combined aggregates of
+    * disjoint filtered slices of ONE scan family, so the full-outer is a
+    * user_id-keyed shuffle join of two already-reduced frames (user
+    * cardinality, not event cardinality) — full outer cannot broadcast
+    * (both sides must surface unmatched rows), and keying on the
+    * aggregate output is what keeps the shuffled volume minimal. */
+  def q115(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("purchase_value"))
+    clicks.join(purchases, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("n_clicks").isNull, "purchase_only")
+          .when(col("n_purchases").isNull, "click_only")
+          .otherwise("both").as("presence"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        col("purchase_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q116: TPC-H Q3-shaped shipping priority — the canonical three-way
+    * fact⋈fact⋈dim analytics join the zoo's pairwise queries don't
+    * exercise: BUILDING-segment customers' orders placed before the
+    * cutoff with lineitems shipped after it, revenue
+    * Σ extprice·(1−discount) per order, top 10 orders by revenue. The
+    * revenue product follows q02's decimal discipline (raw columns cast
+    * to DECIMAL before multiplying — a double product would land on
+    * .xxxx5 ties where the engines' ROUND disagree), and the final sort
+    * key is (revenue DESC, o_orderkey): the decimal-exact revenue makes
+    * the tie-break deterministic cross-engine.
+    *
+    * Scale posture: the segment-filtered customer frame broadcasts into
+    * orders (dim-sized after its filter), the date filters push to both
+    * parquet scans, and the one real shuffle is lineitem joining the
+    * filtered orders on orderkey followed by a map-side-partial hash
+    * aggregate; the top-10 is a TakeOrdered, never a full sort. This is
+    * the join-ordering shape (selective dim → fact → bigger fact) a
+    * 100 TB star schema lives on. */
+  def q116(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-07-01").cast("timestamp")
+    val one = lit(1).cast("decimal(3,2)")
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), rev.as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** q46: correlated scalar subqueries — orders priced above their
     * customer's average. Written in SQL so Catalyst's decorrelation
     * (RewriteCorrelatedScalarSubquery) turns both subqueries into one
