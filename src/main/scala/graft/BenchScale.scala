@@ -56,7 +56,12 @@ object BenchScale {
       "q99_dedup_eval" -> "count",
       "q100_leakage_safe_split" -> "count",
       "q90_ivf_knn" -> "count",
-      "q95_retrieval_eval" -> "count"
+      "q95_retrieval_eval" -> "count",
+      // per-user state family over the replica-salted event log (r9:
+      // events amplify too — user cardinality grows A× at the original
+      // per-user cadence)
+      "q113_scd2_history" -> "count",
+      "q114_bill_aging" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)
@@ -219,6 +224,33 @@ object BenchScale {
       val indexRows = graft.streaming.IncrementalIndex
         .readIndex(spark, s"$streamRoot/s15/store").count()
       streaming("s15_incremental_index") = ((System.nanoTime() - t0) / 1e9, indexRows)
+      noteHeap()
+    }
+    locally { // s23 sequence packing: 4 doc batches through the tail store
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.SequencePacker.processBatch(docBatch(b),
+          s"$streamRoot/s23/tails", s"$streamRoot/s23/assign", b.toLong)
+      val bins = graft.streaming.SequencePacker
+        .packedSummary(spark, s"$streamRoot/s23/assign").count()
+      streaming("s23_stream_packing") = ((System.nanoTime() - t0) / 1e9, bins)
+      noteHeap()
+    }
+    locally { // s24 SCD2 history: 4 event batches split by replica block
+      // (each user's whole chain sits in one batch - per-user ts order,
+      // the parity precondition, holds trivially)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("user_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.Scd2History.processBatch(evBatch(b),
+          s"$streamRoot/s24/tails", s"$streamRoot/s24/closed", b.toLong)
+      val hist = graft.streaming.Scd2History
+        .history(spark, s"$streamRoot/s24/tails", s"$streamRoot/s24/closed").count()
+      streaming("s24_stream_scd2") = ((System.nanoTime() - t0) / 1e9, hist)
       noteHeap()
     }
     locally { // s17 vector index: offline codebook + 4-batch ingest + probe

@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *    label-seeded IVF codebook trains ~√A× more cells at A× the data —
   *    the ncells ∝ √N production design point SURVEY §2.2 (q90) declares.
   *
-  * The other eight tables are byte-copied: the rehearsal's query set is
-  * the document/embedding families (the expensive tail of BENCH_r08);
-  * lineitem-family scaling is exercised by the sf ladder itself.
+  * The remaining seven tables are byte-copied: the rehearsal's query set
+  * is the document/embedding/event families (the expensive tail of
+  * BENCH_r08 plus the per-user state family); lineitem-family scaling is
+  * exercised by the sf ladder itself.
   *
   * Driven by `tools/make_scale.sh` / [[BenchScale]]. Writes only under
   * the given output dir (never into /root/testdata).
@@ -54,6 +55,22 @@ object ScaleGen {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** events: `event_id` and `user_id` shift by r·IdStride — every
+    * replica's users are fresh, so per-user event chains (the state unit
+    * of q113/s24/s13 and every user window) replicate without ever
+    * interleaving: user cardinality grows A× at the original per-user
+    * cadence, which is how a real event log grows. Timestamps are kept —
+    * replicas are concurrent traffic, not history replay. */
+  private[graft] def amplifyEvents(ev: DataFrame, a: Int): DataFrame = {
+    val reps = ev.sparkSession.range(a).select(col("id").cast("int").as("r"))
+    ev.crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("r").cast("long") * IdStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r").cast("long") * IdStride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
+
   private[graft] def amplifyEmbeddings(emb: DataFrame, a: Int): DataFrame = {
     val reps = emb.sparkSession.range(a).select(col("id").cast("int").as("r"))
     val shift = (col("r") * 13) % 64
@@ -73,7 +90,9 @@ object ScaleGen {
     * parallelism grows with the data like a real ingest's would. */
   def amplify(spark: SparkSession, srcDir: String, outDir: String, a: Int,
       force: Boolean = false): Unit = {
-    val okFile = new java.io.File(outDir, "_OK")
+    // marker carries the fixture vintage: v2 added events amplification,
+    // so v1 corpora regenerate automatically
+    val okFile = new java.io.File(outDir, "_OK_v2")
     if (okFile.exists() && !force) return
     val out = new java.io.File(outDir)
     if (out.exists()) {
@@ -90,8 +109,11 @@ object ScaleGen {
     amplifyEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), a)
       .repartition(math.max(2, a / 4))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    amplifyEvents(spark.read.parquet(s"$srcDir/events.parquet"), a)
+      .repartition(math.max(2, a / 2))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
+        "orders", "lineitem")) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
         java.nio.file.Paths.get(s"$outDir/$t.parquet"),

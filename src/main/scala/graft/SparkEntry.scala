@@ -172,6 +172,7 @@ object SparkEntry {
     "q114_bill_aging"         -> Events.q114 _,
     "q115_join_full_outer"    -> Relational.q115 _,
     "q116_shipping_priority"  -> Relational.q116 _,
+    "q117_local_supplier_volume" -> Relational.q117 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

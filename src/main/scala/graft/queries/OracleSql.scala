@@ -404,6 +404,26 @@ object OracleSql {
         |ORDER BY revenue DESC, o.o_orderkey
         |LIMIT 10""".stripMargin,
 
+    // q117: the same-nation correlation rides the equi-joins; revenue is
+    // q02's decimal discipline so the DESC sort is deterministic.
+    "q117_local_supplier_volume" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o   ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |               AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin,
+
     // q114: the ref_date scalar is a one-row CTE cross-joined onto the
     // promise stream (the engine's broadcast); DuckDB date subtraction
     // returns days as BIGINT directly — both sides do pure integer DATE

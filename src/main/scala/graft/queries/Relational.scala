@@ -172,6 +172,52 @@ object Relational {
       .limit(10)
   }
 
+  /** q117: TPC-H Q5-shaped local supplier volume — the SNOWFLAKE join
+    * (six tables) next to q116's star: ASIA-region nations' revenue from
+    * orders in one year where the supplying supplier and the ordering
+    * customer sit in the SAME nation. The same-nation correlation
+    * (c_nationkey = s_nationkey) is the shape that separates snowflake
+    * plans from star plans: it rides the lineitem⋈supplier and
+    * orders⋈customer joins as an extra equi-key, never as a standalone
+    * theta join. Revenue follows q02's decimal discipline; output ordered
+    * (revenue DESC, n_name) with the decimal-exact revenue making the
+    * sort deterministic cross-engine.
+    *
+    * Scale posture: region/nation/supplier broadcast (dims at any scale
+    * factor — supplier here is a 10-row dim; at a true 100 TB SF it
+    * joins keyed like the facts and nothing else changes); the fact
+    * chain shuffles lineitem once on orderkey against the filtered
+    * orders⋈customer side, whose own join keys on custkey — two fact
+    * shuffles total, date filter pushed to the orders scan, the
+    * same-nation predicate evaluated inside the join stage. */
+  def q117(spark: SparkSession, sfDir: String): DataFrame = {
+    val one = lit(1).cast("decimal(3,2)")
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    val asiaNations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val oc = o.join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    val ls = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+    ls.join(oc, col("l_orderkey") === col("o_orderkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** q46: correlated scalar subqueries — orders priced above their
     * customer's average. Written in SQL so Catalyst's decorrelation
     * (RewriteCorrelatedScalarSubquery) turns both subqueries into one

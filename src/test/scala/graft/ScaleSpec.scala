@@ -58,6 +58,32 @@ class ScaleSpec extends SparkSpec {
     assert(shared.count() === 0L, "replica vocabularies must be disjoint")
   }
 
+  test("amplifyEvents: A x rows, replica 0 verbatim, user sets disjoint, per-user SCD2 structure replicates exactly") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val amp = ScaleGen.amplifyEvents(spark.read.parquet(s"$sf001/events.parquet"), 3)
+      .localCheckpoint(true)
+    assert(amp.count() === 3 * ev.count())
+    // replica 0 is the original log byte for byte
+    val r0 = amp.filter(col("event_id") < ScaleGen.IdStride)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    assert(r0.except(ev).count() === 0L)
+    // no user appears in two replicas → per-user chains never interleave
+    val shared = amp.select(
+        (col("event_id") / ScaleGen.IdStride).cast("int").as("r"), col("user_id"))
+      .distinct()
+      .groupBy(col("user_id")).agg(countDistinct(col("r")).as("nr"))
+      .filter(col("nr") > 1)
+    assert(shared.count() === 0L, "replica user sets must be disjoint")
+    // the state family's unit of work replicates exactly: SCD2 history on
+    // the amplified log is A x the base history, row for row per replica
+    val baseHist = graft.queries.Events.scd2(ev).count()
+    val ampHist = graft.queries.Events.scd2(
+      amp.select(col("user_id"), col("event_id"), col("event_type"), col("ts"))).count()
+    assert(ampHist === 3 * baseHist,
+      s"per-user chains must replicate independently: $ampHist vs 3*$baseHist")
+  }
+
   test("amplifyEmbeddings: rotation preserves within-replica geometry, labels gain sqrt(A) groups") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val amp = ScaleGen.amplifyEmbeddings(emb, 4).localCheckpoint(true)
