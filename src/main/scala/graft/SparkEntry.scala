@@ -173,6 +173,9 @@ object SparkEntry {
     "q115_join_full_outer"    -> Relational.q115 _,
     "q116_shipping_priority"  -> Relational.q116 _,
     "q117_local_supplier_volume" -> Relational.q117 _,
+    "q118_volume_shipping"    -> Relational.q118 _,
+    "q119_returned_items"     -> Relational.q119 _,
+    "q120_large_volume_customers" -> Relational.q120 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -424,6 +424,67 @@ object OracleSql {
         |GROUP BY n.n_name
         |ORDER BY revenue DESC, n.n_name""".stripMargin,
 
+    // q118: the disjunctive nation-pair predicate is spelled as the
+    // two-element IN on each side plus the cross-pair residual — the
+    // decomposed form the engine pushes; the disjunction it equals is
+    // noted in Relational.q118's scaladoc. year() mirrors Spark's INT.
+    "q118_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_12', 'NATION_10')
+        |  AND n2.n_name IN ('NATION_12', 'NATION_10')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // q119: revenue is q02's decimal discipline, aggregated per customer
+    // BEFORE the dim attachment (the engine's custkey-cardinality join);
+    // the flat-join spelling here is the same relation.
+    "q119_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // q120: the HAVING-subquery spelled as aggregate-then-join — the
+    // same relation as "orderkey IN (… HAVING SUM(qty) > 200)" with the
+    // per-order total carried through instead of recomputed.
+    "q120_large_volume_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |  FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 200.0)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |       o.o_totalprice, big.total_qty
+        |FROM big
+        |JOIN orders o   ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+
     // q114: the ref_date scalar is a one-row CTE cross-joined onto the
     // promise stream (the engine's broadcast); DuckDB date subtraction
     // returns days as BIGINT directly — both sides do pure integer DATE

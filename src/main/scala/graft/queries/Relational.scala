@@ -218,6 +218,126 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** q118: TPC-H Q7-shaped volume shipping — the bidirectional
+    * nation-pair trade report next to q117's snowflake: revenue shipped
+    * between NATION_12 and NATION_10 in either direction, by supplier
+    * nation, customer nation and ship year. The disjunctive pair
+    * predicate is the shape worth exercising: naively it sits above the
+    * five-way join, but each disjunct constrains BOTH nation columns to
+    * the same two-element set, so the filter decomposes into two
+    * per-dimension IN-filters (pushed to the supplier and customer
+    * scans) plus the cross-pair residual (supp ≠ cust) evaluated after
+    * the join — the engine never materializes trade between nations
+    * outside the pair. Revenue follows q02's decimal discipline; the
+    * (supp_nation, cust_nation, l_year) sort is wholly key-determined.
+    *
+    * Scale posture: nation broadcasts into supplier and customer; the
+    * two-nation filters cut both before any fact touches them; supplier
+    * broadcasts into lineitem (dim-sized — at a true 100 TB SF it joins
+    * keyed like the facts); the fact chain is q117's two shuffles
+    * (orders⋈customer on custkey, lineitem⋈that on orderkey) with the
+    * two-year ship-date filter pushed to the lineitem scan and the
+    * output a ≤ 2·2·2-group map-side-combined aggregate. */
+  def q118(spark: SparkSession, sfDir: String): DataFrame = {
+    val pair = Seq("NATION_12", "NATION_10")
+    val one = lit(1).cast("decimal(3,2)")
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    val n = Tables.nation(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("supp_nation").isin(pair: _*))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("cust_nation").isin(pair: _*))
+      .select(col("c_custkey"), col("cust_nation"))
+    val oc = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), rev.as("rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(oc, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** q119: TPC-H Q10-shaped returned-item report — the quarter's top 20
+    * customers by revenue lost to returns (l_returnflag = 'R'), the
+    * churn-triage list a BNPL risk desk works through. Joins the return
+    * lineitems to the quarter's orders, attributes revenue to the
+    * customer, and carries the dim columns (name, balance, nation) the
+    * desk needs. Revenue follows q02's decimal discipline; the sort key
+    * (revenue DESC, c_custkey) is deterministic cross-engine.
+    *
+    * Scale posture: both selective filters (quarter, return flag) push
+    * to their parquet scans; the real shuffle is lineitem ⋈ filtered
+    * orders on orderkey, then the aggregate keys on custkey — at which
+    * point the frame is customer-cardinality and the customer/nation dim
+    * attachment rides the same custkey shuffle (nation broadcasts). The
+    * top-20 is a TakeOrdered, never a full sort. */
+  def q119(spark: SparkSession, sfDir: String): DataFrame = {
+    val one = lit(1).cast("decimal(3,2)")
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), rev.as("rev"))
+    val perCust = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+    perCust.join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** q120: TPC-H Q18-shaped large-volume customers — orders whose total
+    * quantity crosses a threshold, with the customer attached: the
+    * "whale orders" screen. The interesting plan shape is aggregate-
+    * then-join: the HAVING subquery ("orderkey IN (SELECT … HAVING
+    * SUM(qty) > T)") never runs as a subquery — the per-order aggregate
+    * IS the driving table, already carrying total_qty, so the filtered
+    * survivors join orders and customer directly (no second pass over
+    * lineitem, no IN-list materialization). Quantity sums are exact
+    * decimal (dsum); (o_totalprice DESC, o_orderkey) is deterministic.
+    *
+    * Scale posture: one lineitem shuffle on orderkey feeds a map-side-
+    * combined aggregate; the threshold filter cuts it to a sliver whose
+    * join back to orders AQE converts to broadcast at runtime (the
+    * aggregate's runtime stats, not the scan estimate, make that call —
+    * exactly what AQE is for); the customer attachment keys on custkey
+    * at order-survivor cardinality. */
+  def q120(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200.0)
+    big.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** q46: correlated scalar subqueries — orders priced above their
     * customer's average. Written in SQL so Catalyst's decorrelation
     * (RewriteCorrelatedScalarSubquery) turns both subqueries into one

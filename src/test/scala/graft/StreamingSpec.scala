@@ -1030,4 +1030,51 @@ class StreamingSpec extends SparkSpec {
       "null-user chain diverged from batch SCD2")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s25: streamed funnel == batch q62 in ts order; stages span batches; summary panel; replay no-op") {
+    import graft.streaming.FunnelTracker.{funnelState, funnelSummary, processBatch}
+    val tailDir = tmpDir("s25-tail") + "/tails"
+    // guard: schema-stable empty frames before any write
+    val empty = funnelState(spark, tailDir)
+    assert(empty.columns.toSeq == Seq("user_id", "t_signup", "t_view",
+      "t_click", "t_purchase", "stages_completed"))
+    assert(empty.collect().isEmpty)
+    assert(funnelSummary(spark, tailDir).collect().isEmpty)
+    // the log in three ts-ordered batches — a global ts cut respects
+    // every user's ts order, the arrival order the batch-parity law
+    // assumes (the funnel is a per-user left fold whose entire state is
+    // the four stage timestamps; see FunnelTracker's scaladoc)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .localCheckpoint(true)
+    val tsSorted = ev.select(col("ts")).orderBy(col("ts")).collect().map(_.getTimestamp(0))
+    val (t1, t2) = (tsSorted(tsSorted.length / 3), tsSorted(2 * tsSorted.length / 3))
+    processBatch(ev.filter(col("ts") <= t1), tailDir, 0L)
+    processBatch(ev.filter(col("ts") > t1 && col("ts") <= t2), tailDir, 1L)
+    processBatch(ev.filter(col("ts") > t2), tailDir, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    val want = rows(graft.queries.Events.q62(spark, sf001))
+    val got = rows(funnelState(spark, tailDir))
+    assert(got == want, "streamed funnel diverged from batch q62")
+    // non-vacuous: some user ENTERED the funnel before the first cut and
+    // advanced a stage after it — the carried tail did real work
+    val crossed = funnelState(spark, tailDir)
+      .filter(col("t_signup") <= t1 &&
+        (col("t_view") > t1 || col("t_click") > t1 || col("t_purchase") > t1))
+      .count()
+    assert(crossed > 0, "no funnel spanned a batch boundary — split differently")
+    // the summary panel is the state's own histogram
+    val summary = funnelSummary(spark, tailDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wantSummary = graft.queries.Events.q62(spark, sf001)
+      .groupBy(col("stages_completed")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(summary == wantSummary, "summary panel diverged from batch histogram")
+    // replay law: re-running batch 1 after batch 2 reads only tails with
+    // batch_id < 1, recomputes identical content, overwrites its own
+    // partition — the state is bit-identical
+    processBatch(ev.filter(col("ts") > t1 && col("ts") <= t2), tailDir, 1L)
+    assert(rows(funnelState(spark, tailDir)) == want, "replay changed the funnel state")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
