@@ -176,6 +176,9 @@ object SparkEntry {
     "q118_volume_shipping"    -> Relational.q118 _,
     "q119_returned_items"     -> Relational.q119 _,
     "q120_large_volume_customers" -> Relational.q120 _,
+    "q121_supplier_diversity" -> Relational.q121 _,
+    "q122_value_concentration" -> Relational.q122 _,
+    "q123_top_supplier"       -> Relational.q123 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -485,6 +485,52 @@ object OracleSql {
         |ORDER BY o.o_totalprice DESC, o.o_orderkey
         |LIMIT 100""".stripMargin,
 
+    // q121: NOT IN over the non-nullable s_suppkey == the engine's
+    // left-anti join; COUNT(DISTINCT) is exact in both engines.
+    "q121_supplier_diversity" ->
+      """SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size IN (1, 4, 7)
+        |  AND l.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0)
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    // q122: the grand total is the exact DECIMAL sum cast to double —
+    // NOT a double-sum of the brand doubles (order-sensitive); share is
+    // then one IEEE division of identical operands in both engines.
+    "q122_value_concentration" ->
+      """WITH branded AS (
+        |  SELECT p.p_brand,
+        |         CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |         (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |per_brand AS (SELECT p_brand, SUM(rev) AS drev FROM branded GROUP BY 1),
+        |total AS (SELECT CAST(SUM(rev) AS DOUBLE) AS total_revenue FROM branded)
+        |SELECT p_brand, CAST(drev AS DOUBLE) AS revenue,
+        |       CAST(drev AS DOUBLE) / total_revenue AS share
+        |FROM per_brand, total
+        |WHERE CAST(drev AS DOUBLE) / total_revenue > 0.041
+        |ORDER BY revenue DESC, p_brand""".stripMargin,
+
+    // q123: the max-equality compares DECIMALS (exact); only the output
+    // casts to double, so ties survive identically in both engines.
+    "q123_top_supplier" ->
+      """WITH srev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS drev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, s.s_acctbal,
+        |       CAST(srev.drev AS DOUBLE) AS total_revenue
+        |FROM srev JOIN supplier s ON srev.l_suppkey = s.s_suppkey
+        |WHERE srev.drev = (SELECT MAX(drev) FROM srev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
     // q114: the ref_date scalar is a one-row CTE cross-joined onto the
     // promise stream (the engine's broadcast); DuckDB date subtraction
     // returns days as BIGINT directly — both sides do pure integer DATE

@@ -338,6 +338,114 @@ object Relational {
       .limit(100)
   }
 
+  /** q121: TPC-H Q16-shaped supplier diversity — per (p_brand, p_size)
+    * in the screened size set, how many DISTINCT suppliers have shipped
+    * the part, excluding low-balance suppliers: the sourcing-risk screen
+    * ("which part families depend on few qualified suppliers?"). The
+    * NOT-IN exclusion is the shape worth exercising: over a non-nullable
+    * key it IS a left-anti join (the null-poisoned NOT IN that breaks
+    * anti-join rewrites needs a nullable subquery column — s_suppkey is
+    * not), so the plan is a broadcast anti against the dim-sized
+    * exclusion list, never a per-row subquery.
+    *
+    * Scale posture: the size screen pushes to the part scan and the
+    * screened part frame broadcasts into lineitem; the exclusion list is
+    * a filtered dim broadcast anti-join; COUNT(DISTINCT supplier) runs
+    * as Spark's two-phase expand (partial dedup of (brand, size, supp)
+    * map-side, then the count) — one shuffle at distinct-triple
+    * cardinality, bounded by |parts|·|suppliers|, not |lineitem|. */
+  def q121(spark: SparkSession, sfDir: String): DataFrame = {
+    val screened = Tables.part(spark, sfDir)
+      .filter(col("p_size").isin(1, 4, 7))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 2000.0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(screened), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** q122: TPC-H Q11-shaped value concentration — brands whose share of
+    * total revenue exceeds the 4.1% concentration threshold: the
+    * portfolio screen behind every "top sellers" dashboard, and the
+    * GROUP-vs-GLOBAL HAVING shape (a group survives based on an
+    * aggregate of the WHOLE relation, not its own rows). The global
+    * total is a single-row aggregate broadcast onto the brand frame —
+    * never a rescan per group.
+    *
+    * Determinism: both the brand revenue and the grand total are exact
+    * decimal sums cast to double at the end (the total is NOT a
+    * double-sum of the 25 brand doubles — that would be order-sensitive
+    * in both engines); `share` is then one IEEE division of identical
+    * operands and the threshold compare one IEEE multiply, so the
+    * surviving set is identical cross-engine.
+    *
+    * Scale posture: part broadcasts into lineitem; ONE fact shuffle
+    * feeds both the per-brand aggregate and (via a second map-side-
+    * combined pass over the same scan) the single-row total; the
+    * crossJoin is the allowlisted single-row-broadcast BNLJ (the
+    * q58/q103 shape); everything after is brand-cardinality. */
+  def q122(spark: SparkSession, sfDir: String): DataFrame = {
+    val one = lit(1).cast("decimal(3,2)")
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    val branded = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), rev.as("rev"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val perBrand = branded.groupBy(col("p_brand"))
+      .agg(sum(col("rev")).as("drev"))
+    val total = branded.agg(sum(col("rev")).cast("double").as("total_revenue"))
+    perBrand.crossJoin(broadcast(total))
+      .select(col("p_brand"), col("drev").cast("double").as("revenue"),
+        (col("drev").cast("double") / col("total_revenue")).as("share"))
+      .filter(col("share") > 0.041)
+      .orderBy(col("revenue").desc, col("p_brand"))
+  }
+
+  /** q123: TPC-H Q15-shaped top supplier — the supplier(s) whose quarter
+    * revenue EQUALS the maximum: the max-equality join, the argmax shape
+    * that keeps ties (a LIMIT 1 would drop co-leaders; q61's per-group
+    * struct-min is the grouped cousin — this is the global form). The
+    * equality test is safe cross-engine because the revenue is an exact
+    * decimal sum (double equality on computed floats would be the q55
+    * lesson all over again) — the max-row join compares decimals and
+    * only the output casts to double.
+    *
+    * Scale posture: one lineitem shuffle (quarter filter pushed to the
+    * scan) to supplier-cardinality revenue; the max is a single-row
+    * aggregate broadcast back (allowlisted BNLJ); the supplier dim
+    * broadcasts into the ≤tie-width survivor frame. */
+  def q123(spark: SparkSession, sfDir: String): DataFrame = {
+    val one = lit(1).cast("decimal(3,2)")
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    val srev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
+      .select(col("l_suppkey"), rev.as("rev"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev")).as("drev"))
+      // feeds both the max aggregate and the equality probe (r9 pinning
+      // discipline: one evaluation for both join branches)
+      .localCheckpoint(true)
+    val mx = srev.agg(max(col("drev")).as("max_drev"))
+    srev.crossJoin(broadcast(mx))
+      .filter(col("drev") === col("max_drev"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("drev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** q46: correlated scalar subqueries — orders priced above their
     * customer's average. Written in SQL so Catalyst's decorrelation
     * (RewriteCorrelatedScalarSubquery) turns both subqueries into one

@@ -98,7 +98,9 @@ class PlanSpec extends SparkSpec {
       "q107_embedding_outliers", // broadcast single-row corpus norm stats
       "q108_quality_buckets",   // broadcast single-row tercile thresholds
       "q109_dq_audit",          // broadcast single-row embedding-dim reference
-      "q114_bill_aging")        // broadcast single-row ref_date anchor
+      "q114_bill_aging",        // broadcast single-row ref_date anchor
+      "q122_value_concentration", // broadcast single-row grand total
+      "q123_top_supplier")      // broadcast single-row max revenue
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
