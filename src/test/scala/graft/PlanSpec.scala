@@ -162,6 +162,31 @@ class PlanSpec extends SparkSpec {
       s"found a label-only join:\n${joinLines.mkString("\n")}")
   }
 
+  test("unpartitioned windows only ever run on reduced frames (r8 verdict watch item)") {
+    // An unpartitioned Window moves its ENTIRE input to one partition —
+    // the operator that single-threads a 100 TB scan if a refactor ever
+    // slides it onto a corpus-scale frame. The law: every Window with an
+    // empty partitionSpec, in every registered query, must sit above an
+    // Aggregate or a Limit — a frame already reduced to group/bin/top-k
+    // cardinality (q103's bin histogram, the q72-pattern prefix sums).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    def reducedBelow(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: Aggregate => ()
+        case _: GlobalLimit => ()
+        case _: LocalLimit => ()
+      }.nonEmpty
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf001).queryExecution.optimizedPlan
+      SparkEntry.clearGraftCaches(spark)
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !reducedBelow(w.child) =>
+          s"$name: unpartitioned Window over an unreduced frame"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("q71: vocabulary top-K is a TakeOrdered, with no window anywhere in the plan") {
     val df = SparkEntry.queries("q71_oov_redaction")(spark, sf001)
     assert(planString(df).contains("TakeOrderedAndProject"),
