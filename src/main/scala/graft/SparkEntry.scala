@@ -179,6 +179,7 @@ object SparkEntry {
     "q121_supplier_diversity" -> Relational.q121 _,
     "q122_value_concentration" -> Relational.q122 _,
     "q123_top_supplier"       -> Relational.q123 _,
+    "q124_dormant_capital"    -> Relational.q124 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

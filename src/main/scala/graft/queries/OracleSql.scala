@@ -531,6 +531,25 @@ object OracleSql {
         |WHERE srev.drev = (SELECT MAX(drev) FROM srev)
         |ORDER BY s.s_suppkey""".stripMargin,
 
+    // q124: the global average is the exact-decimal-sum / count division
+    // (davg's mirror); NOT EXISTS over the cutoff-filtered orders is the
+    // engine's left-anti with the date filter pushed to the scan.
+    "q124_dormant_capital" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n.n_name, COUNT(*) AS n_dormant,
+        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |CROSS JOIN avg_bal
+        |WHERE c.c_acctbal > avg_bal.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
     // q114: the ref_date scalar is a one-row CTE cross-joined onto the
     // promise stream (the engine's broadcast); DuckDB date subtraction
     // returns days as BIGINT directly — both sides do pure integer DATE

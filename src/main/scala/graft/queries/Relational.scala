@@ -446,6 +446,37 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** q124: TPC-H Q22-shaped dormant capital — per nation, the customers
+    * holding an above-average balance who placed NO order after the
+    * cutoff: the "money sitting idle" screen, and the plan shape that
+    * composes a GLOBAL scalar threshold (q122's single-row broadcast)
+    * with an anti-join (q07's) under a grouped rollup. The average is
+    * dsum/count (exact decimal sum, one IEEE division), so the threshold
+    * compare against the raw balance column is identical cross-engine.
+    *
+    * Scale posture: the scalar average is a single-row aggregate
+    * broadcast onto the customer scan (allowlisted BNLJ); the NOT-EXISTS
+    * is a left-anti keyed on custkey with the cutoff filter pushed to
+    * the orders scan (the anti's build side is only the RECENT orders,
+    * not the order history); nation broadcasts; the per-nation rollup is
+    * a map-side-combined aggregate at nation cardinality. */
+  def q124(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_dormant"), dsum(col("c_acctbal")).as("total_balance"))
+      .orderBy(col("n_name"))
+  }
+
   /** q46: correlated scalar subqueries — orders priced above their
     * customer's average. Written in SQL so Catalyst's decorrelation
     * (RewriteCorrelatedScalarSubquery) turns both subqueries into one

@@ -100,7 +100,8 @@ class PlanSpec extends SparkSpec {
       "q109_dq_audit",          // broadcast single-row embedding-dim reference
       "q114_bill_aging",        // broadcast single-row ref_date anchor
       "q122_value_concentration", // broadcast single-row grand total
-      "q123_top_supplier")      // broadcast single-row max revenue
+      "q123_top_supplier",      // broadcast single-row max revenue
+      "q124_dormant_capital")   // broadcast single-row global average
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
