@@ -114,13 +114,27 @@ object Relational {
     * cardinality, not event cardinality) — full outer cannot broadcast
     * (both sides must surface unmatched rows), and keying on the
     * aggregate output is what keeps the shuffled volume minimal. */
-  def q115(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val clicks = ev.filter(col("event_type") === "click")
+  def q115(spark: SparkSession, sfDir: String): DataFrame =
+    ledgerOf(Tables.events(spark, sfDir))
+
+  /** q115 core on a plain events DataFrame (user_id, event_type, value)
+    * so the streaming twin (s26) and planted-row specs share the one
+    * definition. */
+  private[graft] def ledgerOf(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
-    val purchases = ev.filter(col("event_type") === "purchase")
+    val purchases = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("purchase_value"))
+    reconcile(clicks, purchases)
+  }
+
+  /** The q115 full-outer assembly over pre-aggregated per-user ledgers —
+    * the join + presence/NULL discipline factored out so s26's
+    * store-derived frames flow through the SAME definition (null users
+    * intentionally surface one row PER SIDE: the equi key never matches
+    * NULL, exactly the batch semantics). */
+  private[graft] def reconcile(clicks: DataFrame, purchases: DataFrame): DataFrame =
     clicks.join(purchases, Seq("user_id"), "full_outer")
       .select(col("user_id"),
         when(col("n_clicks").isNull, "purchase_only")
@@ -130,7 +144,6 @@ object Relational {
         coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
         col("purchase_value"))
       .orderBy(col("user_id"))
-  }
 
   /** q116: TPC-H Q3-shaped shipping priority — the canonical three-way
     * fact⋈fact⋈dim analytics join the zoo's pairwise queries don't

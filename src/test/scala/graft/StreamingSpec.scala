@@ -1077,4 +1077,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows(funnelState(spark, tailDir)) == want, "replay changed the funnel state")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s26: streamed ledger == batch q115 under an ARBITRARY batch split; replay no-op; null-user dual rows") {
+    import graft.streaming.LedgerStore.{ledger, processBatch}
+    val storeDir = tmpDir("s26-store") + "/store"
+    // guard: schema-stable empty frame before any write
+    val empty = ledger(spark, storeDir)
+    assert(empty.columns.toSeq ==
+      Seq("user_id", "presence", "n_clicks", "n_purchases", "purchase_value"))
+    assert(empty.collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .localCheckpoint(true)
+    // split by event_id mod 3 — deliberately NOT time-ordered: the store
+    // is additive exact partials, so parity holds under ANY split (a
+    // strictly stronger law than the tail-store folds' in-order one)
+    processBatch(ev.filter(col("event_id") % 3 === 0), storeDir, 0L)
+    processBatch(ev.filter(col("event_id") % 3 === 1), storeDir, 1L)
+    processBatch(ev.filter(col("event_id") % 3 === 2), storeDir, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    val want = rows(graft.queries.Relational.q115(spark, sf001))
+    assert(rows(ledger(spark, storeDir)) == want,
+      "streamed ledger diverged from batch q115")
+    // replay law: re-running batch 1 overwrites its own partition with
+    // identical content — the summed read cannot tell
+    processBatch(ev.filter(col("event_id") % 3 === 1), storeDir, 1L)
+    assert(rows(ledger(spark, storeDir)) == want, "replay changed the ledger")
+    // a null user with BOTH clicks and purchases surfaces one row per
+    // side (the full-outer key never matches NULL) — batch and stream
+    // must agree on that via the shared reconcile assembly
+    import spark.implicits._
+    val planted = Seq(
+      (Option.empty[Long], "click", 1.0), (Option.empty[Long], "purchase", 5.0),
+      (Some(3L), "click", 2.0), (Some(3L), "purchase", 7.5)
+    ).toDF("user_id", "event_type", "value")
+    val sd2 = tmpDir("s26-null") + "/s"
+    processBatch(planted.filter(col("event_type") === "click"), sd2, 0L)
+    processBatch(planted.filter(col("event_type") === "purchase"), sd2, 1L)
+    assert(rows(ledger(spark, sd2)) ==
+      rows(graft.queries.Relational.ledgerOf(planted)),
+      "null-user ledger diverged from batch q115 semantics")
+    assert(ledger(spark, sd2).filter(col("user_id").isNull).count() == 2L,
+      "the null user should surface one row per ledger side")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
