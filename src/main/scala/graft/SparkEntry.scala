@@ -42,6 +42,15 @@ object SparkEntry {
     * next query's timing or memory profile starts clean. */
   def clearGraftCaches(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
+    // Unpersisting a locally-checkpointed RDD logs one WARN per RDD
+    // ("lineage has been truncated and cannot be recomputed") — correct
+    // and intended here: the query is FINISHED, nothing recomputes it,
+    // and a 124-query run otherwise emits hundreds of these, burying real
+    // warnings (r9 verdict task 4). Suppression is display-only — the
+    // blocking unpersist below still frees every block (the round-4
+    // bench-inflation lesson stands).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 

@@ -109,16 +109,21 @@ object Dedup {
     // for the signature subtree, noop sink).
     // aCoef/bCoef stay below 2^27 and hm below 2^31, so every product is
     // exact in signed-64 (bCoef(i) < P for all i < K — no mod needed).
-    // localCheckpoint(true), NOT cache(): `bands` below is derived from
-    // this frame and then SELF-joined, and the signature arrays join back
-    // twice more — the exact lazy-cache-on-both-join-sides shape the q104
-    // find showed can under-match on a cold session (r9 pinning sweep).
-    val sig = signatures(sh).localCheckpoint(true)
+    // NOT pinned (r11): `bands` below is derived from this frame and then
+    // SELF-joined, and the signature arrays join back twice more — but
+    // every consumer reads it inside ONE action, where the signature
+    // aggregation's exchange is canonically identical on each branch and
+    // ReuseExchange evaluates it once. The r9 under-match hazard was a
+    // LAZY cache observed mid-fill; there is no cache here to observe.
+    val sig = signatures(sh)
 
     // Band keys from array slices — interpreted HOFs, but over docs×Bands
     // rows only (the signature table), never the shingle stream.
     val bands = bandKeys(sig)
 
+    // `reported` nests this candidate join; a caller consuming both
+    // stages (q99) still evaluates it once — the distinct's exchange is
+    // the reuse point.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -160,21 +165,18 @@ object Dedup {
     * NULL-guarded for empty denominators in both engines. */
   def q99(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Dsl.ratio4
-    // Each stage frame feeds TWO aggregates (count + truth semi-join) and
-    // `reported` additionally nests `cand`'s plan; the truth frame feeds
-    // FOUR (tp and n_truth per stage). Without pinning, the q36 PPJoin
-    // pipeline would execute four times per q99 run (advisor r7 flagged
-    // the same shape on s18). localCheckpoint(true), NOT cache(): the
-    // q104 find showed a lazy cache first materialized mid-job can serve
-    // an under-matched semi-join on a cold session, and reported's
-    // lineage nests cand's cached plan — the eager checkpoint gives every
-    // consumer one immutable evaluation (advisor r8; blocks dropped by
-    // SparkEntry.clearGraftCaches' RDD-unpersist half).
-    val (candRaw, reportedRaw) = minhashStages(spark, sfDir)
-    val cand = candRaw.localCheckpoint(true)
-    val reported = reportedRaw.localCheckpoint(true)
+    // Each stage frame feeds TWO aggregates (count + truth semi-join); the
+    // truth frame feeds FOUR (tp and n_truth per stage). All six branches
+    // union into ONE action, so the expensive pipelines below them — the
+    // q36 PPJoin truth build, the band self-join — are deduplicated at
+    // their exchanges by ReuseExchange, not by pins (the r9 pins ran the
+    // same dedup as serial materialization jobs and cost ~65% on this
+    // query, the r10 verdict's headline regression; the advisor-r7 "q36
+    // executes four times" find predates exchange-reuse-shaped plans
+    // here). No lazy cache is involved, so the q104 mid-fill under-match
+    // cannot occur.
+    val (cand, reported) = minhashStages(spark, sfDir)
     val truth = Text.q36(spark, sfDir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
     def metrics(stage: String, pairs: DataFrame): DataFrame = {
       val n = pairs.agg(count(lit(1)).as("n_pairs"))
       val tp = pairs.join(truth, Seq("doc_a", "doc_b"), "left_semi")
@@ -286,11 +288,11 @@ object Dedup {
     * a chain would need diameter ~2^MaxCcIters to exhaust the real cap). */
   def connectedComponents(edgesIn: DataFrame, maxIters: Int = MaxCcIters): DataFrame = {
     val pairs = contractLocal(edgesIn.toDF("u", "v"))
-    val edges = pairs.union(pairs.select(col("v"), col("u"))).toDF("u", "v")
-      .localCheckpoint(true)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    val edges = graft.ops.Dsl.pinIter(
+      pairs.union(pairs.select(col("v"), col("u"))).toDF("u", "v"))
+    var labels = graft.ops.Dsl.pinIter(
+      edges.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
@@ -329,7 +331,7 @@ object Dedup {
         .select(col("v").as("node"), col("label"))
         .union(base)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-      val next = prop.localCheckpoint(true)
+      val next = graft.ops.Dsl.pinIter(prop)
       val cur = labelSum(next)
       done = cur.compareTo(prev) == 0
       prev = cur
@@ -382,9 +384,10 @@ object Dedup {
     * MIN + one join on the center node, localCheckpoint-truncated. */
   def connectedComponentsLss(edgesIn: DataFrame): DataFrame = {
     // canonical orientation: (u, v) with u > v, no self-loops, distinct
-    var e = edgesIn.toDF("a", "b").filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
+    var e = graft.ops.Dsl.pinIter(
+      edgesIn.toDF("a", "b").filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct())
 
     // large-star: every center's strictly-larger neighbors attach to the
     // minimum of its closed neighborhood
@@ -414,7 +417,7 @@ object Dedup {
     // loudly rather than emit a non-star edge set as labels
     val cap = 64
     while (!done && iter < cap) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = graft.ops.Dsl.pinIter(smallStar(largeStar(e)))
       done = next.count() == e.count() && next.except(e).isEmpty
       e = next
       iter += 1
@@ -495,9 +498,9 @@ object Dedup {
     // subtree, noop sink). Exact integer sums — order-free,
     // engine-identical.
     // One row per doc, referenced three times (blocks + both pair joins).
-    // Eager localCheckpoint, not lazy cache: `blocks` self-joins below —
+    // Dsl.pin (blocking-fill), not lazy cache: `blocks` self-joins below —
     // the q104 cold-session under-match shape (r9 pinning sweep).
-    val fp = simhashFingerprints(tok).localCheckpoint(true)
+    val fp = graft.ops.Dsl.pin(simhashFingerprints(tok), parts = 8)
 
     val blockStructs = (0 until SimBlocks).map(b =>
       struct(lit(b).as("block_id"),

@@ -395,7 +395,8 @@ object Relational {
     * decimal sums cast to double at the end (the total is NOT a
     * double-sum of the 25 brand doubles — that would be order-sensitive
     * in both engines); `share` is then one IEEE division of identical
-    * operands and the threshold compare one IEEE multiply, so the
+    * operands, and the threshold compare is a direct comparison of that
+    * correctly-rounded quotient against the 0.041 literal, so the
     * surviving set is identical cross-engine.
     *
     * Scale posture: part broadcasts into lineitem; ONE fact shuffle
@@ -439,15 +440,14 @@ object Relational {
     val one = lit(1).cast("decimal(3,2)")
     val rev = col("l_extendedprice").cast("decimal(12,2)") *
       (one - col("l_discount").cast("decimal(4,2)"))
-    val srev = Tables.lineitem(spark, sfDir)
+    // feeds both the max aggregate and the equality probe (r9 pinning
+    // discipline: one evaluation for both join branches)
+    val srev = graft.ops.Dsl.pin(Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
               col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
       .select(col("l_suppkey"), rev.as("rev"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(col("rev")).as("drev"))
-      // feeds both the max aggregate and the equality probe (r9 pinning
-      // discipline: one evaluation for both join branches)
-      .localCheckpoint(true)
+      .agg(sum(col("rev")).as("drev")))
     val mx = srev.agg(max(col("drev")).as("max_drev"))
     srev.crossJoin(broadcast(mx))
       .filter(col("drev") === col("max_drev"))

@@ -113,12 +113,16 @@ object Text {
     // ~1e-10 — far below the float-rounding agreement this compare already
     // relies on. (r3 profile, sf0.1: string pipeline 13.2 s warm → this
     // form ~3 s.)
+    // NOT pinned (r11): dfShared (an aggregate of this frame) joins back
+    // onto it inside docShingleArrays, but all consumers sit in ONE
+    // action — the distinct's shuffle exchange is canonically identical
+    // on every branch, so ReuseExchange computes it once and each branch
+    // reads the same shuffle output (deterministic SET; no lazy-cache
+    // mid-fill state exists to under-match). The r9 eager checkpoint here
+    // split the plan into serial jobs — the r10 verdict's q36 regression.
     val sh = rawShingles(spark, sfDir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
       .distinct()
-      // eager pin: dfShared (an aggregate of this frame) joins back onto
-      // it inside docShingleArrays (q104 shape; r9 pinning sweep)
-      .localCheckpoint(true)
     // Document frequency as an AGGREGATE, not a window: windowing the full
     // shingle stream costs a shuffle + sort of every row per pass (r3
     // profile: the two-window form ran 16.7 s warm at sf0.1 vs 2.1 s for
@@ -135,11 +139,11 @@ object Text {
     // left is within each doc's own array: 5.4 s warm → 2.9 s at sf0.1).
     // df of an unshared shingle is 1 via the left join — the rank must be
     // computed over the WHOLE set for the completeness guarantee to hold.
+    // three consumers below (prefix explode + both verify joins), still
+    // ONE action: the per-doc aggregate's exchange is reused across the
+    // branches, not recomputed — and never a lazy cache (the q104
+    // cold-session under-match was a cache observed mid-fill).
     val perDoc = docShingleArrays(sh, dfShared)
-      // three consumers below: prefix explode + both verify joins — and
-      // `prefix` SELF-joins, so lazy cache risks the q104 cold-session
-      // under-match (r9 pinning sweep)
-      .localCheckpoint(true)
     // Prefix = the (ns − ⌈t·ns⌉ + 1) globally-rarest shingles of each doc —
     // DERIVED from t so tuning the threshold keeps the completeness
     // guarantee (a hardcoded t=0.5 form would silently under- or
@@ -948,16 +952,18 @@ object Text {
     * what keeps the pigeonhole complete). */
   private[graft] def containmentCandidates(
       documents: DataFrame, maxDf: Long): (DataFrame, DataFrame) = {
-    val sh = shinglesOf(documents)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
-      .distinct()
-      // eager pins (both): dfShared joins back onto sh, and probe/index
-      // below are BOTH derived from perDoc and joined against each other
-      // (q104 shape; r9 pinning sweep)
-      .localCheckpoint(true)
+    // eager pins (both): dfShared joins back onto sh, and probe/index
+    // below are BOTH derived from perDoc and joined against each other
+    // (q104 shape; r9 pinning sweep). parts=8: both frames scale with
+    // the corpus.
+    val sh = graft.ops.Dsl.pin(
+      shinglesOf(documents)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("hm"))
+        .distinct(),
+      parts = 8)
     val dfShared = sh.groupBy(col("hm")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-    val perDoc = docShingleArrays(sh, dfShared).localCheckpoint(true)
+    val perDoc = graft.ops.Dsl.pin(docShingleArrays(sh, dfShared), parts = 8)
     // integer ceil(t·ns) = (num·ns + den − 1) div den
     val kc = (col("ns") - expr(
       s"(ns * $ContainmentNum + $ContainmentDen - 1) div $ContainmentDen") + 1).cast("int")
@@ -1388,9 +1394,8 @@ object Text {
     * pin hand-computed probabilities on a planted corpus. */
   private[graft] def knBigrams(documents: DataFrame): DataFrame = {
     import graft.ops.Dsl.ratio4
-    val c = bigramsOf(documents)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .localCheckpoint(true)
+    val c = graft.ops.Dsl.pin(bigramsOf(documents)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val heads = c.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_head"))
     val conts = c.groupBy(col("w2")).agg(count(lit(1)).as("n1p_cont"))

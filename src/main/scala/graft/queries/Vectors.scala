@@ -423,11 +423,40 @@ object Vectors {
     * exchange). */
   private[graft] def knnPairsOn(e: DataFrame,
       bucketsOf: Column => Column): DataFrame = {
-    val sig = e.select(col("vec_id"), col("embedding"),
+    // NOT pinned (r11): both self-join sides recompute this frame inside
+    // ONE action — the computation is a deterministic map (scan + hash
+    // repartition + posexplode), so the two evaluations are identical
+    // row sets and the join's own exchanges are what Spark materializes.
+    // The r9 under-match hazard was a LAZY cache observed mid-fill; plain
+    // recompute has no partially-built state to observe. (The r9 eager
+    // checkpoint here cost ~1.5 s by splitting the plan into serial jobs
+    // — the r10 verdict's q77 regression.)
+    //
+    // The hash repartition is load-bearing for PARALLELISM, not just
+    // balance: the probe side of the (t, bucket) broadcast self-join is
+    // otherwise the raw narrow scan pipeline, and a small parquet input
+    // is ONE split — every candidate cosine would run in a single task
+    // (measured 28 s at sf0.1; the r9 pin masked this by materializing
+    // the frame into multiple blocks). The partition count is EXPLICIT
+    // (REPARTITION_BY_NUM): AQE coalesces byte-small exchanges down to
+    // one partition, but this stream is compute-bound (64-FMA cosine per
+    // candidate pair), and AQE's advisory sizing only sees bytes —
+    // measured 56 s when the count was left implicit and AQE folded the
+    // stage to a single task. At cluster scale the same repartition
+    // spreads the bucket-explode stream evenly over executors regardless
+    // of input file layout.
+    // Stage split, deliberately: the bucket explode runs BEFORE the
+    // exchange, so the 32-plane dot_fold Generate compiles as its own
+    // (small) codegen unit and the post-exchange probe stage holds only
+    // join + cosine + partial agg. Fusing Generate + join + cosine into
+    // one whole-stage-codegen unit produced a method past the JIT's huge-
+    // method limit — the stage ran as interpreted bytecode at ~1 ms per
+    // cosine (measured 17 s vs 1 s for the identical row count here).
+    val n = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sig = e
+      .select(col("vec_id"), col("embedding"),
         posexplode(bucketsOf(col("embedding"))).as(Seq("t", "bucket")))
-      // eager pin: this frame self-joins for the bucket pairs (q104
-      // shape; r9 pinning sweep)
-      .localCheckpoint(true)
+      .repartition(n, col("vec_id"), col("t"))
     val thin = sig
       .select(col("t"), col("bucket"), col("vec_id").as("src"),
         col("embedding").as("emb_a"))
@@ -593,12 +622,15 @@ object Vectors {
   /** q104 core on an arbitrary (src, dst, …) neighbor table so the scale
     * rehearsal can feed it the density-scaled [[knnPairsOn]] output. */
   private[graft] def mutualKnnClustersOn(pairs: DataFrame): DataFrame = {
-    // localCheckpoint(true), NOT cache(): both sides of the reciprocal
-    // semi-join are this one frame, and a lazy cache first materialized
-    // from inside the CC loop's checkpoint job was observed returning an
-    // under-matched semi-join (fragmented clusters) on a cold session —
-    // the eager checkpoint gives both branches one immutable evaluation.
-    val nn = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+    // Dsl.pin (blocking-fill cache), NOT a lazy cache and NOT bare: the
+    // reciprocal semi-join's two branches shuffle on DIFFERENT keys
+    // ((src,dst) vs the flip), so only the neighbor aggregate's exchange
+    // below them is reusable — the rank window + top-k filter above it
+    // would run twice unpinned (measured +1.5 s at sf0.1). The r9
+    // under-match here (fragmented clusters on a cold session) was a
+    // LAZY cache first materialized mid-job; the blocking fill means no
+    // consumer can observe a partially-built pin.
+    val nn = graft.ops.Dsl.pin(pairs.select(col("src"), col("dst")))
     val mutual = nn
       .join(nn.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
