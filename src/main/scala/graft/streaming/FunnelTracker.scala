@@ -38,6 +38,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * concatenated log row-for-row, including the NULL-user group (the
   * kernel's equi-joins strand null users at the signup stage in BOTH
   * forms — same kernel, same semantics).
+  *
+  * The arrival-order contract is ENFORCED, not assumed (r9/r10 verdict
+  * item 2): the store keeps one row per user EVER SEEN (funnel-entered
+  * or not — a user whose first events precede their signup has
+  * discardable events but a mark that must still advance), carrying the
+  * user's max event ts as `hwm_ts`, and [[processBatch]] rejects —
+  * IllegalStateException, before any sink write — a batch carrying an
+  * event strictly below a seen user's mark. NONDECREASING is the precise
+  * contract (not strictly increasing): the fold is tie-safe because
+  * every stage filter is strict (`ts > t_prev`), so an event tying the
+  * mark can neither qualify retroactively nor lower a stage minimum —
+  * the s25 out-of-order law pins both directions. Replay stays legal:
+  * a re-run of batch b checks against the marks as of b-1 (its own
+  * writes invisible), exactly like its reads.
   */
 object FunnelTracker {
 
@@ -47,11 +61,13 @@ object FunnelTracker {
       lit(null).cast("timestamp").as("t_view"),
       lit(null).cast("timestamp").as("t_click"),
       lit(null).cast("timestamp").as("t_purchase"),
-      lit(0).as("stages_completed"))
+      lit(0).as("stages_completed"),
+      lit(null).cast("timestamp").as("hwm_ts"))
 
-  /** Live funnel tuple per user: highest-batch_id tail row below
-    * `batchId`. Schema-stable empty frame before any write. */
-  private[graft] def readTails(spark: SparkSession, tailDir: String,
+  /** One row per user ever seen — funnel tuple (NULL t_signup if the
+    * user never entered) plus the order mark: highest-batch_id tail row
+    * below `batchId`. Schema-stable empty frame before any write. */
+  private[graft] def readTailsFull(spark: SparkSession, tailDir: String,
       batchId: Long): DataFrame = {
     if (!StoreRead.hasParquetData(spark, tailDir)) return emptyTails(spark)
     val w = Window.partitionBy(col("user_id")).orderBy(col("batch_id").desc)
@@ -60,8 +76,19 @@ object FunnelTracker {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("t_signup"), col("t_view"),
-        col("t_click"), col("t_purchase"), col("stages_completed"))
+        col("t_click"), col("t_purchase"), col("stages_completed"),
+        col("hwm_ts"))
   }
+
+  /** Live funnel tuple per funnel-ENTERED user — the read-path face
+    * (q62's row set: hwm-only rows are store bookkeeping, not funnel
+    * state). */
+  private[graft] def readTails(spark: SparkSession, tailDir: String,
+      batchId: Long): DataFrame =
+    readTailsFull(spark, tailDir, batchId)
+      .filter(col("t_signup").isNotNull)
+      .select(col("user_id"), col("t_signup"), col("t_view"),
+        col("t_click"), col("t_purchase"), col("stages_completed"))
 
   /** One micro-batch of (user_id, event_type, ts): advance the touched
     * users' funnels, write the new tails to the batch's own partition. */
@@ -73,10 +100,30 @@ object FunnelTracker {
     // live in an older partition untouched. NULL-safe semi join: the
     // null-user group carries a tail like any key (it enters the funnel
     // at signup and strands there — the kernel's own semantics).
-    val stored = readTails(spark, tailDir, batchId)
+    val stored = readTailsFull(spark, tailDir, batchId)
     val batchUsers = ev.select(col("user_id").as("bu")).distinct()
+    // no pin despite two consumers (gate + synth): the frame is a
+    // join-rooted plan (checkpointing those poisons captured constraints
+    // for the later union — the r8 UnionBase.rewriteConstraints find)
+    // and the LWW window over an O(users) store is cheap to run twice
     val tails = stored
       .join(batchUsers, stored("user_id") <=> batchUsers("bu"), "left_semi")
+    // arrival-order gate: every batch event must sit at or above the
+    // touched user's stored hwm_ts — checked BEFORE any sink write so a
+    // violating batch leaves the store untouched (nondecreasing, not
+    // strict: the fold is tie-safe — see the class doc)
+    val bad = ev.groupBy(col("user_id")).agg(min(col("ts")).as("mn"))
+      .join(tails.select(col("user_id").as("hu"), col("hwm_ts")),
+        col("user_id") <=> col("hu"))
+      .filter(col("mn") < col("hwm_ts"))
+      .select(col("user_id"), col("mn"), col("hwm_ts"))
+      .limit(3).collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"s25 arrival-order contract violated in batch $batchId (a late " +
+        "event could qualify discarded history; q62 parity would " +
+        "silently break): " +
+        bad.map(r => s"user ${r.get(0)}: batch min ts ${r.get(1)} < high-water ${r.get(2)}")
+          .mkString("; "))
     // tail → one synthetic event per completed stage; the stored chain
     // is strictly increasing (the kernel's own filters built it), so the
     // kernel re-derives the identical tuple from it
@@ -94,7 +141,17 @@ object FunnelTracker {
     // directory the plan itself reads (r9 pinning discipline)
     val state = graft.queries.Events.funnel(synth.unionByName(ev))
       .localCheckpoint(true)
-    state.withColumn("batch_id", lit(batchId))
+    // new tail = EVERY batch user: funnel tuple where entered (NULL
+    // stages otherwise) + the advanced order mark — the gate above
+    // proved this batch's max ts is each touched user's new high water
+    val hwNew = ev.groupBy(col("user_id").as("hu"))
+      .agg(max(col("ts")).as("hwm_ts"))
+    hwNew.join(state, col("hu") <=> state("user_id"), "left")
+      .select(col("hu").as("user_id"), col("t_signup"), col("t_view"),
+        col("t_click"), col("t_purchase"),
+        coalesce(col("stages_completed"), lit(0)).as("stages_completed"),
+        col("hwm_ts"))
+      .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")

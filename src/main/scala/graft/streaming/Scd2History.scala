@@ -37,16 +37,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (ts, event_id) order across batches, [[history]] EQUALS batch q113 on
   * the concatenated log — SCD2 is a per-user left fold and the open
   * interval is its entire state.
+  *
+  * The arrival-order contract is ENFORCED, not assumed (r9/r10 verdict
+  * item 2): every user's tail carries the (hwm_ts, hwm_eid) high-water
+  * mark of ALL events seen (not just status changes — an absorbed
+  * same-status event advances the mark without touching valid_from), and
+  * [[processBatch]] rejects — IllegalStateException, before any sink
+  * write — a batch carrying an event at or below a touched user's mark.
+  * SCD2 is NOT order-insensitive (a late event re-orders the interval
+  * chain and re-opens closed history), so a violating batch must die at
+  * the boundary rather than silently diverge from q113 parity. Replay
+  * stays legal: a re-run of batch b checks against the marks as of b-1
+  * (its own writes invisible), exactly like its reads.
   */
 object Scd2History {
 
   private def emptyTails(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("user_id"), col("id").as("event_id"),
-      lit("").as("status"), lit(null).cast("timestamp").as("valid_from"))
+      lit("").as("status"), lit(null).cast("timestamp").as("valid_from"),
+      lit(null).cast("timestamp").as("hwm_ts"), col("id").as("hwm_eid"))
 
-  /** Live open interval per user: highest-batch_id tail row below
-    * `batchId`. Schema-stable empty frame before any write. */
-  private[graft] def readTails(spark: SparkSession, tailDir: String,
+  /** Live open interval per user WITH its order high-water mark:
+    * highest-batch_id tail row below `batchId`. Schema-stable empty
+    * frame before any write. */
+  private[graft] def readTailsFull(spark: SparkSession, tailDir: String,
       batchId: Long): DataFrame = {
     if (!StoreRead.hasParquetData(spark, tailDir)) return emptyTails(spark)
     val w = Window.partitionBy(col("user_id")).orderBy(col("batch_id").desc)
@@ -54,8 +68,15 @@ object Scd2History {
       .filter(col("batch_id") < batchId) // replay: never see own tails
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("status"), col("valid_from"))
+      .select(col("user_id"), col("event_id"), col("status"), col("valid_from"),
+        col("hwm_ts"), col("hwm_eid"))
   }
+
+  /** Live open interval per user — the read-path face (no mark). */
+  private[graft] def readTails(spark: SparkSession, tailDir: String,
+      batchId: Long): DataFrame =
+    readTailsFull(spark, tailDir, batchId)
+      .select(col("user_id"), col("event_id"), col("status"), col("valid_from"))
 
   /** One micro-batch of (user_id, event_id, event_type, ts): extend the
     * touched users' histories, write closed intervals + new tails to the
@@ -71,10 +92,34 @@ object Scd2History {
     // batch q113's window treats the NULL user_id as one ordinary group
     // (the log DOES carry null users — q109's null screen counts them),
     // so the null-user tail must keep chaining across batches too.
-    val stored = readTails(spark, tailDir, batchId)
+    val stored = readTailsFull(spark, tailDir, batchId)
     val batchUsers = ev.select(col("user_id").as("bu")).distinct()
-    val tails = stored
+    // no pin despite two consumers (gate + kernel): the frame is a
+    // join-rooted plan (checkpointing those poisons captured constraints
+    // for the later union — the r8 UnionBase.rewriteConstraints find)
+    // and the LWW window over an O(users) store is cheap to run twice
+    val storedTouched = stored
       .join(batchUsers, stored("user_id") <=> batchUsers("bu"), "left_semi")
+    // arrival-order gate: every batch event must sit strictly above the
+    // touched user's stored (hwm_ts, hwm_eid) mark — checked BEFORE any
+    // sink write so a violating batch leaves both stores untouched. One
+    // per-user aggregate of the batch + a null-safe join against the
+    // already-read tails; struct comparison is lexicographic, exactly
+    // the kernel's (ts, event_id) sort order.
+    val bad = ev.groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("mn"))
+      .join(storedTouched.select(col("user_id").as("hu"),
+          struct(col("hwm_ts").as("ts"), col("hwm_eid").as("event_id")).as("hw")),
+        col("user_id") <=> col("hu"))
+      .filter(col("mn") <= col("hw"))
+      .select(col("user_id"), col("mn"), col("hw"))
+      .limit(3).collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"s24 arrival-order contract violated in batch $batchId (SCD2 is " +
+        "order-sensitive; a late event re-orders closed history): " +
+        bad.map(r => s"user ${r.get(0)}: batch min ${r.get(1)} <= high-water ${r.get(2)}")
+          .mkString("; "))
+    val tails = storedTouched
       .select(col("user_id"), col("event_id"), col("status"),
         col("valid_from").as("ts"))
     // q113's kernel over tail ∪ batch: the tail sorts first under the
@@ -96,8 +141,16 @@ object Scd2History {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(closedDir)
-    intervals.filter(col("valid_to").isNull)
+    // new high-water mark per touched user = this batch's max (ts,
+    // event_id) — the gate above proved every stored mark sits below it
+    val hwNew = ev.groupBy(col("user_id").as("hu"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("mx"))
+      .select(col("hu"), col("mx.ts").as("hwm_ts"), col("mx.event_id").as("hwm_eid"))
+    val openTails = intervals.filter(col("valid_to").isNull)
       .select(col("user_id"), col("event_id"), col("status"), col("valid_from"))
+    openTails
+      .join(hwNew, openTails("user_id") <=> hwNew("hu"))
+      .drop("hu")
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -112,7 +165,9 @@ object Scd2History {
   def history(spark: SparkSession, tailDir: String, closedDir: String): DataFrame = {
     val closed =
       if (!StoreRead.hasParquetData(spark, closedDir))
-        emptyTails(spark).withColumn("valid_to", lit(null).cast("timestamp"))
+        emptyTails(spark)
+          .select(col("user_id"), col("event_id"), col("status"), col("valid_from"))
+          .withColumn("valid_to", lit(null).cast("timestamp"))
       else
         spark.read.parquet(closedDir)
           .select(col("user_id"), col("event_id"), col("status"),

@@ -29,6 +29,17 @@ import graft.queries.Pack
   * the concatenated corpus, because next-fit is a left fold and the
   * carried tail is its entire state.
   *
+  * The arrival-order contract is ENFORCED, not assumed (r9 verdict item
+  * 2 / r10 item 2): each tail carries the shard's doc_id high-water mark
+  * and [[processBatch]] rejects — IllegalStateException, before any sink
+  * write — a batch containing a doc at or below a touched shard's mark.
+  * Next-fit is NOT order-insensitive (a doc appended late lands in a
+  * later bin than the batch fold would have put it), so a violating
+  * batch must die at the boundary rather than silently diverge from the
+  * q96 parity the store promises. Replay stays legal: a re-run of batch
+  * b checks against the marks as of b-1 (its own writes invisible),
+  * exactly like its reads.
+  *
   * Scale posture: per batch, one hash shuffle of the batch's documents
   * on shard_id + a within-partition sort + the linear iterator fold
   * (q96's packAssignments seeded with the tails); the tail read is
@@ -36,10 +47,12 @@ import graft.queries.Pack
   * O(shards) — the same bounded driver state the q94 probe holds. */
 object SequencePacker {
 
-  /** Live (shard_id → (fill, bin)) tails: highest-batch_id row per shard
-    * below `batchId`. Empty map before any write (StoreRead guard). */
+  /** Live (shard_id → (fill, bin, max_doc)) tails: highest-batch_id row
+    * per shard below `batchId`. Empty map before any write (StoreRead
+    * guard). `max_doc` is the shard's doc_id high-water mark — the
+    * enforcement handle of the arrival-order contract. */
   private[graft] def readTails(spark: SparkSession, tailDir: String,
-      batchId: Long): Map[Long, (Long, Long)] = {
+      batchId: Long): Map[Long, (Long, Long, Long)] = {
     if (!StoreRead.hasParquetData(spark, tailDir)) return Map.empty
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard_id")).orderBy(col("batch_id").desc)
@@ -47,9 +60,9 @@ object SequencePacker {
       .filter(col("batch_id") < batchId) // replay: never see own tails
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("shard_id"), col("fill"), col("bin"))
+      .select(col("shard_id"), col("fill"), col("bin"), col("max_doc"))
       .collect() // O(shards) rows — bounded driver state by design
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
   }
 
@@ -61,6 +74,25 @@ object SequencePacker {
     if (batch.isEmpty) return
     import spark.implicits._
     val tails = readTails(spark, tailDir, batchId)
+    // arrival-order gate: O(shards) per-shard minima vs the stored
+    // high-water marks, checked BEFORE any sink write so a violating
+    // batch leaves both stores untouched (one map-side aggregate over
+    // the batch; the collect is O(shards), the q94-probe bound)
+    if (tails.nonEmpty) {
+      val violations = batch
+        .select((col("doc_id") % Pack.PackShards).as("shard_id"), col("doc_id"))
+        .groupBy(col("shard_id")).agg(min(col("doc_id")).as("min_doc"))
+        .collect().flatMap { r =>
+          val s = r.getLong(0); val d = r.getLong(1)
+          tails.get(s).collect { case (_, _, maxDoc) if d <= maxDoc =>
+            s"shard $s: doc $d <= high-water $maxDoc"
+          }
+        }
+      if (violations.nonEmpty) throw new IllegalStateException(
+        s"s23 arrival-order contract violated in batch $batchId (next-fit " +
+          s"is order-sensitive; q96 parity would silently break): " +
+          violations.take(3).mkString("; "))
+    }
     val asg = batch
       .select((col("doc_id") % Pack.PackShards).as("shard_id"), col("doc_id"),
         least(size(split(col("text"), " ")).cast("long"), lit(Pack.PackContext)).as("t"))
@@ -76,7 +108,7 @@ object SequencePacker {
         it.map { case (s, d, t) =>
           if (s != shard) {
             shard = s
-            val (pf, pb) = tails.getOrElse(s, (-1L, 0L))
+            val (pf, pb, _) = tails.getOrElse(s, (-1L, 0L, Long.MinValue))
             fill = pf; bin = pb
           }
           if (fill < 0L) { bin = 0L; fill = t }
@@ -96,12 +128,15 @@ object SequencePacker {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(assignDir)
-    // new tail per touched shard = state after that shard's LAST doc
+    // new tail per touched shard = state after that shard's LAST doc,
+    // plus the shard's new doc_id high-water mark (the order gate above
+    // guarantees it's this batch's max — all stored docs sit below it)
     asg.groupBy(col("shard_id"))
       .agg(max_by(struct(col("fill_after").as("fill"), col("bin_id").as("bin")),
-        col("doc_id")).as("m"))
+        col("doc_id")).as("m"),
+        max(col("doc_id")).as("max_doc"))
       .select(col("shard_id"), col("m").getField("fill").as("fill"),
-        col("m").getField("bin").as("bin"))
+        col("m").getField("bin").as("bin"), col("max_doc"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -1049,9 +1049,17 @@ class StreamingSpec extends SparkSpec {
       .localCheckpoint(true)
     val tsSorted = ev.select(col("ts")).orderBy(col("ts")).collect().map(_.getTimestamp(0))
     val (t1, t2) = (tsSorted(tsSorted.length / 3), tsSorted(2 * tsSorted.length / 3))
-    processBatch(ev.filter(col("ts") <= t1), tailDir, 0L)
-    processBatch(ev.filter(col("ts") > t1 && col("ts") <= t2), tailDir, 1L)
-    processBatch(ev.filter(col("ts") > t2), tailDir, 2L)
+    val batches = Seq(
+      ev.filter(col("ts") <= t1),
+      ev.filter(col("ts") > t1 && col("ts") <= t2),
+      ev.filter(col("ts") > t2))
+    // the ts-cut predicates all reject NULL — a NULL-ts event would
+    // silently vanish from the streamed side while batch q62 still sees
+    // it, making the parity assertion vacuously narrower (advisor r10);
+    // the split must partition the WHOLE log
+    assert(batches.map(_.count()).sum == ev.count(),
+      "batch split dropped events (NULL ts?) — parity would be vacuous")
+    batches.zipWithIndex.foreach { case (b, i) => processBatch(b, tailDir, i.toLong) }
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
     val want = rows(graft.queries.Events.q62(spark, sf001))
     val got = rows(funnelState(spark, tailDir))
@@ -1075,6 +1083,160 @@ class StreamingSpec extends SparkSpec {
     // partition — the state is bit-identical
     processBatch(ev.filter(col("ts") > t1 && col("ts") <= t2), tailDir, 1L)
     assert(rows(funnelState(spark, tailDir)) == want, "replay changed the funnel state")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s23/s24/s25 order gates: out-of-order batches rejected at the boundary, stores untouched; ties per contract") {
+    import spark.implicits._
+    val mk = (s: Int) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+
+    // ---- s23: a doc at or below a shard's high-water mark dies loudly
+    locally {
+      import graft.streaming.SequencePacker.{packedSummary, processBatch}
+      val (td, ad) = (tmpDir("gate23-t") + "/t", tmpDir("gate23-a") + "/a")
+      val sh = graft.queries.Pack.PackShards
+      processBatch(Seq((1L + sh, "b c d")).toDF("doc_id", "text"), td, ad, 0L)
+      val before = packedSummary(spark, ad).collect().toSeq
+      val ex = intercept[IllegalStateException] {
+        processBatch(Seq((1L, "a")).toDF("doc_id", "text"), td, ad, 1L)
+      }
+      assert(ex.getMessage.contains("s23 arrival-order"))
+      assert(packedSummary(spark, ad).collect().toSeq == before,
+        "rejected batch touched the s23 store")
+      // a conforming batch (same shard, higher doc) still lands
+      processBatch(Seq((1L + 2 * sh, "e")).toDF("doc_id", "text"), td, ad, 1L)
+      assert(spark.read.parquet(ad).count() == 2)
+    }
+
+    // ---- s24: SCD2 rejects below-mark AND tie (strict (ts, event_id));
+    // the null-user group is guarded like any key
+    locally {
+      import graft.streaming.Scd2History.{history, processBatch}
+      val (td, cd) = (tmpDir("gate24-t") + "/t", tmpDir("gate24-c") + "/c")
+      val b0 = Seq((Some(5L), 10L, "A", mk(10)), (Option.empty[Long], 20L, "A", mk(10)))
+        .toDF("user_id", "event_id", "event_type", "ts")
+      processBatch(b0, td, cd, 0L)
+      val before = history(spark, td, cd).collect().toSet
+      val exLate = intercept[IllegalStateException] {
+        processBatch(Seq((Some(5L), 11L, "B", mk(5)))
+          .toDF("user_id", "event_id", "event_type", "ts"), td, cd, 1L)
+      }
+      assert(exLate.getMessage.contains("s24 arrival-order"))
+      val exTie = intercept[IllegalStateException] { // duplicate (ts, eid)
+        processBatch(Seq((Some(5L), 10L, "B", mk(10)))
+          .toDF("user_id", "event_id", "event_type", "ts"), td, cd, 1L)
+      }
+      assert(exTie.getMessage.contains("s24 arrival-order"))
+      val exNull = intercept[IllegalStateException] {
+        processBatch(Seq((Option.empty[Long], 21L, "B", mk(5)))
+          .toDF("user_id", "event_id", "event_type", "ts"), td, cd, 1L)
+      }
+      assert(exNull.getMessage.contains("s24 arrival-order"))
+      assert(history(spark, td, cd).collect().toSet == before,
+        "rejected batches touched the s24 store")
+      // same ts with a HIGHER event_id is in-order — accepted, closes A
+      processBatch(Seq((Some(5L), 12L, "B", mk(10)))
+        .toDF("user_id", "event_id", "event_type", "ts"), td, cd, 1L)
+      assert(history(spark, td, cd).filter(col("user_id") === 5L).count() == 2)
+    }
+
+    // ---- s25: funnel rejects below-mark; the mark of a user whose
+    // events were DISCARDED (pre-signup view) still guards — the hole an
+    // entered-only store would have had; equal-ts ties are legal and
+    // tie-safe (strict stage filters), pinned against the batch kernel
+    locally {
+      import graft.streaming.FunnelTracker.{funnelState, processBatch}
+      val td = tmpDir("gate25-t") + "/t"
+      processBatch(Seq((Some(5L), "signup", mk(10)), (Some(6L), "view", mk(10)))
+        .toDF("user_id", "event_type", "ts"), td, 0L)
+      val before = funnelState(spark, td).collect().toSet
+      val exLate = intercept[IllegalStateException] {
+        processBatch(Seq((Some(5L), "view", mk(5)))
+          .toDF("user_id", "event_type", "ts"), td, 1L)
+      }
+      assert(exLate.getMessage.contains("s25 arrival-order"))
+      val exGhost = intercept[IllegalStateException] {
+        // user 6 never entered the funnel, but a signup below their seen
+        // mark would retroactively qualify the discarded view
+        processBatch(Seq((Some(6L), "signup", mk(5)))
+          .toDF("user_id", "event_type", "ts"), td, 1L)
+      }
+      assert(exGhost.getMessage.contains("s25 arrival-order"))
+      assert(funnelState(spark, td).collect().toSet == before,
+        "rejected batches touched the s25 store")
+      // tie at the mark: accepted (nondecreasing contract), and the
+      // same-ts view must NOT qualify — exactly batch q62's strict chain
+      processBatch(Seq((Some(5L), "view", mk(10)))
+        .toDF("user_id", "event_type", "ts"), td, 2L)
+      val concat = Seq((Some(5L), "signup", mk(10)), (Some(6L), "view", mk(10)),
+        (Some(5L), "view", mk(10))).toDF("user_id", "event_type", "ts")
+      assert(funnelState(spark, td).collect().toSet ==
+        graft.queries.Events.funnel(concat).collect().toSet,
+        "tie handling diverged from the batch kernel")
+    }
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s27: streamed as-of enrichment == batch q09 in ts order; clicks span batches; replay no-op; order gate; tie boundary") {
+    import graft.streaming.AsOfEnrich.{clickState, enriched, processBatch}
+    val tailDir = tmpDir("s27-tail") + "/t"
+    val enrichDir = tmpDir("s27-enrich") + "/e"
+    // guard: schema-stable empty frame before any write
+    val empty = enriched(spark, enrichDir)
+    assert(empty.columns.toSeq == Seq("event_id", "user_id", "purchase_ts", "click_ts"))
+    assert(empty.collect().isEmpty)
+    // the log in three ts-ordered batches — a global ts cut respects
+    // every user's ts order, the arrival order the batch-parity law
+    // assumes (the tail carries each user's latest click; of the old
+    // clicks only the latest can win a strict-< as-of)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .localCheckpoint(true)
+    val tsSorted = ev.select(col("ts")).orderBy(col("ts")).collect().map(_.getTimestamp(0))
+    val (t1, t2) = (tsSorted(tsSorted.length / 3), tsSorted(2 * tsSorted.length / 3))
+    val batches = Seq(
+      ev.filter(col("ts") <= t1),
+      ev.filter(col("ts") > t1 && col("ts") <= t2),
+      ev.filter(col("ts") > t2))
+    assert(batches.map(_.count()).sum == ev.count(),
+      "batch split dropped events (NULL ts?) — parity would be vacuous")
+    batches.zipWithIndex.foreach { case (b, i) => processBatch(b, tailDir, enrichDir, i.toLong) }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    val want = rows(graft.queries.Events.q09(spark, sf001))
+    assert(rows(enriched(spark, enrichDir)) == want,
+      "streamed as-of diverged from batch q09")
+    // non-vacuous: some purchase was enriched by a click CARRIED across
+    // the first cut — the tail did real work
+    val spanning = spark.read.parquet(enrichDir)
+      .filter(col("batch_id") >= 1 && col("click_ts") <= t1).count()
+    assert(spanning > 0, "no click crossed a batch boundary — split differently")
+    // replay law: re-running batch 1 after batch 2 reads only tails with
+    // batch_id < 1, recomputes identical content, overwrites its own
+    // partitions — both sinks bit-identical
+    processBatch(ev.filter(col("ts") > t1 && col("ts") <= t2), tailDir, enrichDir, 1L)
+    assert(rows(enriched(spark, enrichDir)) == want, "replay changed the enrichment")
+    // order gate: a batch below the marks is rejected, stores untouched
+    val exLate = intercept[IllegalStateException] {
+      processBatch(ev.filter(col("ts") <= t1), tailDir, enrichDir, 3L)
+    }
+    assert(exLate.getMessage.contains("s27 arrival-order"))
+    assert(rows(enriched(spark, enrichDir)) == want, "rejected batch touched the store")
+    // tie boundary: a click AT the purchase timestamp never matches —
+    // whichever batch it arrived in (strict <, the q09 boundary); the
+    // next strictly-later purchase picks it up from the tail
+    import spark.implicits._
+    val mk = (s: Int) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val (td2, ed2) = (tmpDir("s27-tie-t") + "/t", tmpDir("s27-tie-e") + "/e")
+    processBatch(Seq((1L, Some(9L), "click", mk(10)))
+      .toDF("event_id", "user_id", "event_type", "ts"), td2, ed2, 0L)
+    processBatch(Seq((2L, Some(9L), "purchase", mk(10)), (3L, Some(9L), "purchase", mk(11)))
+      .toDF("event_id", "user_id", "event_type", "ts"), td2, ed2, 1L)
+    val got = enriched(spark, ed2).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(got == Map(2L -> None, 3L -> Some(mk(10))),
+      "strict-< tie boundary diverged across the batch split")
+    assert(clickState(spark, td2).collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+      == Seq((9L, mk(10))))
     SparkEntry.clearGraftCaches(spark)
   }
 
