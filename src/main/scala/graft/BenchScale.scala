@@ -61,7 +61,10 @@ object BenchScale {
       // events amplify too — user cardinality grows A× at the original
       // per-user cadence)
       "q113_scd2_history" -> "count",
-      "q114_bill_aging" -> "count"
+      "q114_bill_aging" -> "count",
+      // r9 additions (r10 verdict item 3): the PQ chain and BPE encode
+      "q111_bpe_encode" -> "count",
+      "q112_pq_adc" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)
@@ -103,6 +106,9 @@ object BenchScale {
       .split(",").map(_.trim.toInt).toSeq
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // targeted re-runs (a failed section shouldn't cost the whole ladder)
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SCALE_SECTIONS",
+      "ladder,confirm,skew,stream").split(",").map(_.trim).toSet
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -125,7 +131,7 @@ object BenchScale {
     var q90SkewMarkers = -1
     var q90AqePlanSeen = false
 
-    for (a <- factors.sorted) {
+    for (a <- factors.sorted if sections("ladder")) {
       val dir = s"$scaleRoot/x$a"
       // Partition count tracks the data, exactly as a cluster deployment
       // sizes spark.sql.shuffle.partitions to input-bytes / ~128 MB: ×32
@@ -153,21 +159,6 @@ object BenchScale {
           System.err.println(f"[bench-scale] x$a pass$p $name%-32s $dt%8.2f s rows=$rows")
         }
       }
-      // AQE evidence on the skew-shaped probe join: execute q90's OWN
-      // plan tree (a noop write — count() executes a different tree whose
-      // final adaptive plan this df would not carry) and read the
-      // finalized AdaptiveSparkPlan for skew-handling markers.
-      if (a == factors.max) {
-        try {
-          val df = SparkEntry.queries("q90_ivf_knn")(spark, dir)
-          df.write.format("noop").mode("overwrite").save()
-          val lower = df.queryExecution.executedPlan.toString().toLowerCase
-          q90SkewMarkers = "skew".r.findAllIn(lower).length
-          q90AqePlanSeen = lower.contains("adaptivesparkplan")
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench-scale] q90 plan capture failed: ${e.getMessage}")
-        } finally SparkEntry.clearGraftCaches(spark)
-      }
       // Demonstrate the LSH density knob is load-bearing: fixed 4-bit
       // buckets at ×4 (≈16× the candidate volume of the scaled form).
       if (a == 4) {
@@ -182,6 +173,90 @@ object BenchScale {
       times(a) = byQ
     }
 
+    // ---- ×64 confirmation of the steepest exponents (r10 item 3) ----
+    // q36/q84 measured exp_hi 0.81/0.89 at ×32 — the two steepest curves
+    // on the board; one more octave decides whether they bend upward.
+    // Only those two run (the rest sit well below linear at ×32).
+    val confirmFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONFIRM", "64").toInt
+    if (sections("confirm") && confirmFactor > factors.max) {
+      val dir = s"$scaleRoot/x$confirmFactor"
+      spark.conf.set("spark.sql.shuffle.partitions",
+        (cpus.toInt * math.max(1, confirmFactor / 8)).toString)
+      val tGen0 = System.nanoTime()
+      ScaleGen.amplify(spark, base, dir, confirmFactor)
+      System.err.println(f"[bench-scale] x$confirmFactor corpus ready in ${(System.nanoTime() - tGen0) / 1e9}%.1f s")
+      val byQ = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+      for ((name, fn, action) <- buildQueries(confirmFactor)
+           if name.startsWith("q36") || name.startsWith("q84")) {
+        val (dt, rows) = runOnce(spark, name, fn, dir, action)
+        noteHeap()
+        if (dt >= 0) byQ(name) = (dt, rows)
+        System.err.println(f"[bench-scale] x$confirmFactor $name%-32s $dt%8.2f s rows=$rows")
+      }
+      times(confirmFactor) = byQ
+    }
+
+    // ---- AQE skew-join rehearsal on a REAL hot cell (r9 task 6) ----
+    // ~30% of the skew corpus shares replica-0 geometry and label space
+    // (ScaleGen.amplify skewHot), so group-0 IVF cells hold ~hotReps×
+    // the members of any rotated group's — the hot-key shape a
+    // duplicate-heavy crawl source produces. q90's probe join
+    // (saltedProbes ⋈ members on (cell, salt)) is the engine's declared
+    // skew surface: the deterministic dst-hash salt is the FIRST defense
+    // (each hot cell spreads over ProbeSalt keys); AQE skew-join
+    // splitting is the second, and this run proves it ENGAGES on the
+    // residual hot partitions and PRESERVES results (AQE-on == AQE-off
+    // count + order-free hash). Thresholds are scaled to the local
+    // corpus: the defaults (256 MB / factor 5) assume production-size
+    // partitions; locally the hot (cell, salt) groups are tens of MB, so
+    // the rehearsal sets byte thresholds a few local medians high — the
+    // RATIO criterion is what's under test, not the absolute bytes.
+    var q90SkewEqual = false
+    if (sections("skew")) {
+      val aS = factors.max
+      val skewDir = s"$scaleRoot/x${aS}skew"
+      spark.conf.set("spark.sql.shuffle.partitions",
+        (cpus.toInt * math.max(1, aS / 8)).toString)
+      val tGen0 = System.nanoTime()
+      ScaleGen.amplify(spark, base, skewDir, aS, skewHot = true)
+      System.err.println(f"[bench-scale] x${aS}skew corpus ready in ${(System.nanoTime() - tGen0) / 1e9}%.1f s")
+      def runQ90(aqe: Boolean): Option[(Long, Long, Int, Boolean)] = {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        try {
+          // bit_xor, not sum: order-free like sum but cannot overflow
+          // (the session runs ANSI mode; 320k summed xxhash64s did)
+          val agg = SparkEntry.queries("q90_ivf_knn")(spark, skewDir)
+            .agg(count(lit(1)).as("n"),
+              bit_xor(xxhash64(col("src"), col("rk"), col("dst"), col("sim"))).as("h"))
+          val row = agg.collect()(0)
+          val plan = agg.queryExecution.executedPlan.toString().toLowerCase
+          Some((row.getLong(0), row.getLong(1),
+            "skew".r.findAllIn(plan).length, plan.contains("adaptivesparkplan")))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench-scale] q90 skew run (aqe=$aqe) failed: ${e.getMessage}")
+          None
+        } finally SparkEntry.clearGraftCaches(spark)
+      }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      val on = runQ90(aqe = true)
+      val off = runQ90(aqe = false)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      for ((n, h, markers, adaptive) <- on) {
+        q90SkewMarkers = markers
+        q90AqePlanSeen = adaptive
+        q90SkewEqual = off.exists { case (n2, h2, _, _) => n == n2 && h == h2 }
+        System.err.println(s"[bench-scale] q90 skew: rows=$n markers=$markers " +
+          s"adaptive=$adaptive equal_to_aqe_off=$q90SkewEqual")
+      }
+      noteHeap()
+    }
+
     // ---- streaming stores over the largest corpus ----
     val aMax = factors.max
     val bigDir = s"$scaleRoot/x$aMax"
@@ -192,7 +267,7 @@ object BenchScale {
       }
       rm(new java.io.File(p))
     }
-    rmrf(streamRoot)
+    if (sections("stream")) rmrf(streamRoot)
     val nBatches = 4
     val repsPerBatch = math.max(1, aMax / nBatches)
     def docBatch(b: Int): DataFrame =
@@ -206,7 +281,7 @@ object BenchScale {
 
     val streaming = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
 
-    locally { // s14 incremental dedup: 4-batch admission
+    if (sections("stream")) locally { // s14 incremental dedup: 4-batch admission
       val t0 = System.nanoTime()
       for (b <- 0 until nBatches)
         graft.streaming.IncrementalDedup.processBatch(docBatch(b),
@@ -216,7 +291,7 @@ object BenchScale {
       streaming("s14_incremental_dedup") = ((System.nanoTime() - t0) / 1e9, accepted)
       noteHeap()
     }
-    locally { // s15 incremental index: 4-batch build + one read-side view
+    if (sections("stream")) locally { // s15 incremental index: 4-batch build + one read-side view
       val t0 = System.nanoTime()
       for (b <- 0 until nBatches)
         graft.streaming.IncrementalIndex.processBatch(docBatch(b),
@@ -226,7 +301,7 @@ object BenchScale {
       streaming("s15_incremental_index") = ((System.nanoTime() - t0) / 1e9, indexRows)
       noteHeap()
     }
-    locally { // s23 sequence packing: 4 doc batches through the tail store
+    if (sections("stream")) locally { // s23 sequence packing: 4 doc batches through the tail store
       val t0 = System.nanoTime()
       for (b <- 0 until nBatches)
         graft.streaming.SequencePacker.processBatch(docBatch(b),
@@ -236,7 +311,7 @@ object BenchScale {
       streaming("s23_stream_packing") = ((System.nanoTime() - t0) / 1e9, bins)
       noteHeap()
     }
-    locally { // s24 SCD2 history: 4 event batches split by replica block
+    if (sections("stream")) locally { // s24 SCD2 history: 4 event batches split by replica block
       // (each user's whole chain sits in one batch - per-user ts order,
       // the parity precondition, holds trivially)
       def evBatch(b: Int): DataFrame =
@@ -253,7 +328,40 @@ object BenchScale {
       streaming("s24_stream_scd2") = ((System.nanoTime() - t0) / 1e9, hist)
       noteHeap()
     }
-    locally { // s17 vector index: offline codebook + 4-batch ingest + probe
+    if (sections("stream")) locally { // s25 funnel: 4 event batches split by user replica block
+      // (each user's whole chain in one batch — the enforced per-user
+      // order contract holds trivially)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("user_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("user_id"), col("event_type"), col("ts"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.FunnelTracker.processBatch(evBatch(b),
+          s"$streamRoot/s25/tails", b.toLong)
+      val users = graft.streaming.FunnelTracker
+        .funnelState(spark, s"$streamRoot/s25/tails").count()
+      streaming("s25_stream_funnel") = ((System.nanoTime() - t0) / 1e9, users)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s26 ledger: 4 event batches split by event_id block (the
+      // additive store needs no order assumption — any split is legal)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("event_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("user_id"), col("event_type"), col("value"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.LedgerStore.processBatch(evBatch(b),
+          s"$streamRoot/s26/store", b.toLong)
+      val rows = graft.streaming.LedgerStore
+        .ledger(spark, s"$streamRoot/s26/store").count()
+      streaming("s26_stream_ledger") = ((System.nanoTime() - t0) / 1e9, rows)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s17 vector index: offline codebook + 4-batch ingest + probe
       val t0 = System.nanoTime()
       val emb = spark.read.parquet(s"$bigDir/embeddings.parquet")
       val cells = Vectors.codebook(Vectors.trainedComponents(emb))
@@ -271,7 +379,8 @@ object BenchScale {
     // ---- report ----
     def jnum(d: Double): String =
       if (d.isNaN) "null" else f"$d%.3f"
-    val sorted = factors.sorted
+    val ladder = factors.sorted
+    val sorted = times.keys.toSeq.sorted
     val qNames = {
       val seen = scala.collection.mutable.LinkedHashSet.empty[String]
       for (a <- sorted; n <- times(a).keys) seen += n.takeWhile(_ != '[')
@@ -296,9 +405,12 @@ object BenchScale {
         tl <- at(lo).map(_._1) if tl > 0
         th <- at(hi).map(_._1) if th > 0
       } yield math.log(th / tl) / math.log(hi.toDouble / lo)).getOrElse(Double.NaN)
-      val expLo = if (sorted.size >= 2) fitBase(sorted(0), sorted(1)) else Double.NaN
-      val expHi = if (sorted.size >= 3) fitBase(sorted(1), sorted(2)) else Double.NaN
-      s"""    "$baseName": {"t":{$tStr},"rows":{$rStr},"exp_lo":${jnum(expLo)},"exp_hi":${jnum(expHi)}}"""
+      val expLo = if (ladder.size >= 2) fitBase(ladder(0), ladder(1)) else Double.NaN
+      val expHi = if (ladder.size >= 3) fitBase(ladder(1), ladder(2)) else Double.NaN
+      // the ×64 confirmation octave, when run (q36/q84 only)
+      val expConfirm = sorted.filter(_ > ladder.max).lastOption
+        .map(cf => fitBase(ladder.max, cf)).getOrElse(Double.NaN)
+      s"""    "$baseName": {"t":{$tStr},"rows":{$rStr},"exp_lo":${jnum(expLo)},"exp_hi":${jnum(expHi)},"exp_confirm":${jnum(expConfirm)}}"""
     }.mkString(",\n")
     val streamJson = streaming.map { case (n, (t, r)) =>
       f"""    "$n": {"sec":$t%.2f,"rows":$r}"""
@@ -319,6 +431,7 @@ $streamJson
   },
   "q90_aqe_plan": $q90AqePlanSeen,
   "q90_skew_markers": $q90SkewMarkers,
+  "q90_skew_equal_aqe_off": $q90SkewEqual,
   "heap_peak_mb": $heapPeakMb,
   "driver_xmx_mb": ${rt.maxMemory() / (1024 * 1024)}
 }

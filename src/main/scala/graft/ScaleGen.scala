@@ -71,17 +71,29 @@ object ScaleGen {
         col("event_type"), col("value"), col("props"))
   }
 
-  private[graft] def amplifyEmbeddings(emb: DataFrame, a: Int): DataFrame = {
+  /** Hot replica count for the skew rehearsal: ~30% of the corpus. */
+  def hotReps(a: Int): Int = math.ceil(0.3 * a).toInt
+
+  /** `hot` > 0 plants IVF-cell skew (the AQE rehearsal, r9 task 6):
+    * replicas r < hot keep replica 0's geometry (no rotation) AND
+    * replica 0's label space, so the label-seeded cells of group 0
+    * accumulate ~hot× the members of any rotated group's cells — ~30% of
+    * the corpus concentrated in ~1/labelGroups of the cells, the hot-key
+    * shape a crawler's duplicate-heavy source produces. Everything else
+    * is the non-degenerate amplification documented above. */
+  private[graft] def amplifyEmbeddings(emb: DataFrame, a: Int, hot: Int = 0): DataFrame = {
     val reps = emb.sparkSession.range(a).select(col("id").cast("int").as("r"))
     val shift = (col("r") * 13) % 64
+    val grp = when(col("r") < hot, lit(0))
+      .otherwise(pmod(col("r"), lit(labelGroups(a))))
     emb.crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("r").cast("long") * IdStride).as("vec_id"),
-        when(col("r") === 0, col("embedding"))
+        when(col("r") === 0 || col("r") < hot, col("embedding"))
           .otherwise(concat(
             slice(col("embedding"), shift + 1, lit(64) - shift),
             slice(col("embedding"), lit(1), shift))).as("embedding"),
-        (col("label") + pmod(col("r"), lit(labelGroups(a))) * 100000)
+        (col("label") + grp * 100000)
           .cast("int").as("label"))
   }
 
@@ -89,10 +101,11 @@ object ScaleGen {
     * pass force = true to rebuild). File counts scale with A so the scan
     * parallelism grows with the data like a real ingest's would. */
   def amplify(spark: SparkSession, srcDir: String, outDir: String, a: Int,
-      force: Boolean = false): Unit = {
+      force: Boolean = false, skewHot: Boolean = false): Unit = {
     // marker carries the fixture vintage: v2 added events amplification,
-    // so v1 corpora regenerate automatically
-    val okFile = new java.io.File(outDir, "_OK_v2")
+    // so v1 corpora regenerate automatically; skew corpora get their own
+    // marker so a dir can't silently serve the wrong variant
+    val okFile = new java.io.File(outDir, if (skewHot) "_OK_v2skew" else "_OK_v2")
     if (okFile.exists() && !force) return
     val out = new java.io.File(outDir)
     if (out.exists()) {
@@ -106,7 +119,8 @@ object ScaleGen {
     amplifyDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), a)
       .repartition(math.max(2, a / 2))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    amplifyEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), a)
+    amplifyEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), a,
+        if (skewHot) hotReps(a) else 0)
       .repartition(math.max(2, a / 4))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     amplifyEvents(spark.read.parquet(s"$srcDir/events.parquet"), a)
