@@ -95,6 +95,11 @@ object FunnelTracker {
   def processBatch(batch: DataFrame, tailDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
+    // bound the LWW read: fold committed tail partitions into the base
+    // every TailCompactEvery batches (top-of-batch, so a replay of THIS
+    // batch reads the base = state through batchId − 1, unchanged)
+    if (batchId > 0 && batchId % StoreRead.TailCompactEvery == 0)
+      StoreRead.compactLww(spark, tailDir, Seq("user_id"), batchId)
     val ev = batch.select(col("user_id"), col("event_type"), col("ts"))
     // only the batch's users can advance; everyone else's tail stays
     // live in an older partition untouched. NULL-safe semi join: the

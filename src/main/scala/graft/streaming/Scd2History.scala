@@ -85,6 +85,12 @@ object Scd2History {
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
+    // bound the LWW read: fold committed tail partitions into the base
+    // every TailCompactEvery batches (top-of-batch, so a replay of THIS
+    // batch reads the base = state through batchId − 1, unchanged);
+    // closedDir is append-only facts and never folds
+    if (batchId > 0 && batchId % StoreRead.TailCompactEvery == 0)
+      StoreRead.compactLww(spark, tailDir, Seq("user_id"), batchId)
     val ev = batch.select(col("user_id"), col("event_id"),
       col("event_type").as("status"), col("ts"))
     // only the batch's users can change state; everyone else's tail

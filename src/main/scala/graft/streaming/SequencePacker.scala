@@ -73,6 +73,11 @@ object SequencePacker {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     import spark.implicits._
+    // bound the LWW read: fold committed tail partitions into the base
+    // every TailCompactEvery batches (top-of-batch, so a replay of THIS
+    // batch reads the base = state through batchId − 1, unchanged)
+    if (batchId > 0 && batchId % StoreRead.TailCompactEvery == 0)
+      StoreRead.compactLww(spark, tailDir, Seq("shard_id"), batchId)
     val tails = readTails(spark, tailDir, batchId)
     // arrival-order gate: O(shards) per-shard minima vs the stored
     // high-water marks, checked BEFORE any sink write so a violating

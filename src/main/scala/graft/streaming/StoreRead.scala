@@ -2,6 +2,8 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Shared guard for the streaming stores' read paths (advisor r8).
   *
@@ -30,5 +32,61 @@ object StoreRead {
         return true
     }
     false
+  }
+
+  /** Fold a keyed-LWW tail store's committed batch partitions every
+    * this-many batches (the s15/s16/s21 cadence). */
+  val TailCompactEvery = 8L
+
+  /** Fold every committed tail partition (0 ≤ batch_id < upToBatch)
+    * plus the previous base into ONE LWW-resolved base partition
+    * (batch_id = −1, still below every future batch), then delete the
+    * folded per-batch partitions — s15's compaction discipline lifted
+    * to any keyed-LWW tail store (s23 shard tails, s24/s25/s27 user
+    * tails). Without this the LWW read scans one partition per batch
+    * ever committed — unbounded in stream lifetime; with it the store
+    * is O(keys) + CompactEvery partitions at any moment.
+    *
+    * Failure analysis, by write order (s15's argument verbatim): the
+    * base lands BEFORE any delete, so at every intermediate point each
+    * key's max surviving batch_id holds exactly the rows the resolved
+    * base holds for it (either the winning partition still exists, or
+    * the base — now the key's only copy — holds the winner's row), and
+    * the LWW read view is invariant; a crashed fold re-runs to the same
+    * base. Callers trigger it at the TOP of batch `upToBatch`, so a
+    * replay of that batch reads the base — LWW state through
+    * upToBatch − 1, exactly what the uncompacted read gave it — and the
+    * order-gate marks ride the fold like any tail column. NULL keys
+    * form one window group, preserving the null-user tails.
+    *
+    * The fold itself is one shuffle of O(keys + CompactEvery·touched)
+    * rows on the key — never event-scale. */
+  def compactLww(spark: SparkSession, dirStr: String, keyCols: Seq[String],
+      upToBatch: Long): Unit = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val folded = fs.listStatus(dir).map(_.getPath).filter { p =>
+      p.getName.startsWith("batch_id=") &&
+        scala.util.Try(p.getName.stripPrefix("batch_id=").toLong)
+          .toOption.exists(v => v >= 0 && v < upToBatch)
+    }
+    if (folded.isEmpty) return
+    val raw = spark.read.parquet(dirStr)
+    val payload = raw.columns.filter(_ != "batch_id").toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("batch_id").desc)
+    val base = raw
+      .filter(col("batch_id").cast("long") < upToBatch) // incl. previous base (−1)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(payload.map(col): _*)
+      .localCheckpoint(true) // pin: the overwrite below rewrites the source path
+    base.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dirStr)
+    folded.foreach(p => fs.delete(p, true))
+    ()
   }
 }

@@ -1240,6 +1240,123 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("tail-store compaction (s23/s24/s25/s27): parity across the fold; store stays O(keys); crash window invisible; gates survive") {
+    import graft.streaming.StoreRead
+    def partNames(dir: String): Set[String] = {
+      val f = new java.io.File(dir)
+      if (!f.exists()) Set.empty
+      else f.listFiles().filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    }
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(c => copyDir(c, new java.io.File(dst, c.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // ten batches cross the TailCompactEvery = 8 boundary: batch 8's
+    // top-of-batch fold leaves {base, 8, 9} — O(keys) + tail partitions
+    assert(StoreRead.TailCompactEvery == 8L, "test assumes the 8-batch cadence")
+
+    // ---- s23 (shard-keyed tails) + the crash-window law
+    locally {
+      import graft.streaming.SequencePacker.{packedSummary, processBatch}
+      val (td, ad) = (tmpDir("cmp23-t") + "/t", tmpDir("cmp23-a") + "/a")
+      val docs = graft.tables.Tables.documents(spark, sf001)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      def slice(b: Int) = {
+        val lo = ids(b * ids.length / 10)
+        val hi = if (b == 9) Long.MaxValue else ids((b + 1) * ids.length / 10)
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      }
+      for (b <- 0 until 8) processBatch(slice(b), td, ad, b.toLong)
+      // crash-window simulation: keep a pre-fold copy of partition 3,
+      // run batch 8 (folds 0..7 into the base), then resurrect the
+      // leftover — the state where the fold crashed after the base
+      // write but before deleting partition 3. LWW must be blind to it.
+      val p3 = new java.io.File(td, "batch_id=3")
+      val saved = new java.io.File(tmpDir("cmp23-s"), "batch_id=3")
+      copyDir(p3, saved)
+      processBatch(slice(8), td, ad, 8L)
+      assert(partNames(td) == Set("batch_id=-1", "batch_id=8"),
+        s"fold left ${partNames(td)}")
+      val view = packedSummary(spark, ad).collect().toSeq
+      copyDir(saved, new java.io.File(td, "batch_id=3"))
+      processBatch(slice(9), td, ad, 9L) // reads through the leftover
+      val want = packedSummary(spark, ad).collect().toSeq
+      // re-run of the crashed fold clears the leftover, view unchanged
+      StoreRead.compactLww(spark, td, Seq("shard_id"), 9L)
+      assert(partNames(td) == Set("batch_id=-1", "batch_id=9"))
+      assert(packedSummary(spark, ad).collect().toSeq == want)
+      // parity with batch q96 across fold + leftover + refold
+      assert(want == graft.queries.Pack.q96(spark, sf001).collect().toSeq,
+        "compacted stream diverged from batch q96")
+      assert(view.nonEmpty)
+    }
+
+    // ---- s24/s25/s27 (user-keyed tails): ten ts-cut batches, parity,
+    // replay-after-fold no-op, order gate still armed off the base
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .localCheckpoint(true)
+    val tsSorted = ev.select(col("ts")).orderBy(col("ts")).collect().map(_.getTimestamp(0))
+    def cut(b: Int) = tsSorted(math.min(b * tsSorted.length / 10, tsSorted.length - 1))
+    def slice(b: Int) = {
+      val lo = cut(b)
+      if (b == 9) ev.filter(col("ts") > lo)
+      else ev.filter(col("ts") > lo && col("ts") <= cut(b + 1))
+    }
+    def batches = Seq(ev.filter(col("ts") <= cut(1))) ++ (1 until 10).map(slice)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+
+    locally { // s24
+      import graft.streaming.Scd2History.{history, processBatch}
+      val (td, cd) = (tmpDir("cmp24-t") + "/t", tmpDir("cmp24-c") + "/c")
+      def b24(b: Int) = batches(b).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts"))
+      for (b <- 0 until 10) processBatch(b24(b), td, cd, b.toLong)
+      assert(partNames(td) == Set("batch_id=-1", "batch_id=8", "batch_id=9"))
+      val want = rows(graft.queries.Events.q113(spark, sf001))
+      assert(rows(history(spark, td, cd)) == want,
+        "compacted stream diverged from batch q113")
+      processBatch(b24(9), td, cd, 9L) // replay across the base
+      assert(rows(history(spark, td, cd)) == want, "replay after fold changed history")
+      val ex = intercept[IllegalStateException] { processBatch(b24(0), td, cd, 10L) }
+      assert(ex.getMessage.contains("s24 arrival-order"),
+        "order marks did not survive the fold")
+    }
+    locally { // s25
+      import graft.streaming.FunnelTracker.{funnelState, processBatch}
+      val td = tmpDir("cmp25-t") + "/t"
+      def b25(b: Int) = batches(b).select(col("user_id"), col("event_type"), col("ts"))
+      for (b <- 0 until 10) processBatch(b25(b), td, b.toLong)
+      assert(partNames(td) == Set("batch_id=-1", "batch_id=8", "batch_id=9"))
+      val want = rows(graft.queries.Events.q62(spark, sf001))
+      assert(rows(funnelState(spark, td)) == want,
+        "compacted stream diverged from batch q62")
+      val ex = intercept[IllegalStateException] { processBatch(b25(0), td, 10L) }
+      assert(ex.getMessage.contains("s25 arrival-order"))
+    }
+    locally { // s27
+      import graft.streaming.AsOfEnrich.{enriched, processBatch}
+      val (td, ed) = (tmpDir("cmp27-t") + "/t", tmpDir("cmp27-e") + "/e")
+      def b27(b: Int) = batches(b).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"))
+      for (b <- 0 until 10) processBatch(b27(b), td, ed, b.toLong)
+      assert(partNames(td) == Set("batch_id=-1", "batch_id=8", "batch_id=9"))
+      val want = rows(graft.queries.Events.q09(spark, sf001))
+      assert(rows(enriched(spark, ed)) == want,
+        "compacted stream diverged from batch q09")
+      processBatch(b27(9), td, ed, 9L) // replay across the base
+      assert(rows(enriched(spark, ed)) == want, "replay after fold changed enrichment")
+      val ex = intercept[IllegalStateException] { processBatch(b27(0), td, ed, 10L) }
+      assert(ex.getMessage.contains("s27 arrival-order"))
+    }
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s26: streamed ledger == batch q115 under an ARBITRARY batch split; replay no-op; null-user dual rows") {
     import graft.streaming.LedgerStore.{ledger, processBatch}
     val storeDir = tmpDir("s26-store") + "/store"
