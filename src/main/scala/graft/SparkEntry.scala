@@ -189,6 +189,12 @@ object SparkEntry {
     "q122_value_concentration" -> Relational.q122 _,
     "q123_top_supplier"       -> Relational.q123 _,
     "q124_dormant_capital"    -> Relational.q124 _,
+    "q125_order_priority_check" -> Relational.q125 _,
+    "q126_market_share"       -> Relational.q126 _,
+    "q127_customer_distribution" -> Relational.q127 _,
+    "q128_promo_revenue"      -> Relational.q128 _,
+    "q129_small_qty_revenue"  -> Relational.q129 _,
+    "q130_waiting_suppliers"  -> Relational.q130 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

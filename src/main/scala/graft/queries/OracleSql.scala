@@ -550,6 +550,118 @@ object OracleSql {
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
 
+    // q125: EXISTS == the engine's left-semi; lateness is defined
+    // against o_orderdate (no commit/receipt dates in the schema) and
+    // rides the orderkey equi-join; counts are exact.
+    "q125_order_priority_check" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
+    // q126: numerator and denominator are decimal-exact conditional
+    // sums over the SAME joined rows (NULL-skipping CASE mirrors the
+    // engine's conditional SUM); the share is COALESCE(num,0)/den —
+    // one IEEE division of identical operands.
+    "q126_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  COALESCE(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7' THEN
+        |      CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END)
+        |    AS DOUBLE), 0.0) /
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // q127: the LEFT JOIN keeps never-ordered customers (c_count = 0 —
+    // COUNT of a NULL column); both aggregation levels are exact
+    // integer counts, so the double-DESC sort is deterministic.
+    "q127_customer_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |      FROM customer c
+        |      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |      GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // q128: 100 × (num ÷ den) with the multiply OUTSIDE the division in
+    // both texts — float × and ÷ do not reassociate, so the expression
+    // trees must match shape.
+    "q128_promo_revenue" ->
+      """SELECT 100.0 * (
+        |  COALESCE(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+        |      CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END)
+        |    AS DOUBLE), 0.0) /
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE)) AS promo_revenue
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1997-07-01'""".stripMargin,
+
+    // q129: the correlated 20%-of-average is decorrelated into the same
+    // per-part aggregate join the engine plans; avg is decimal-exact
+    // sum / exact count (identical double both sides), so the boundary
+    // compare agrees row for row.
+    "q129_small_qty_revenue" ->
+      """WITH pl AS (
+        |  SELECT l.l_partkey AS p_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#13'),
+        |pa AS (
+        |  SELECT p_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM pl GROUP BY 1)
+        |SELECT CAST(SUM(CAST(pl.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM pl JOIN pa ON pl.p_partkey = pa.pk
+        |WHERE pl.l_quantity < 0.2 * pa.avg_qty""".stripMargin,
+
+    // q130: the DISTINCT (orderkey, suppkey) candidate subquery pins
+    // "each order counts once per supplier"; EXISTS/NOT EXISTS mirror
+    // the engine's left-semi/left-anti with the different-supplier
+    // predicates riding the orderkey key; lateness is q125's
+    // o_orderdate + 60 days definition.
+    "q130_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM late l1
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 10""".stripMargin,
+
     // q114: the ref_date scalar is a one-row CTE cross-joined onto the
     // promise stream (the engine's broadcast); DuckDB date subtraction
     // returns days as BIGINT directly — both sides do pure integer DATE

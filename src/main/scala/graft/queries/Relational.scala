@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Dsl._
 import graft.tables.Tables
@@ -506,5 +506,219 @@ object Relational {
         |    > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
         |       FROM orders_q46 o3 WHERE o3.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Shared decimal revenue term: extprice·(1−discount) with raw columns
+    * cast to DECIMAL before the product (q02's discipline — a double
+    * product lands on .xxxx5 ties where the engines' rounding disagrees). */
+  private def revTerm: Column = {
+    val one = lit(1).cast("decimal(3,2)")
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (one - col("l_discount").cast("decimal(4,2)"))
+  }
+
+  /** q125: TPC-H Q4-shaped order-priority check — orders placed in
+    * 1997Q1 that had at least one LATE lineitem (shipped more than 60
+    * days after the order date — the testdata schema carries no
+    * commit/receipt dates, so lateness is defined against o_orderdate),
+    * counted per priority class. The EXISTS is a LEFT SEMI join: the
+    * non-equi lateness predicate rides the orderkey equi-join, and each
+    * qualifying order counts ONCE however many late lines it has —
+    * semantics a plain inner join + distinct would need an extra
+    * shuffle to recover.
+    *
+    * Scale posture: the quarter filter pushes to the orders scan and
+    * shrinks the build side to one quarter before the semi join;
+    * lineitem streams through the semi probe without materializing
+    * matches; the priority aggregate runs on order-cardinality rows.
+    * Counts are exact integers — the priority sort is deterministic. */
+  def q125(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q126: TPC-H Q8-shaped national market share — of the STANDARD-type
+    * revenue sold into EUROPE-customer orders, the fraction supplied by
+    * NATION_7 suppliers, per order year. The share is a conditional
+    * decimal sum over the SAME rows as the denominator (one fact pass,
+    * not two queries), and the division is ONE IEEE op over two
+    * decimal-exact sums cast to double — identical operands, identical
+    * quotient cross-engine (the q122 discipline). A year with no
+    * NATION_7 revenue reports share 0 (COALESCE, not NULL — the
+    * null-skipping conditional SUM is mirrored in the oracle).
+    *
+    * Scale posture: part (type-filtered), supplier, nation and region
+    * broadcast; customer joins orders on custkey, lineitem joins the
+    * result on orderkey — the q117 snowflake shape, two fact shuffles,
+    * with the share arithmetic living entirely in the final
+    * year-cardinality aggregate. */
+  def q126(spark: SparkSession, sfDir: String): DataFrame = {
+    val euroNations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cust_nk"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(euroNations), col("c_nationkey") === col("cust_nk"))
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val sn = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revTerm.as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", col("rev"))).as("num"),
+        sum(col("rev")).as("den"))
+      .select(col("o_year"),
+        coalesce(col("num").cast("double"), lit(0.0))
+          ./(col("den").cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** q127: TPC-H Q13-shaped customer distribution — how many customers
+    * placed exactly k orders, for every k INCLUDING ZERO: the LEFT
+    * OUTER join is load-bearing (an inner join silently drops the
+    * never-ordered customers, the classic Q13 trap), and the double
+    * aggregation (per-customer count, then histogram of counts) is the
+    * two-level group-by no single pass expresses.
+    *
+    * Scale posture: one custkey shuffle for the outer join + count
+    * (partial counts combine map-side), then the histogram runs on
+    * customer-cardinality rows; counts are exact so the
+    * (custdist DESC, c_count DESC) sort is deterministic. */
+  def q127(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q128: TPC-H Q14-shaped promotion effect — the percentage of one
+    * month's revenue earned by PROMO-type parts. Numerator and
+    * denominator are decimal-exact sums over the same joined rows
+    * (conditional SUM skips non-PROMO rows as NULL, mirrored in the
+    * oracle); the percentage is 100 × (num ÷ den) with the
+    * multiply OUTSIDE the division in BOTH texts — float × and ÷ do
+    * not reassociate, so the expression tree must match shape, not
+    * just value.
+    *
+    * Scale posture: the month filter pushes to the lineitem scan;
+    * part broadcasts; the whole query is one map-side-combined
+    * single-group aggregate — no shuffle wider than the partial rows. */
+  def q128(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1997-06-01").cast("timestamp")
+    val hi = lit("1997-07-01").cast("timestamp")
+    val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"), revTerm.as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev"))).as("num"),
+        sum(col("rev")).as("den"))
+      .select((lit(100.0) *
+        (coalesce(col("num").cast("double"), lit(0.0)) / col("den").cast("double")))
+        .as("promo_revenue"))
+  }
+
+  /** q129: TPC-H Q17-shaped small-quantity revenue — the average yearly
+    * revenue lost if Brand#13 orders below 20% of the part's average
+    * quantity were no longer taken. The correlated "20% of this part's
+    * average" is decorrelated EXPLICITLY into one per-part aggregate
+    * joined back to the same filtered lineitem slice — the plan
+    * Catalyst's RewriteCorrelatedScalarSubquery would build, written as
+    * the join so the oracle can mirror it operator for operator. The
+    * threshold compare is `l_quantity < 0.2 × avg` where avg is a
+    * decimal-exact sum divided by an exact count — both engines compute
+    * the identical double, so the boundary rows agree.
+    *
+    * Scale posture: the brand filter broadcasts part into BOTH passes;
+    * the per-part average aggregates partial map-side at part
+    * cardinality; the final sum is a single-group aggregate. At 100 TB
+    * the two lineitem passes share the same pruned scan (brand-filtered
+    * partkeys), never a full-table rescan. */
+  def q129(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val avgQ = l.groupBy(col("p_partkey").as("pk"))
+      .agg((sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    l.join(broadcast(avgQ), col("p_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") /
+        lit(7.0)).as("avg_yearly"))
+  }
+
+  /** q130: TPC-H Q21-shaped waiting suppliers — ASIA suppliers who were
+    * the ONLY late shipper in a finished multi-supplier order (shipped
+    * more than 60 days after the order date; the schema carries no
+    * commit/receipt dates, q125's lateness definition). The three-way
+    * correlation is the classic EXISTS / NOT-EXISTS pair, expressed as
+    * one LEFT SEMI and one LEFT ANTI join whose different-supplier
+    * predicates ride the orderkey equi-join; the candidate set is
+    * DISTINCT (orderkey, suppkey) so each order counts once per
+    * supplier however many of its lines were late — pinned in the
+    * oracle by the same DISTINCT subquery.
+    *
+    * Scale posture: lateness prunes the candidate side to late lines
+    * before any self-join; both the semi and anti probes stream
+    * lineitem/late rows against the (much smaller) candidate build on
+    * the shared orderkey key; supplier/nation/region broadcast; counts
+    * are exact so (numwait DESC, s_name) is a deterministic top-10
+    * TakeOrdered, never a full sort. */
+  def q130(spark: SparkSession, sfDir: String): DataFrame = {
+    val late = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val cand = late.distinct()
+    val others = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    val asiaSupp = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    cand
+      .join(others, col("l_orderkey") === col("ok2") &&
+        col("l_suppkey") =!= col("sk2"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("ok3") &&
+        col("l_suppkey") =!= col("sk3"), "left_anti")
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
   }
 }
