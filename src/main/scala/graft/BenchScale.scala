@@ -9,8 +9,9 @@ import graft.queries.Vectors
   * sf0.1. Runs the most expensive queries of BENCH_r08 against
   * [[ScaleGen]]-amplified corpora (default ×1 / ×4 / ×32 of sf0.1) and
   * fits per-query growth exponents, then drives the streaming stores
-  * (s14/s15/s17) over the largest corpus — converting SURVEY §2.2's
-  * 100 TB plan-shape arguments into measurements.
+  * (s14/s15/s17 + the tail stores s23–s27) over the largest corpus —
+  * converting SURVEY §2.2's 100 TB plan-shape arguments into
+  * measurements.
   *
   * What "holds at scale" means here, per family:
   *  - map-side / single-shuffle families (q82 entropy, q93 TextRank,
@@ -359,6 +360,22 @@ object BenchScale {
       val rows = graft.streaming.LedgerStore
         .ledger(spark, s"$streamRoot/s26/store").count()
       streaming("s26_stream_ledger") = ((System.nanoTime() - t0) / 1e9, rows)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s27 as-of enrichment: 4 event batches by user block
+      // (each user's events in one batch — the order gate holds trivially)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("user_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.AsOfEnrich.processBatch(evBatch(b),
+          s"$streamRoot/s27/tails", s"$streamRoot/s27/enrich", b.toLong)
+      val enriched = graft.streaming.AsOfEnrich
+        .enriched(spark, s"$streamRoot/s27/enrich").count()
+      streaming("s27_stream_asof_enrich") = ((System.nanoTime() - t0) / 1e9, enriched)
       noteHeap()
     }
     if (sections("stream")) locally { // s17 vector index: offline codebook + 4-batch ingest + probe
