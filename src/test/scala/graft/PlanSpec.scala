@@ -119,6 +119,24 @@ class PlanSpec extends SparkSpec {
       "range join degraded to a nested loop — binning lost")
   }
 
+  test("q125/q130: EXISTS/NOT-EXISTS correlations plan as equi semi/anti joins; q130 tops out in a TakeOrdered") {
+    // the non-equi predicates (lateness, different-supplier) must RIDE
+    // the orderkey equi-join as conditions — a planner regression that
+    // loses the equi key degrades these to nested loops
+    val p125 = planString(SparkEntry.queries("q125_order_priority_check")(spark, sf001))
+    assert(p125.contains("LeftSemi"), "q125 lost the semi join")
+    assert(!p125.contains("CartesianProduct") && !p125.contains("BroadcastNestedLoopJoin"),
+      "q125's EXISTS degraded to a nested loop")
+    val p130 = planString(SparkEntry.queries("q130_waiting_suppliers")(spark, sf001))
+    assert(p130.contains("LeftSemi") && p130.contains("LeftAnti"),
+      "q130 lost the semi/anti pair")
+    assert(p130.contains("TakeOrderedAndProject"),
+      "q130 top-10 fell back to global sort+limit")
+    assert(!p130.contains("CartesianProduct") && !p130.contains("BroadcastNestedLoopJoin"),
+      "q130's correlation degraded to a nested loop")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("q106: per-source top-k keeps the rank-limit pushdown; q107 outliers end in a TakeOrdered") {
     val p106 = planString(SparkEntry.queries("q106_source_top_terms")(spark, sf001))
     assert(p106.contains("WindowGroupLimit"), "q106 lost the rank-limit pushdown")
