@@ -195,6 +195,11 @@ object SparkEntry {
     "q128_promo_revenue"      -> Relational.q128 _,
     "q129_small_qty_revenue"  -> Relational.q129 _,
     "q130_waiting_suppliers"  -> Relational.q130 _,
+    "q131_dsir_weights"       -> Sampling.q131 _,
+    "q132_ewma_smoothing"     -> Stats.q132 _,
+    "q133_spike_detection"    -> Stats.q133 _,
+    "q134_token_concentration" -> Text.q134 _,
+    "q135_distribution_drift" -> Stats.q135 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

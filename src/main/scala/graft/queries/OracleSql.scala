@@ -1906,6 +1906,139 @@ object OracleSql {
         |) AS t(check_name, n_violations)
         |ORDER BY check_name""".stripMargin
     },
+
+    // q131: λ's two lns run on identical BIGINT-ratio doubles, ROUND-6
+    // each BEFORE subtracting (q73's pre-round discipline); the per-doc
+    // sum folds in position order from a prepended 0.0 seed — the same
+    // sequential accumulation Spark's sorted-array aggregate performs.
+    "q131_dsir_weights" -> {
+      val targets = Sampling.DsirTargetSources.map(s => s"'$s'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, source IN ($targets) AS is_t,
+        |            string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, is_t, CAST(i AS INTEGER) - 1 AS pos, t[CAST(i AS INTEGER)] AS token
+        |        FROM d, unnest(generate_series(1, CAST(len(t) AS INTEGER))) AS u(i)),
+        |c AS (SELECT token,
+        |        CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |        CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |      FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+        |          CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        |lam AS (SELECT token,
+        |          ROUND(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 6)
+        |          - ROUND(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)), 6) AS lam
+        |        FROM c, tot),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |          list_reduce(list_prepend(0.0, array_agg(lam ORDER BY pos)), (a, x) -> a + x) AS sum_lam
+        |        FROM tok JOIN lam USING (token) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, ROUND(sum_lam, 4) AS weight,
+        |  (ROUND(sum_lam, 4) > 0.0) AS selected
+        |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    // q132: daily means are exact-decimal-sum ÷ count (bit-equal IEEE
+    // divisions); BOTH folds (weighted numerator and decayed denominator)
+    // run sequentially in day order from a prepended 0.0 seed with
+    // β = 0.75 (exactly representable), matching Spark's aggregate() over
+    // the sorted prefix slice step for step. Outputs stay UNROUNDED on
+    // both engines — there is no libm op in the chain, and ROUND itself
+    // is the one hazard (a /8 mean terminates exactly on a 4-dec .5
+    // boundary where HALF_UP and float-round disagree).
+    "q132_ewma_smoothing" ->
+      (eventsCte + s""",
+        |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |            CAST(COUNT(*) AS BIGINT) AS n,
+        |            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |          FROM e GROUP BY 1, 2),
+        |arr AS (SELECT event_type,
+        |          array_agg(struct_pack(d := d, n := n, sum_v := sum_v) ORDER BY d) AS days
+        |        FROM daily GROUP BY event_type),
+        |pos AS (SELECT event_type, days, unnest(generate_series(1, CAST(len(days) AS INTEGER))) AS p
+        |        FROM arr),
+        |rw AS (SELECT event_type, days[CAST(p AS INTEGER)].d AS d,
+        |          days[CAST(p AS INTEGER)].n AS n,
+        |          days[CAST(p AS INTEGER)].sum_v / CAST(days[CAST(p AS INTEGER)].n AS DOUBLE) AS mean_value,
+        |          list_transform(days[1:CAST(p AS INTEGER)], s -> s.sum_v / CAST(s.n AS DOUBLE)) AS ms
+        |        FROM pos)
+        |SELECT event_type, d, n, mean_value,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ms), (a, x) -> x + ${Stats.EwmaDecay} * a)
+        |  / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ms, x -> CAST(1.0 AS DOUBLE))),
+        |      (a, x) -> CAST(1.0 AS DOUBLE) + ${Stats.EwmaDecay} * a) AS ewma
+        |FROM rw ORDER BY event_type, d""".stripMargin),
+
+    // q133: the spike predicate is pure BIGINT arithmetic on both sides
+    // ((D·n − S)² vs Z²·(D·Q − S²)); z is one sqrt of an exact integer
+    // (IEEE-correctly-rounded on both engines) and one division of
+    // identical operands — bit-identical, so it ships UNROUNDED
+    // (q132's ROUND-boundary hazard).
+    "q133_spike_detection" ->
+      (eventsCte + s""",
+        |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |            CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM e GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+        |         CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q
+        |       FROM daily GROUP BY event_type)
+        |SELECT dy.event_type, dy.d, dy.n,
+        |  CASE WHEN st.nd * st.q - st.s * st.s > 0
+        |       THEN CAST(st.nd * dy.n - st.s AS DOUBLE)
+        |            / sqrt(CAST(st.nd * st.q - st.s * st.s AS DOUBLE))
+        |       ELSE NULL END AS z,
+        |  (st.nd * st.q - st.s * st.s > 0
+        |   AND (st.nd * dy.n - st.s) * (st.nd * dy.n - st.s)
+        |       > ${Stats.SpikeZ * Stats.SpikeZ} * (st.nd * st.q - st.s * st.s)) AS spike
+        |FROM daily dy JOIN st USING (event_type)
+        |ORDER BY dy.event_type, dy.d""".stripMargin),
+
+    // q134: integer numerators + one ratio4 each; the top token is the
+    // deterministic (count DESC, token ASC) argmax — row_number here,
+    // struct-min in the engine, same total order.
+    "q134_token_concentration" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, token, c,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, token) AS rn
+        |      FROM c),
+        |agg AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |          CAST(SUM(c * c) AS BIGINT) AS sum_c2
+        |        FROM c GROUP BY source)
+        |SELECT agg.source, agg.n_tokens, agg.n_distinct, r.token AS top_token,
+        |  ${ratio4Sql("r.c", "agg.n_tokens")} AS top_share,
+        |  ${ratio4Sql("agg.sum_c2", "agg.n_tokens * agg.n_tokens")} AS hhi
+        |FROM agg JOIN r ON r.source = agg.source AND r.rn = 1
+        |ORDER BY agg.source""".stripMargin,
+
+    // q135: KS distance computed exactly — cumulative ≤-counts per
+    // distinct pooled value (the supremum of step ECDFs is attained
+    // there), max |ca·n_b − cb·n_a| as integers, ONE ratio4 at the end.
+    "q135_distribution_drift" ->
+      (eventsCte + s""",
+        |ty AS (SELECT DISTINCT event_type FROM e),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |       FROM ty a, ty b WHERE a.event_type < b.event_type),
+        |mem AS (SELECT type_a, type_b, type_a AS event_type FROM pr
+        |        UNION ALL SELECT type_a, type_b, type_b FROM pr),
+        |tg AS (SELECT m.type_a, m.type_b, e.value,
+        |         CAST(SUM(CASE WHEN e.event_type = m.type_a THEN 1 ELSE 0 END) AS BIGINT) AS ca1,
+        |         CAST(SUM(CASE WHEN e.event_type = m.type_b THEN 1 ELSE 0 END) AS BIGINT) AS cb1
+        |       FROM e JOIN mem m USING (event_type)
+        |       GROUP BY 1, 2, 3),
+        |cum AS (SELECT type_a, type_b,
+        |          CAST(SUM(ca1) OVER (PARTITION BY type_a, type_b ORDER BY value
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        |          CAST(SUM(cb1) OVER (PARTITION BY type_a, type_b ORDER BY value
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+        |        FROM tg),
+        |tot AS (SELECT type_a, type_b, CAST(SUM(ca1) AS BIGINT) AS n_a,
+        |          CAST(SUM(cb1) AS BIGINT) AS n_b
+        |        FROM tg GROUP BY 1, 2),
+        |k AS (SELECT c.type_a, c.type_b, t.n_a, t.n_b,
+        |        MAX(abs(c.ca * t.n_b - c.cb * t.n_a)) AS ks_num
+        |      FROM cum c JOIN tot t USING (type_a, type_b)
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT type_a, type_b, n_a, n_b,
+        |  ${ratio4Sql("ks_num", "n_a * n_b")} AS ks
+        |FROM k ORDER BY type_a, type_b""".stripMargin),
   )
 
   /** q94 oracle: the BPE merge loop unrolled to exactly

@@ -296,4 +296,66 @@ object Sampling {
       .crossJoin(broadcast(leak))
       .orderBy(col("split"))
   }
+
+  /** q131 target domain: the sources whose distribution the selection
+    * aims at — the "curated" slice standing in for DSIR's high-quality
+    * target corpus. */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** q131: data-selection importance weights (the DSIR recipe — Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its
+    * tokens are under the TARGET domain's unigram bag-of-words model than
+    * under the raw-pool model, weight(d) = Σ_w c_d(w)·[ln p̂_t(w) −
+    * ln p̂_r(w)] with add-one smoothing over the shared corpus vocabulary.
+    * Positive weight ⇒ the doc "looks like" the target domain — the
+    * upsample set. The paper hashes n-grams into 10⁴ buckets to bound the
+    * feature space; this corpus's vocabulary is already far below that
+    * bound, so tokens ARE the buckets (the hashing becomes the identity —
+    * the documented scale path is `xxhash64(token) % B`, collision-merging
+    * being part of the method, not an approximation of it).
+    *
+    * Float discipline (q73's exactly): each ln runs on a BIGINT-ratio
+    * double identical in both engines, the two lns are ROUND-6'd before
+    * subtracting, and the per-doc sum folds SEQUENTIALLY in position
+    * order from a 0.0 seed — bit-identical accumulation, then ROUND-4.
+    *
+    * Scale posture: the positional token stream is pinned once and feeds
+    * (a) the vocab-sized count table (map-side combined) and (b) the
+    * scoring join, which BROADCASTS the λ table (vocab-bounded, with the
+    * single-row totals frame folded in) onto the stream — no
+    * corpus-sized shuffle beyond the per-doc fold's own groupBy, which
+    * sorts each doc's OWN array. */
+  def q131(spark: SparkSession, sfDir: String): DataFrame =
+    dsirWeightsOf(Tables.documents(spark, sfDir), DsirTargetSources)
+
+  /** q131 core on any (doc_id, source, text) frame (planted-data seam). */
+  def dsirWeightsOf(docs: DataFrame, targets: Seq[String]): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .withColumn("is_t", col("source").isin(targets: _*))
+    // corpus-scaling frame: explicit partition bound (Dsl.pin scaladoc)
+    val pinned = pin(toks, 32)
+    val counts = pinned.groupBy(col("token"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (round(log((col("ct") + 1L).cast("double") / (col("nt") + col("v")).cast("double")), 6) -
+         round(log((col("cr") + 1L).cast("double") / (col("nr") + col("v")).cast("double")), 6)).as("lam"))
+    pinned.join(broadcast(lam), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lam")))),
+            s => s.getField("lam")),
+          lit(0.0), (acc, v) => acc + v).as("sum_lam"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lam"), 4).as("weight"),
+        (round(col("sum_lam"), 4) > 0.0).as("selected"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Dsl._
+import graft.tables.Tables
+
+/** Time-series / distribution statistics over the event log — the
+  * monitoring layer a production ingest pipeline runs NEXT TO the
+  * analytics queries: smoothing (q132), anomaly flags (q133), and
+  * distribution-drift detection (q135). The reference has no statistical
+  * monitoring at all (its consumer is a row-at-a-time poll loop,
+  * consumer/consumer.go:95); these are the operators its event stream
+  * would need the moment anyone asks "did yesterday look normal?".
+  *
+  * Determinism: every aggregate is exact integer / DECIMAL arithmetic
+  * until one final IEEE op on identical operands (Dsl scaladoc D1–D5);
+  * the one sequential float fold (q132's EWMA recursion) is order-pinned
+  * on both engines exactly like q73's log-prob fold.
+  */
+object Stats {
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+
+  /** Per-(event_type, day) exact daily aggregate shared by q132/q133:
+    * n (count) and the exact DECIMAL value sum. One shuffle of the event
+    * stream with map-side partial aggregation; output cardinality is
+    * types × days — bounded by the calendar, not the corpus. */
+  def dailyOf(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), to_date(date_trunc("day", col("ts"))).as("d"), col("value"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+
+  private def daily(spark: SparkSession, sfDir: String): DataFrame =
+    dailyOf(events(spark, sfDir))
+
+  /** q132 smoothing constant: EWMA decay (1 − α) = 3/4 — exactly
+    * representable in binary, so the fold multiplies by the same double
+    * both engines parsed. */
+  val EwmaDecay = 0.75
+
+  /** q132: per-type daily EWMA of the mean event value — the standard
+    * adjusted exponentially-weighted average (the pandas `ewm(adjust=True)`
+    * recursion): num_d = m_d + β·num_{d−1}, den_d = 1 + β·den_{d−1},
+    * ewma_d = num_d / den_d with β = 1 − α. Decay steps over OBSERVED
+    * days in order (a gap decays one step, not gap-many — documented
+    * sequence semantics, mirrored by the oracle).
+    *
+    * Float discipline: m_d = exact-decimal-sum ÷ count (one IEEE division
+    * of identical operands, bit-equal across engines), then BOTH folds run
+    * sequentially in day order from a 0.0 seed — Spark `aggregate` over
+    * the sorted prefix slice, DuckDB `list_reduce` over the same prefix
+    * with a prepended DOUBLE seed — so every intermediate, and the final
+    * quotient, is bit-identical. Outputs are deliberately UNROUNDED:
+    * there is no libm wobble anywhere in this chain (q73's reason to
+    * pre-round), and ROUND itself is the only hazard — a 2-dec daily sum
+    * over 8 events lands EXACTLY on a 4-dec half-way boundary
+    * (…/8 = x.xxxx5 terminating), where Spark's HALF_UP and DuckDB's
+    * float-round disagree by construction. Bit-identical raw doubles
+    * hash equal; rounding them can only break that.
+    *
+    * Scale posture: the fold runs on the (types × days) aggregate of
+    * [[daily]], never on raw events — the O(days²) prefix slices are
+    * calendar-bounded (≤ 31 here), and the one corpus-sized stage is
+    * daily's single map-side-combined shuffle. At 100 TB the shape is
+    * unchanged: the event stream reduces to the same calendar-bounded
+    * frame before any per-row fold exists. */
+  def q132(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaOf(daily(spark, sfDir))
+
+  /** q132 core on a prepared [[dailyOf]] frame (planted-data seam). */
+  def ewmaOf(dailyDf: DataFrame): DataFrame = {
+    val perType = dailyDf
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("d"), col("n"), col("sum_v")))).as("days"))
+    val beta = lit(EwmaDecay)
+    perType
+      .select(col("event_type"), col("days"), posexplode(col("days")).as(Seq("p", "s")))
+      .select(col("event_type"), col("s.d").as("d"), col("s.n").as("n"),
+        (col("s.sum_v") / col("s.n").cast("double")).as("mean_value"),
+        slice(transform(col("days"), x => x.getField("sum_v") / x.getField("n").cast("double")),
+          lit(1), col("p") + 1).as("ms"))
+      .select(col("event_type"), col("d"), col("n"), col("mean_value"),
+        (aggregate(col("ms"), lit(0.0), (acc, v) => v + beta * acc) /
+         aggregate(col("ms"), lit(0.0), (acc, _) => lit(1.0) + beta * acc)).as("ewma"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** q133 threshold: flag |z| > 2 — i.e. (D·n − S)² > 4·(D·Q − S²). */
+  val SpikeZ = 2L
+
+  /** q133: daily-volume anomaly flags — for each event type, each
+    * observed day's event count against that type's own mean/stddev of
+    * daily counts, the population z-score every volume monitor computes.
+    * The spike PREDICATE is exact integer arithmetic end to end:
+    * z² > Z²  ⟺  (D·n_d − S)² > Z²·(D·Q − S²)  with S = Σn, Q = Σn²
+    * over the type's D observed days — both engines compare the same
+    * BIGINTs, so the flag cannot wobble. The reported z itself is
+    * (D·n_d − S) / √(D·Q − S²): one sqrt of an exact integer and one
+    * IEEE division of identical operands — bit-identical across engines
+    * and deliberately UNROUNDED (a perfect-square variance makes z a
+    * terminating rational that can sit exactly on a ROUND boundary,
+    * q132's hazard; σ = 0 ⇒ NULL z, no flag). Stats run over OBSERVED days (the event stream has no
+    * zero-day at any shipped scale; semantics documented and mirrored).
+    *
+    * Scale posture: [[daily]]'s one map-side-combined shuffle, then a
+    * calendar-bounded self-aggregate broadcast back — at 100 TB the
+    * per-type stats frame is still ≤ types × 1 rows. Overflow bound:
+    * D·Q ≤ days²·(max daily count)² must stay < 2⁶³ — at 10¹² events/day
+    * over a year that is ~10²⁹… beyond signed-64, so the 100 TB variant
+    * moves S/Q to DECIMAL(38,0) (same exactness, documented here); the
+    * shipped arithmetic is exact through ~3·10⁹ events/day-year. */
+  def q133(spark: SparkSession, sfDir: String): DataFrame =
+    spikesOf(daily(spark, sfDir))
+
+  /** q133 core on a prepared [[dailyOf]] frame (planted-data seam). */
+  def spikesOf(dailyDf: DataFrame): DataFrame = {
+    val d = dailyDf.select(col("event_type"), col("d"), col("n"))
+      // two consumers: the per-type stats aggregate and the flag join read
+      // the same tiny frame (q104 shape — one evaluation for both sides)
+    val pinned = pin(d)
+    val stats = pinned.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q"))
+    val num = col("nd") * col("n") - col("s")
+    val varInt = col("nd") * col("q") - col("s") * col("s")
+    pinned.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("d"), col("n"),
+        when(varInt > 0, num.cast("double") / sqrt(varInt.cast("double")))
+          .otherwise(lit(null).cast("double")).as("z"),
+        (varInt > 0 && num * num > lit(SpikeZ * SpikeZ) * varInt).as("spike"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** q135: two-sample Kolmogorov–Smirnov distance between the value
+    * distributions of every event-type pair — the drift test a data
+    * pipeline runs between yesterday's feed and today's (here: between
+    * the five event families). For step ECDFs the supremum is attained at
+    * an observed value, so D = max over pooled distinct values v of
+    * |F_a(v) − F_b(v)| — computed EXACTLY as integers:
+    * |c_a(v)·n_b − c_b(v)·n_a| with c_i(v) = #{x_i ≤ v}, divided once at
+    * the end by n_a·n_b (ratio4 — half-up from exact operands).
+    *
+    * Scale posture — the part that matters at 100 TB: the cumulative
+    * counts are NOT a window over raw events. Values aggregate first to
+    * per-(pair, value) counts (one map-side-combined shuffle; the event
+    * stream's 2-decimal quantization bounds distinct values per pair to
+    * ~33k REGARDLESS of corpus size), and the running sums then run over
+    * that bounded frame — a single-task window per pair is a constant,
+    * not a scaling risk. Each type's values are replicated once per
+    * partner (T−1 = 4×), the standard all-pairs-of-few-groups fanout.
+    * Overflow: c·n ≤ N² must stay < 2⁶² — beyond ~10⁹ rows per type the
+    * products (and ratio4's a·20000) move to DECIMAL(38,0), documented
+    * as the same exact arithmetic. */
+  def q135(spark: SparkSession, sfDir: String): DataFrame =
+    ksOf(events(spark, sfDir))
+
+  /** q135 core on any (event_type, value) frame (planted-data seam). */
+  def ksOf(evIn: DataFrame): DataFrame = {
+    val ev = evIn.select(col("event_type"), col("value"))
+    val types = ev.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    // pair membership exploded to an EQUI-join key (type_a,type_b,member):
+    // each value row picks up its type's ≤ T−1 partner pairs through a
+    // broadcast HASH join (an OR-condition join would plan as a
+    // nested-loop), then collapses to per-pair distinct-value cardinality
+    // with map-side combine before anything widens
+    val mem = pairs.select(col("type_a"), col("type_b"),
+      explode(array(col("type_a"), col("type_b"))).as("event_type"))
+    val tagged = ev.join(broadcast(mem), Seq("event_type"))
+      .groupBy(col("type_a"), col("type_b"), col("value"))
+      .agg(sum(when(col("event_type") === col("type_a"), 1L).otherwise(0L)).as("ca1"),
+        sum(when(col("event_type") === col("type_b"), 1L).otherwise(0L)).as("cb1"))
+    // two consumers (cumulative window + per-pair totals) of one bounded
+    // frame — one evaluation for both (q104 shape)
+    val pinned = pin(tagged)
+    val totals = pinned.groupBy(col("type_a"), col("type_b"))
+      .agg(sum(col("ca1")).as("n_a"), sum(col("cb1")).as("n_b"))
+    val w = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(col("value")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pinned
+      .select(col("type_a"), col("type_b"),
+        sum(col("ca1")).over(w).as("ca"), sum(col("cb1")).over(w).as("cb"))
+      .join(broadcast(totals), Seq("type_a", "type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("ks_num"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        ratio4(col("ks_num"), col("n_a") * col("n_b")).as("ks"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+}

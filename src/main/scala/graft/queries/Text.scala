@@ -735,6 +735,47 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q134: per-source token-concentration audit — the inequality measures
+    * a corpus curator reads next to q32's counts: Herfindahl–Hirschman
+    * index Σ(c/N)² (1/HHI is the "effective vocabulary size"), the top
+    * token's share, and the distinct count. A source whose HHI spikes is
+    * template/boilerplate output (one token dominating), invisible to
+    * per-doc quality scores because every individual doc looks normal.
+    *
+    * Exactness: HHI = Σc² / N² and top share = max(c)/N — integer
+    * numerators and ONE ratio4 each (half-up from exact operands); the
+    * top token is the argmax with a lexicographic min tiebreak via the
+    * (−c, token) struct-min, both engines resolving the tie identically.
+    * Overflow: Σc²·20000 < 2⁵³ holds through ~2·10⁴ tokens-per-type
+    * billions — beyond that the ratio moves to DECIMAL (Dsl.ratio4
+    * scaladoc bound).
+    *
+    * Scale posture: one token-stream shuffle to (source, token) counts
+    * (map-side combined, vocab-bounded output), then a vocab-cardinality
+    * aggregate per source. No joins, no windows — linear in corpus
+    * tokens with constant-sized reducers. */
+  def q134(spark: SparkSession, sfDir: String): DataFrame =
+    tokenConcentrationOf(docs(spark, sfDir))
+
+  /** q134 core on any (source, text) frame (planted-data seam). */
+  def tokenConcentrationOf(docsDf: DataFrame): DataFrame = {
+    import graft.ops.Dsl.ratio4
+    docsDf
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        min(struct((-col("c")).as("nc"), col("token"))).as("top"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        col("top.token").as("top_token"),
+        ratio4(-col("top.nc"), col("n_tokens")).as("top_share"),
+        ratio4(col("sum_c2"), col("n_tokens") * col("n_tokens")).as("hhi"))
+      .orderBy(col("source"))
+  }
+
   /** q83: cross-source n-gram contamination matrix — the dataset-assembly
     * audit in front of mixing (q80): for every pair of sources, how much
     * shingle (word-trigram) mass they share. Exact-dup overlap (q29's

@@ -101,7 +101,11 @@ class PlanSpec extends SparkSpec {
       "q114_bill_aging",        // broadcast single-row ref_date anchor
       "q122_value_concentration", // broadcast single-row grand total
       "q123_top_supplier",      // broadcast single-row max revenue
-      "q124_dormant_capital")   // broadcast single-row global average
+      "q124_dormant_capital",   // broadcast single-row global average
+      "q131_dsir_weights",      // broadcast single-row corpus totals (nt, nr, v)
+      "q135_distribution_drift") // broadcast T×T type-pair frame (T = #event
+                                 // families — cardinality fixed by the schema,
+                                 // not the corpus; q95's constant-panel shape)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
