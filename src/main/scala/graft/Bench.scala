@@ -53,6 +53,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    SparkEntry.applyEngineConfs(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").count() // JIT/codegen warmup outside any timer
 

@@ -116,6 +116,7 @@ object BenchScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    SparkEntry.applyEngineConfs(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").count()
 
@@ -268,7 +269,13 @@ object BenchScale {
       }
       rm(new java.io.File(p))
     }
-    if (sections("stream")) rmrf(streamRoot)
+    // a section-scoped re-run (SECTIONS=stream without ladder) must not
+    // crash on a missing corpus: amplify is ok-file idempotent — free
+    // when the ladder already built it, regenerates otherwise (r11 advice)
+    if (sections("stream")) {
+      ScaleGen.amplify(spark, base, bigDir, aMax)
+      rmrf(streamRoot)
+    }
     val nBatches = 4
     val repsPerBatch = math.max(1, aMax / nBatches)
     def docBatch(b: Int): DataFrame =
@@ -396,6 +403,12 @@ object BenchScale {
     // ---- report ----
     def jnum(d: Double): String =
       if (d.isNaN) "null" else f"$d%.3f"
+    // section-scoped re-runs may never have built the max corpus; the
+    // report must degrade to null, not crash at the finish line (r11)
+    def countOrNull(path: String): String =
+      if (graft.streaming.StoreRead.hasParquetData(spark, path))
+        spark.read.parquet(path).count().toString
+      else "null"
     val ladder = factors.sorted
     val sorted = times.keys.toSeq.sorted
     val qNames = {
@@ -437,8 +450,8 @@ object BenchScale {
   "metric": "scale_rehearsal",
   "base_sf_dir": "$base",
   "factors": [${sorted.mkString(",")}],
-  "docs_at_max": ${spark.read.parquet(s"$bigDir/documents.parquet").count()},
-  "vectors_at_max": ${spark.read.parquet(s"$bigDir/embeddings.parquet").count()},
+  "docs_at_max": ${countOrNull(s"$bigDir/documents.parquet")},
+  "vectors_at_max": ${countOrNull(s"$bigDir/embeddings.parquet")},
   "lsh_bits": {${sorted.map(a => s""""x$a":${scaledBits(a)}""").mkString(",")}},
   "queries": {
 $queryJson

@@ -15,6 +15,7 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    SparkEntry.applyEngineConfs(spark)
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       println(s"\n===== $name =====")

@@ -146,6 +146,7 @@ object ScaleGen {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    SparkEntry.applyEngineConfs(spark)
     spark.sparkContext.setLogLevel("WARN")
     amplify(spark, src, s"$outRoot/x$a", a, force = true)
     spark.stop()

@@ -20,6 +20,7 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    SparkEntry.applyEngineConfs(spark)
     spark.sparkContext.setLogLevel("WARN")
     val probes = if (args.nonEmpty) args.toSeq.map { s =>
       val Array(a, b) = s.split(":"); (a.toInt, b.toInt)

@@ -97,6 +97,26 @@ object Dsl {
   def ratio4(a: Column, b: Column): Column =
     floor((a.cast("double") * 20000.0 + b.cast("double")) / (b.cast("double") * 2.0)) / 10000.0
 
+  /** [[ratio4]] for DECIMAL(38,0) operands past double's 2⁵³ window (the
+    * escalation ratio4's scaladoc promises): the same half-up quotient
+    * floor((a·20000 + b) / (2b)) computed with exact decimal arithmetic.
+    * The numerator is modular-reduced FIRST so the one decimal division
+    * is exactly divisible — Spark's decimal division rounds at the
+    * result scale, and a rounded quotient sitting 1/(2b) < 10⁻ˢ below an
+    * integer would make a naive floor() overshoot (the q55 boundary
+    * class); an exact division cannot. The integral quotient is ≤ 2·10⁴
+    * for a ≤ b (casts to double exactly), then one exact division by
+    * 10⁴'s double — identical to ratio4 wherever both are exact, so the
+    * oracle mirror is UNCHANGED. Exactness bound: a·20000 < 10³⁸
+    * (a < 5·10³³); beyond that ANSI decimal overflow throws loudly. */
+  def ratio4dec(a: Column, b: Column): Column = {
+    val ad = a.cast("decimal(38,0)")
+    val bd = b.cast("decimal(38,0)")
+    val num = ad * lit(20000).cast("decimal(5,0)") + bd
+    val den = bd * lit(2).cast("decimal(1,0)")
+    ((num - pmod(num, den)) / den).cast("double") / 10000.0
+  }
+
   /** Deterministic 60-bit content hash shared bit-for-bit with the DuckDB
     * oracle: first 15 hex chars of md5 over the UTF-8 bytes, parsed base-16.
     * DuckDB mirror: `('0x' || substr(md5(s), 1, 15))::BIGINT`. 60 bits keeps

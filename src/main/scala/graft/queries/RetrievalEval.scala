@@ -75,14 +75,26 @@ object RetrievalEval {
       .withColumn("rk", row_number().over(wt))
       .filter(col("rk") <= Vectors.KnnK)
       .select(col("src"), col("dst"))
+    // Lineage truncation at the two Q-row Aggregate-rooted midpoints
+    // (r11 verdict item 2): a stage's task binary serializes the whole
+    // upstream RDD DAG through its shuffle dependencies, and without a
+    // cut here the eval's final stages carry ivfKnn + the brute-force
+    // truth + both joins — measured >1.1 MiB per submission at sf0.1
+    // (TaskBinProbe attribution; BisectProbe measured the final-stage
+    // graph at 1187 KiB). Both frames are ≤ EvalQueries rows and
+    // Aggregate-rooted, so the eager checkpoint is safe (the UnionBase
+    // rule) and costs one tiny job each.
     val nrel = truth.groupBy(col("src")).agg(count(lit(1)).as("n_rel"))
+      .localCheckpoint(true)
     val ret = Vectors.ivfKnn(spark, sfDir, nprobe)
       .filter(col("src") < EvalQueries)
       .select(col("src"), col("rk"), col("dst"))
-    ret.join(truth.withColumn("rel", lit(1)), Seq("src", "dst"), "left")
+    val hits = ret.join(truth.withColumn("rel", lit(1)), Seq("src", "dst"), "left")
       .groupBy(col("src"))
       .agg(sum(coalesce(col("rel"), lit(0))).as("n_hit"),
         min(when(col("rel") === 1, col("rk"))).as("fr"))
+      .localCheckpoint(true)
+    hits
       .join(nrel, Seq("src"))
       .select(lit("ivf").as("method"), col("src").cast("long").as("query_id"),
         col("n_rel").cast("long").as("n_rel"), col("n_hit").cast("long").as("n_hit"),

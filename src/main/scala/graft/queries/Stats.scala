@@ -107,11 +107,17 @@ object Stats {
     *
     * Scale posture: [[daily]]'s one map-side-combined shuffle, then a
     * calendar-bounded self-aggregate broadcast back — at 100 TB the
-    * per-type stats frame is still ≤ types × 1 rows. Overflow bound:
-    * D·Q ≤ days²·(max daily count)² must stay < 2⁶³ — at 10¹² events/day
-    * over a year that is ~10²⁹… beyond signed-64, so the 100 TB variant
-    * moves S/Q to DECIMAL(38,0) (same exactness, documented here); the
-    * shipped arithmetic is exact through ~3·10⁹ events/day-year. */
+    * per-type stats frame is still ≤ types × 1 rows. The integer
+    * arithmetic runs in DECIMAL(38,0) (r11 verdict item 4 — the BIGINT
+    * form's ceiling was num² < 2⁶³, ~3·10⁹ events/day-year): exact
+    * through num² and Z²·varInt < 10³⁸ — 10¹² events/day over decades —
+    * and beyond THAT the session's ANSI mode makes decimal overflow
+    * throw loudly instead of wrapping. Values are identical to the
+    * BIGINT form everywhere both are exact (same integers, wider
+    * carrier), so the DuckDB oracle is unchanged; the near-2⁶³ planted
+    * law in StatsSpec exercises the regime BIGINT could not reach.
+    * Decimal ops cost more per row than long ops, but this frame is
+    * calendar-bounded — never corpus-scale. */
   def q133(spark: SparkSession, sfDir: String): DataFrame =
     spikesOf(daily(spark, sfDir))
 
@@ -121,10 +127,11 @@ object Stats {
       // two consumers: the per-type stats aggregate and the flag join read
       // the same tiny frame (q104 shape — one evaluation for both sides)
     val pinned = pin(d)
+    val nDec = col("n").cast("decimal(19,0)")
     val stats = pinned.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"),
-        sum(col("n") * col("n")).as("q"))
-    val num = col("nd") * col("n") - col("s")
+      .agg(count(lit(1)).cast("decimal(19,0)").as("nd"),
+        sum(nDec).as("s"), sum(nDec * nDec).as("q"))
+    val num = col("nd") * col("n").cast("decimal(19,0)") - col("s")
     val varInt = col("nd") * col("q") - col("s") * col("s")
     pinned.join(broadcast(stats), Seq("event_type"))
       .select(col("event_type"), col("d"), col("n"),
@@ -151,9 +158,14 @@ object Stats {
     * that bounded frame — a single-task window per pair is a constant,
     * not a scaling risk. Each type's values are replicated once per
     * partner (T−1 = 4×), the standard all-pairs-of-few-groups fanout.
-    * Overflow: c·n ≤ N² must stay < 2⁶² — beyond ~10⁹ rows per type the
-    * products (and ratio4's a·20000) move to DECIMAL(38,0), documented
-    * as the same exact arithmetic. */
+    * Overflow (r11 verdict item 4): the c·n products and the final
+    * ratio run in DECIMAL(38,0) — the BIGINT form was exact only while
+    * c·n < 2⁶³ (~3·10⁹ rows per type); the decimal carrier is exact
+    * through c·n < 10³⁸ and ks_num·20000 < 10³⁸ (~10¹⁶ rows per type,
+    * past any 100 TB corpus), with identical values wherever both are
+    * exact (oracle unchanged) and loud ANSI overflow beyond. The decimal
+    * ops run on the quantization-bounded per-(pair, value) frame —
+    * never on corpus-scale rows. */
   def q135(spark: SparkSession, sfDir: String): DataFrame =
     ksOf(events(spark, sfDir))
 
@@ -175,6 +187,15 @@ object Stats {
       .groupBy(col("type_a"), col("type_b"), col("value"))
       .agg(sum(when(col("event_type") === col("type_a"), 1L).otherwise(0L)).as("ca1"),
         sum(when(col("event_type") === col("type_b"), 1L).otherwise(0L)).as("cb1"))
+    ksOfTagged(tagged)
+  }
+
+  /** q135 tail on a per-(pair, value) count frame
+    * (type_a, type_b, value, ca1, cb1) — the seam the near-2⁶³ planted
+    * law enters through: counts too large to reach via raw rows plant
+    * here directly, exercising the DECIMAL products exactly where the
+    * BIGINT form would have overflowed. */
+  private[graft] def ksOfTagged(tagged: DataFrame): DataFrame = {
     // two consumers (cumulative window + per-pair totals) of one bounded
     // frame — one evaluation for both (q104 shape)
     val pinned = pin(tagged)
@@ -182,15 +203,18 @@ object Stats {
       .agg(sum(col("ca1")).as("n_a"), sum(col("cb1")).as("n_b"))
     val w = Window.partitionBy(col("type_a"), col("type_b"))
       .orderBy(col("value")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("decimal(19,0)")
     pinned
       .select(col("type_a"), col("type_b"),
         sum(col("ca1")).over(w).as("ca"), sum(col("cb1")).over(w).as("cb"))
       .join(broadcast(totals), Seq("type_a", "type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        max(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("ks_num"))
+        max(abs(dec(col("ca")) * dec(col("n_b")) - dec(col("cb")) * dec(col("n_a"))))
+          .as("ks_num"))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
-        ratio4(col("ks_num"), col("n_a") * col("n_b")).as("ks"))
+        ratio4dec(col("ks_num"), dec(col("n_a")) * dec(col("n_b"))).as("ks"))
       .orderBy(col("type_a"), col("type_b"))
   }
 }

@@ -630,7 +630,13 @@ object Vectors {
     // under-match here (fragmented clusters on a cold session) was a
     // LAZY cache first materialized mid-job; the blocking fill means no
     // consumer can observe a partially-built pin.
-    val nn = graft.ops.Dsl.pin(pairs.select(col("src"), col("dst")))
+    // parts scales with the session's shuffle width, NOT the local-mode
+    // default 4: the neighbor table is N·k rows — corpus-scaling, so the
+    // pin must keep parallelism and per-partition memory bounded at the
+    // bench's ×32/×64 densities too (r11 advisor; pin's own parts rule)
+    val pinParts = math.max(8,
+      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
+    val nn = graft.ops.Dsl.pin(pairs.select(col("src"), col("dst")), pinParts)
     val mutual = nn
       .join(nn.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
@@ -714,11 +720,18 @@ object Vectors {
     * embedding column through any shuffle after the sub-split. */
   def q112(spark: SparkSession, sfDir: String): DataFrame = {
     val sub = subVectors(Tables.embeddings(spark, sfDir))
-      // eager pin: feeds every Lloyd round AND the final encode (r9
-      // pinning discipline — multi-join-branch consumer)
+    // The TRAIN loop gets an eagerly pinned copy (every Lloyd round
+    // re-reads it — r9 pinning discipline); the READ path (encode + LUT)
+    // deliberately does NOT: a checkpointed corpus frame referenced by
+    // the final stage rides its whole closure graph into every task
+    // binary (measured 3.1 MiB submissions, the r11 verdict's
+    // large-task-binary find — TaskBinProbe/BisectProbe attribution),
+    // where recomputing the narrow scan→normalize→slice map costs one
+    // extra parquet pass and no shuffle. The codebook IS checkpointed:
+    // 128 rows, Aggregate-rooted (the UnionBase rule), and it truncates
+    // the whole train-loop lineage out of the final plan.
+    val cb = pqCodebook(trainedPqComponents(sub.localCheckpoint(true)))
       .localCheckpoint(true)
-    val comps = trainedPqComponents(sub)
-    val cb = pqCodebook(comps)
     val codes = pqAssign(sub, cb)
     // the query's exact (unquantized) sub-vectors → per-(s, cell) lookup
     // table, floor-quantized so the rank key is an exact integer

@@ -20,14 +20,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Why the tail suffices: for a purchase at time t, q09 attaches the
   * LAST click with ts < t. Under in-order (nondecreasing per-user ts)
   * arrival, every click from an earlier batch is ≤ every event of this
-  * batch, so of the old clicks only the LATEST one can ever win — the
-  * tail IS that reduction. The per-batch kernel is the engine's native
-  * as-of operator itself (graft.ops.AsOf — the q09 executor): left =
-  * the batch's purchases, right = stored-tail-as-synthetic-click ∪ the
-  * batch's own clicks, strict `<`. Same operator, same strict-boundary
-  * semantics (a click tying the purchase timestamp never matches, in
-  * either form, whichever batch it arrived in — ties are safe under the
-  * nondecreasing contract).
+  * batch — but "only the latest old click can win" fails exactly at a
+  * tie (the r11 advisor find): the gate ADMITS a batch whose min ts
+  * equals the user's high-water mark, so a purchase may tie the stored
+  * latest click, and the strict-< as-of then needs the latest old click
+  * STRICTLY BELOW it. The tail therefore carries TWO levels per user:
+  * `click_ts` (latest click seen) and `click2_ts` (latest click
+  * strictly below `click_ts`) — and two levels are sufficient: an
+  * admitted purchase has t ≥ hwm ≥ click_ts > click2_ts, so either
+  * t > click_ts (click_ts wins, the common case) or t = click_ts
+  * (click2_ts is precisely the latest old click < t); t can never reach
+  * down to tie click2_ts. Both levels enter the kernel as synthetic
+  * clicks. The per-batch kernel is the engine's native as-of operator
+  * itself (graft.ops.AsOf — the q09 executor): left = the batch's
+  * purchases, right = synthetic clicks ∪ the batch's own clicks,
+  * strict `<`. Same operator, same strict-boundary semantics (a click
+  * tying the purchase timestamp never matches, whichever batch it
+  * arrived in).
   *
   * Enriched purchases are emitted once, in the batch the purchase
   * arrives (append-only facts, the s26 partition discipline): `enrichDir`
@@ -63,11 +72,14 @@ object AsOfEnrich {
   private def emptyTails(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("user_id"),
       lit(null).cast("timestamp").as("click_ts"),
+      lit(null).cast("timestamp").as("click2_ts"),
       lit(null).cast("timestamp").as("hwm_ts"))
 
-  /** One row per user ever seen: latest prior click (NULL if none yet)
-    * + the order mark. Highest-batch_id row below `batchId`;
-    * schema-stable empty frame before any write. */
+  /** One row per user ever seen: the two latest distinct prior click
+    * timestamps (NULL if none yet — click2_ts is the latest strictly
+    * below click_ts, the tie-safety level) + the order mark.
+    * Highest-batch_id row below `batchId`; schema-stable empty frame
+    * before any write. */
   private[graft] def readTails(spark: SparkSession, tailDir: String,
       batchId: Long): DataFrame = {
     if (!StoreRead.hasParquetData(spark, tailDir)) return emptyTails(spark)
@@ -76,7 +88,7 @@ object AsOfEnrich {
       .filter(col("batch_id") < batchId) // replay: never see own tails
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("click_ts"), col("hwm_ts"))
+      .select(col("user_id"), col("click_ts"), col("click2_ts"), col("hwm_ts"))
   }
 
   /** One micro-batch of (event_id, user_id, event_type, ts): enrich the
@@ -122,8 +134,13 @@ object AsOfEnrich {
     // purchases ride through and keep NULL click_ts by operator contract.
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val synth = tails.filter(col("click_ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), col("click_ts").as("ts"))
+    // BOTH tail levels ride in as synthetic clicks: click_ts serves the
+    // t > click_ts case, click2_ts the admitted-tie t = click_ts case
+    // (class doc — two levels are provably sufficient)
+    val synth = tails.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        explode(array(col("click_ts"), col("click2_ts"))).as("ts"))
+      .filter(col("ts").isNotNull)
     val c = ev.filter(col("event_type") === "click" && col("user_id").isNotNull)
       .select(col("user_id"), col("ts"))
     val enrichedBatch = graft.ops.AsOf.join(p, synth.unionByName(c),
@@ -136,17 +153,35 @@ object AsOfEnrich {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(enrichDir)
-    // new tail = EVERY batch user: latest click now known (stored vs
-    // this batch — greatest skips NULLs) + the advanced order mark (the
-    // gate proved this batch's max ts is each touched user's new high
-    // water). ONE user_id aggregate + the tail join.
+    // new tail = EVERY batch user: the two latest distinct click ts now
+    // known + the advanced order mark (the gate proved this batch's max
+    // ts is each touched user's new high water). The top-2 distinct of
+    // old ∪ batch clicks is computable from the top-2 of each side
+    // (second distinct max of a union is among the sides' top-2s), so
+    // ONE user_id aggregate for the marks, one rank-2 window over the
+    // batch's DISTINCT clicks, and the tail join — all one shuffle
+    // family on user_id, still O(batch + users-touched).
     val hwNew = ev.groupBy(col("user_id").as("hu"))
-      .agg(max(col("ts")).as("hwm_ts"),
-        max(when(col("event_type") === "click", col("ts"))).as("batch_click"))
-    hwNew.join(tails.select(col("user_id"), col("click_ts").as("old_click")),
+      .agg(max(col("ts")).as("hwm_ts"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+    val top2 = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts")).distinct()
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= 2)
+      .groupBy(col("user_id").as("cu"))
+      .agg(max(when(col("rn") === 1, col("ts"))).as("batch_click"),
+        max(when(col("rn") === 2, col("ts"))).as("batch_click2"))
+    val cands = array(col("batch_click"), col("batch_click2"),
+      col("old_click"), col("old_click2"))
+    hwNew
+      .join(top2, col("hu") <=> col("cu"), "left")
+      .join(tails.select(col("user_id"), col("click_ts").as("old_click"),
+          col("click2_ts").as("old_click2")),
         col("hu") <=> col("user_id"), "left")
+      .withColumn("new_click", array_max(cands)) // null-skipping max
       .select(col("hu").as("user_id"),
-        greatest(col("batch_click"), col("old_click")).as("click_ts"),
+        col("new_click").as("click_ts"),
+        array_max(filter(cands, x => x < col("new_click"))).as("click2_ts"),
         col("hwm_ts"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")

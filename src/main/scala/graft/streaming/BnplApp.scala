@@ -25,6 +25,7 @@ object BnplApp {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
+    graft.SparkEntry.applyEngineConfs(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     val trigger = if (once) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second")

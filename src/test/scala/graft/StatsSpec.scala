@@ -88,6 +88,54 @@ class StatsSpec extends SparkSpec {
     got.values.foreach(k => assert(k >= 0.0 && k <= 1.0))
   }
 
+  test("q133/q135 DECIMAL escalation: near-2^63 planted counts compute exactly where BIGINT would overflow (r11 verdict item 4)") {
+    // ---- q133: daily counts ~2^32 make n^2 ~ 2^64 and (D*n-S)^2 ~ 2^67
+    // — every product past signed-64. The planted frame enters at the
+    // dailyOf seam; the expected z/spike come from a BigInt reference.
+    val big = 4100000000L // ~2^31.9; big*big = 1.68e19 > 2^63-1 = 9.22e18
+    val counts = Seq(big, big + 7L, big + 11L, 9L * big)
+    val dailyDf = counts.zipWithIndex.map { case (n, i) =>
+      ("A", java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(20000 + i)), n, 0.0)
+    }.toDF("event_type", "d", "n", "sum_v")
+    val got133 = Stats.spikesOf(dailyDf)
+      .select(col("n"), col("z"), col("spike"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val d = BigInt(counts.size); val s = counts.map(BigInt(_)).sum
+    val q = counts.map(n => BigInt(n) * BigInt(n)).sum
+    val varInt = d * q - s * s
+    assert(varInt > BigInt(Long.MaxValue), "plant too small — BIGINT would not have overflowed")
+    counts.foreach { n =>
+      val num = d * BigInt(n) - s
+      assert(num.abs * num.abs > BigInt(Long.MaxValue), s"num^2 must cross 2^63 for n=$n")
+      val zRef = num.toDouble / math.sqrt(varInt.toDouble)
+      val spikeRef = num * num > BigInt(Stats.SpikeZ * Stats.SpikeZ) * varInt
+      val (z, spike) = got133(n)
+      assert(z == zRef, s"z diverged at n=$n: $z vs $zRef")
+      assert(spike == spikeRef, s"spike diverged at n=$n")
+    }
+    // ---- q135: per-(pair, value) counts ~10^18 push ca*n_b ~ 10^36 —
+    // 120 bits, far past signed-64 (and past double's 2^53 exact window,
+    // so ratio4dec's decimal quotient is also under test). Reference KS
+    // computed with BigInt; ks expectation via the exact half-up formula.
+    // u sized so ks_num = 3u^2 crosses 2^63 (u > 1.8e9) while staying
+    // inside ratio4dec's own documented bound ks_num*20000 < 10^38
+    val u = 1000000000000000L // 1e15 per cell; 3u^2 = 3e30
+    val tagged = Seq(
+      ("A", "B", 1.0, 2L * u, 1L * u),
+      ("A", "B", 2.0, 1L * u, 2L * u)).toDF("type_a", "type_b", "value", "ca1", "cb1")
+    val row = Stats.ksOfTagged(tagged).collect().head
+    val (nA, nB) = (BigInt(3L) * BigInt(u), BigInt(3L) * BigInt(u))
+    assert((row.getLong(2), row.getLong(3)) == (nA.toLong, nB.toLong))
+    // cumulative: ca={2u,3u}, cb={u,3u}; ks_num = max|ca*nB - cb*nA| = 3u^2
+    val ksNum = BigInt(3) * BigInt(u) * BigInt(u)
+    assert(ksNum > BigInt(Long.MaxValue), "plant too small for the decimal products")
+    val denom = nA * nB
+    val kRef = ((ksNum * 20000 + denom) / (denom * 2)).toDouble / 10000.0
+    assert(row.getDouble(4) == kRef, s"ks diverged: ${row.getDouble(4)} vs $kRef")
+    assert(kRef == 0.3333, "plant should land on the 1/3 quotient")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("q134 concentration extremes: mono-token source has hhi=1; uniform two-token source has hhi=0.5 and lexicographic-min top token") {
     val docsDf = Seq(
       ("mono", "x x x x"),

@@ -1237,6 +1237,31 @@ class StreamingSpec extends SparkSpec {
       "strict-< tie boundary diverged across the batch split")
     assert(clickState(spark, td2).collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
       == Seq((9L, mk(10))))
+    // shadowed-click tie (the r11 advisor find): TWO clicks in batch 0,
+    // then a purchase TYING the latest click admitted in batch 1 — the
+    // strict-< as-of must attach the EARLIER click (batch q09 on the
+    // concatenated log does), which only the two-level tail can supply
+    val (td3, ed3) = (tmpDir("s27-tie2-t") + "/t", tmpDir("s27-tie2-e") + "/e")
+    processBatch(Seq((1L, Some(9L), "click", mk(5)), (2L, Some(9L), "click", mk(10)))
+      .toDF("event_id", "user_id", "event_type", "ts"), td3, ed3, 0L)
+    processBatch(Seq((3L, Some(9L), "purchase", mk(10)), (4L, Some(9L), "purchase", mk(11)))
+      .toDF("event_id", "user_id", "event_type", "ts"), td3, ed3, 1L)
+    val got3 = enriched(spark, ed3).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(got3 == Map(3L -> Some(mk(5)), 4L -> Some(mk(10))),
+      "tying purchase lost the shadowed strictly-earlier click")
+    // and batch parity on the same log confirms it equals the batch kernel
+    val log3 = Seq((1L, Some(9L), "click", mk(5)), (2L, Some(9L), "click", mk(10)),
+        (3L, Some(9L), "purchase", mk(10)), (4L, Some(9L), "purchase", mk(11)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val p3 = log3.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c3 = log3.filter(col("event_type") === "click" && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"))
+    val want3 = graft.ops.AsOf.join(p3, c3, "user_id", "ts", "ts",
+        Seq("ts" -> "click_ts"), inclusive = false)
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(got3 == want3, "streamed tie result diverged from the batch as-of kernel")
     SparkEntry.clearGraftCaches(spark)
   }
 
