@@ -65,7 +65,21 @@ object BenchScale {
       "q114_bill_aging" -> "count",
       // r9 additions (r10 verdict item 3): the PQ chain and BPE encode
       "q111_bpe_encode" -> "count",
-      "q112_pq_adc" -> "count"
+      "q112_pq_adc" -> "count",
+      // r11 additions (r11 verdict item 1): the TPC-H correlation shapes
+      // (over the v3 key-shift-amplified business tables) and the
+      // Stats monitoring layer (over the amplified event log)
+      "q125_order_priority_check" -> "count",
+      "q126_market_share" -> "count",
+      "q127_customer_distribution" -> "count",
+      "q128_promo_revenue" -> "count",
+      "q129_small_qty_revenue" -> "count",
+      "q130_waiting_suppliers" -> "count",
+      "q131_dsir_weights" -> "count",
+      "q132_ewma_smoothing" -> "count",
+      "q133_spike_detection" -> "count",
+      "q134_token_concentration" -> "count",
+      "q135_distribution_drift" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)
@@ -175,10 +189,14 @@ object BenchScale {
       times(a) = byQ
     }
 
-    // ---- ×64 confirmation of the steepest exponents (r10 item 3) ----
-    // q36/q84 measured exp_hi 0.81/0.89 at ×32 — the two steepest curves
-    // on the board; one more octave decides whether they bend upward.
-    // Only those two run (the rest sit well below linear at ×32).
+    // ---- ×64 confirmation of the steepest exponents ----
+    // Every query whose x4→x32 exponent came out near-linear runs one
+    // more octave to decide whether the curve bends upward: q36/q84 (the
+    // r10 pair, confirmed at 0.42/−0.09) plus q77/q90/q99/q104 (r11
+    // item 1 — their 0.84–0.95 legs were the board's closest thing to a
+    // scale risk; their outputs grow Θ(N·k), so ~linear wall time is the
+    // optimum, not a defect — the octave tests for super-linear bend).
+    val confirmSet = Set("q36", "q84", "q77", "q90", "q99", "q104")
     val confirmFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONFIRM", "64").toInt
     if (sections("confirm") && confirmFactor > factors.max) {
       val dir = s"$scaleRoot/x$confirmFactor"
@@ -189,7 +207,7 @@ object BenchScale {
       System.err.println(f"[bench-scale] x$confirmFactor corpus ready in ${(System.nanoTime() - tGen0) / 1e9}%.1f s")
       val byQ = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
       for ((name, fn, action) <- buildQueries(confirmFactor)
-           if name.startsWith("q36") || name.startsWith("q84")) {
+           if confirmSet(name.takeWhile(_ != '_'))) {
         val (dt, rows) = runOnce(spark, name, fn, dir, action)
         noteHeap()
         if (dt >= 0) byQ(name) = (dt, rows)
@@ -437,7 +455,7 @@ object BenchScale {
       } yield math.log(th / tl) / math.log(hi.toDouble / lo)).getOrElse(Double.NaN)
       val expLo = if (ladder.size >= 2) fitBase(ladder(0), ladder(1)) else Double.NaN
       val expHi = if (ladder.size >= 3) fitBase(ladder(1), ladder(2)) else Double.NaN
-      // the ×64 confirmation octave, when run (q36/q84 only)
+      // the ×64 confirmation octave, when run (the near-linear set)
       val expConfirm = sorted.filter(_ > ladder.max).lastOption
         .map(cf => fitBase(ladder.max, cf)).getOrElse(Double.NaN)
       s"""    "$baseName": {"t":{$tStr},"rows":{$rStr},"exp_lo":${jnum(expLo)},"exp_hi":${jnum(expHi)},"exp_confirm":${jnum(expConfirm)}}"""

@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   *    label-seeded IVF codebook trains ~√A× more cells at A× the data —
   *    the ncells ∝ √N production design point SURVEY §2.2 (q90) declares.
   *
-  * The remaining seven tables are byte-copied: the rehearsal's query set
-  * is the document/embedding/event families (the expensive tail of
-  * BENCH_r08 plus the per-user state family); lineitem-family scaling is
-  * exercised by the sf ladder itself.
+  * The TPC-H business tables (customer/supplier/part/orders/lineitem)
+  * amplify by key-shift ([[amplifyKeyed]], r11 item 1): each replica is a
+  * disjoint key world, so the q116–q130 join shapes scale A× without
+  * cross-replica join pollution. nation/region stay byte-copied — the
+  * bounded dimensions a bigger business still has 25/5 of.
   *
   * Driven by `tools/make_scale.sh` / [[BenchScale]]. Writes only under
   * the given output dir (never into /root/testdata).
@@ -71,6 +72,27 @@ object ScaleGen {
         col("event_type"), col("value"), col("props"))
   }
 
+  /** TPC-H-family amplification (r11 verdict item 1 — the q125–q130
+    * correlation shapes had no measurable growth before this): every key
+    * column in `keyCols` shifts by r·IdStride, so each replica is a
+    * self-contained order/customer/supplier/part world — joins never
+    * cross replicas (the amplified corpus behaves like A× the business,
+    * not A clones of one order book), and per-key group cardinality
+    * grows A× at the original per-key row count. nation/region stay
+    * shared: they are the bounded dimension tables a bigger business
+    * still has 25/5 of. Key dtypes are preserved (int keys stay int —
+    * r ≤ 64 keeps every shifted key < 2³¹). */
+  private[graft] def amplifyKeyed(df: DataFrame, a: Int, keyCols: Seq[String]): DataFrame = {
+    val reps = df.sparkSession.range(a).select(col("id").cast("int").as("r"))
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.crossJoin(broadcast(reps))
+      .select(df.columns.toSeq.map { c =>
+        if (keyCols.contains(c))
+          (col(c) + col("r").cast("long") * IdStride).cast(types(c)).as(c)
+        else col(c)
+      }: _*)
+  }
+
   /** Hot replica count for the skew rehearsal: ~30% of the corpus. */
   def hotReps(a: Int): Int = math.ceil(0.3 * a).toInt
 
@@ -103,9 +125,10 @@ object ScaleGen {
   def amplify(spark: SparkSession, srcDir: String, outDir: String, a: Int,
       force: Boolean = false, skewHot: Boolean = false): Unit = {
     // marker carries the fixture vintage: v2 added events amplification,
-    // so v1 corpora regenerate automatically; skew corpora get their own
-    // marker so a dir can't silently serve the wrong variant
-    val okFile = new java.io.File(outDir, if (skewHot) "_OK_v2skew" else "_OK_v2")
+    // v3 the TPC-H key-shift family, so older corpora regenerate
+    // automatically; skew corpora get their own marker so a dir can't
+    // silently serve the wrong variant
+    val okFile = new java.io.File(outDir, if (skewHot) "_OK_v3skew" else "_OK_v3")
     if (okFile.exists() && !force) return
     val out = new java.io.File(outDir)
     if (out.exists()) {
@@ -126,8 +149,17 @@ object ScaleGen {
     amplifyEvents(spark.read.parquet(s"$srcDir/events.parquet"), a)
       .repartition(math.max(2, a / 2))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem")) {
+    val tpchKeys = Map(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    for ((t, keys) <- tpchKeys)
+      amplifyKeyed(spark.read.parquet(s"$srcDir/$t.parquet"), a, keys)
+        .repartition(math.max(2, a / 4))
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    for (t <- Seq("region", "nation")) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
         java.nio.file.Paths.get(s"$outDir/$t.parquet"),

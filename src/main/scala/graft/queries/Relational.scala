@@ -163,18 +163,27 @@ object Relational {
     * aggregate; the top-10 is a TakeOrdered, never a full sort. This is
     * the join-ordering shape (selective dim → fact → bigger fact) a
     * 100 TB star schema lives on. */
-  def q116(spark: SparkSession, sfDir: String): DataFrame = {
+  def q116(spark: SparkSession, sfDir: String): DataFrame =
+    q116On(Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+
+  /** q116 core on supplied base tables — the seam LayoutSpec drives with
+    * BUCKETED catalog tables to prove the orderkey join and the
+    * orderkey-prefixed aggregate run Exchange-free on the co-located
+    * layout (r11 verdict item 6), same rows as the path-read form. */
+  private[graft] def q116On(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
     val cutoff = lit("1998-07-01").cast("timestamp")
     val one = lit(1).cast("decimal(3,2)")
     val rev = col("l_extendedprice").cast("decimal(12,2)") *
       (one - col("l_discount").cast("decimal(4,2)"))
-    val c = Tables.customer(spark, sfDir)
+    val c = customer
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
-    val o = Tables.orders(spark, sfDir)
+    val o = orders
       .filter(col("o_orderdate") < cutoff)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_orderpriority"))
-    val l = Tables.lineitem(spark, sfDir)
+    val l = lineitem
       .filter(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"), rev.as("rev"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -41,14 +41,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   main.go:57-73, upgraded to carry the affected keys (driver-side list
   *   capped at [[BnplPipeline.NotifyUserCap]]; the full set is written to
   *   the notifications directory, never through the driver).
-  */
+  * @param broker optional non-file broker (r11 verdict item 5 — the
+  *   ingest abstraction is NOT file-coupled): a streaming DataFrame in
+  *   Envelope schema to ingest INSTEAD of the checkpointed file source,
+  *   plus the matching republish for the derived-promise self-loop (the
+  *   reference's producer re-post, consumer/consumer.go:142-144). The
+  *   poll loop it replaces is source-agnostic too
+  *   (consumer/consumer.go:75-96). See [[MemoryBroker]]; a Kafka
+  *   deployment would pass readStream.format("kafka")+parse and a
+  *   producer-send here (no Kafka jar ships, SURVEY §0). */
 class BnplPipeline(
     spark: SparkSession,
     eventsDir: String,
     stateDir: String,
     trigger: Trigger = Trigger.ProcessingTime(0L),
     billsViaKeyedState: Boolean = true,
-    onUpdate: (Long, Seq[String]) => Unit = (_, _) => ()) {
+    onUpdate: (Long, Seq[String]) => Unit = (_, _) => (),
+    broker: Option[(DataFrame, DataFrame => Unit)] = None) {
 
   import Envelope._
 
@@ -64,11 +73,22 @@ class BnplPipeline(
   private var queries: Seq[StreamingQuery] = Nil
 
   /** s01: checkpointed micro-batch ingest of the event-file stream —
-    * replaces the 1 s Kinesis poll loop (consumer/consumer.go:75-96). */
+    * replaces the 1 s Kinesis poll loop (consumer/consumer.go:75-96) —
+    * or the injected broker stream (source-agnostic, class doc). */
   private def source: DataFrame =
-    spark.readStream
-      .schema(Envelope.schema)
-      .json(eventsDir)
+    broker.map(_._1).getOrElse(
+      spark.readStream
+        .schema(Envelope.schema)
+        .json(eventsDir))
+
+  /** The derived-promise self-loop's publish: back into the event
+    * directory (default) or the injected broker. */
+  private def republish(batch: DataFrame): Unit =
+    broker.map(_._2).getOrElse { (b: DataFrame) =>
+      // batch (not streaming-sink) append: no _spark_metadata, so the
+      // file source lists the new files like any producer's.
+      if (!b.isEmpty) b.write.mode(SaveMode.Append).json(eventsDir)
+    }.apply(batch)
 
   /** s05 + s06: event-time watermark, then exactly-once-per-event_id. */
   private def deduped: DataFrame =
@@ -114,11 +134,7 @@ class BnplPipeline(
         lit(null).cast("string").as("issued_date"),
         lit(null).cast("string").as("paid_date"))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // batch (not streaming-sink) append: no _spark_metadata, so the
-        // file source lists the new files like any producer's.
-        if (!batch.isEmpty) batch.write.mode(SaveMode.Append).json(eventsDir)
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => republish(batch) }
       .option("checkpointLocation", ckpt("derive"))
       .trigger(trigger)
       .queryName("bnpl_derive_promises")

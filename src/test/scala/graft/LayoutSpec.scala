@@ -42,6 +42,47 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed layout on the REAL q116 shape: orderkey fact-fact join and orderkey-prefixed aggregate run shuffle-free; same rows") {
+    // r11 verdict item 6: the generic bucketed-join law above, proven on
+    // the engine's own TPC-H Q3 shape — lineitem ⋈ orders co-located on
+    // orderkey at ingest, the revenue aggregate riding the join's
+    // partitioning (its grouping keys are orderkey-prefixed), customer
+    // still the designed broadcast. The only Exchange left in the whole
+    // executed plan is that broadcast — zero shuffle Exchanges.
+    val base = tmpDir("graft-bucketed-q116")
+    Layout.writeBucketed(Tables.lineitem(spark, sf001), "lineitem_bq",
+      s"$base/lineitem_bq", buckets = 4, key = "l_orderkey", sortCols = Seq("l_orderkey"))
+    Layout.writeBucketed(Tables.orders(spark, sf001), "orders_bq",
+      s"$base/orders_bq", buckets = 4, key = "o_orderkey", sortCols = Seq("o_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      SparkEntry.clearGraftCaches(spark) // plan-shape counting needs a cold cache
+      // force the fact-fact join onto the shuffle path (the assertion is
+      // about the bucket layout, not the small sf fitting in a broadcast);
+      // the customer side keeps its explicit broadcast() hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = graft.queries.Relational.q116On(
+        Tables.customer(spark, sf001),
+        spark.table("orders_bq"), spark.table("lineitem_bq"))
+      val plan = planOf(bucketed)
+      assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(10).mkString("\n"))
+      assert(plan.contains("Bucketed: true"), "scan did not use the bucket spec")
+      val shuffles = plan.linesIterator
+        .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+      assert(shuffles.isEmpty,
+        "q116 on the bucketed layout still shuffles:\n" + shuffles.mkString("\n"))
+      // layout changed the plan, not the answer
+      val got = bucketed.collect().toSeq
+      val want = graft.queries.Relational.q116(spark, sf001).collect().toSeq
+      assert(got == want, "bucketed q116 diverged from the path-read form")
+      assert(want.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS lineitem_bq")
+      spark.sql("DROP TABLE IF EXISTS orders_bq")
+    }
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
     import spark.implicits._
     val dir = tmpDir("graft-dpp") + "/events_by_type"

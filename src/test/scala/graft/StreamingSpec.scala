@@ -323,6 +323,53 @@ class StreamingSpec extends SparkSpec {
     } finally pipe.stop()
   }
 
+  test("s28 source parity: the CQRS cascade over the memory broker equals the file pipeline on the same wire lines (ingest not file-coupled)") {
+    // the runbook's event lines, verbatim on both transports
+    val step1 = Seq(ev("ev-1", Envelope.PurchaseCompleted, "2024-03-01T10:00:00.000Z",
+      "order_id" -> "\"order-u1\"", "user_id" -> "\"u1\"", "amount" -> "4000"))
+    val step2 = Seq(ev("ev-2", Envelope.MemberBillCreated, "2024-03-01T10:02:00.000Z",
+      "user_id" -> "\"u1\"", "amount" -> "4000", "bill_id" -> "\"bill-1\"",
+      "promise_id" -> "\"p-ev-1\"", "issued_date" -> "\"2024-04-01\""))
+    val step3 = Seq(ev("ev-3", Envelope.PaymentCompleted, "2024-03-01T10:04:00.000Z",
+      "user_id" -> "\"u1\"", "bill_id" -> "\"bill-1\"", "paid_date" -> "\"2024-04-02\""))
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.toJSON.collect().toSet
+
+    // file transport
+    val (fEvents, fState) = (tmpDir("sp-file-events"), tmpDir("sp-file-state"))
+    val pipeF = new BnplPipeline(spark, fEvents, fState)
+    pipeF.start()
+    val (fLog, fProm, fBills) = try {
+      Seq(step1, step2, step3).zipWithIndex.foreach { case (s, i) =>
+        writeEvents(fEvents, s"e$i.json", s); pipeF.drain()
+      }
+      (rows(pipeF.eventsLog), rows(pipeF.paymentPromises("u1")), rows(pipeF.memberBills("u1")))
+    } finally pipeF.stop()
+
+    // memory transport — same lines published into a MemoryStream; the
+    // promise self-loop posts back into the stream instead of the dir
+    val (publish, broker) = graft.streaming.MemoryBroker(spark)
+    val mState = tmpDir("sp-mem-state")
+    val pipeM = new BnplPipeline(spark, tmpDir("sp-mem-events"), mState,
+      broker = Some(broker))
+    pipeM.start()
+    try {
+      Seq(step1, step2, step3).foreach { s => publish(s); pipeM.drain() }
+      assert(rows(pipeM.eventsLog) == fLog,
+        "event log diverged between the memory and file transports")
+      assert(rows(pipeM.paymentPromises("u1")) == fProm,
+        "promise projection diverged between transports")
+      assert(rows(pipeM.memberBills("u1")) == fBills,
+        "bill projection diverged between transports")
+      assert(pipeM.notifications.size() == pipeF.notifications.size())
+      // non-vacuous: the cascade really ran (log holds purchase + looped
+      // promise + bill + payment)
+      assert(fLog.size == 4)
+    } finally pipeM.stop()
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("unknown event types reach the log but no projection (R3: switch without default)") {
     val eventsDir = tmpDir("bnpl-unknown-events")
     val stateDir = tmpDir("bnpl-unknown-state")
