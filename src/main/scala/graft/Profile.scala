@@ -22,6 +22,10 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     SparkEntry.applyEngineConfs(spark)
+    // builder A/B knob: re-enable the runtime bloom injection EngineConfs
+    // turns off, to measure its effect on a specific query/scale
+    sys.env.get("SPARK_GRAFT_BLOOM").foreach(v =>
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v))
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").count()
     args.foreach { name =>

@@ -84,13 +84,26 @@ object SparkEntry {
     // rest of the session. Package level, not per-class: the WARN is
     // emitted under the CONCRETE RDD subclass logger (MapPartitionsRDD,
     // ShuffledRowRDD, …), an open set.
+    silencingRddWarns {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+  }
+
+  /** Run `body` with the rdd-package logger lowered to ERROR, restoring
+    * the previous effective level after — the scoped form of the
+    * lineage-truncation WARN suppression clearGraftCaches documents, for
+    * any OTHER site that unpersists finished localCheckpoint RDDs
+    * (IncrementalDedup's per-batch cleanup). Package level, not
+    * per-class: the WARN is emitted under the concrete RDD subclass
+    * logger (MapPartitionsRDD, …), an open set. */
+  def silencingRddWarns[T](body: => T): T = {
     import org.apache.logging.log4j.LogManager
     import org.apache.logging.log4j.core.config.Configurator
     val pkg = "org.apache.spark.rdd"
-    val saved = LogManager.getLogger(pkg).getLevel // effective level pre-loop
+    val saved = LogManager.getLogger(pkg).getLevel
     try {
       Configurator.setLevel(pkg, org.apache.logging.log4j.Level.ERROR)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      body
     } finally Configurator.setLevel(pkg, saved)
   }
 

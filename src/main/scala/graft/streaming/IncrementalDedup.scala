@@ -112,10 +112,15 @@ object IncrementalDedup {
       writeOwnPartition(batch.join(rejected, Seq("doc_id"), "left_semi"), rejectDir)
       writeOwnPartition(bands.join(rejected, Seq("doc_id"), "left_anti"), storeDir)
     } finally {
-      // free this batch's checkpoint blocks (and nothing else's)
-      spark.sparkContext.getPersistentRDDs
-        .filter { case (id, _) => !rddsBefore.contains(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      // free this batch's checkpoint blocks (and nothing else's); the
+      // blocks are dead — the batch is committed — so the per-RDD
+      // lineage-truncation WARN is noise, suppressed scoped (the
+      // clearGraftCaches discipline)
+      graft.SparkEntry.silencingRddWarns {
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !rddsBefore.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
     }
   }
 
