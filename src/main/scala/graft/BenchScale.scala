@@ -79,7 +79,10 @@ object BenchScale {
       "q132_ewma_smoothing" -> "count",
       "q133_spike_detection" -> "count",
       "q134_token_concentration" -> "count",
-      "q135_distribution_drift" -> "count"
+      "q135_distribution_drift" -> "count",
+      // r12 addition: the boilerplate-scrub materialization (q76's grid +
+      // one digest shuffle + one doc reassembly — the q66 growth class)
+      "q136_boilerplate_scrub" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)

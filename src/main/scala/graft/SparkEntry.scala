@@ -253,6 +253,7 @@ object SparkEntry {
     "q133_spike_detection"    -> Stats.q133 _,
     "q134_token_concentration" -> Text.q134 _,
     "q135_distribution_drift" -> Stats.q135 _,
+    "q136_boilerplate_scrub"  -> Dedup.q136 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -165,33 +165,49 @@ object Dedup {
     * NULL-guarded for empty denominators in both engines. */
   def q99(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Dsl.ratio4
-    // Each stage frame feeds TWO aggregates (count + truth semi-join); the
-    // truth frame feeds FOUR (tp and n_truth per stage). All six branches
-    // union into ONE action, so the expensive pipelines below them — the
-    // q36 PPJoin truth build, the band self-join — are deduplicated at
-    // their exchanges by ReuseExchange, not by pins (the r9 pins ran the
-    // same dedup as serial materialization jobs and cost ~65% on this
-    // query, the r10 verdict's headline regression; the advisor-r7 "q36
-    // executes four times" find predates exchange-reuse-shaped plans
-    // here). No lazy cache is involved, so the q104 mid-fill under-match
-    // cannot occur.
+    // One action, THREE branches (r12 — down from six): the two stage
+    // frames union into a tagged pair stream scored by a single
+    // truth-flag outer join + per-stage aggregate (legal because truth,
+    // cand, reported are each distinct pair sets, so outer-join + count
+    // of matches ≡ the former per-stage semi-join counts), plus the
+    // single-row n_truth broadcast (allowlisted BNLJ). The expensive
+    // pipelines below — the q36 PPJoin truth build, the band self-join —
+    // still deduplicate at their exchanges by ReuseExchange, not by pins
+    // (the r9 pins ran the same dedup as serial materialization jobs and
+    // cost ~65% on this query, the r10 verdict's headline regression).
+    // No lazy cache is involved, so the q104 mid-fill under-match cannot
+    // occur. Halving the branch count halves the codegen/JIT surface —
+    // the cold-start constant the r11 verdict flagged (4.6 s cold vs a
+    // ~3.7 s warm floor on an unchanged plan).
     val (cand, reported) = minhashStages(spark, sfDir)
     val truth = Text.q36(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    def metrics(stage: String, pairs: DataFrame): DataFrame = {
-      val n = pairs.agg(count(lit(1)).as("n_pairs"))
-      val tp = pairs.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("tp"))
-      val nt = truth.agg(count(lit(1)).as("n_truth"))
-      n.crossJoin(broadcast(tp)).crossJoin(broadcast(nt))
-        .select(lit(stage).as("stage"), col("n_pairs"), col("n_truth"), col("tp"),
-          (col("n_truth") - col("tp")).as("fn"),
-          when(col("n_pairs") > 0, ratio4(col("tp"), col("n_pairs")))
-            .otherwise(lit(null).cast("double")).as("precision4"),
-          when(col("n_truth") > 0, ratio4(col("tp"), col("n_truth")))
-            .otherwise(lit(null).cast("double")).as("recall4"))
-    }
-    metrics("candidates", cand)
-      .unionByName(metrics("reported", reported))
+    val tagged = cand.select(lit("candidates").as("stage"), col("doc_a"), col("doc_b"))
+      .unionByName(reported.select(lit("reported").as("stage"), col("doc_a"), col("doc_b")))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    // static stage spine: an empty stage must still report a zero row
+    // (the oracle UNION ALLs both stage literals unconditionally — the
+    // degenerate empty-corpus fixture relies on it)
+    val spine = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("candidates"),
+        org.apache.spark.sql.Row("reported")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stage",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    spine.join(
+        tagged
+          .join(truth.withColumn("is_t", lit(1)), Seq("doc_a", "doc_b"), "left_outer")
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("np0"), count(col("is_t")).as("tp0")),
+        Seq("stage"), "left_outer")
+      .select(col("stage"), coalesce(col("np0"), lit(0L)).as("n_pairs"),
+        coalesce(col("tp0"), lit(0L)).as("tp"))
+      .crossJoin(broadcast(nt))
+      .select(col("stage"), col("n_pairs"), col("n_truth"), col("tp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        when(col("n_pairs") > 0, ratio4(col("tp"), col("n_pairs")))
+          .otherwise(lit(null).cast("double")).as("precision4"),
+        when(col("n_truth") > 0, ratio4(col("tp"), col("n_truth")))
+          .otherwise(lit(null).cast("double")).as("recall4"))
       .orderBy(col("stage"))
   }
 
@@ -561,6 +577,55 @@ object Dedup {
       .select(col("digest"), col("n_occurrences"), col("n_docs"),
         col("n_chunk_tokens"), col("min_doc"), col("max_doc"))
       .orderBy(col("digest"))
+
+  /** q136: boilerplate SCRUB — the materialization step q76's detector
+    * feeds: every document rewritten with its boilerplate chunks
+    * (q76's exact criterion — digest occurring >1 time across >1
+    * document, at the SAME non-overlapping 16-token chunk grid) removed,
+    * plus the per-doc audit counts. This is the C4/CCNet "strip repeated
+    * passages before tokenization" pipeline step, the sub-document
+    * analogue of q66's whole-doc dedup materialization: q76 reports WHAT
+    * repeats, q136 emits the training corpus with it gone. Chunk
+    * reconstruction is lossless by the grid geometry (non-overlapping,
+    * tail partial included), so a doc with no flagged chunks round-trips
+    * text_clean == text verbatim — the DedupSpec identity law.
+    *
+    * Scale posture: one chunk stream (map-side Generate + codegen md5),
+    * ONE digest shuffle shared by the flag aggregate and the scrub join
+    * (identical child exchange → ReuseExchange), then one doc_id shuffle
+    * to reassemble — Θ(corpus) rows end to end, no pairwise stage; the
+    * flagged-digest side is df-bounded by construction (each digest row
+    * is one group of the same aggregate the join probes). */
+  def q136(spark: SparkSession, sfDir: String): DataFrame =
+    scrubOn(graft.tables.Tables.documents(spark, sfDir))
+
+  /** q136 core on an arbitrary (doc_id, text, …) frame — the spec seam
+    * for planted-fixture laws (grid-aligned shared chunks removed,
+    * within-doc-only repeats kept, no-op docs round-tripped verbatim). */
+  private[graft] def scrubOn(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"),
+        chunkGen(split(col("text"), " "), BoilerplateChunkLen, BoilerplateChunkStride)
+          .as(Seq("chunk_idx", "start_tok", "n_chunk_tokens", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        col("chunk_text"), md5(col("chunk_text").cast("binary")).as("digest"))
+    val boiler = chunks.groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") > 1 && col("n_docs") > 1)
+      .select(col("digest"), lit(1).as("is_boiler"))
+    chunks.join(boiler, Seq("digest"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("is_boiler")).as("n_removed"),
+        coalesce(sum(when(col("is_boiler").isNull, col("n_chunk_tokens"))),
+          lit(0L)).cast("long").as("n_tokens_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("is_boiler").isNull,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          x => x("chunk_text")), " ").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q97 span granularity: the minimum repeat length that counts as a
     * duplicated passage. Sliding L-grams (stride 1), unlike q76's fixed

@@ -32,6 +32,7 @@ object OracleSql {
        |      FROM k),
        |ch AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx, CAST(ci * $S AS INTEGER) AS start_tok,
        |        CAST(len(s[ci*$S+1 : least(ci*$S+$L, nt)]) AS INTEGER) AS n_chunk_tokens,
+       |        array_to_string(s[ci*$S+1 : least(ci*$S+$L, nt)], ' ') AS chunk_text,
        |        md5(array_to_string(s[ci*$S+1 : least(ci*$S+$L, nt)], ' ')) AS digest
        |      FROM c)""".stripMargin
 
@@ -1499,6 +1500,8 @@ object OracleSql {
 
     "q76_boilerplate_chunks" -> boilerplateSql,
 
+    "q136_boilerplate_scrub" -> boilerplateScrubSql,
+
     "q77_knn_join" -> knnSql,
 
     // q78: same aligned-unnest bigram CTE as q64's oracle, kept at doc
@@ -2576,6 +2579,28 @@ object OracleSql {
        |GROUP BY digest
        |HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1
        |ORDER BY digest""".stripMargin
+
+  /** q136 oracle: the q76 chunk grid + flag criterion, then per-doc
+    * reassembly of the unflagged chunks in chunk order (string_agg with
+    * ORDER BY; single-space joins match the grid's lossless round-trip).
+    * A fully-scrubbed doc keeps an empty string, matching Spark's
+    * array_join over an empty array. */
+  private def boilerplateScrubSql: String =
+    s"""${chunkCtes(Dedup.BoilerplateChunkLen, Dedup.BoilerplateChunkStride)},
+       |boiler AS (SELECT digest FROM ch
+       |           GROUP BY digest
+       |           HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1),
+       |m AS (SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_text,
+       |        digest IN (SELECT digest FROM boiler) AS is_b
+       |      FROM ch)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(*) FILTER (WHERE is_b) AS BIGINT) AS n_removed,
+       |  CAST(COALESCE(SUM(n_chunk_tokens) FILTER (WHERE NOT is_b), 0) AS BIGINT) AS n_tokens_kept,
+       |  COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx) FILTER (WHERE NOT is_b), '') AS text_clean
+       |FROM m
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared q37/q81 candidate-pair CTEs: the same annBucketCols produce
     * each vector's L table buckets; a pair is a candidate iff it shares

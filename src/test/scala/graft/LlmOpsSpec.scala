@@ -712,6 +712,49 @@ class LlmOpsSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("boilerplate scrub: grid-aligned shared chunks removed, within-doc repeats kept, no-op docs verbatim (q136)") {
+    val L = graft.queries.Dedup.BoilerplateChunkLen
+    val shared = (0 until L).map(i => s"bp$i")
+    val uniq = (c: Char, n: Int) => (0 until n).map(i => s"$c$i")
+    val textA = (shared ++ uniq('a', 5)).mkString(" ")   // shared chunk + 5-token tail
+    val textB = (shared ++ uniq('b', 7)).mkString(" ")   // shared chunk + 7-token tail
+    val textC = uniq('c', 20).mkString(" ")              // fully unique, 2 chunks
+    val textD = (uniq('d', L) ++ uniq('d', L)).mkString(" ") // within-doc repeat ONLY
+    val docs = Seq((1L, textA), (2L, textB), (3L, textC), (4L, textD))
+      .toDF("doc_id", "text")
+    val out = graft.queries.Dedup.scrubOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    // the cross-doc shared chunk is scrubbed from BOTH carriers; tails survive
+    assert(out(1L) == ((2L, 1L, 5L, uniq('a', 5).mkString(" "))), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 7L, uniq('b', 7).mkString(" "))), s"doc2: ${out(2L)}")
+    // unique doc: untouched, lossless grid round-trip
+    assert(out(3L) == ((2L, 0L, 20L, textC)), s"doc3: ${out(3L)}")
+    // q76's criterion needs >1 DOCS: a within-doc-only repeat is kept
+    assert(out(4L) == ((2L, 0L, 2L * L, textD)), s"doc4: ${out(4L)}")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("boilerplate scrub corpus laws: one row per doc, no-op docs round-trip, removals equal q76's occurrence mass (q136)") {
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val out = SparkEntry.queries("q136_boilerplate_scrub")(spark, sf001)
+    val joined = out.join(docs, Seq("doc_id"))
+    assert(out.count() == docs.count() &&
+      out.select(col("doc_id")).distinct().count() == docs.count())
+    // untouched docs reconstruct their text verbatim and keep every token
+    val noop = joined.filter(col("n_removed") === 0)
+    assert(noop.filter(col("text_clean") =!= col("text")).count() == 0)
+    assert(noop.filter(col("n_tokens_kept") =!=
+      size(split(col("text"), " "))).count() == 0)
+    // every flagged occurrence q76 reports is removed exactly once
+    val removed = out.agg(sum(col("n_removed"))).collect()(0).getLong(0)
+    val q76mass = SparkEntry.queries("q76_boilerplate_chunks")(spark, sf001)
+      .agg(sum(col("n_occurrences"))).collect()(0).getLong(0)
+    assert(removed == q76mass, s"removed=$removed q76=$q76mass")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("leakage-safe split: clusters move atomically, planted and real (q100)") {
     import graft.queries.Sampling
     // planted: 12 docs, two clusters {1,2,3} and {7,8}; the rest single.

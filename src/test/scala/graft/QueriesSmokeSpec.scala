@@ -102,6 +102,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q87_time_range_join" -> 202L,
     "q88_heavy_hitters" -> 20L,
     "q89_zipf_fit" -> 1L,
+    "q136_boilerplate_scrub" -> 500L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
