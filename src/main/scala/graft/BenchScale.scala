@@ -478,6 +478,35 @@ object BenchScale {
     val streamJson = streaming.map { case (n, (t, r)) =>
       f"""    "$n": {"sec":$t%.2f,"rows":$r}"""
     }.mkString(",\n")
+    // ---- fresh-JVM confirm (r12): ExpProbe appends min-of-N lines to
+    // $scaleRoot/expprobe.jsonl from one-process-per-factor runs (one heap
+    // state per leg — the in-run confirm octave above measures through the
+    // ladder's accumulated heap residue; see ExpProbe's scaladoc). Embed
+    // those lines here so both confirms sit side by side in one evidence
+    // file and a report regeneration can't silently drop them.
+    val expProbeFile = new java.io.File(s"$scaleRoot/expprobe.jsonl")
+    val freshJson: String = if (expProbeFile.exists) {
+      val Line =
+        """\{"probe":"exp","factor":(\d+),"query":"([^"]+)","min_sec":([0-9.]+),"rows":(\d+)\}""".r
+      val src = scala.io.Source.fromFile(expProbeFile)
+      val recs =
+        try src.getLines().collect {
+          case Line(f, q, s, _) => (q, f.toInt, s.toDouble)
+        }.toSeq
+        finally src.close()
+      recs.groupBy(_._1).toSeq.sortBy(_._1).map { case (q, rs) =>
+        // last line wins per (query, factor) so probe re-runs supersede
+        val perF = rs.groupBy(_._2).map { case (f, g) => f -> g.last._3 }
+        val fs = perF.keys.toSeq.sorted
+        val tStr = fs.map(f => f""""x$f":${perF(f)}%.2f""").mkString(",")
+        val exp =
+          if (fs.size >= 2) {
+            val lo = fs(fs.size - 2); val hi = fs.last
+            math.log(perF(hi) / perF(lo)) / math.log(hi.toDouble / lo)
+          } else Double.NaN
+        s"""    "$q": {"t":{$tStr},"exp":${jnum(exp)}}"""
+      }.mkString(",\n")
+    } else ""
     val json =
       s"""{
   "metric": "scale_rehearsal",
@@ -491,6 +520,9 @@ $queryJson
   },
   "streaming_x$aMax": {
 $streamJson
+  },
+  "fresh_jvm_confirm": {
+$freshJson
   },
   "q90_aqe_plan": $q90AqePlanSeen,
   "q90_skew_markers": $q90SkewMarkers,
