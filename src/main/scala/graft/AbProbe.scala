@@ -29,7 +29,7 @@ object AbProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_AB_PASSES", "2").toInt
 
-    val spark = SparkSession.builder()
+    val spark = SparkEntry.applyStaticEngineConfs(SparkSession.builder())
       .master(s"local[$cpus]")
       // same partition rule as the BenchScale ladder leg
       .config("spark.sql.shuffle.partitions", cpus * math.max(1, factor / 8))

@@ -48,7 +48,7 @@ object Bench {
       System.err.println(s"[bench] WARNING: ${foreignAtStart.size} foreign JVM(s) alive " +
         s"(pids ${foreignAtStart.mkString(",")}) — timings may be inflated 2-7x")
 
-    val spark = SparkSession.builder()
+    val spark = SparkEntry.applyStaticEngineConfs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

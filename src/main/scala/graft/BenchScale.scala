@@ -128,7 +128,7 @@ object BenchScale {
     val sections = sys.env.getOrElse("SPARK_GRAFT_SCALE_SECTIONS",
       "ladder,confirm,skew,stream").split(",").map(_.trim).toSet
 
-    val spark = SparkSession.builder()
+    val spark = SparkEntry.applyStaticEngineConfs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -15,7 +15,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SparkEntry.applyStaticEngineConfs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,11 +32,21 @@ object Profile {
       val fn = SparkEntry.queries(name)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        // optional phase split: force analysis+optimize+physical planning
+        // before the action, so plan-time and run-time report separately
+        // (codegen+JIT still lands in the run phase — it happens per
+        // wholestage at first execution)
+        val tPlan = if (sys.env.contains("SPARK_GRAFT_PHASES")) {
+          df.queryExecution.executedPlan
+          Some((System.nanoTime() - t0) / 1e9)
+        } else None
         // noop sink for the same reason as Bench: count() would let
         // ColumnPruning delete the very expressions being profiled
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        df.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         SparkEntry.clearGraftCaches(spark)
+        tPlan.foreach(p => println(f"PHASE $name plan=$p%.2f run=${dt - p}%.2f"))
         dt
       }
       println(f"PROFILE $name cold=${times(0)}%.2f warm=${times(1)}%.2f warm2=${times(2)}%.2f")

@@ -55,6 +55,35 @@ object SparkEntry {
   def applyEngineConfs(spark: SparkSession): Unit =
     EngineConfs.foreach { case (k, v) => spark.conf.set(k, v) }
 
+  /** Session tuning that is STATIC (read once at SparkSession creation) —
+    * must go on the builder, not `spark.conf.set`; every driver main and
+    * the test harness route their builders through
+    * [[applyStaticEngineConfs]].
+    *
+    * `codegen.cache.maxEntries=2000` (r12): Spark's generated-class cache
+    * (Janino-compiled wholestage/expression classes, including their JIT
+    * state) defaults to 100 entries JVM-wide. This engine's 136-query
+    * suite compiles well over 1000 codegen units per pass, so by the time
+    * Bench's INTERLEAVED second pass reaches a query, its classes have
+    * long been evicted and the "warm" pass re-pays Janino compile + JIT
+    * for every stage — the measured gap between back-to-back Profile
+    * warmth (q99 ~3.3 s) and in-bench minima (~4.9 s). Sized to hold the
+    * suite's working set; measured at sf0.1 (one-shot 8g JVM, same box,
+    * minutes apart): suite total 138.6→122.6 s, q99 4.95→4.36, q95
+    * 4.17→3.34, q100 3.55→2.65, q84 4.09→3.46. Cost is retained class
+    * metadata (~10-100 KiB/entry) — bounded and worth it for any
+    * long-lived session running many distinct plans; the same conf
+    * applies executor-side on a cluster. */
+  val StaticEngineConfs: Map[String, String] = Map(
+    "spark.sql.codegen.cache.maxEntries" -> "2000")
+
+  /** Apply [[StaticEngineConfs]] to a session builder (call before
+    * `getOrCreate`; on an already-running session these would be
+    * silently ignored, which is exactly the static-conf hazard this
+    * helper centralizes). */
+  def applyStaticEngineConfs(b: SparkSession.Builder): SparkSession.Builder =
+    StaticEngineConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   /** Flagship query (SURVEY.md q33_bnpl_pipeline) on sf=0.001; the driver
     * smoke-checks rows > 0 (202 purchase events exist at sf0.001). */
   def entry(spark: SparkSession): DataFrame =

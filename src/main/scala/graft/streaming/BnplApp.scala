@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
 import org.apache.spark.sql.streaming.Trigger
 
 /** Runnable entry point for the streaming pipeline:
@@ -16,7 +17,7 @@ object BnplApp {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: BnplApp <eventsDir> <stateDir> [--once]")
     val once = args.contains("--once")
-    val spark = SparkSession.builder()
+    val spark = SparkEntry.applyStaticEngineConfs(SparkSession.builder())
       .appName("graft-bnpl-pipeline")
       // spark-submit supplies the master on a cluster; default for local runs
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))

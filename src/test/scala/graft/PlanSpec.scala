@@ -14,6 +14,15 @@ class PlanSpec extends SparkSpec {
     qe.executedPlan.toString()
   }
 
+  test("engine confs reach the session: runtime blooms off, codegen cache sized") {
+    // EngineConfs (runtime-settable) and StaticEngineConfs (builder-only —
+    // reads back the DEFAULT if any code path builds a session without
+    // routing through applyStaticEngineConfs, which is exactly the
+    // regression this pins)
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "false")
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "2000")
+  }
+
   test("q01: filter and column pruning reach the parquet scan") {
     val plan = planString(SparkEntry.queries("q01_scan_filter_project")(spark, sf001))
     assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(5).mkString("\n"))

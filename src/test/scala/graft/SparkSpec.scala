@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local session for all suites (forked test JVM). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = SparkEntry.applyStaticEngineConfs(SparkSession.builder())
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
