@@ -82,7 +82,13 @@ object BenchScale {
       "q135_distribution_drift" -> "count",
       // r12 addition: the boilerplate-scrub materialization (q76's grid +
       // one digest shuffle + one doc reassembly — the q66 growth class)
-      "q136_boilerplate_scrub" -> "count"
+      "q136_boilerplate_scrub" -> "count",
+      // r12 additions: Q19/Q9/Q12 shapes over the key-shift-amplified
+      // business tables (one broadcast join / the 5-table profit rollup /
+      // one orderkey fact⋈fact shuffle)
+      "q137_disjunctive_revenue" -> "count",
+      "q138_product_profit" -> "count",
+      "q139_shipping_lag_pivot" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)

@@ -283,6 +283,9 @@ object SparkEntry {
     "q134_token_concentration" -> Text.q134 _,
     "q135_distribution_drift" -> Stats.q135 _,
     "q136_boilerplate_scrub"  -> Dedup.q136 _,
+    "q137_disjunctive_revenue" -> Relational.q137 _,
+    "q138_product_profit"     -> Relational.q138 _,
+    "q139_shipping_lag_pivot" -> Relational.q139 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -663,6 +663,59 @@ object OracleSql {
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 10""".stripMargin,
 
+    // q137: the disjunction is written verbatim — DuckDB evaluates it
+    // post-join like the engine's broadcast-join condition; the decimal
+    // revenue term is q02's discipline, summed exactly and cast once.
+    "q137_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |         AND l.l_quantity BETWEEN 1 AND 21)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        |         AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+        |         AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    // q138: every money term is exact decimal from raw columns (the
+    // integral quantity's DECIMAL(4,0) cast has no tie); one exact SUM,
+    // one cast to double — identical rational, identical double. DuckDB
+    // year() returns BIGINT → cast to INT to match Spark's year().
+    "q138_product_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(
+        |    CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+        |    - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(2,1))
+        |        * CAST(l.l_quantity AS DECIMAL(4,0))
+        |  ) AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p     ON l.l_partkey = p.p_partkey
+        |                AND p.p_name LIKE '%widget%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // q139: pure integer CASE counts over the same DATE arithmetic as
+    // q125/q130 (interval-day add is exact on both engines); DuckDB
+    // SUM(int) returns HUGEINT → cast to BIGINT.
+    "q139_shipping_lag_pivot" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+        |  CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS ontime_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // q114: the ref_date scalar is a one-row CTE cross-joined onto the
     // promise stream (the engine's broadcast); DuckDB date subtraction
     // returns days as BIGINT directly — both sides do pure integer DATE

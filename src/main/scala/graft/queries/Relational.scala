@@ -730,4 +730,112 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(10)
   }
+
+  /** q137: TPC-H Q19-shaped disjunctive revenue — gross discounted
+    * revenue plus matched-line count from three brand-specific
+    * (size, quantity) corridors, the classic OR-of-ANDs predicate join.
+    * The disjunction refuses factoring: each branch couples a part
+    * attribute (brand, size) to a lineitem attribute (quantity), so it
+    * can only evaluate AFTER the partkey equi-join. What CAN move to
+    * the scans is each column's union envelope — brand ∈ {12, 23, 34},
+    * size ≤ 35, 1 ≤ quantity ≤ 40 — written explicitly as filters so
+    * the lineitem scan reads the quantity corridor instead of the
+    * table (PushedFilters-pinned in PlanSpec; Catalyst does not today
+    * derive these bounds from a join-condition disjunction), while the
+    * residual OR rides the broadcast hash join as its non-equi
+    * condition. Revenue is the shared exact-decimal term (q02
+    * discipline), summed exactly and cast to double once.
+    *
+    * Scale posture: part prunes to three brands before broadcast (the
+    * dimension never shuffles); lineitem streams through one broadcast
+    * hash join with zero shuffles before the single-group partial
+    * aggregate — at 100 TB the quantity envelope is the difference
+    * between scanning a corridor and scanning the fact table. */
+  def q137(spark: SparkSession, sfDir: String): DataFrame = {
+    val brands = Seq("Brand#12", "Brand#23", "Brand#34")
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand").isin(brands: _*) && col("p_size") <= 35)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 40)
+      .select(col("l_partkey"), col("l_quantity"), revTerm.as("rev"))
+    val corridor =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 21)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 40))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") && corridor)
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q138: TPC-H Q9-shaped product-line profit — per supplier nation
+    * and order year, profit on widget parts: Σ(extprice·(1−discount)
+    * − 0.6·retailprice·quantity). The schema carries no partsupp, so
+    * unit cost is the declared 0.6·p_retailprice proxy (a constant
+    * ratio keeps the rollup shape — nation × year over a 5-table
+    * join — which is what this query exercises; the cost CONSTANT is
+    * not the point). All money arithmetic runs in decimal from raw
+    * columns (q02 discipline; quantity is integral so its
+    * double→DECIMAL(4,0) cast has no tie to round), one exact sum,
+    * one cast to double.
+    *
+    * Scale posture: the name filter prunes part to the widget slice
+    * before broadcast; supplier⋈nation broadcasts (both dimensions);
+    * the one big⋈big join is lineitem⋈orders on orderkey — the
+    * bucketed-layout join the q116 family already proves
+    * zero-Exchange on co-bucketed tables — and it carries only
+    * (orderkey, year) on the build side after projection; the rollup
+    * aggregates partial map-side at nation × year cardinality. */
+  def q138(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val cost = col("p_retailprice").cast("decimal(12,2)") *
+      lit(0.6).cast("decimal(2,1)") * col("l_quantity").cast("decimal(4,0)")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("nation"), (revTerm - cost).as("amount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("amount")).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q139: TPC-H Q12-shaped shipping-lag pivot — per order priority,
+    * how many lineitems shipped late (more than 60 days after the
+    * order date; q125's lateness definition, the schema carries no
+    * commit/receipt dates) vs on time. Q12's aggregation shape — the
+    * two-way conditional count pivot over a fact⋈fact join — where
+    * q125 (Q4) is the EXISTS shape: this one counts every LINE into
+    * exactly one of two buckets, so the answer is a partition of the
+    * joined row set (late + ontime = ¦lineitem¦, a free invariant the
+    * spec asserts).
+    *
+    * Scale posture: one orderkey shuffle join (bucketed-layout
+    * eligible), both CASE counts fold in the SAME partial aggregate —
+    * one pass, map-side combined at priority cardinality (5 groups);
+    * no second scan, no pivot shuffle. */
+  def q139(spark: SparkSession, sfDir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(late, 1L).otherwise(0L)).as("late_lines"),
+        sum(when(late, 0L).otherwise(1L)).as("ontime_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

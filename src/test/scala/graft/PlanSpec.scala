@@ -159,6 +159,17 @@ class PlanSpec extends SparkSpec {
     assert(p105.contains("TakeOrderedAndProject"), "q105 top-k fell back to global sort+limit")
   }
 
+  test("q137: the disjunction's union envelope is pushed to both scans; the join broadcasts") {
+    val plan = planString(SparkEntry.queries("q137_disjunctive_revenue")(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), "Q19 shape lost its broadcast")
+    // the explicit quantity corridor must reach the lineitem scan —
+    // Catalyst does not derive it from the join-condition disjunction
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      plan.contains("LessThanOrEqual(l_quantity,40.0)"),
+      "quantity envelope not pushed to the lineitem scan")
+    assert(plan.contains("In(p_brand"), "brand envelope not pushed to the part scan")
+  }
+
   test("q84: containment probe-vs-index join stays an equi-join (no cartesian)") {
     val plan = planString(SparkEntry.queries("q84_containment")(spark, sf001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -103,6 +103,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q88_heavy_hitters" -> 20L,
     "q89_zipf_fit" -> 1L,
     "q136_boilerplate_scrub" -> 500L,
+    "q137_disjunctive_revenue" -> 1L,
+    "q138_product_profit" -> 70L,
+    "q139_shipping_lag_pivot" -> 5L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {
@@ -116,6 +119,16 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() == 18L)
+  }
+
+  test("q139 partitions the joined lines: late + ontime = |lineitem|") {
+    // Q12's CASE pivot puts every joined line in exactly one bucket, so
+    // the bucket totals must reconstruct the fact-table cardinality (the
+    // orderkey join is lossless — every line has its order)
+    val rows = SparkEntry.queries("q139_shipping_lag_pivot")(spark, sf001).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val lines = graft.tables.Tables.lineitem(spark, sf001).count()
+    assert(total == lines, s"buckets sum to $total, lineitem has $lines")
   }
 
   for ((name, expected) <- golden.toSeq.sortBy(_._1)) {
