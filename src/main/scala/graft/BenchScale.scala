@@ -88,7 +88,11 @@ object BenchScale {
       // one orderkey fact⋈fact shuffle)
       "q137_disjunctive_revenue" -> "count",
       "q138_product_profit" -> "count",
-      "q139_shipping_lag_pivot" -> "count"
+      "q139_shipping_lag_pivot" -> "count",
+      // r12: per-user forward fill + gaps-and-islands streaks over the
+      // amplified event log (the q13/q27 partitioned-window growth class)
+      "q140_forward_fill" -> "count",
+      "q141_event_streaks" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)
@@ -406,6 +410,22 @@ object BenchScale {
       val rows = graft.streaming.LedgerStore
         .ledger(spark, s"$streamRoot/s26/store").count()
       streaming("s26_stream_ledger") = ((System.nanoTime() - t0) / 1e9, rows)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s29 drift monitor: 4 event batches by event_id block
+      // (additive count store — any split is legal, like s26)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("event_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("event_type"), col("value"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.DriftMonitor.processBatch(evBatch(b),
+          s"$streamRoot/s29/store", b.toLong)
+      val rows = graft.streaming.DriftMonitor
+        .drift(spark, s"$streamRoot/s29/store").count()
+      streaming("s29_stream_drift") = ((System.nanoTime() - t0) / 1e9, rows)
       noteHeap()
     }
     if (sections("stream")) locally { // s27 as-of enrichment: 4 event batches by user block

@@ -286,6 +286,8 @@ object SparkEntry {
     "q137_disjunctive_revenue" -> Relational.q137 _,
     "q138_product_profit"     -> Relational.q138 _,
     "q139_shipping_lag_pivot" -> Relational.q139 _,
+    "q140_forward_fill"       -> Windows.q140 _,
+    "q141_event_streaks"      -> Windows.q141 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -772,6 +772,48 @@ object OracleSql {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
 
+    // q141: pure integer gaps-and-islands — both row_numbers use the
+    // same (ts, event_id) total order, so the island ids (and therefore
+    // the runs) are identical across engines; the per-user winner is a
+    // deterministic (run_len DESC, start_event_id) argmax.
+    "q141_event_streaks" ->
+      (eventsCte +
+      """,
+        |runs AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) AS island,
+        |    event_id
+        |  FROM e),
+        |measured AS (
+        |  SELECT user_id, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS run_len,
+        |    MIN(event_id) AS start_event_id
+        |  FROM runs GROUP BY user_id, event_type, island),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY run_len DESC, start_event_id) AS rn
+        |  FROM measured)
+        |SELECT user_id, event_type, run_len, start_event_id
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id""".stripMargin),
+
+    // q140: the carried value is an untouched input column — no float
+    // arithmetic anywhere; the (ts, event_id) frame is the same total
+    // order q13 pins, so the fill is deterministic under ts ties.
+    "q140_forward_fill" ->
+      (eventsCte +
+      """
+        |SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |             IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_value
+        |FROM e
+        |ORDER BY event_id""".stripMargin),
+
     "q15_set_union" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |UNION

@@ -169,24 +169,36 @@ object Stats {
   def q135(spark: SparkSession, sfDir: String): DataFrame =
     ksOf(events(spark, sfDir))
 
-  /** q135 core on any (event_type, value) frame (planted-data seam). */
-  def ksOf(evIn: DataFrame): DataFrame = {
-    val ev = evIn.select(col("event_type"), col("value"))
-    val types = ev.select(col("event_type")).distinct()
+  /** q135 core on any (event_type, value) frame (planted-data seam):
+    * reduce to per-(type, value) counts FIRST — one map-side-combined
+    * shuffle at quantization-bounded cardinality BEFORE the ×(T−1) pair
+    * explosion ever sees a row (r12; the row-level form exploded first
+    * and relied on the downstream combine) — then the weighted kernel. */
+  def ksOf(evIn: DataFrame): DataFrame =
+    ksOfCounts(evIn.select(col("event_type"), col("value"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q135 kernel on a per-(event_type, value) COUNT frame — the seam the
+    * s29 streaming drift monitor reads through (its store accumulates
+    * exactly these counts additively), so stream and batch share one
+    * drift definition by construction. */
+  def ksOfCounts(counts: DataFrame): DataFrame = {
+    val types = counts.select(col("event_type")).distinct()
     val pairs = types.select(col("event_type").as("type_a"))
       .crossJoin(types.select(col("event_type").as("type_b")))
       .filter(col("type_a") < col("type_b"))
     // pair membership exploded to an EQUI-join key (type_a,type_b,member):
-    // each value row picks up its type's ≤ T−1 partner pairs through a
+    // each count row picks up its type's ≤ T−1 partner pairs through a
     // broadcast HASH join (an OR-condition join would plan as a
-    // nested-loop), then collapses to per-pair distinct-value cardinality
-    // with map-side combine before anything widens
+    // nested-loop); the frame is already quantization-bounded, so the
+    // explosion is over counts, never raw rows
     val mem = pairs.select(col("type_a"), col("type_b"),
       explode(array(col("type_a"), col("type_b"))).as("event_type"))
-    val tagged = ev.join(broadcast(mem), Seq("event_type"))
+    val tagged = counts.join(broadcast(mem), Seq("event_type"))
       .groupBy(col("type_a"), col("type_b"), col("value"))
-      .agg(sum(when(col("event_type") === col("type_a"), 1L).otherwise(0L)).as("ca1"),
-        sum(when(col("event_type") === col("type_b"), 1L).otherwise(0L)).as("cb1"))
+      .agg(sum(when(col("event_type") === col("type_a"), col("cnt")).otherwise(0L)).as("ca1"),
+        sum(when(col("event_type") === col("type_b"), col("cnt")).otherwise(0L)).as("cb1"))
     ksOfTagged(tagged)
   }
 

@@ -157,6 +157,70 @@ object Windows {
       .limit(1000)
   }
 
+  /** q140: forward fill (last observation carried forward) — every event
+    * annotated with the user's most recent purchase value at or before
+    * it, NULL until the first purchase. The gap-filling shape every
+    * time-series feature pipeline runs (sparse observations propagated
+    * onto a dense event grid): `last(..., ignoreNulls)` over a per-user
+    * (ts, event_id) frame — the unique event_id tiebreak makes the fill
+    * deterministic under same-timestamp events, and the carried value is
+    * an UNTOUCHED input column (no arithmetic, no float hazard; DuckDB
+    * mirrors with last_value(... IGNORE NULLS) over the same frame).
+    *
+    * Scale posture: one shuffle on user_id, one sorted pass per
+    * partition (WindowExec) — O(events) with per-user parallelism, never
+    * a self-join against the purchase history; at 100 TB this is the
+    * same partitioned-window discipline as q13/q27. */
+  def q140(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w).as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q141: longest same-type streak per user — the gaps-and-islands
+    * pattern (session/streak detection by row-number difference): rn
+    * over the user's full (ts, event_id) order minus rn over the
+    * (user, type) order is CONSTANT exactly within a maximal run of
+    * consecutive same-type events, so one groupBy on (user, type,
+    * island) measures every run, and a per-user argmax (run length
+    * desc, then first event_id — a total order) picks the longest.
+    * Pure integer arithmetic end to end; the unique event_id tiebreak
+    * in both row_numbers makes the islands deterministic under ts ties.
+    *
+    * Scale posture: both row_numbers share ONE user_id shuffle (same
+    * partition key; the second window only re-sorts within partitions),
+    * run measurement is a map-side-combinable count at run cardinality,
+    * and the per-user argmax is a WindowGroupLimit top-1 — O(events)
+    * with per-user parallelism, no self-join. */
+  def q141(spark: SparkSession, sfDir: String): DataFrame =
+    streaksOn(Tables.events(spark, sfDir))
+
+  /** q141 kernel on an arbitrary (user_id, event_type, ts, event_id)
+    * frame — the spec seam (planted-streak laws in SemanticsSpec). */
+  def streaksOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        (row_number().over(byUser) - row_number().over(byUserType)).as("island"))
+      .groupBy(col("user_id"), col("event_type"), col("island"))
+      .agg(count(lit(1)).as("run_len"), min(col("event_id")).as("start_event_id"))
+    val best = Window.partitionBy(col("user_id"))
+      .orderBy(col("run_len").desc, col("start_event_id"))
+    runs
+      .select(col("user_id"), col("event_type"), col("run_len"),
+        col("start_event_id"), row_number().over(best).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("user_id"))
+  }
+
   /** q27: last-writer-wins projection — THE reference read-model semantic
     * (R8, consumer/consumer.go:214-220): latest event per user, ties broken
     * by event_id, exactly how the streaming upsert resolves replays. */

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.Stats
+
+/** s29: streaming distribution-drift monitor — the online form of q135's
+  * two-sample Kolmogorov–Smirnov matrix: events arrive in micro-batches
+  * and the per-(event_type, value) observation counts are maintained as
+  * a store of ADDITIVE exact partials (s26's store class), so the drift
+  * read never re-scans the event log. The read merges the partials (one
+  * integer sum — exact, associative, commutative: parity holds under
+  * ANY batch split, no arrival-order assumption) and pushes the summed
+  * counts through the SAME `Stats.ksOfCounts` kernel batch q135 uses —
+  * the exact-integer ECDF supremum, DECIMAL(38,0) products and ratio4dec
+  * quotient included, parity by construction.
+  *
+  * This closes the monitoring loop the batch layer opened (q132 EWMA,
+  * q133 spikes, q135 drift): the production deployment points this at
+  * the live feed and reads the matrix between batches — "is yesterday's
+  * value distribution drifting from today's?" without an O(log) rescan.
+  *
+  * Replay safety is the additive-store argument (s16/s21/s26): a re-run
+  * of batch b recomputes byte-identical counts and dynamic-overwrites
+  * its own batch_id partition — the summed read cannot tell. The store
+  * grows one quantization-bounded partition per batch (distinct
+  * (type, value) pairs, NOT batch rows — the 2-decimal value grid bounds
+  * it regardless of volume); folding old partitions into a base is
+  * s21's watermark compaction verbatim (counts are pointwise-summable).
+  *
+  * Scale posture: per batch ONE (type, value)-keyed map-side-combined
+  * aggregate of the batch only; the drift read is one shuffle over the
+  * store (≤ grid × uncompacted batches rows) feeding q135's
+  * already-bounded pair kernel — the event log itself is never re-read.
+  */
+object DriftMonitor {
+
+  private def emptyCounts(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit("").as("event_type"),
+      lit(0.0).as("value"), lit(0L).as("cnt"))
+
+  /** One micro-batch of (event_type, value): exact per-(type, value)
+    * counts → the batch's own partition. */
+  def processBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    batch.select(col("event_type"), col("value"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+  }
+
+  /** The q135-shaped KS drift matrix over everything ingested so far —
+    * row-for-row equal to batch q135 on the concatenated log under ANY
+    * batch split (the count merge is associative and commutative). */
+  def drift(spark: SparkSession, storeDir: String): DataFrame = {
+    val counts =
+      if (!StoreRead.hasParquetData(spark, storeDir)) emptyCounts(spark)
+      else spark.read.parquet(storeDir)
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(col("cnt")).as("cnt"))
+    Stats.ksOfCounts(counts)
+  }
+
+  /** Wire a streaming (event_type, value) source into the loop. */
+  def start(events: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, storeDir, batchId)
+      }
+      .start()
+}

@@ -106,6 +106,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q137_disjunctive_revenue" -> 1L,
     "q138_product_profit" -> 70L,
     "q139_shipping_lag_pivot" -> 5L,
+    "q140_forward_fill" -> 1000L,
+    "q141_event_streaks" -> 15L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {

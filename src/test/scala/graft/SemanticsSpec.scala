@@ -192,6 +192,46 @@ class SemanticsSpec extends SparkSpec {
     assert(res(0).getLong(2) == 2L) // rep_doc = min doc_id of the group
   }
 
+  test("forward fill: NULL before first purchase, carries across gaps, ts tie broken by event_id (q140)") {
+    // one user: click, purchase 10.0, click, click, purchase 20.0, click —
+    // plus a same-ts purchase pair where the HIGHER event_id must win
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "purchase", 10.0),
+      (3L, ts("2024-01-01 10:02:00"), 7L, "click", 0.0),
+      (4L, ts("2024-01-01 10:03:00"), 7L, "click", 0.0),
+      (5L, ts("2024-01-01 10:04:00"), 7L, "purchase", 20.0),
+      (6L, ts("2024-01-01 10:04:00"), 7L, "purchase", 30.0), // ts tie: id 6 is later
+      (7L, ts("2024-01-01 10:05:00"), 7L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = rows.select(col("event_id"),
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w).as("fill"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got(1L) == null, "fill before the first purchase must be NULL")
+    assert(got(2L) == 10.0 && got(3L) == 10.0 && got(4L) == 10.0)
+    assert(got(5L) == 20.0, "a purchase row carries its own value")
+    assert(got(6L) == 30.0 && got(7L) == 30.0,
+      "same-ts purchases: the higher event_id is the later observation")
+  }
+
+  test("gaps-and-islands: planted streaks measured exactly; length tie → earliest start (q141)") {
+    // user 7: A A B A A A B B  → longest run is the A-triple (len 3)
+    // user 8: A A B B          → 2-vs-2 tie; the A run starts first
+    val seq7 = Seq("A", "A", "B", "A", "A", "A", "B", "B")
+    val seq8 = Seq("A", "A", "B", "B")
+    val rows = (seq7.zipWithIndex.map { case (t, i) => (i.toLong, ts(f"2024-01-01 10:${i}%02d:00"), 7L, t, 0.0) } ++
+      seq8.zipWithIndex.map { case (t, i) => (100L + i, ts(f"2024-01-01 10:${i}%02d:00"), 8L, t, 0.0) })
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.queries.Windows.streaksOn(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(7L) == (("A", 3L, 3L)), s"user 7: ${got(7L)}")
+    assert(got(8L) == (("A", 2L, 100L)), s"user 8 tie must pick the earlier start: ${got(8L)}")
+  }
+
   test("projection latest: ts tie broken by event_id desc (q27 / R8 last-writer-wins)") {
     val t = ts("2024-01-01 10:00:00")
     val df = Seq(

@@ -1429,6 +1429,32 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s29: streamed KS drift == batch q135 under an ARBITRARY batch split; replay no-op") {
+    import graft.streaming.DriftMonitor.{drift, processBatch}
+    val storeDir = tmpDir("s29-store") + "/store"
+    // guard: schema-stable empty matrix before any write
+    val empty = drift(spark, storeDir)
+    assert(empty.columns.toSeq == Seq("type_a", "type_b", "n_a", "n_b", "ks"))
+    assert(empty.collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .localCheckpoint(true)
+    // split by event_id mod 3 — deliberately NOT time-ordered: the store
+    // is additive exact counts, so parity holds under ANY split
+    processBatch(ev.filter(col("event_id") % 3 === 0), storeDir, 0L)
+    processBatch(ev.filter(col("event_id") % 3 === 1), storeDir, 1L)
+    processBatch(ev.filter(col("event_id") % 3 === 2), storeDir, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    val want = rows(graft.queries.Stats.q135(spark, sf001))
+    assert(rows(drift(spark, storeDir)) == want,
+      "streamed drift matrix diverged from batch q135")
+    // replay law: re-running batch 1 overwrites its own partition with
+    // identical content — the summed read cannot tell
+    processBatch(ev.filter(col("event_id") % 3 === 1), storeDir, 1L)
+    assert(rows(drift(spark, storeDir)) == want, "replay changed the drift matrix")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s26: streamed ledger == batch q115 under an ARBITRARY batch split; replay no-op; null-user dual rows") {
     import graft.streaming.LedgerStore.{ledger, processBatch}
     val storeDir = tmpDir("s26-store") + "/store"
