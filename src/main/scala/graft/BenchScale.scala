@@ -92,7 +92,8 @@ object BenchScale {
       // r12: per-user forward fill + gaps-and-islands streaks over the
       // amplified event log (the q13/q27 partitioned-window growth class)
       "q140_forward_fill" -> "count",
-      "q141_event_streaks" -> "count"
+      "q141_event_streaks" -> "count",
+      "q142_peak_concurrency" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)

@@ -288,6 +288,7 @@ object SparkEntry {
     "q139_shipping_lag_pivot" -> Relational.q139 _,
     "q140_forward_fill"       -> Windows.q140 _,
     "q141_event_streaks"      -> Windows.q141 _,
+    "q142_peak_concurrency"   -> Events.q142 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -340,4 +340,82 @@ object Events {
         col("ts").as("valid_from"), col("valid_to"))
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
+
+  /** q142: peak promise concurrency per month — the sweep-line
+    * "active sessions over time" analytic: each purchase opens a
+    * promise active on [ts, ts+30d) (q114's due rule, half-open —
+    * a promise expiring at instant T and one opening at T never
+    * overlap), every interval emits a +1/−1 boundary, and the GLOBAL
+    * running sum of deltas over the (t, delta, event_id) total order
+    * is the exact concurrency curve (delta sorts expirations BEFORE
+    * starts at equal instants — the half-open rule; event_id breaks
+    * the remaining ties). The curve is constant between boundaries,
+    * but a month's true peak can sit at its very START (carry-in from
+    * the previous month, first boundary an expiration), so every month
+    * in the span also emits a delta-0 SENTINEL boundary at its first
+    * instant — the sentinel samples the carried concurrency without
+    * changing the sum (and sorts between same-instant expirations and
+    * starts, exactly the half-open reading of "active at month
+    * start"). With the curve sampled at every transition AND every
+    * month start, the per-month argmax (active DESC, then the sweep
+    * order) is the exact monthly peak, deterministic on both engines.
+    *
+    * Scale posture: the global prefix sum is the q72/q98 TWO-PHASE
+    * discipline — boundaries range-partition on the sweep order, each
+    * partition cumsums locally (partitioned window, never a global
+    * one), per-partition totals broadcast as carry-in offsets — so the
+    * sweep is O(boundaries) with full parallelism; the monthly argmax
+    * is a WindowGroupLimit top-1 at month cardinality. */
+  def q142(spark: SparkSession, sfDir: String): DataFrame =
+    peakConcurrency(Tables.events(spark, sfDir))
+
+  /** q142 kernel on a plain (event_id, event_type, ts) frame — the spec
+    * seam (planted half-open-boundary and month-carry laws in
+    * SemanticsSpec). */
+  private[graft] def peakConcurrency(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"),
+        (col("ts") + expr("INTERVAL 30 DAY")).as("due_ts"))
+    val real = p.select(col("ts").as("t"), lit(1L).as("delta"), col("event_id"))
+      .unionAll(p.select(col("due_ts").as("t"), lit(-1L).as("delta"), col("event_id")))
+    // delta-0 month-start sentinels over the boundary span: sample the
+    // carry-in at every month's first instant (one row per month — the
+    // span aggregate broadcasts, the sequence is month-cardinality)
+    val sentinels = real
+      .agg(to_date(date_trunc("month", min(col("t")))).as("m0"),
+        to_date(date_trunc("month", max(col("t")))).as("m1"))
+      .select(explode(sequence(col("m0"), col("m1"), expr("INTERVAL 1 MONTH"))).as("m"))
+      .select(col("m").cast("timestamp").as("t"), lit(0L).as("delta"),
+        lit(-1L).as("event_id"))
+    val bounds = real.unionAll(sentinels)
+    // two-phase global prefix sum (q72 discipline): range partitions
+    // follow the sweep order, so pid order == key order and the offset
+    // join is a broadcast of one row per partition
+    val d = bounds
+      .repartitionByRange(graft.queries.Sampling.ShardRanges,
+        col("t"), col("delta"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+      // two consumers (totals + cumsum) must see ONE pid assignment
+      .localCheckpoint(true)
+    val totals = d.groupBy(col("pid")).agg(sum(col("delta")).as("ptot"))
+    val offsets = totals
+      .join(broadcast(totals.select(col("pid").as("prev_pid"), col("ptot").as("prev_tot"))),
+        col("prev_pid") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(coalesce(sum(col("prev_tot")), lit(0L)).as("poff"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.withColumn("lcum", sum(col("delta")).over(w))
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("t"), col("delta"), col("event_id"),
+        (col("poff") + col("lcum")).as("active"))
+    val best = Window.partitionBy(col("month"))
+      .orderBy(col("active").desc, col("t"), col("delta"), col("event_id"))
+    cum.withColumn("month", to_date(date_trunc("month", col("t"))))
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("month"), col("active").as("peak_active"), col("t").as("peak_ts"))
+      .orderBy(col("month"))
+  }
 }

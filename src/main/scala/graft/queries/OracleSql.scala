@@ -772,6 +772,38 @@ object OracleSql {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
 
+    // q142: the sweep is identical SQL — one global cumsum over the
+    // (t, delta, event_id) order (DuckDB runs it single-node; the
+    // engine's two-phase form is prefix-sum algebra, value-identical);
+    // deltas are BIGINT so the running sum needs the HUGEINT cast,
+    // and DuckDB date_trunc('month') is already a DATE.
+    "q142_peak_concurrency" ->
+      (eventsCte +
+      """,
+        |p AS (SELECT event_id, ts, ts + INTERVAL 30 DAY AS due_ts
+        |      FROM e WHERE event_type = 'purchase'),
+        |real AS (SELECT ts AS t, CAST(1 AS BIGINT) AS delta, event_id FROM p
+        |      UNION ALL
+        |      SELECT due_ts, CAST(-1 AS BIGINT), event_id FROM p),
+        |s AS (SELECT CAST(unnest(generate_series(
+        |          date_trunc('month', (SELECT min(t) FROM real)),
+        |          date_trunc('month', (SELECT max(t) FROM real)),
+        |          INTERVAL 1 MONTH)) AS TIMESTAMP) AS t,
+        |        CAST(0 AS BIGINT) AS delta, CAST(-1 AS BIGINT) AS event_id),
+        |b AS (SELECT * FROM real UNION ALL SELECT * FROM s),
+        |c AS (SELECT t, delta, event_id,
+        |        CAST(SUM(delta) OVER (ORDER BY t, delta, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS active
+        |      FROM b),
+        |r AS (SELECT date_trunc('month', t) AS month, active, t,
+        |        ROW_NUMBER() OVER (PARTITION BY date_trunc('month', t)
+        |          ORDER BY active DESC, t, delta, event_id) AS rn
+        |      FROM c)
+        |SELECT month, active AS peak_active, t AS peak_ts
+        |FROM r WHERE rn = 1
+        |ORDER BY month""".stripMargin),
+
     // q141: pure integer gaps-and-islands — both row_numbers use the
     // same (ts, event_id) total order, so the island ids (and therefore
     // the runs) are identical across engines; the per-user winner is a

@@ -112,9 +112,12 @@ class PlanSpec extends SparkSpec {
       "q123_top_supplier",      // broadcast single-row max revenue
       "q124_dormant_capital",   // broadcast single-row global average
       "q131_dsir_weights",      // broadcast single-row corpus totals (nt, nr, v)
-      "q135_distribution_drift") // broadcast T×T type-pair frame (T = #event
+      "q135_distribution_drift", // broadcast T×T type-pair frame (T = #event
                                  // families — cardinality fixed by the schema,
                                  // not the corpus; q95's constant-panel shape)
+      "q142_peak_concurrency")   // broadcast ≤ShardRanges-row per-partition
+                                 // totals in the two-phase prefix-sum carry-in
+                                 // (q72's offsets shape — constant-bounded)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")

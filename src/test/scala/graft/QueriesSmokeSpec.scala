@@ -108,6 +108,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q139_shipping_lag_pivot" -> 5L,
     "q140_forward_fill" -> 1000L,
     "q141_event_streaks" -> 15L,
+    "q142_peak_concurrency" -> 2L,
   )
 
   test("every declared query has an oracle entry or is explicitly exempt") {

@@ -232,6 +232,30 @@ class SemanticsSpec extends SparkSpec {
     assert(got(8L) == (("A", 2L, 100L)), s"user 8 tie must pick the earlier start: ${got(8L)}")
   }
 
+  test("sweep-line concurrency: half-open boundary, overlap count, month-start carry-in (q142)") {
+    import graft.queries.Events.peakConcurrency
+    // p0 active [Jan 10, Feb 9), p1 [Jan 20, Feb 19), p2 starts EXACTLY
+    // when p0 expires (Feb 9) — half-open: never 3 concurrent.
+    // Jan peak = 2 (from Jan 20). Feb's first real boundary is p0's
+    // expiration, but TWO promises are still active at Feb 1 — the
+    // month-start sentinel must report the carry-in peak of 2.
+    val rows = Seq(
+      (0L, "purchase", ts("2024-01-10 00:00:00")),
+      (1L, "purchase", ts("2024-01-20 00:00:00")),
+      (2L, "purchase", ts("2024-02-09 00:00:00")), // == p0's due instant
+      (3L, "click", ts("2024-01-05 00:00:00"))     // non-purchase ignored
+    ).toDF("event_id", "event_type", "ts")
+    val got = peakConcurrency(rows).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getTimestamp(2)))).toMap
+    assert(got("2024-01-01") == ((2L, ts("2024-01-20 00:00:00"))),
+      s"January: ${got.get("2024-01-01")}")
+    assert(got("2024-02-01") == ((2L, ts("2024-02-01 00:00:00"))),
+      s"February must carry 2 in at the sentinel: ${got.get("2024-02-01")}")
+    // March: p1 expired Feb 19, p2 alone until Mar 10 — carry-in 1
+    assert(got("2024-03-01") == ((1L, ts("2024-03-01 00:00:00"))),
+      s"March: ${got.get("2024-03-01")}")
+  }
+
   test("projection latest: ts tie broken by event_id desc (q27 / R8 last-writer-wins)") {
     val t = ts("2024-01-01 10:00:00")
     val df = Seq(
