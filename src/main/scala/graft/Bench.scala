@@ -18,8 +18,16 @@ object Bench {
     * same contended window — one noisy minute poisoned BOTH samples and
     * min() couldn't save them. With whole-suite passes between repeats
     * the two samples are minutes apart, so a transient contender has to
-    * span the entire run to corrupt a min. */
-  val Runs = 2
+    * span the entire run to corrupt a min.
+    *
+    * Runs = 3 since r13: the r12 exit boards showed the BOX drifting
+    * (110.6→139.2 s across four same-code boards in one morning) — with
+    * only two samples, a slow half-hour leaves both minutes-apart samples
+    * inflated and min() reports drift as regression. A third interleaved
+    * pass costs ~2 min of driver wall-clock and moves every per-query min
+    * measurably closer to the demonstrated floor, which is what the
+    * round-over-round regression table is supposed to compare. */
+  val Runs = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

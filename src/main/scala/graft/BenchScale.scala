@@ -187,11 +187,15 @@ object BenchScale {
       for (p <- 1 to passes; (name, fn, action) <- qs) {
         val (dt, rows) = runOnce(spark, name, fn, dir, action)
         noteHeap()
+        // Print EVERY leg, failed or not (r12 advisor): a silently missing
+        // query in BENCH_scale.json was unattributable from the log when
+        // the progress line lived inside the dt>=0 guard.
         if (dt >= 0) {
           val prev = byQ.get(name)
           if (prev.isEmpty || prev.get._1 > dt) byQ(name) = (dt, rows)
           System.err.println(f"[bench-scale] x$a pass$p $name%-32s $dt%8.2f s rows=$rows")
-        }
+        } else
+          System.err.println(f"[bench-scale] x$a pass$p $name%-32s FAILED")
       }
       // Demonstrate the LSH density knob is load-bearing: fixed 4-bit
       // buckets at ×4 (≈16× the candidate volume of the scaled form).

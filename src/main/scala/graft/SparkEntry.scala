@@ -127,13 +127,29 @@ object SparkEntry {
     * logger (MapPartitionsRDD, …), an open set. */
   def silencingRddWarns[T](body: => T): T = {
     import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
     import org.apache.logging.log4j.core.config.Configurator
     val pkg = "org.apache.spark.rdd"
     val saved = LogManager.getLogger(pkg).getLevel
+    // Restore-to-INHERITED when the package had no explicit config (r12
+    // advisor): Configurator.setLevel CREATES a LoggerConfig for pkg, and
+    // restoring the captured EFFECTIVE level onto it would freeze the
+    // package — later sparkContext.setLogLevel calls on the root would no
+    // longer propagate here. Detect inheritance up front (the owning
+    // LoggerConfig's name differs from pkg) and remove the config we
+    // created instead of pinning a level.
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val hadExplicit = ctx.getConfiguration.getLoggerConfig(pkg).getName == pkg
     try {
       Configurator.setLevel(pkg, org.apache.logging.log4j.Level.ERROR)
       body
-    } finally Configurator.setLevel(pkg, saved)
+    } finally {
+      if (hadExplicit) Configurator.setLevel(pkg, saved)
+      else {
+        ctx.getConfiguration.removeLogger(pkg)
+        ctx.updateLoggers()
+      }
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -289,6 +305,7 @@ object SparkEntry {
     "q140_forward_fill"       -> Windows.q140 _,
     "q141_event_streaks"      -> Windows.q141 _,
     "q142_peak_concurrency"   -> Events.q142 _,
+    "q143_filtered_ann"       -> Vectors.q143 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

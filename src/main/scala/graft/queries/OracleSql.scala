@@ -211,7 +211,7 @@ object OracleSql {
     * discipline pointed at IVF candidates. Cosines in the ranking fold
     * sequentially (list_reduce) like the assignment sims, so the ROUND-4
     * operand is bit-identical to Spark's aggregate() fold. */
-  private def ivfKnnCtes = {
+  private def ivfKnnCtes(memberCond: String = "") = {
     val R = Vectors.LloydRounds
     val probe = R + 1
     s"""${lloydChain(R)},
@@ -227,14 +227,25 @@ object OracleSql {
        |      / (sqrt(list_reduce(list_transform(p.emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
        |       * sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))), 4) AS sim
        |  FROM probes p JOIN a$probe a USING (cell)
-       |  WHERE a.vec_id <> p.src),
+       |  WHERE a.vec_id <> p.src$memberCond),
        |r AS (SELECT src, dst, sim,
        |        CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
        |      FROM cand)""".stripMargin
   }
 
   private val ivfKnnSql =
-    s"""$ivfKnnCtes
+    s"""${ivfKnnCtes()}
+       |SELECT src, rk, dst, sim
+       |FROM r WHERE rk <= ${Vectors.KnnK}
+       |ORDER BY src, rk""".stripMargin
+
+  /** q143 oracle: the q90 chain with the member predicate applied inside
+    * the candidate CTE — the oracle's declarative mirror of prune-then-rank
+    * (an IN-subquery on the label-filtered scan; DuckDB plans it as a semi
+    * join before the ranking window, same shape as the engine). */
+  private val ivfKnnFilteredSql =
+    s"""${ivfKnnCtes(" AND a.vec_id IN (SELECT vec_id FROM embeddings" +
+         s" WHERE label IN (${Vectors.FilterLabels.mkString(", ")}))")}
        |SELECT src, rk, dst, sim
        |FROM r WHERE rk <= ${Vectors.KnnK}
        |ORDER BY src, rk""".stripMargin
@@ -245,6 +256,7 @@ object OracleSql {
     "q55_ivf_centroids" -> centroidSql,
     "q56_ivf_probe"     -> ivfProbeSql,
     "q90_ivf_knn"       -> ivfKnnSql,
+    "q143_filtered_ann" -> ivfKnnFilteredSql,
     "q112_pq_adc"       -> pqSql,
 
     "q01_scan_filter_project" ->
@@ -2283,7 +2295,7 @@ object OracleSql {
     val Q = RetrievalEval.EvalQueries
     val S = RetrievalEval.MrrScale
     val k = Vectors.KnnK
-    s"""$ivfKnnCtes,
+    s"""${ivfKnnCtes()},
        |ret AS (SELECT src, rk, dst FROM r WHERE rk <= $k AND src < $Q),
        |panel AS (SELECT vec_id AS src, embedding AS qv FROM embeddings WHERE vec_id < $Q),
        |bf AS (SELECT p.src, e.vec_id AS dst,

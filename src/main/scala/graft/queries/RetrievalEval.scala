@@ -84,6 +84,15 @@ object RetrievalEval {
     // graph at 1187 KiB). Both frames are ≤ EvalQueries rows and
     // Aggregate-rooted, so the eager checkpoint is safe (the UnionBase
     // rule) and costs one tiny job each.
+    //
+    // Known cost (r12 advisor): the EAGER checkpoints run the ivfKnn +
+    // brute-force-truth jobs at DataFrame-BUILD time, so a plan-only
+    // consumer (Explain, PlanSpec's whole-inventory sweep) pays full
+    // execution just to look at the plan. Accepted under the existing pin
+    // discipline — q95 is the one query whose task-binary growth forced
+    // mid-plan cuts — and bounded: both checkpointed frames are
+    // ≤ EvalQueries rows, so the build-time jobs are the query's own
+    // dominant work, not an extra pass.
     val nrel = truth.groupBy(col("src")).agg(count(lit(1)).as("n_rel"))
       .localCheckpoint(true)
     val ret = Vectors.ivfKnn(spark, sfDir, nprobe)

@@ -169,6 +169,60 @@ class LlmOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q143 filtered ANN: predicate respected, prune pushed to the scan, recall vs filtered exact truth, limit identity") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Dsl.{cosine, round4}
+    val labels = graft.queries.Vectors.FilterLabels.toSet
+    val e = graft.tables.Tables.embeddings(spark, sf001)
+    // predicate-filtered exact ground truth: for every query vector, the
+    // exact top-k among predicate-matching vectors (test-only brute force)
+    val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst")
+    val exactDf = e.select($"vec_id".as("src"), $"embedding".as("emb_a"))
+      .crossJoin(e.filter($"label".isin(labels.toSeq.map(Int.box): _*))
+        .select($"vec_id".as("dst"), $"embedding".as("emb_b")))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst", round4(cosine($"emb_a", $"emb_b")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= graft.queries.Vectors.KnnK)
+      .select($"src", $"rk", $"dst", $"sim")
+    val exact = exactDf.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+
+    val df143 = graft.queries.Vectors.q143(spark, sf001)
+    // the predicate prune reaches the parquet source: the member-side scan
+    // carries a pushed In(label, ...) filter (prune-then-rank, not
+    // post-filtering) — the one plan property the operator claims
+    val planStr = df143.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") && planStr.contains("In(label"),
+      "member predicate not pushed to the parquet scan")
+    val got = df143.collect().groupBy(_.getLong(0))
+    // every reported neighbor satisfies the predicate
+    val dstLabels = e.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((src, rows) <- got; r <- rows)
+      assert(labels.contains(dstLabels(r.getLong(2))),
+        s"src $src: neighbor ${r.getLong(2)} violates the predicate")
+    // recall vs the FILTERED exact truth — same floor as q90's pin (the
+    // index and probe width are identical; only the member set shrinks)
+    val per = exact.map { case (src, truth) =>
+      val found = got.get(src).map(_.map(_.getLong(2)).toSet).getOrElse(Set.empty)
+      (truth intersect found).size.toDouble / truth.size
+    }
+    val recall = per.sum / per.size
+    info(f"q143 recall=$recall%.3f vs filtered exact truth")
+    assert(recall >= 0.5, f"q143 recall $recall%.3f below pin")
+    // LIMIT IDENTITY: probing every cell == the predicate-filtered exact
+    // k-NN row for row — validates that the filter composes with the whole
+    // train/assign/probe machinery without touching ranking semantics
+    val ncells = e.select($"label").distinct().count().toInt
+    val full = graft.queries.Vectors.ivfKnnFiltered(spark, sf001, ncells).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exactRows = exactDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == exactRows, "nprobe=ncells filtered probe != filtered exact k-NN")
+    spark.catalog.clearCache()
+  }
+
   test("q95 eval laws: macro recall monotone in nprobe, exactly 1.0 at nprobe=ncells, metrics in range") {
     import graft.queries.RetrievalEval
     // Recall monotonicity is a THEOREM of the eval, not corpus geometry:
@@ -709,6 +763,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(m("reported")._2 > 0)
     val recall = m("reported")._3.toDouble / m("reported")._2
     assert(recall >= 0.8, s"reported recall $recall")
+    // q99's one-action outer-join rewrite (count(is_t) as tp, count(*) as
+    // n_pairs) is only equivalent to the old per-stage semi-join form if
+    // TRUTH is a distinct pair set — a future q36 change emitting
+    // duplicate pairs would silently inflate both counts (r12 advisor).
+    // Pin the invariant here rather than paying a dropDuplicates shuffle
+    // inside q99 for what is a structural property of the PPJoin.
+    val truth = graft.queries.Text.q36(spark, sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(truth.length == truth.distinct.length,
+      "q36 truth emitted duplicate (doc_a, doc_b) pairs — q99's outer-join counts are no longer valid")
     SparkEntry.clearGraftCaches(spark)
   }
 

@@ -370,6 +370,67 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s30 rate-source ingest: the cascade over the rate transport equals the file pipeline replaying the same envelopes") {
+    import org.apache.spark.sql.DataFrame
+    // rate transport: synthetic purchases at 50 rows/s over 3 users, the
+    // derived-promise self-loop through the broker's file side channel
+    val broker = graft.streaming.RateBroker(spark, tmpDir("s30-rate-loop"),
+      rowsPerSecond = 50, users = 3)
+    val rState = tmpDir("s30-rate-state")
+    val pipeR = new BnplPipeline(spark, tmpDir("s30-rate-events"), rState,
+      broker = Some(broker))
+    pipeR.start()
+    try {
+      // POLL, never drain: processAllAvailable over a continuously
+      // producing rate source chases the head forever (observed hang) —
+      // the ProcessingTime(0) trigger already runs micro-batches
+      // continuously, so just wait until the self-loop has demonstrably
+      // cycled at least 5 derived promises through the log
+      def promiseCount(): Long =
+        try pipeR.eventsLog
+          .filter(col("event_type") === Envelope.PaymentPromiseCreated).count()
+        catch { case _: Throwable => 0L }
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      while (promiseCount() < 5 && System.nanoTime() < deadline) Thread.sleep(500)
+    } finally pipeR.stop()
+    val rLog = spark.read.parquet(s"$rState/events_log")
+    val purchases = rLog.filter(col("event_type") === Envelope.PurchaseCompleted)
+    val promises = rLog.filter(col("event_type") === Envelope.PaymentPromiseCreated)
+    val promisedIds = promises.collect()
+      .map(_.getAs[String]("event_id").stripPrefix("promise:")).toSet
+    assert(promisedIds.size >= 5, s"self-loop settled only ${promisedIds.size} promises")
+    // the generator fanned over multiple users (keyed projections saw grouping)
+    assert(purchases.select("user_id").distinct().count() >= 2)
+    // purchases whose derived promise landed before the stop — the tail of
+    // generated-but-not-yet-looped purchases is excluded from the parity set
+    val settled = purchases.filter(col("event_id").isin(promisedIds.toSeq: _*))
+      .localCheckpoint(true)
+    def rows(df: DataFrame): Set[String] = df.toJSON.collect().toSet
+
+    // file transport: the SAME settled envelopes as producer-written lines
+    val fEvents = tmpDir("s30-file-events")
+    val fState = tmpDir("s30-file-state")
+    writeEvents(fEvents, "e0.json", settled.toJSON.collect().toSeq)
+    val pipeF = new BnplPipeline(spark, fEvents, fState)
+    pipeF.start()
+    try {
+      pipeF.drain()
+      // log parity: settled purchases + their derived promises, derived
+      // independently by each transport's own self-loop
+      assert(rows(pipeF.eventsLog) == rows(settled.unionByName(promises)),
+        "event log diverged between the rate and file transports")
+      // promise projection parity per user
+      for (u <- Seq("u0", "u1", "u2"))
+        assert(rows(pipeF.paymentPromises(u)) ==
+          rows(spark.read.parquet(s"$rState/payment_promises")
+            .filter(col("user_id") === u)
+            .select(col("order_id"), col("amount"), col("due_date"),
+              col("payment_mode"), col("created_at"))),
+          s"promise projection diverged for $u")
+    } finally pipeF.stop()
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("unknown event types reach the log but no projection (R3: switch without default)") {
     val eventsDir = tmpDir("bnpl-unknown-events")
     val stateDir = tmpDir("bnpl-unknown-state")
@@ -1452,6 +1513,117 @@ class StreamingSpec extends SparkSpec {
     // identical content — the summed read cannot tell
     processBatch(ev.filter(col("event_id") % 3 === 1), storeDir, 1L)
     assert(rows(drift(spark, storeDir)) == want, "replay changed the drift matrix")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("crash-replay (s24/s26): a checkpointed query killed mid-batch — before AND after the store write — restarts to the uninterrupted store") {
+    // The r12 verdict's item 4: the tail stores CLAIM checkpointed
+    // exactly-once vs the reference's at-most-once (consumer/consumer.go:64
+    // — iterator Latest, no checkpoint), but every prior law only
+    // SIMULATED replays by calling processBatch twice. This kills a real
+    // streaming query mid-batch — an exception out of foreachBatch at the
+    // two interesting points: BEFORE the store write (batch vanishes
+    // entirely) and AFTER it (store holds the uncommitted batch's
+    // partitions, the crash window s23's replay argument covers) — then
+    // restarts from the SAME checkpoint over the same source and asserts
+    // the final store equals an uninterrupted run's, byte for byte.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mk = (s: Int) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+
+    // ---- s24 (SCD2 tail store; order-enforced fold) ----
+    val scd2Batches: Seq[Seq[(Option[Long], Long, String, java.sql.Timestamp)]] = Seq(
+      Seq((Some(1L), 1L, "A", mk(0)), (Some(2L), 2L, "A", mk(1)), (None, 3L, "A", mk(2))),
+      Seq((Some(1L), 4L, "B", mk(3)), (None, 5L, "B", mk(4))),
+      Seq((Some(1L), 6L, "A", mk(5)), (Some(2L), 7L, "B", mk(6)), (None, 8L, "A", mk(7))))
+    def histRows(td: String, cd: String) =
+      graft.streaming.Scd2History.history(spark, td, cd).collect().toSet
+    // uninterrupted reference
+    val (refT, refC) = (tmpDir("crash-s24-ref") + "/t", tmpDir("crash-s24-ref") + "/c")
+    scd2Batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.Scd2History.processBatch(
+        b.toDF("user_id", "event_id", "event_type", "ts"), refT, refC, i.toLong)
+    }
+    val wantScd2 = histRows(refT, refC)
+    for (crashPoint <- Seq("before", "after")) {
+      val base = tmpDir(s"crash-s24-$crashPoint")
+      val (td, cd, ck) = (base + "/t", base + "/c", base + "/ck")
+      val input = MemoryStream[(Option[Long], Long, String, java.sql.Timestamp)]
+      @volatile var injected = false
+      def startQ(crash: Boolean) = input.toDF()
+        .toDF("user_id", "event_id", "event_type", "ts")
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (crash && crashPoint == "before" && id == 1L && !injected) {
+            injected = true; throw new RuntimeException("injected crash (before store write)")
+          }
+          graft.streaming.Scd2History.processBatch(b, td, cd, id)
+          if (crash && crashPoint == "after" && id == 1L && !injected) {
+            injected = true; throw new RuntimeException("injected crash (after store write)")
+          }
+        }.start()
+      val q1 = startQ(crash = true)
+      input.addData(scd2Batches(0)); q1.processAllAvailable() // batch 0 commits
+      input.addData(scd2Batches(1))
+      val ex = intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+      assert(ex.getMessage != null || injected, "crash was not injected")
+      assert(injected, s"batch 1 never reached the $crashPoint crash point")
+      // restart from the SAME checkpoint: batch 1 replays (same id, same
+      // offset range), then batch 2 arrives normally
+      val q2 = startQ(crash = false)
+      try {
+        q2.processAllAvailable()
+        input.addData(scd2Batches(2)); q2.processAllAvailable()
+      } finally q2.stop()
+      assert(histRows(td, cd) == wantScd2,
+        s"s24 store diverged after a $crashPoint-write crash + checkpoint restart")
+    }
+
+    // ---- s26 (ledger store; additive, split-independent) ----
+    val ledgerBatches: Seq[Seq[(Option[Long], String, Double)]] = Seq(
+      Seq((Some(1L), "click", 1.0), (Some(2L), "purchase", 5.0), (None, "click", 1.0)),
+      Seq((Some(1L), "purchase", 7.5), (None, "purchase", 2.5)),
+      Seq((Some(2L), "click", 1.0), (Some(1L), "click", 1.0)))
+    def ledgerRows(sd: String) =
+      graft.streaming.LedgerStore.ledger(spark, sd).collect().toSet
+    val refL = tmpDir("crash-s26-ref") + "/s"
+    ledgerBatches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.LedgerStore.processBatch(
+        b.toDF("user_id", "event_type", "value"), refL, i.toLong)
+    }
+    val wantLedger = ledgerRows(refL)
+    for (crashPoint <- Seq("before", "after")) {
+      val base = tmpDir(s"crash-s26-$crashPoint")
+      val (sd, ck) = (base + "/s", base + "/ck")
+      val input = MemoryStream[(Option[Long], String, Double)]
+      @volatile var injected = false
+      def startQ(crash: Boolean) = input.toDF()
+        .toDF("user_id", "event_type", "value")
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (crash && crashPoint == "before" && id == 1L && !injected) {
+            injected = true; throw new RuntimeException("injected crash (before store write)")
+          }
+          graft.streaming.LedgerStore.processBatch(b, sd, id)
+          if (crash && crashPoint == "after" && id == 1L && !injected) {
+            injected = true; throw new RuntimeException("injected crash (after store write)")
+          }
+        }.start()
+      val q1 = startQ(crash = true)
+      input.addData(ledgerBatches(0)); q1.processAllAvailable()
+      input.addData(ledgerBatches(1))
+      intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+      assert(injected, s"batch 1 never reached the $crashPoint crash point")
+      val q2 = startQ(crash = false)
+      try {
+        q2.processAllAvailable()
+        input.addData(ledgerBatches(2)); q2.processAllAvailable()
+      } finally q2.stop()
+      assert(ledgerRows(sd) == wantLedger,
+        s"s26 store diverged after a $crashPoint-write crash + checkpoint restart")
+    }
     SparkEntry.clearGraftCaches(spark)
   }
 
