@@ -46,6 +46,16 @@ object BenchScale {
   def scaledBits(a: Int): Int =
     4 + math.ceil(math.log(a.toDouble) / math.log(2.0)).toInt
 
+  /** Subcode width for q90's TUNED operating point (Vectors.ivfKnnTuned):
+    * the bits that hold the expected IVF subcell at ~100 members. Ladder
+    * geometry: N = 2000·A vectors over 10·⌈√A⌉ label-seeded cells, so
+    * cellsize = 200·A/⌈√A⌉ and b = round(log2(cellsize/100)) — A=1 → 1,
+    * A=4 → 2, A=32 → 3, A=64 → 4. */
+  def tunedSubBits(a: Int): Int = {
+    val cellsize = 200.0 * a / math.ceil(math.sqrt(a.toDouble))
+    math.max(0, math.round(math.log(cellsize / 100.0) / math.log(2.0)).toInt)
+  }
+
   private def buildQueries(a: Int): Seq[(String, (SparkSession, String) => DataFrame, String)] = {
     val std = Seq(
       "q36_ngram_jaccard" -> "count",

@@ -49,6 +49,11 @@ object ExpProbe {
       case "q104_mutual_knn_clusters" => (s, d) =>
         Vectors.mutualKnnClustersOn(
           Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, d), wide))
+      // q90's TUNED operating point (r12 verdict item 1b): subcode bits
+      // sized to the ladder leg so per-query candidate volume stays at the
+      // design density — the linear-work dial next to q90's N^1.5 probe
+      case "q90_tuned" => (s, d) =>
+        Vectors.ivfKnnTuned(s, d, Vectors.NProbe, BenchScale.tunedSubBits(factor))
       case k => SparkEntry.queries(k)
     }
 

@@ -306,6 +306,7 @@ object SparkEntry {
     "q141_event_streaks"      -> Windows.q141 _,
     "q142_peak_concurrency"   -> Events.q142 _,
     "q143_filtered_ann"       -> Vectors.q143 _,
+    "q144_bulk_part_suppliers" -> Relational.q144 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -728,6 +728,22 @@ object OracleSql {
         |GROUP BY 1
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // q144: Q20's nested semi-join chain — the inner grouped HAVING uses
+    // the engine's dsum discipline (exact DECIMAL sum cast to double, one
+    // IEEE compare) so the surviving supplier set is identical cross-engine
+    "q144_bulk_part_suppliers" ->
+      """WITH sp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%ol%'),
+        |bulk AS (
+        |  SELECT l_suppkey FROM lineitem l JOIN sp ON l.l_partkey = sp.p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 60.0)
+        |SELECT s_suppkey, s_name, n_name AS nation
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM bulk)
+        |ORDER BY s_suppkey""".stripMargin,
+
     // q114: the ref_date scalar is a one-row CTE cross-joined onto the
     // promise stream (the engine's broadcast); DuckDB date subtraction
     // returns days as BIGINT directly — both sides do pure integer DATE

@@ -838,4 +838,42 @@ object Relational {
         sum(when(late, 0L).otherwise(1L)).as("ontime_lines"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** q144: TPC-H Q20-shaped bulk-part suppliers — the last classic
+    * TPC-H plan shape the inventory lacked: a NESTED SEMI-JOIN CHAIN,
+    * where the outer relation survives on membership in a GROUPED
+    * aggregate-with-HAVING over a screened fact slice (Q20's "suppliers
+    * with excess availability of forest parts"; the schema ships no
+    * partsupp, so availability becomes shipped volume). Here: suppliers
+    * who shipped, of SOME screened part (name contains 'ol'), more than
+    * 60 units during 1996 — dim-screen → fact aggregate → HAVING →
+    * semi join → dim decoration, each stage a different operator class.
+    * Quantity sums in exact DECIMAL (dsum) so the HAVING threshold cuts
+    * identically cross-engine.
+    *
+    * Scale posture: the part screen broadcasts into the date-pruned
+    * lineitem scan (both predicates pushed); the aggregate map-side
+    * combines to (supplier, part) cardinality — bounded by the screened
+    * catalog, never ¦lineitem¦; the surviving supplier keys broadcast
+    * into the semi join, so the supplier table is never shuffled. */
+  def q144(spark: SparkSession, sfDir: String): DataFrame = {
+    val screened = Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%ol%"))
+      .select(col("p_partkey"))
+    val bulk = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(screened), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 60.0)
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(bulk), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+      .orderBy(col("s_suppkey"))
+  }
 }

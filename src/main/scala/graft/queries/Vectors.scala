@@ -549,6 +549,88 @@ object Vectors {
       .orderBy(col("src"), col("rk"))
   }
 
+  /** q90's TUNED second operating point (r12 verdict item 1b): the same
+    * trained IVF index, but each cell's members are SUBDIVIDED by a
+    * `subBits`-bit random-hyperplane subcode (the q38/q85 plane family —
+    * sign bits of the first `subBits` projections, Charikar STOC'02), and
+    * a query probes, within each of its NProbe cells, only the subcell
+    * matching its own subcode plus the single least-confident bit flip
+    * (query-directed multi-probe, Lv et al. VLDB'07: the bit whose
+    * projection magnitude is smallest is the likeliest to differ for a
+    * true neighbor). With subBits sized to hold the expected subcell at a
+    * fixed target (~100 members), per-query candidate volume is
+    * NProbe · 2 · ⟨subcell⟩ — CONSTANT in corpus size — so total probe
+    * work is Θ(N) where q90's flat probe is Θ(N^1.5) under the ladder's
+    * ncells ∝ √N. The residual super-linear term is the assignment /
+    * probe-ranking cosine pass (N · ncells ∝ N^1.5) — map-side broadcast
+    * FMAs with no shuffle, ~1e-9 s each, invisible at any measured scale
+    * and the first thing a 100 TB deployment replaces with a quantizer-ANN
+    * assignment. Trade: recall drops (the subcode cuts true neighbors
+    * whose subcode differs by ≥ 2 bits) — the dial between q90's exactness
+    * and linear scaling, law-pinned in LlmOpsSpec (identity at subBits=0,
+    * recall floor at subBits=2). Diagnostic surface (BENCH_scale /
+    * ExpProbe), not a declared oracle query: its output depends on the
+    * probe heuristic, which is the tunable under study. */
+  private[graft] def ivfKnnTuned(spark: SparkSession, sfDir: String,
+      nprobe: Int, subBits: Int): DataFrame = {
+    import graft.ops.Ann
+    require(subBits >= 0 && subBits <= 16, s"subBits=$subBits out of range")
+    def subcode(emb: Column): Column =
+      if (subBits == 0) lit(0L)
+      else (0 until subBits)
+        .map(j => when(Ann.projection(emb, j) > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val emb = Tables.embeddings(spark, sfDir)
+    val cells = codebook(trainedComponents(emb))
+    val sims = cellSims(emb, cells).localCheckpoint(true)
+    val assigned = argmaxCell(sims)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val probes0 = sims
+      .select(col("vec_id"), col("cell"), col("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("src"), col("cell"))
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_a")), Seq("src"))
+    val probes =
+      if (subBits == 0) probes0.withColumn("code", lit(0L))
+      else {
+        // least-confident bit = argmin |projection| over the subcode planes
+        // (array_sort on (|proj|, j) structs — lexicographic, ties to the
+        // lower plane index, deterministic)
+        val flip = element_at(array_sort(array((0 until subBits).map(j =>
+          struct(abs(Ann.projection(col("emb_a"), j)).as("a"),
+            lit(j).as("j"))): _*)), 1).getField("j")
+        probes0
+          .withColumn("code0", subcode(col("emb_a")))
+          .withColumn("flip", flip)
+          .select(col("src"), col("cell"), col("emb_a"),
+            explode(array(col("code0"),
+              expr("code0 ^ shiftleft(CAST(1 AS BIGINT), flip)"))).as("code"))
+      }
+    // no salt: the join key is (cell, code) — ncells × 2^subBits values,
+    // already the parallelism the salt existed to manufacture
+    val members = assigned
+      .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("emb_b"))
+      .withColumn("code", subcode(col("emb_b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    probes.join(members, Seq("cell", "code"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round4(cosine(col("emb_a"), col("emb_b"))).as("sim"))
+      // a dst reachable through BOTH probed codes of one (src, cell) pair
+      // cannot occur (codes differ), but a dst CAN appear through two
+      // different probed cells only if assignment were ambiguous — it is
+      // not (argmax is unique); still, groupBy-max mirrors knnPairsOn's
+      // belt-and-braces dedup before ranking
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select(col("src"), col("rk"), col("dst"), col("sim"))
+      .orderBy(col("src"), col("rk"))
+  }
+
   /** q143 member predicate: the metadata filter the kNN is constrained to,
     * as a pushable IN-list (modulo/arbitrary expressions never reach the
     * parquet source; an IN-list lands in PushedFilters, so at corpus scale

@@ -169,6 +169,44 @@ class LlmOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q90 tuned operating point: subBits=0 degenerates to q90 exactly; subBits=2 keeps a recall floor (ivfKnnTuned)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Dsl.{cosine, round4}
+    val np = graft.queries.Vectors.NProbe
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // IDENTITY at subBits=0: one subcell per cell, multi-probe degenerate —
+    // the tuned operator must equal q90's flat probe row for row, which
+    // pins the whole subcode/multi-probe plumbing as a pure refinement
+    val base = rows(graft.queries.Vectors.ivfKnn(spark, sf001, np))
+    val t0 = rows(graft.queries.Vectors.ivfKnnTuned(spark, sf001, np, 0))
+    assert(t0 == base, "subBits=0 tuned probe != q90 flat probe")
+    // RECALL floor at subBits=2 (forced: sf0.001 cells hold ~50 members,
+    // so 4 subcells × 2 probed really cut the candidate set) vs the exact
+    // brute-force truth — the dial's cost side, measured and pinned
+    val e = graft.tables.Tables.embeddings(spark, sf001)
+    val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst")
+    val exact = e.select($"vec_id".as("src"), $"embedding".as("emb_a"))
+      .crossJoin(e.select($"vec_id".as("dst"), $"embedding".as("emb_b")))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst", round4(cosine($"emb_a", $"emb_b")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= graft.queries.Vectors.KnnK)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val tuned = graft.queries.Vectors.ivfKnnTuned(spark, sf001, np, 2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val per = exact.map { case (src, truth) =>
+      (truth intersect tuned.getOrElse(src, Set.empty)).size.toDouble / truth.size
+    }
+    val recall = per.sum / per.size
+    info(f"tuned subBits=2 recall=$recall%.3f vs exact truth (q90 flat ~0.59)")
+    // the floor detects machinery regressions; the recall-vs-work TRADE is
+    // the operating point's documented cost (BENCH_scale carries the work
+    // side: measured exponent ~1.0 vs q90's 1.44)
+    assert(recall >= 0.25, f"tuned recall $recall%.3f below pin")
+    spark.catalog.clearCache()
+  }
+
   test("q143 filtered ANN: predicate respected, prune pushed to the scan, recall vs filtered exact truth, limit identity") {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Dsl.{cosine, round4}
