@@ -103,7 +103,13 @@ object BenchScale {
       // amplified event log (the q13/q27 partitioned-window growth class)
       "q140_forward_fill" -> "count",
       "q141_event_streaks" -> "count",
-      "q142_peak_concurrency" -> "count"
+      "q142_peak_concurrency" -> "count",
+      // r13 additions: filtered ANN (the q90 probe with a member-side
+      // label prune), the Q20 nested-semi chain, and the mixture
+      // realization (one per-source running-sum window over documents)
+      "q143_filtered_ann" -> "count",
+      "q144_bulk_part_suppliers" -> "count",
+      "q145_mixture_realization" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)
@@ -117,6 +123,13 @@ object BenchScale {
         (s: SparkSession, dir: String) =>
           Vectors.mutualKnnClustersOn(
             Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, dir), wide)),
+        "count"),
+      // r13: q90's tuned operating point rides the ladder next to the flat
+      // probe — the scale dial (exp 0.49 vs 1.47 on the ×32→×64 octave)
+      // stays measured every round, not asserted once
+      (s"q90_tuned[b=${tunedSubBits(a)}]",
+        (s: SparkSession, dir: String) =>
+          Vectors.ivfKnnTuned(s, dir, Vectors.NProbe, tunedSubBits(a)),
         "count"))
     std ++ scaled
   }

@@ -307,6 +307,7 @@ object SparkEntry {
     "q142_peak_concurrency"   -> Events.q142 _,
     "q143_filtered_ann"       -> Vectors.q143 _,
     "q144_bulk_part_suppliers" -> Relational.q144 _,
+    "q145_mixture_realization" -> Sampling.q145 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1726,6 +1726,36 @@ object OracleSql {
         |FROM p
         |ORDER BY source""".stripMargin,
 
+    // q145: q80's budget chain verbatim, then hash-ranked prefix admission
+    // per source (running token sum within the budget) and the fill audit
+    "q145_mixture_realization" ->
+      s"""WITH tok AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        |  FROM documents),
+        |w AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |        CAST(FLOOR(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS isqrt
+        |      FROM tok GROUP BY source),
+        |tot AS (SELECT CAST(SUM(isqrt) AS BIGINT) AS w_total FROM w),
+        |bud AS (SELECT source, n_docs, tokens,
+        |          (isqrt * ${Sampling.MixTargetTokens}) // w_total AS planned_tokens
+        |        FROM w, tot),
+        |ranked AS (SELECT source, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM tok)
+        |SELECT b.source, b.n_docs, b.tokens, b.planned_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN r.cum <= b.planned_tokens THEN 1 END), 0) AS BIGINT) AS kept_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN r.cum <= b.planned_tokens THEN r.n_tok END), 0) AS BIGINT) AS kept_tokens,
+        |  CASE WHEN b.planned_tokens > 0 THEN
+        |    ${ratio4Sql(
+             "COALESCE(SUM(CASE WHEN r.cum <= b.planned_tokens THEN r.n_tok END), 0)",
+             "b.planned_tokens")}
+        |  END AS fill4
+        |FROM bud b JOIN ranked r ON b.source = r.source
+        |GROUP BY b.source, b.n_docs, b.tokens, b.planned_tokens
+        |ORDER BY b.source""".stripMargin,
+
     "q44_pivot" ->
       (eventsCte +
       """

@@ -225,9 +225,20 @@ object Sampling {
     * q74 pattern), never a driver collect. Source cardinality is tiny by
     * construction; the heavy part is one map-side-combined sum over the
     * corpus. */
-  def q80(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSrc = Tables.documents(spark, sfDir)
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+  def q80(spark: SparkSession, sfDir: String): DataFrame =
+    mixBudgets(Tables.documents(spark, sfDir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok")))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        ratio4(col("isqrt"), col("w_total")).as("weight"),
+        col("planned_tokens"),
+        ratio4(col("planned_tokens"), col("tokens")).as("epochs"))
+      .orderBy(col("source"))
+
+  /** The q80 budget core on a (source, n_tok) frame — per-source volumes,
+    * integer sqrt weights and planned token allocations — shared with the
+    * q145 realization so "the budget" has exactly one definition. */
+  private[graft] def mixBudgets(tok: DataFrame): DataFrame = {
+    val perSrc = tok
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
       .select(col("source"), col("n_docs"), col("tokens"),
@@ -235,10 +246,64 @@ object Sampling {
     val total = perSrc.agg(sum(col("isqrt")).as("w_total"))
     perSrc.crossJoin(broadcast(total))
       .withColumn("planned_tokens", expr(s"(isqrt * ${MixTargetTokens}L) div w_total"))
-      .select(col("source"), col("n_docs"), col("tokens"),
-        ratio4(col("isqrt"), col("w_total")).as("weight"),
-        col("planned_tokens"),
-        ratio4(col("planned_tokens"), col("tokens")).as("epochs"))
+  }
+
+  /** q145: mixture REALIZATION — the admission step q80's budget panel
+    * feeds: actually pick which documents fill each source's planned
+    * token allocation. Per source, documents are admitted in
+    * deterministic hash order (h60("mix:"+doc_id), doc_id tiebreak — the
+    * q52 reservoir discipline, a fresh salt so the selection is
+    * independent of every other sampling coin) while the RUNNING token
+    * sum stays within the budget — prefix admission, the rule a sharded
+    * writer can apply per partition once ranks are assigned. Output is
+    * the per-source audit: volumes, budget, admitted docs/tokens, and
+    * the fill rate (exact-integer ratio4; NULL when the budget is 0).
+    * A source whose budget exceeds its corpus admits everything
+    * (epochs > 1 in q80's panel) — fill < 1 reports the shortfall
+    * rather than inventing repeats.
+    *
+    * Scale posture: ONE user-visible shuffle — the per-source running
+    * sum (window over (hk, doc_id); partitioned by source, never
+    * global); budgets are source-cardinality and broadcast; the audit
+    * aggregate map-side combines. The admitted SET is deterministic and
+    * append-stable in the q51 sense: a new document perturbs only ranks
+    * at or after its own hash position. */
+  def q145(spark: SparkSession, sfDir: String): DataFrame =
+    realizeMixture(
+      Tables.documents(spark, sfDir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")))
+
+  /** q145 core on a (source, doc_id, n_tok) frame — exposed so the
+    * LlmOpsSpec law can exercise the budget CUT on a planted corpus
+    * (sf0.001 is smaller than the production token target, so every
+    * source fits its budget there and the prefix rule would go
+    * untested). */
+  private[graft] def realizeMixture(tokIn: DataFrame): DataFrame = {
+    // pinned: the thin token frame feeds both the budget aggregate and
+    // the ranked admission, which meet again in the join (q104 shape —
+    // eager checkpoint, not lazy cache)
+    val tok = tokIn.localCheckpoint(true)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = tok
+      .withColumn("hk", h60(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+    val budgets = mixBudgets(tok.select(col("source"), col("n_tok")))
+      .select(col("source"), col("n_docs"), col("tokens"), col("planned_tokens"))
+    val admitted = col("cum") <= col("planned_tokens")
+    ranked.join(broadcast(budgets), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("tokens")).as("tokens"),
+        max(col("planned_tokens")).as("planned_tokens"),
+        sum(when(admitted, 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(admitted, col("n_tok")).otherwise(0L)).as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("planned_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        when(col("planned_tokens") > 0,
+          ratio4(col("kept_tokens"), col("planned_tokens")))
+          .otherwise(lit(null).cast("double")).as("fill4"))
       .orderBy(col("source"))
   }
 

@@ -169,6 +169,53 @@ class LlmOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q145 mixture realization: prefix admission respects the q80 budget, exhausts short sources, fill in range") {
+    val rows = SparkEntry.queries("q145_mixture_realization")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val budgets = graft.queries.Sampling.q80(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap // source -> planned_tokens
+    for (r <- rows) {
+      val (src, nDocs, tokens, planned, keptDocs, keptTokens) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // the budget column IS q80's (one definition, two faces)
+      assert(planned == budgets(src), s"$src: budget diverged from q80")
+      // prefix admission never overshoots the budget and never invents docs
+      assert(keptTokens <= planned || keptDocs == nDocs,
+        s"$src: admitted past the budget")
+      assert(keptDocs <= nDocs && keptTokens <= tokens)
+      // a source whose budget covers its whole corpus admits everything
+      if (planned >= tokens) {
+        assert(keptDocs == nDocs && keptTokens == tokens, s"$src: under-admitted")
+      }
+      // fill is a valid rate when a budget exists
+      if (planned > 0) {
+        val fill = r.getDouble(6)
+        assert(fill > 0.0 && fill <= 1.0, s"$src: fill4 $fill out of range")
+      } else assert(r.isNullAt(6))
+      // non-vacuous: something was admitted for every source (budgets are
+      // sqrt-scaled over a corpus where every source has tokens)
+      assert(keptDocs > 0, s"$src: empty admission")
+    }
+    // The budget CUT itself, exercised on a planted corpus (sf0.001 is
+    // smaller than the production token target, so every real source fits
+    // its budget there): three sources whose sqrt-scaled budgets cut the
+    // big one after ONE doc, the medium one after four, and exhaust the
+    // tiny one — expected values derived by hand from the q80 arithmetic
+    // (isqrt 2000/100/10, w_total 2110).
+    import spark.implicits._
+    val planted =
+      (1 to 50).map(i => ("big", i.toLong, 80000L)) ++
+      (1 to 10).map(i => ("mid", 100L + i, 1000L)) ++
+      (1 to 4).map(i => ("tiny", 200L + i, 25L))
+    val out = graft.queries.Sampling.realizeMixture(
+        planted.toDF("source", "doc_id", "n_tok")).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("big") == ((94786L, 1L, 80000L)), s"big: ${out("big")}")
+    assert(out("mid") == ((4739L, 4L, 4000L)), s"mid: ${out("mid")}")
+    assert(out("tiny") == ((473L, 4L, 100L)), s"tiny: ${out("tiny")}")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("q90 tuned operating point: subBits=0 degenerates to q90 exactly; subBits=2 keeps a recall floor (ivfKnnTuned)") {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Dsl.{cosine, round4}
