@@ -97,6 +97,9 @@ class PlanSpec extends SparkSpec {
       "q73_lm_perplexity",    // broadcast single-row vocab size V
       "q74_pmi_collocations", // broadcast single-row bigram total
       "q80_mixture_weights",  // broadcast single-row weight total
+      "q145_mixture_realization", // the SAME single-row weight total (shared
+                                  // mixBudgets core) broadcast into the
+                                  // admission join
       "q92_bm25",             // broadcast single-row corpus stats (N, avgdl)
       "q95_retrieval_eval",   // broadcast constant 64-row eval panel + single-row n_rel
       "q98_novelty_curve",    // broadcast single-row trigram-universe size
