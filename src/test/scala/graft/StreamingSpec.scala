@@ -402,9 +402,19 @@ class StreamingSpec extends SparkSpec {
     // the generator fanned over multiple users (keyed projections saw grouping)
     assert(purchases.select("user_id").distinct().count() >= 2)
     // purchases whose derived promise landed before the stop — the tail of
-    // generated-but-not-yet-looped purchases is excluded from the parity set
+    // generated-but-not-yet-looped purchases is excluded from the parity
+    // set, and the set is CAPPED at 30 purchases (deterministic prefix in
+    // (ts, event_id) order): a long rate run can settle 100+ purchases and
+    // the parity claim gains nothing from volume, while the file-side
+    // replay's propagation time scales with it (the full-suite flake mode)
     val settled = purchases.filter(col("event_id").isin(promisedIds.toSeq: _*))
+      .orderBy(col("ts"), col("event_id")).limit(30)
       .localCheckpoint(true)
+    val settledIds = settled.collect().map(_.getAs[String]("event_id")).toSeq
+    val settledPromises = promises
+      .filter(col("event_id").isin(settledIds.map("promise:" + _): _*))
+      .localCheckpoint(true)
+    val settledOrders = settledIds.map(_.replace("rate-", "order-"))
     def rows(df: DataFrame): Set[String] = df.toJSON.collect().toSet
 
     // file transport: the SAME settled envelopes as producer-written lines
@@ -414,34 +424,33 @@ class StreamingSpec extends SparkSpec {
     val pipeF = new BnplPipeline(spark, fEvents, fState)
     pipeF.start()
     try {
-      // drain-and-poll BOTH file-side sinks to the expected state: a fixed
-      // drain round count raced the self-loop's file listing in the full
-      // suite (log at parity while the promise projection lagged 48 of 150
-      // rows) — the parity claim is about the CONVERGED state, so converge
-      // explicitly under a deadline and assert the final state
-      val wantLog = rows(settled.unionByName(promises))
-      val nSettled = settled.count()
+      // drain-and-poll the file side to the PARITY conditions themselves:
+      // a fixed drain count (and a row-count proxy) both raced the
+      // self-loop's propagation in the full suite — the claim is about the
+      // CONVERGED state, so converge on exactly what the asserts check
+      val wantLog = rows(settled.unionByName(settledPromises))
+      def rateProj(u: String): Set[String] =
+        rows(spark.read.parquet(s"$rState/payment_promises")
+          .filter(col("user_id") === u &&
+            col("order_id").isin(settledOrders: _*))
+          .select(col("order_id"), col("amount"), col("due_date"),
+            col("payment_mode"), col("created_at")))
       def fileLog(): Set[String] =
         try rows(pipeF.eventsLog) catch { case _: Throwable => Set.empty }
-      def filePromCount(): Long =
-        try spark.read.parquet(s"$fState/payment_promises").count()
-        catch { case _: Throwable => 0L }
-      val deadlineF = System.nanoTime() + 120L * 1000000000L
-      while ((fileLog() != wantLog || filePromCount() < nSettled) &&
-             System.nanoTime() < deadlineF)
-        pipeF.drain()
+      def fileProj(u: String): Set[String] =
+        try rows(pipeF.paymentPromises(u)) catch { case _: Throwable => Set.empty }
+      val users = Seq("u0", "u1", "u2")
+      def converged(): Boolean =
+        fileLog() == wantLog && users.forall(u => fileProj(u) == rateProj(u))
+      val deadlineF = System.nanoTime() + 300L * 1000000000L
+      while (!converged() && System.nanoTime() < deadlineF) pipeF.drain()
       // log parity: settled purchases + their derived promises, derived
       // independently by each transport's own self-loop
       assert(fileLog() == wantLog,
         "event log diverged between the rate and file transports")
       // promise projection parity per user
-      for (u <- Seq("u0", "u1", "u2"))
-        assert(rows(pipeF.paymentPromises(u)) ==
-          rows(spark.read.parquet(s"$rState/payment_promises")
-            .filter(col("user_id") === u)
-            .select(col("order_id"), col("amount"), col("due_date"),
-              col("payment_mode"), col("created_at"))),
-          s"promise projection diverged for $u")
+      for (u <- users)
+        assert(fileProj(u) == rateProj(u), s"promise projection diverged for $u")
     } finally pipeF.stop()
     SparkEntry.clearGraftCaches(spark)
   }

@@ -18,7 +18,11 @@ fi
 echo "=== exit ritual on $HEAD ==="
 
 echo "--- 1/3 sbt test"
-sbt test 2>&1 | tail -6
+# full log kept: a bare tail loses WHICH test failed (bit once in r13 —
+# a 286/1 board with no attributable name); failures surface by name here
+sbt test > /tmp/exit_test.log 2>&1 || true
+grep -E "FAILED \*\*\*" /tmp/exit_test.log | head -20
+tail -6 /tmp/exit_test.log
 
 echo "--- 2/3 Verify + oracle at both scales"
 for SF in 0.001 0.01; do
