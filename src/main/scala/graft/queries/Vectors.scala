@@ -608,14 +608,24 @@ object Vectors {
             explode(array(col("code0"),
               expr("code0 ^ shiftleft(CAST(1 AS BIGINT), flip)"))).as("code"))
       }
-    // no salt: the join key is (cell, code) — ncells × 2^subBits values,
-    // already the parallelism the salt existed to manufacture
+    // Salt inversely to the subcode width (advisor r13): at subBits=0 the
+    // (cell, code) key collapses to the bare ncells-cardinality cell key —
+    // exactly the hot-cell join ivfKnn's ProbeSalt discipline prevents —
+    // and small subBits only partially restores the spread. saltN halves
+    // per subcode bit, so key cardinality ncells·2^subBits·saltN stays
+    // ≥ ncells·ProbeSalt at every operating point, while at subBits ≥ 3
+    // the salt is a free no-op (saltN = 1: one-element explode, zero
+    // probe replication). Deterministic dst-hash salt, the q47/ivfKnn way.
+    val saltN = math.max(1L, ProbeSalt >> subBits)
     val members = assigned
       .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("emb_b"))
       .withColumn("code", subcode(col("emb_b")))
+      .withColumn("salt", pmod(xxhash64(col("dst")), lit(saltN)))
+    val saltedProbes = probes
+      .withColumn("salt", explode(sequence(lit(0L), lit(saltN - 1L))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-    probes.join(members, Seq("cell", "code"))
+    saltedProbes.join(members, Seq("cell", "code", "salt"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round4(cosine(col("emb_a"), col("emb_b"))).as("sim"))

@@ -54,8 +54,14 @@ object RateBroker {
       .select(
         concat(lit("rate-"), col("value")).as("event_id"),
         lit(Envelope.PurchaseCompleted).as("event_type"),
+        // multiply BEFORE dividing (advisor r13): `1000L / rowsPerSecond`
+        // in Scala is integer division — any rate > 1000 rows/s silently
+        // yielded a 0 ms step (every envelope on one event time, degrading
+        // the watermark/dedup path) and non-divisors truncated the cadence.
+        // value·1000 stays exact in DOUBLE far past any run length; the
+        // floor cast keeps the millisecond grid.
         timestamp_millis(lit(1700000000000L) +
-          col("value") * lit(1000L / rowsPerSecond)).as("ts"),
+          (col("value") * lit(1000L) / lit(rowsPerSecond.toLong)).cast("long")).as("ts"),
         concat(lit("order-"), col("value")).as("order_id"),
         concat(lit("u"), pmod(col("value"), lit(users.toLong))).as("user_id"),
         ((pmod(col("value"), lit(50L)) + 1L) * 100L).as("amount"),

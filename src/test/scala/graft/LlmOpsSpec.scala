@@ -179,9 +179,11 @@ class LlmOpsSpec extends SparkSpec {
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
       // the budget column IS q80's (one definition, two faces)
       assert(planned == budgets(src), s"$src: budget diverged from q80")
-      // prefix admission never overshoots the budget and never invents docs
-      assert(keptTokens <= planned || keptDocs == nDocs,
-        s"$src: admitted past the budget")
+      // prefix admission never overshoots the budget and never invents
+      // docs — unconditional (advisor r13): cum <= planned guarantees
+      // keptTokens <= planned even when the source exhausts, so an
+      // exhausted-source escape hatch would only mask a real overshoot
+      assert(keptTokens <= planned, s"$src: admitted past the budget")
       assert(keptDocs <= nDocs && keptTokens <= tokens)
       // a source whose budget covers its whole corpus admits everything
       if (planned >= tokens) {
