@@ -308,6 +308,8 @@ object SparkEntry {
     "q143_filtered_ann"       -> Vectors.q143 _,
     "q144_bulk_part_suppliers" -> Relational.q144 _,
     "q145_mixture_realization" -> Sampling.q145 _,
+    "q146_ivf_tuned"          -> Vectors.q146 _,
+    "q147_filtered_tuned_ann" -> Vectors.q147 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

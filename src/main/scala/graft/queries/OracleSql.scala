@@ -250,6 +250,95 @@ object OracleSql {
        |FROM r WHERE rk <= ${Vectors.KnnK}
        |ORDER BY src, rk""".stripMargin
 
+  /** q146/q147 oracle: the q90 trained chain with the TUNED subcode
+    * multi-probe unrolled (Vectors.ivfKnnTuned at the declared
+    * TunedSubBits). The subcode is the sign pattern of the first subBits
+    * hyperplane projections (graft.ops.Ann.weights rendered as literal
+    * lists — the annBucketCols/jlSql discipline, sequential-double
+    * list_reduce matching Spark's 0.0-seeded dot_fold, so every sign bit
+    * and |projection| comparison is bit-identical); the probe explodes
+    * each query's exact code plus the single least-confident bit flip
+    * (argmin |projection|, ties to the lower plane index — a first-match
+    * CASE mirroring the engine's array_sort-struct tie-break); members
+    * join on (cell, code); ranking is the q90 discipline (ROUND-4
+    * fold-parity cosine, (sim DESC, dst) row_number). `memberCond`
+    * references the member alias `m` (the q147 predicate prune). */
+  private def ivfKnnTunedCtes(subBits: Int, memberCond: String = ""): String = {
+    import graft.ops.Ann.{Dim, weights}
+    require(subBits >= 1 && subBits <= 16, s"subBits=$subBits")
+    val R = Vectors.LloydRounds
+    val probe = R + 1
+    def proj(p: Int): String = {
+      val w = weights(p).mkString("[", ",", "]")
+      s"""list_reduce(list_transform(generate_series(1, $Dim),
+         |      i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(($w)[CAST(i AS INTEGER)] AS DOUBLE)),
+         |      (a, b) -> a + b)""".stripMargin
+    }
+    val projCols = (0 until subBits).map(j => s"${proj(j)} AS pj$j").mkString(",\n    ")
+    val codeExpr = (0 until subBits)
+      .map(j => s"CASE WHEN pj$j > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
+      .mkString(" + ")
+    // lexicographic argmin over (|pj_j|, j): branch j fires iff |pj_j| <=
+    // every LATER |pj_i| — if j is the argmin its branch condition holds,
+    // and every earlier branch j' has |pj_j'| > |pj_j| with j > j', so it
+    // fails; ties therefore resolve to the lower plane index, exactly the
+    // engine's array_sort-struct order
+    val flipExpr =
+      if (subBits == 1) "0"
+      else (0 until subBits - 1).map { j =>
+        val conds = (j + 1 until subBits).map(i => s"abs(pj$j) <= abs(pj$i)").mkString(" AND ")
+        s"WHEN $conds THEN $j"
+      }.mkString("CASE ", " ", s" ELSE ${subBits - 1} END")
+    s"""${lloydChain(R)},
+       |${lloydAssign(probe)},
+       |pr AS (SELECT vec_id, embedding, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM sims$probe) WHERE rn <= ${Vectors.NProbe}),
+       |pp AS (SELECT vec_id, embedding, cell,
+       |    $projCols
+       |  FROM pr),
+       |pc AS (SELECT vec_id AS src, embedding AS emb_a, cell,
+       |    CAST($codeExpr AS BIGINT) AS code0,
+       |    $flipExpr AS flip
+       |  FROM pp),
+       |pcode AS (SELECT src, emb_a, cell,
+       |    unnest([code0, xor(code0, CAST(1 AS BIGINT) << flip)]) AS code
+       |  FROM pc),
+       |mm AS (SELECT vec_id, embedding, cell,
+       |    $projCols
+       |  FROM a$probe),
+       |mem AS (SELECT vec_id AS dst, embedding AS emb_b, cell,
+       |    CAST($codeExpr AS BIGINT) AS code
+       |  FROM mm),
+       |cand AS (SELECT p.src, m.dst,
+       |    ROUND(
+       |      list_reduce(list_transform(range(1, CAST(len(p.emb_a) AS INTEGER) + 1),
+       |        j -> CAST(p.emb_a[j] AS DOUBLE) * CAST(m.emb_b[j] AS DOUBLE)), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(p.emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_transform(m.emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))), 4) AS sim
+       |  FROM pcode p JOIN mem m USING (cell, code)
+       |  WHERE m.dst <> p.src$memberCond),
+       |dd AS (SELECT src, dst, MAX(sim) AS sim FROM cand GROUP BY src, dst),
+       |r AS (SELECT src, dst, sim,
+       |        CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
+       |      FROM dd)""".stripMargin
+  }
+
+  private val ivfKnnTunedSql =
+    s"""${ivfKnnTunedCtes(Vectors.TunedSubBits)}
+       |SELECT src, rk, dst, sim
+       |FROM r WHERE rk <= ${Vectors.KnnK}
+       |ORDER BY src, rk""".stripMargin
+
+  private val ivfKnnFilteredTunedSql =
+    s"""${ivfKnnTunedCtes(Vectors.TunedSubBits,
+         " AND m.dst IN (SELECT vec_id FROM embeddings" +
+         s" WHERE label IN (${Vectors.FilterLabels.mkString(", ")}))")}
+       |SELECT src, rk, dst, sim
+       |FROM r WHERE rk <= ${Vectors.KnnK}
+       |ORDER BY src, rk""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q54_doc_chunking"  -> chunkSql,
@@ -257,6 +346,8 @@ object OracleSql {
     "q56_ivf_probe"     -> ivfProbeSql,
     "q90_ivf_knn"       -> ivfKnnSql,
     "q143_filtered_ann" -> ivfKnnFilteredSql,
+    "q146_ivf_tuned"    -> ivfKnnTunedSql,
+    "q147_filtered_tuned_ann" -> ivfKnnFilteredTunedSql,
     "q112_pq_adc"       -> pqSql,
 
     "q01_scan_filter_project" ->

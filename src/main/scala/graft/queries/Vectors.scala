@@ -568,11 +568,20 @@ object Vectors {
     * assignment. Trade: recall drops (the subcode cuts true neighbors
     * whose subcode differs by ≥ 2 bits) — the dial between q90's exactness
     * and linear scaling, law-pinned in LlmOpsSpec (identity at subBits=0,
-    * recall floor at subBits=2). Diagnostic surface (BENCH_scale /
-    * ExpProbe), not a declared oracle query: its output depends on the
-    * probe heuristic, which is the tunable under study. */
+    * recall floor at subBits=2). Declared surface since r14: [[q146]] runs
+    * this at the fixed [[TunedSubBits]] operating point against a DuckDB
+    * mirror of the whole subcode/multi-probe chain (r13 verdict item 1 —
+    * the scale-safe configuration is the one the contract verifies);
+    * BENCH_scale additionally rides the scale-keyed dial
+    * (BenchScale.tunedSubBits) so the exponent stays measured.
+    * `memberPrune` is the q143 composition seam (q147): a member-side
+    * predicate prune applied BEFORE subcoding and the probe join —
+    * prune-then-rank, never post-filter. Deterministic end to end:
+    * seeded hyperplane subcodes, argmin-|projection| bit flip with the
+    * lower-plane tie-break, unique argmax cell assignment. */
   private[graft] def ivfKnnTuned(spark: SparkSession, sfDir: String,
-      nprobe: Int, subBits: Int): DataFrame = {
+      nprobe: Int, subBits: Int,
+      memberPrune: DataFrame => DataFrame = identity): DataFrame = {
     import graft.ops.Ann
     require(subBits >= 0 && subBits <= 16, s"subBits=$subBits out of range")
     def subcode(emb: Column): Column =
@@ -617,8 +626,8 @@ object Vectors {
     // the salt is a free no-op (saltN = 1: one-element explode, zero
     // probe replication). Deterministic dst-hash salt, the q47/ivfKnn way.
     val saltN = math.max(1L, ProbeSalt >> subBits)
-    val members = assigned
-      .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("emb_b"))
+    val members = memberPrune(assigned
+        .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("emb_b")))
       .withColumn("code", subcode(col("emb_b")))
       .withColumn("salt", pmod(xxhash64(col("dst")), lit(saltN)))
     val saltedProbes = probes
@@ -639,6 +648,45 @@ object Vectors {
       .filter(col("rk") <= KnnK)
       .select(col("src"), col("rk"), col("dst"), col("sim"))
       .orderBy(col("src"), col("rk"))
+  }
+
+  /** Declared subcode width for q146/q147 — the law-pinned recall point
+    * (LlmOpsSpec: recall 0.390 vs flat q90's 0.588 at sf0.001) where the
+    * per-query candidate volume is already constant-bounded. The
+    * scale-keyed production dial (subBits sized to hold ~100-member
+    * subcells) lives in BenchScale.tunedSubBits; the DECLARED query fixes
+    * the width so the oracle mirrors one deterministic computation. */
+  val TunedSubBits = 2
+
+  /** q146: the TUNED IVF k-NN graph — q90's operator at the Θ(N)-probe
+    * operating point (r13 verdict item 1: fresh-JVM exponent 0.49 vs the
+    * flat probe's 1.47 on the ×32→×64 octave; the configuration a 100 TB
+    * deployment actually runs, now on the correctness contract). Same
+    * output shape as q90/q77 (src, rk, dst, sim); recall at the declared
+    * [[TunedSubBits]] is the documented trade, law-pinned in LlmOpsSpec. */
+  def q146(spark: SparkSession, sfDir: String): DataFrame =
+    ivfKnnTuned(spark, sfDir, NProbe, TunedSubBits)
+
+  /** q147: FILTERED × TUNED ANN (r13 verdict item 6) — q143's member-side
+    * metadata prune composed with q146's subcode multi-probe: the literal
+    * production query of a predicate-aware vector store at the Θ(N)
+    * operating point. The label prune left-semi-joins the member side
+    * BEFORE subcoding and the (cell, code, salt) probe join — no cosine
+    * and no subcode is ever computed for a non-matching vector. */
+  def q147(spark: SparkSession, sfDir: String): DataFrame =
+    ivfKnnFilteredTuned(spark, sfDir, NProbe, TunedSubBits)
+
+  /** q147 core, parameterized so LlmOpsSpec can pin the identities (at
+    * subBits=0 it equals q143's salted flat filtered probe; at
+    * nprobe=ncells ∧ subBits=0 it equals the predicate-filtered exact
+    * kNN) and the recall floor at the production operating point. */
+  private[graft] def ivfKnnFilteredTuned(spark: SparkSession, sfDir: String,
+      nprobe: Int, subBits: Int): DataFrame = {
+    val keep = Tables.embeddings(spark, sfDir)
+      .filter(col("label").isin(FilterLabels.map(Int.box): _*))
+      .select(col("vec_id").as("dst"))
+    ivfKnnTuned(spark, sfDir, nprobe, subBits,
+      members => members.join(keep, Seq("dst"), "left_semi"))
   }
 
   /** q143 member predicate: the metadata filter the kNN is constrained to,

@@ -310,6 +310,51 @@ class LlmOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q147 filtered x tuned ANN: subBits=0 degenerates to q143 exactly; predicate respected; recall floor at the declared point") {
+    val np = graft.queries.Vectors.NProbe
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // IDENTITY at subBits=0: one subcell per cell, multi-probe degenerate —
+    // the composition must equal q143's flat filtered probe row for row,
+    // which pins the prune x subcode plumbing as a pure refinement (the
+    // same law shape as the q146 family's subBits=0 == q90)
+    val base = rows(graft.queries.Vectors.ivfKnnFiltered(spark, sf001, np))
+    val t0 = rows(graft.queries.Vectors.ivfKnnFilteredTuned(spark, sf001, np, 0))
+    assert(t0 == base, "subBits=0 filtered-tuned probe != q143 flat filtered probe")
+    // at the DECLARED operating point: every neighbor satisfies the
+    // predicate, and recall vs the filtered exact truth keeps the q146
+    // floor (the subcode cut composes with the member prune — both shrink
+    // the candidate set, neither touches ranking semantics)
+    val labels = graft.queries.Vectors.FilterLabels.toSet
+    val e = graft.tables.Tables.embeddings(spark, sf001)
+    val dstLabels = e.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = graft.queries.Vectors.q147(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+    for ((src, rs) <- got; r <- rs)
+      assert(labels.contains(dstLabels(r.getLong(2))),
+        s"src $src: neighbor ${r.getLong(2)} violates the predicate")
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Dsl.{cosine, round4}
+    val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst")
+    val exact = e.select($"vec_id".as("src"), $"embedding".as("emb_a"))
+      .crossJoin(e.filter($"label".isin(labels.toSeq.map(Int.box): _*))
+        .select($"vec_id".as("dst"), $"embedding".as("emb_b")))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst", round4(cosine($"emb_a", $"emb_b")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= graft.queries.Vectors.KnnK)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val per = exact.map { case (src, truth) =>
+      val found = got.get(src).map(_.map(_.getLong(2)).toSet).getOrElse(Set.empty)
+      (truth intersect found).size.toDouble / truth.size
+    }
+    val recall = per.sum / per.size
+    info(f"q147 recall=$recall%.3f vs filtered exact truth (q143 flat ~0.54)")
+    assert(recall >= 0.25, f"q147 recall $recall%.3f below pin")
+    spark.catalog.clearCache()
+  }
+
   test("q95 eval laws: macro recall monotone in nprobe, exactly 1.0 at nprobe=ncells, metrics in range") {
     import graft.queries.RetrievalEval
     // Recall monotonicity is a THEOREM of the eval, not corpus geometry:
