@@ -119,19 +119,61 @@ object BenchScale {
           Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, dir), wide)
             .orderBy(col("src"), col("rk")),
         "count"),
-      (s"q104_mutual_knn_clusters[k=$bits]",
+      // r14 (r13 verdict item 3): q104's leg consumes the MATERIALIZED
+      // kNN graph (ensureKnnGraph, built once per factor outside any
+      // timer) instead of rebuilding the candidate machinery the q77 leg
+      // just graded — a deployment materializes the graph once and feeds
+      // every downstream consumer, so charging q104 for a second rebuild
+      // double-counted the ladder's most expensive constant (83 s at ×64,
+      // of which the rebuild was the bulk). The leg now measures what
+      // q104 adds: the reciprocal semi-join + CC fixpoint.
+      (s"q104_mutual_knn_clusters[k=$bits,shared-knn]",
         (s: SparkSession, dir: String) =>
-          Vectors.mutualKnnClustersOn(
-            Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, dir), wide)),
+          Vectors.mutualKnnClustersOn(s.read.parquet(knnGraphPath(dir, bits))),
         "count"),
-      // r13: q90's tuned operating point rides the ladder next to the flat
-      // probe — the scale dial (exp 0.49 vs 1.47 on the ×32→×64 octave)
-      // stays measured every round, not asserted once
+      // r14 (r13 verdict item 1): the TUNED operating point — declared as
+      // q146 on the correctness contract since r14 — is the ladder's
+      // DEFAULT q90 leg: it rides every factor AND the ×64 confirm
+      // octave, at the scale-keyed subcode width a deployment would run.
+      // The flat probe stays on the ×1/×4/×32 ladder (std list) so its
+      // documented Θ(N^1.5) trade stays measured, but no longer burns the
+      // confirm octave re-proving a 1.47 exponent measured twice
+      // (r12/r13).
       (s"q90_tuned[b=${tunedSubBits(a)}]",
         (s: SparkSession, dir: String) =>
           Vectors.ivfKnnTuned(s, dir, Vectors.NProbe, tunedSubBits(a)),
+        "count"),
+      // r14 (r13 verdict item 6): the filtered × tuned composition (q147)
+      // at the same scale-keyed width — the literal production query of a
+      // predicate-aware vector store at the Θ(N) operating point.
+      (s"q147_filtered_tuned_ann[b=${tunedSubBits(a)}]",
+        (s: SparkSession, dir: String) =>
+          Vectors.ivfKnnFilteredTuned(s, dir, Vectors.NProbe, tunedSubBits(a)),
         "count"))
     std ++ scaled
+  }
+
+  /** The per-factor materialized kNN graph the q104 leg consumes (and any
+    * future graph-consumer leg would). Keyed by the density-scaled bits so
+    * a re-tuned ladder can't silently read a stale graph. */
+  private[graft] def knnGraphPath(dir: String, bits: Int): String =
+    s"$dir/knn_graph_b$bits.parquet"
+
+  /** Build the graph once per factor, idempotently (ok-file = parquet's
+    * _SUCCESS marker), OUTSIDE any timed leg — corpus-prep, like
+    * ScaleGen.amplify. Cost is ~the q77 leg once; the build time is
+    * printed so it stays attributable in the log. */
+  private[graft] def ensureKnnGraph(spark: SparkSession, dir: String, a: Int): Unit = {
+    val bits = scaledBits(a)
+    val path = knnGraphPath(dir, bits)
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      val t0 = System.nanoTime()
+      Vectors.knnPairsOn(graft.tables.Tables.embeddings(spark, dir),
+          graft.ops.Ann.bucketsWide(_, bits))
+        .write.mode("overwrite").parquet(path)
+      SparkEntry.clearGraftCaches(spark)
+      System.err.println(f"[bench-scale] x$a knn graph (b=$bits) materialized in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
   }
 
   private def runOnce(spark: SparkSession, name: String,
@@ -200,6 +242,7 @@ object BenchScale {
       val tGen0 = System.nanoTime()
       ScaleGen.amplify(spark, base, dir, a)
       System.err.println(f"[bench-scale] x$a corpus ready in ${(System.nanoTime() - tGen0) / 1e9}%.1f s")
+      ensureKnnGraph(spark, dir, a)
       val qs = buildQueries(a)
       val byQ = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
       // min-of-2 at EVERY leg (r12): single-pass ×32 points have read
@@ -237,11 +280,19 @@ object BenchScale {
     // ---- ×64 confirmation of the steepest exponents ----
     // Every query whose x4→x32 exponent came out near-linear runs one
     // more octave to decide whether the curve bends upward: q36/q84 (the
-    // r10 pair, confirmed at 0.42/−0.09) plus q77/q90/q99/q104 (r11
-    // item 1 — their 0.84–0.95 legs were the board's closest thing to a
-    // scale risk; their outputs grow Θ(N·k), so ~linear wall time is the
+    // r10 pair, confirmed at 0.42/−0.09) plus q77/q99/q104 (r11 item 1 —
+    // their 0.84–0.95 legs were the board's closest thing to a scale
+    // risk; their outputs grow Θ(N·k), so ~linear wall time is the
     // optimum, not a defect — the octave tests for super-linear bend).
-    val confirmSet = Set("q36", "q84", "q77", "q90", "q99", "q104")
+    // r14: the q90-family confirm leg is the TUNED operating point (the
+    // declared q146 scale path) plus the q147 composition — the flat
+    // probe's Θ(N^1.5) was measured on this octave twice (exp 1.47,
+    // r12/r13) and no longer burns ~140 s re-proving it. Full-base-name
+    // matching so the flat q90_ivf_knn leg and the tuned one are
+    // distinguishable.
+    val confirmSet = Set("q36_ngram_jaccard", "q84_containment",
+      "q77_knn_join", "q90_tuned", "q99_dedup_eval",
+      "q104_mutual_knn_clusters", "q147_filtered_tuned_ann")
     val confirmFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONFIRM", "64").toInt
     if (sections("confirm") && confirmFactor > factors.max) {
       val dir = s"$scaleRoot/x$confirmFactor"
@@ -250,6 +301,7 @@ object BenchScale {
       val tGen0 = System.nanoTime()
       ScaleGen.amplify(spark, base, dir, confirmFactor)
       System.err.println(f"[bench-scale] x$confirmFactor corpus ready in ${(System.nanoTime() - tGen0) / 1e9}%.1f s")
+      ensureKnnGraph(spark, dir, confirmFactor)
       val byQ = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
       // min-of-2 here too (r12): the single-pass confirm octave read q36
       // at 71.5 s in a JVM that had just run the full ladder, while a
@@ -257,7 +309,7 @@ object BenchScale {
       // confirm leg is the bend verdict, so it gets the same noise floor
       // as the ladder legs.
       for (p <- 1 to 2; (name, fn, action) <- buildQueries(confirmFactor)
-           if confirmSet(name.takeWhile(_ != '_'))) {
+           if confirmSet(name.takeWhile(_ != '['))) {
         val (dt, rows) = runOnce(spark, name, fn, dir, action)
         noteHeap()
         if (dt >= 0) {
@@ -483,6 +535,69 @@ object BenchScale {
       val probed = graft.streaming.VectorIndex
         .probe(spark, s"$streamRoot/s17/store", cells, 0L, 10).count()
       streaming("s17_vector_index") = ((System.nanoTime() - t0) / 1e9, probed)
+      noteHeap()
+      SparkEntry.clearGraftCaches(spark)
+    }
+    if (sections("stream")) locally { // s30 rate transport (r13 verdict item 5):
+      // the rate source is the one transport whose whole point is load, and
+      // until r14 it only had a parity law. Two measurements:
+      // (a) SUSTAINED: the full cascade (dedup → log + derive → self-loop →
+      //     projections) fed by the rate generator for a fixed wall window;
+      //     reported rows = events the log COMMITTED in that window (the
+      //     honest end-to-end number — offered load is rps purchases/s plus
+      //     the derived-promise re-publish).
+      import org.apache.spark.sql.streaming.Trigger
+      val rps = 500
+      val sustainSec = 30
+      val rroot = s"$streamRoot/s30rate"
+      val broker = graft.streaming.RateBroker(spark, s"$rroot/loop",
+        rowsPerSecond = rps, users = 64)
+      val pipe = new graft.streaming.BnplPipeline(spark, s"$rroot/events",
+        s"$rroot/state", broker = Some(broker))
+      val t0 = System.nanoTime()
+      pipe.start()
+      Thread.sleep(sustainSec * 1000L)
+      pipe.stop()
+      val sustained = (System.nanoTime() - t0) / 1e9
+      val logged = spark.read.parquet(s"$rroot/state/events_log").count()
+      System.err.println(f"[bench-scale] s30 sustained: $logged rows committed in " +
+        f"$sustained%.1f s (${logged / sustained}%.0f rows/s vs $rps purchases/s offered)")
+      streaming("s30_rate_sustained") = (sustained, logged)
+      // (b) BACKLOG DRAIN: an AvailableNow catch-up over a pre-written
+      //     purchase backlog — two rounds, because the cascade is a
+      //     self-loop: round 1 drains the purchases and republishes their
+      //     derived promises, round 2 absorbs the promises (the s09
+      //     catch-up path, same checkpoints across rounds). Backlog event
+      //     time spans 100 s — inside the 10 min watermark, so nothing is
+      //     late-dropped and the dedup state covers the whole drain.
+      val nBacklog = 50000L
+      val droot = s"$streamRoot/s30drain"
+      spark.range(nBacklog).select(
+          concat(lit("bk-"), col("id")).as("event_id"),
+          lit(graft.streaming.Envelope.PurchaseCompleted).as("event_type"),
+          timestamp_millis(lit(1700000000000L) + col("id") * 2L).as("ts"),
+          concat(lit("order-bk-"), col("id")).as("order_id"),
+          concat(lit("u"), pmod(col("id"), lit(64L))).as("user_id"),
+          ((pmod(col("id"), lit(50L)) + 1L) * 100L).as("amount"),
+          lit(null).cast("string").as("promise_id"),
+          lit(null).cast("string").as("bill_id"),
+          lit(null).cast("string").as("due_date"),
+          lit(null).cast("string").as("payment_mode"),
+          lit(null).cast("string").as("issued_date"),
+          lit(null).cast("string").as("paid_date"))
+        .write.mode("overwrite").json(s"$droot/events")
+      val t1 = System.nanoTime()
+      for (_ <- 1 to 2) {
+        val p = new graft.streaming.BnplPipeline(spark, s"$droot/events",
+          s"$droot/state", trigger = Trigger.AvailableNow)
+        p.start().foreach(_.awaitTermination())
+        p.stop()
+      }
+      val drain = (System.nanoTime() - t1) / 1e9
+      val drained = spark.read.parquet(s"$droot/state/events_log").count()
+      System.err.println(f"[bench-scale] s30 drain: $drained log rows " +
+        f"(backlog $nBacklog purchases + derived promises) in $drain%.1f s")
+      streaming("s30_backlog_drain") = (drain, drained)
       noteHeap()
       SparkEntry.clearGraftCaches(spark)
     }

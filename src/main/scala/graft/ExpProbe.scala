@@ -46,14 +46,20 @@ object ExpProbe {
       case "q77_knn_join" => (s, d) =>
         Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, d), wide)
           .orderBy(col("src"), col("rk"))
+      // r14: same shared-knn form as the ladder leg — consume the
+      // materialized graph (built here if the ladder hasn't), measuring
+      // the mutual-filter + CC machinery q104 adds on top of q77's build
       case "q104_mutual_knn_clusters" => (s, d) =>
-        Vectors.mutualKnnClustersOn(
-          Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, d), wide))
+        { BenchScale.ensureKnnGraph(s, d, factor)
+          Vectors.mutualKnnClustersOn(
+            s.read.parquet(BenchScale.knnGraphPath(d, bits))) }
       // q90's TUNED operating point (r12 verdict item 1b): subcode bits
       // sized to the ladder leg so per-query candidate volume stays at the
       // design density — the linear-work dial next to q90's N^1.5 probe
       case "q90_tuned" => (s, d) =>
         Vectors.ivfKnnTuned(s, d, Vectors.NProbe, BenchScale.tunedSubBits(factor))
+      case "q147_filtered_tuned_ann" => (s, d) =>
+        Vectors.ivfKnnFilteredTuned(s, d, Vectors.NProbe, BenchScale.tunedSubBits(factor))
       case k => SparkEntry.queries(k)
     }
 
