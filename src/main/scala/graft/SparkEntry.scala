@@ -60,22 +60,32 @@ object SparkEntry {
     * the test harness route their builders through
     * [[applyStaticEngineConfs]].
     *
-    * `codegen.cache.maxEntries=2000` (r12): Spark's generated-class cache
-    * (Janino-compiled wholestage/expression classes, including their JIT
-    * state) defaults to 100 entries JVM-wide. This engine's 136-query
-    * suite compiles well over 1000 codegen units per pass, so by the time
-    * Bench's INTERLEAVED second pass reaches a query, its classes have
-    * long been evicted and the "warm" pass re-pays Janino compile + JIT
-    * for every stage — the measured gap between back-to-back Profile
-    * warmth (q99 ~3.3 s) and in-bench minima (~4.9 s). Sized to hold the
-    * suite's working set; measured at sf0.1 (one-shot 8g JVM, same box,
-    * minutes apart): suite total 138.6→122.6 s, q99 4.95→4.36, q95
-    * 4.17→3.34, q100 3.55→2.65, q84 4.09→3.46. Cost is retained class
-    * metadata (~10-100 KiB/entry) — bounded and worth it for any
+    * `codegen.cache.maxEntries=4000` (r12 sized 2000; re-derived r14):
+    * Spark's generated-class cache (Janino-compiled wholestage/expression
+    * classes, including their JIT state) defaults to 100 entries
+    * JVM-wide; an evicted class re-pays Janino compile + cold JIT on the
+    * next pass — the measured gap between back-to-back Profile warmth
+    * and in-bench minima (r12: suite 138.6→122.6 s going 100→2000).
+    * The size must track the SUITE's working set: CodegenProbe (r14)
+    * measured 2104 compiled classes per full pass at 147 queries, so the
+    * r12 size of 2000 had tipped back into per-pass churn as the suite
+    * grew — pass 2 recompiled 1644 classes at cache=2000 vs 68 at 4000,
+    * warm-pass suite 152.0→127.5 s, q85 0.98→0.40 s (its 16 fused
+    * DotProductFold kernels were exactly the eviction victims the r13
+    * verdict flagged), q135 2.22→1.62 s, q99 5.18→3.87 s. 4000 holds the
+    * measured 2104 with headroom for ~130 more queries; cost is retained
+    * class metadata (~10-100 KiB/entry) — bounded and worth it for any
     * long-lived session running many distinct plans; the same conf
-    * applies executor-side on a cluster. */
+    * applies executor-side on a cluster. Re-derive with CodegenProbe
+    * whenever the suite grows by ~100 queries.
+    *
+    * The `SPARK_GRAFT_CODEGEN_CACHE` env override is the measurement seam
+    * (r13 verdict item 2): the conf is builder-static, so an A/B across
+    * sizes needs one process per size — CodegenProbe counts per-pass
+    * Janino compilations (evictions) through this seam. */
   val StaticEngineConfs: Map[String, String] = Map(
-    "spark.sql.codegen.cache.maxEntries" -> "2000")
+    "spark.sql.codegen.cache.maxEntries" ->
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
 
   /** Apply [[StaticEngineConfs]] to a session builder (call before
     * `getOrCreate`; on an already-running session these would be

@@ -20,7 +20,9 @@ class PlanSpec extends SparkSpec {
     // routing through applyStaticEngineConfs, which is exactly the
     // regression this pins)
     assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "false")
-    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "2000")
+    // 4000 = the CodegenProbe-measured 2104-class suite working set +
+    // growth headroom (r14; was 2000 from r12, outgrown at 147 queries)
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "4000")
   }
 
   test("q01: filter and column pruning reach the parquet scan") {
