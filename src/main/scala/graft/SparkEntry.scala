@@ -320,6 +320,8 @@ object SparkEntry {
     "q145_mixture_realization" -> Sampling.q145 _,
     "q146_ivf_tuned"          -> Vectors.q146 _,
     "q147_filtered_tuned_ann" -> Vectors.q147 _,
+    "q148_hybrid_rrf"         -> RetrievalEval.q148 _,
+    "q149_zorder_layout"      -> Layout.q149 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Data-layout operators (SURVEY.md §2.2 q149): Z-order (Morton)
+  * clustering keys and the min/max-pruning audit they exist to serve —
+  * the OPTIMIZE-ZORDER layout step every 100 TB lakehouse table runs so
+  * that MULTI-dimensional predicates prune files. A single-dimension sort
+  * layout prunes scans on its sort key only; interleaving the bits of two
+  * dimensions bounds every bucket in BOTH dimensions at once, so a
+  * rectangle predicate (and each single-dimension slice of it) skips the
+  * buckets whose [min,max] envelope misses it.
+  *
+  * Reference tie: the reference engine stores its projections id-keyed
+  * in MySQL (consumer/consumer.go:186-206 — `INSERT INTO events (id, …)`
+  * / `payment_promises` / `member_bills`, each clustered on the single
+  * insert key) — the layout this operator generalizes: Z-order is what
+  * replaces single-key clustering when queries also carve on time.
+  */
+object Layout {
+
+  /** Morton dims are min-max quantized to 16 bits each (the interleaved
+    * key fits 32). Quantizing to the DATA's domain — not masking raw
+    * values — is what makes the key's high bits informative: raw custkeys
+    * and epoch days occupy only the low bits of a 16-bit word, so a
+    * top-bits bucket split of unquantized dims collapses to one bucket
+    * (measured: 1 non-empty bucket at sf0.001). Production OPTIMIZE
+    * ZORDER does the same normalization via per-column range stats. */
+  val ZDimBits = 16
+
+  /** The quantized domain maximum, (1 << ZDimBits) − 1. */
+  val ZDimMax = (1L << ZDimBits) - 1
+
+  /** Bucket = top [[ZBucketBits]] bits of the 32-bit key → 64 buckets,
+    * the "file" granularity of the audit (a lakehouse table's file count
+    * scales with data; the AUDIT's cardinality is always bucket-bounded,
+    * so the query output never grows with the corpus). */
+  val ZBucketBits = 6
+
+  /** The fixed audit rectangle: customers 0–63 × order dates in 1997
+    * (epoch days [[RectDayLo]]..[[RectDayHi]]). Chosen to slice BOTH
+    * dimensions so the law can show pruning on each. */
+  val RectCkLo = 0L
+  val RectCkHi = 63L
+  val RectDayLo: Long = java.time.LocalDate.of(1997, 1, 1).toEpochDay
+  val RectDayHi: Long = java.time.LocalDate.of(1997, 12, 31).toEpochDay
+
+  /** Spread the low 16 bits of `c` to the even bit positions of a 32-bit
+    * word (the classic mask-shift Morton ladder — pure codegen'd integer
+    * Column ops, no UDF). */
+  private[graft] def spread16(c: Column): Column = {
+    val v0 = c.bitwiseAND(lit(0xFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** The 32-bit Morton interleave of two 16-bit dims (x on even bits, y
+    * on odd). */
+  private[graft] def morton32(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Min-max quantization of `v` from [lo, hi] onto [0, [[ZDimMax]]] in
+    * EXACT integer arithmetic: floor((v−lo)·ZDimMax / (hi−lo)) via the
+    * ratio4dec mod-reduction (the numerator is made exactly divisible, so
+    * the one double division is exact — both operands stay well under
+    * 2^53 for any key the amplifier produces). A degenerate domain
+    * (hi = lo) maps everything to 0. */
+  private[graft] def quant16(v: Column, lo: Column, hi: Column): Column = {
+    val span = greatest(hi - lo, lit(1L))
+    val num = (v - lo) * lit(ZDimMax)
+    ((num - pmod(num, span)) / span).cast("long")
+  }
+
+  /** q149: Z-order layout audit over `orders` — each row's clustering key
+    * is the Morton interleave of (o_custkey, epoch-day(o_orderdate));
+    * rows land in the bucket addressed by the key's top [[ZBucketBits]]
+    * bits (a pure map-side assignment — a real table write would range-
+    * split the sorted key instead, but the TOP-BITS split IS a contiguous
+    * Z-range split, just equi-width rather than equi-depth). Output, per
+    * non-empty bucket: row count, the min/max envelope of BOTH dims —
+    * the file-skipping metadata a lakehouse scan planner reads — and
+    * `would_scan`, whether the fixed audit rectangle intersects the
+    * envelope. Deterministic integer arithmetic end to end; the DuckDB
+    * oracle mirrors the mask-shift ladder literally.
+    *
+    * Scale posture: the key is map-side integer arithmetic inside one
+    * whole-stage span under a single-row broadcast (the domain stats —
+    * one map-side-combined reduce; a lakehouse deployment reads these
+    * from table-level column stats instead of a scan); the ONLY shuffle
+    * is the groupBy(bucket) at 2^[[ZBucketBits]] cardinality (map-side
+    * combined, so each task emits ≤ 64 partial rows no matter how many
+    * billions it scanned); the audit output is bucket-bounded. At 100 TB
+    * this is the cheapest full-scan shape an engine has — and it's the
+    * query you run ONCE to decide a layout that then prunes every later
+    * scan. */
+  def q149(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("ck"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+    // per-dim domain stats: one single-row aggregate, broadcast into the
+    // scan (the q74/q80 one-row-BNLJ pattern — allowlisted in PlanSpec)
+    val dom = o.agg(
+      min(col("ck")).as("lo_ck"), max(col("ck")).as("hi_ck"),
+      min(col("day")).as("lo_day"), max(col("day")).as("hi_day"))
+    val z = morton32(
+      quant16(col("ck"), col("lo_ck"), col("hi_ck")),
+      quant16(col("day"), col("lo_day"), col("hi_day")))
+    o.crossJoin(broadcast(dom))
+      .select(col("ck"), col("day"),
+        shiftright(z, 2 * ZDimBits - ZBucketBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .withColumn("would_scan",
+        !(col("max_ck") < RectCkLo || col("min_ck") > RectCkHi ||
+          col("max_day") < RectDayLo || col("min_day") > RectDayHi))
+      .orderBy(col("bucket"))
+  }
+}

@@ -349,6 +349,8 @@ object OracleSql {
     "q146_ivf_tuned"    -> ivfKnnTunedSql,
     "q147_filtered_tuned_ann" -> ivfKnnFilteredTunedSql,
     "q112_pq_adc"       -> pqSql,
+    "q148_hybrid_rrf"   -> hybridRrfSql,
+    "q149_zorder_layout" -> zorderSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2420,6 +2422,77 @@ object OracleSql {
     s"""WITH $bm25Ctes
        |SELECT doc_id, n_hit, ROUND(sum_s, 4) AS bm25
        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT ${Text.Bm25TopK}""".stripMargin
+
+  /** q148: both lists mirror their parent queries (the BM25 chain
+    * verbatim; the q31 cosine widened to HybridTopK), ranks assigned over
+    * the LIMIT-bounded lists, and the fused score is DuckDB's exact
+    * integer floor division `//` — the engine computes the identical
+    * integer by mod-reducing the numerator before one exact double
+    * division (RetrievalEval.q148's term()). */
+  private def hybridRrfSql: String = {
+    import RetrievalEval.{HybridOutK, HybridTopK, RrfK, RrfScale}
+    s"""WITH $bm25Ctes,
+       |lexlist AS (SELECT doc_id, ROUND(sum_s, 4) AS bm25
+       |            FROM agg ORDER BY bm25 DESC, doc_id LIMIT $HybridTopK),
+       |lex AS (SELECT doc_id,
+       |          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+       |        FROM lexlist),
+       |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |semlist AS (SELECT e.vec_id AS doc_id,
+       |    ROUND(
+       |      list_sum(list_transform(range(1, CAST(len(e.embedding) AS INTEGER) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY sim DESC, doc_id LIMIT $HybridTopK),
+       |sem AS (SELECT doc_id,
+       |          CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT) AS sem_rank
+       |        FROM semlist)
+       |SELECT doc_id,
+       |  COALESCE(lex_rank, 0) AS lex_rank,
+       |  COALESCE(sem_rank, 0) AS sem_rank,
+       |  (CASE WHEN COALESCE(lex_rank, 0) > 0
+       |        THEN $RrfScale // ($RrfK + lex_rank) ELSE 0 END
+       | + CASE WHEN COALESCE(sem_rank, 0) > 0
+       |        THEN $RrfScale // ($RrfK + sem_rank) ELSE 0 END) AS rrf
+       |FROM lex FULL OUTER JOIN sem USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT $HybridOutK""".stripMargin
+  }
+
+  /** The Morton mask-shift ladder as SQL text — the same masks, in the
+    * same order, as Layout.spread16's Column ladder. */
+  private def spreadSql(e: String): String = {
+    val v0 = s"(($e) & 65535)"
+    val v1 = s"(($v0 | ($v0 << 8)) & 16711935)"
+    val v2 = s"(($v1 | ($v1 << 4)) & 252645135)"
+    val v3 = s"(($v2 | ($v2 << 2)) & 858993459)"
+    s"(($v3 | ($v3 << 1)) & 1431655765)"
+  }
+
+  private def zorderSql: String = {
+    import Layout.{RectCkHi, RectCkLo, RectDayHi, RectDayLo, ZBucketBits, ZDimBits, ZDimMax}
+    val shift = 2 * ZDimBits - ZBucketBits
+    def quant(v: String, lo: String, hi: String): String =
+      s"((($v - $lo) * $ZDimMax) // greatest($hi - $lo, 1))"
+    val xq = quant("ck", "lo_ck", "hi_ck")
+    val yq = quant("day", "lo_day", "hi_day")
+    s"""WITH o AS (SELECT o_custkey AS ck,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+       |  FROM orders),
+       |dom AS (SELECT min(ck) AS lo_ck, max(ck) AS hi_ck,
+       |               min(day) AS lo_day, max(day) AS hi_day FROM o),
+       |z AS (SELECT ck, day,
+       |        ((${spreadSql(xq)} | (${spreadSql(yq)} << 1)) >> $shift) AS bucket
+       |      FROM o, dom)
+       |SELECT bucket, COUNT(*) AS n,
+       |       min(ck) AS min_ck, max(ck) AS max_ck,
+       |       min(day) AS min_day, max(day) AS max_day,
+       |       NOT (max(ck) < $RectCkLo OR min(ck) > $RectCkHi
+       |         OR max(day) < $RectDayLo OR min(day) > $RectDayHi) AS would_scan
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
 
   /** q95 oracle: the ivfKnn chain (at the production NProbe) evaluated
     * against a brute-force exact panel, plus the q92 chain evaluated

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Dsl.{cosine, ratio4, round4}
@@ -158,5 +158,69 @@ object RetrievalEval {
           .otherwise(ratio4(col("n_hit"), col("n_rel"))).as("recall4"),
         when(col("fr").isNull, lit(0.0))
           .otherwise(ratio4(lit(1), col("fr"))).as("rr4"))
+  }
+
+  /** q148 RRF constants. [[RrfK]] = 60 is the standard reciprocal-rank-
+    * fusion damping (Cormack, Clarke & Büttcher, SIGIR'09). [[RrfScale]]
+    * turns each 1/(K+rank) into the INTEGER `RrfScale div (K+rank)` —
+    * floor division, identical in both engines, strictly monotone in rank
+    * over the reachable range (adjacent denominators 61..75 differ by
+    * ≥ 1.7e8 at 1e12), so the fused score needs no float fold discipline
+    * at all: two exact int64 terms, summed. */
+  val RrfK = 60
+  val RrfScale = 1000000000000L
+  val HybridTopK = 15
+  val HybridOutK = 10
+
+  /** q148: hybrid retrieval — reciprocal-rank fusion of the engine's two
+    * ranking modalities over the SAME document key space: the lexical
+    * BM25 top-[[HybridTopK]] (q92's list, [[Text.Bm25Query]]) and the
+    * semantic cosine top-[[HybridTopK]] against the vec_id-0 query
+    * embedding (q31's ranking, widened from 10 to 15). Fused score =
+    * Σ_lists RrfScale div (RrfK + rank), rank 0 (absent from a list)
+    * contributing nothing — the standard hybrid-search shape every
+    * RAG stack runs (lexical ⊕ vector, fused without score calibration
+    * because RRF only consumes RANKS). Output: top [[HybridOutK]] by
+    * (rrf DESC, doc_id), with both per-list ranks (0 = not retrieved).
+    *
+    * Scale posture: both lists are TopK-bounded before fusion (the BM25
+    * side is q92's plan; the semantic side is one broadcast-query
+    * map-side cosine + TakeOrdered), so the fusion itself — two
+    * row_number windows, one full-outer join, one TakeOrdered — runs on
+    * ≤ 2·[[HybridTopK]] rows regardless of corpus size. The global rank
+    * windows sit on GlobalLimit-reduced frames (PlanSpec
+    * bounded-global-window allowlist). */
+  def q148(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = Text.q92(spark, sfDir)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("lex_rank"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val semList = emb.join(broadcast(query))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"),
+        round4(cosine(col("embedding"), col("qvec"))).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(HybridTopK)
+    val sem = semList.select(col("doc_id"), row_number().over(
+      Window.orderBy(col("sim").desc, col("doc_id"))).as("sem_rank"))
+    // exact floor division RrfScale div (RrfK + rank) without an integer
+    // div operator: reduce the numerator mod the denominator FIRST so the
+    // one double division is exactly divisible (the ratio4dec discipline)
+    // — both operands < 2^53, so the quotient is the exact integer
+    def term(rank: Column): Column = {
+      val d = (lit(RrfK) + rank).cast("long")
+      when(rank > 0,
+        ((lit(RrfScale) - pmod(lit(RrfScale), d)) / d).cast("long"))
+        .otherwise(lit(0L))
+    }
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).as("sem_rank"))
+      .withColumn("rrf", term(col("lex_rank")) + term(col("sem_rank")))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(HybridOutK)
   }
 }

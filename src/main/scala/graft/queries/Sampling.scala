@@ -280,6 +280,27 @@ object Sampling {
     * source fits its budget there and the prefix rule would go
     * untested). */
   private[graft] def realizeMixture(tokIn: DataFrame): DataFrame = {
+    val admitted = col("admitted")
+    admissions(tokIn)
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("tokens")).as("tokens"),
+        max(col("planned_tokens")).as("planned_tokens"),
+        sum(when(admitted, 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(admitted, col("n_tok")).otherwise(0L)).as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("planned_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        when(col("planned_tokens") > 0,
+          ratio4(col("kept_tokens"), col("planned_tokens")))
+          .otherwise(lit(null).cast("double")).as("fill4"))
+      .orderBy(col("source"))
+  }
+
+  /** The q145 admission DECISION frame — one row per document with its
+    * hash rank, running token sum, budget columns, and the `admitted`
+    * verdict. Split out of [[realizeMixture]] so the s31 streaming
+    * admission's single-batch parity law can compare SETS against the
+    * batch rule (same core, one definition). */
+  private[graft] def admissions(tokIn: DataFrame): DataFrame = {
     // pinned: the thin token frame feeds both the budget aggregate and
     // the ranked admission, which meet again in the join (q104 shape —
     // eager checkpoint, not lazy cache)
@@ -292,19 +313,8 @@ object Sampling {
       .withColumn("cum", sum(col("n_tok")).over(w))
     val budgets = mixBudgets(tok.select(col("source"), col("n_tok")))
       .select(col("source"), col("n_docs"), col("tokens"), col("planned_tokens"))
-    val admitted = col("cum") <= col("planned_tokens")
     ranked.join(broadcast(budgets), Seq("source"))
-      .groupBy(col("source"))
-      .agg(max(col("n_docs")).as("n_docs"), max(col("tokens")).as("tokens"),
-        max(col("planned_tokens")).as("planned_tokens"),
-        sum(when(admitted, 1L).otherwise(0L)).as("kept_docs"),
-        sum(when(admitted, col("n_tok")).otherwise(0L)).as("kept_tokens"))
-      .select(col("source"), col("n_docs"), col("tokens"), col("planned_tokens"),
-        col("kept_docs"), col("kept_tokens"),
-        when(col("planned_tokens") > 0,
-          ratio4(col("kept_tokens"), col("planned_tokens")))
-          .otherwise(lit(null).cast("double")).as("fill4"))
-      .orderBy(col("source"))
+      .withColumn("admitted", col("cum") <= col("planned_tokens"))
   }
 
   /** q100: leakage-safe (cluster-aware) train/val/test split — q51's

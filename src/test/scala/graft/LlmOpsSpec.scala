@@ -1115,4 +1115,83 @@ class LlmOpsSpec extends SparkSpec {
     assert(full.map(_.getLong(3)).sum < full.map(_.getLong(2)).sum)
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("q148 laws: fused score is the exact integer formula; both-list docs at rank <= 8 dominate every single-list doc") {
+    import graft.queries.RetrievalEval.{RrfK, RrfScale}
+    val out = SparkEntry.queries("q148_hybrid_rrf")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    def term(rank: Int): Long = if (rank > 0) RrfScale / (RrfK + rank) else 0L
+    out.foreach { r =>
+      val (lex, sem, rrf) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      assert(lex > 0 || sem > 0, s"doc ${r.getLong(0)} retrieved by neither list")
+      assert(rrf == term(lex) + term(sem),
+        s"doc ${r.getLong(0)}: rrf $rrf != ${term(lex) + term(sem)}")
+    }
+    // the fusion theorem that makes RRF robust without score calibration:
+    // min dual-list score at ranks <= 8 (1e12//68 + 1e12//75) exceeds the
+    // max single-list score (1e12//61), so consensus docs outrank every
+    // single-modality hit — verified on the real output ordering
+    val dualMin = out.collect {
+      case r if r.getInt(1) > 0 && r.getInt(2) > 0 &&
+        r.getInt(1) <= 8 && r.getInt(2) <= 8 => r.getLong(3)
+    }
+    val singleMax = out.collect {
+      case r if r.getInt(1) == 0 || r.getInt(2) == 0 => r.getLong(3)
+    }
+    if (dualMin.nonEmpty && singleMax.nonEmpty)
+      assert(dualMin.min > singleMax.max,
+        "a rank<=8 consensus doc fused below a single-list doc")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("q149 laws: envelopes never miss a matching row; Z-order prunes on BOTH dims; Morton key matches a bit-reference") {
+    import graft.queries.Layout
+    val buckets = SparkEntry.queries("q149_zorder_layout")(spark, sf001).collect()
+    assert(buckets.length > 1, "layout degenerated to one bucket")
+    val scanSet = buckets.filter(_.getBoolean(6)).map(_.getLong(0)).toSet
+    // (1) pruning-metadata correctness: recompute every row's bucket via
+    // the engine's own key path and assert each rectangle-matching row
+    // lands in a would_scan bucket (a false prune is silent data loss —
+    // THE failure mode file-skipping must never have)
+    val o = graft.tables.Tables.orders(spark, sf001).select(
+      col("o_custkey").as("ck"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+    val dom = o.agg(min(col("ck")).as("lo_ck"), max(col("ck")).as("hi_ck"),
+      min(col("day")).as("lo_day"), max(col("day")).as("hi_day"))
+    val rowBuckets = o.crossJoin(broadcast(dom))
+      .filter(col("ck").between(Layout.RectCkLo, Layout.RectCkHi) &&
+        col("day").between(Layout.RectDayLo, Layout.RectDayHi))
+      .select(org.apache.spark.sql.functions.shiftright(
+        Layout.morton32(
+          Layout.quant16(col("ck"), col("lo_ck"), col("hi_ck")),
+          Layout.quant16(col("day"), col("lo_day"), col("hi_day"))),
+        2 * Layout.ZDimBits - Layout.ZBucketBits).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(rowBuckets.nonEmpty, "the audit rectangle matched no rows")
+    assert(rowBuckets.subsetOf(scanSet),
+      s"rows in pruned buckets: ${rowBuckets -- scanSet}")
+    // (2) the multi-dim property a single-sort layout cannot give: EACH
+    // single-dimension slice of the rectangle skips buckets too
+    val ckScan = buckets.count(r =>
+      !(r.getLong(3) < Layout.RectCkLo || r.getLong(2) > Layout.RectCkHi))
+    val dayScan = buckets.count(r =>
+      !(r.getLong(5) < Layout.RectDayLo || r.getLong(4) > Layout.RectDayHi))
+    assert(ckScan < buckets.length, "no pruning on the custkey dim")
+    assert(dayScan < buckets.length, "no pruning on the date dim")
+    // (3) the Column mask-shift ladder == a bit-by-bit Scala reference on
+    // a planted grid (the expression-equality discipline)
+    def mortonRef(x: Long, y: Long): Long =
+      (0 until Layout.ZDimBits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val grid = for (x <- Seq(0L, 1L, 255L, 256L, 65535L);
+                    y <- Seq(0L, 1L, 255L, 256L, 65535L)) yield (x, y)
+    val gotZ = grid.toDF("x", "y")
+      .select(Layout.morton32(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotZ == grid.map { case (x, y) => mortonRef(x, y) },
+      "morton32 diverged from the bit reference")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }

@@ -120,9 +120,13 @@ class PlanSpec extends SparkSpec {
       "q135_distribution_drift", // broadcast T×T type-pair frame (T = #event
                                  // families — cardinality fixed by the schema,
                                  // not the corpus; q95's constant-panel shape)
-      "q142_peak_concurrency")   // broadcast ≤ShardRanges-row per-partition
+      "q142_peak_concurrency",   // broadcast ≤ShardRanges-row per-partition
                                  // totals in the two-phase prefix-sum carry-in
                                  // (q72's offsets shape — constant-bounded)
+      "q148_hybrid_rrf",         // broadcast query vector row (q31's shape,
+                                 // inherited by the semantic list)
+      "q149_zorder_layout")      // broadcast single-row per-dim domain stats
+                                 // (min/max of both Morton dims)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
@@ -238,7 +242,9 @@ class PlanSpec extends SparkSpec {
       "q95_retrieval_eval" ->
         "rank over the per-metric eval summary — a constant few-row panel (RetrievalEval.scala)",
       "q103_token_histogram" ->
-        "cumulative share over the bin histogram — <= max-doc-len/HistBinW rows, schema-bounded (Text.scala; also pinned structurally by the q103-specific test)")
+        "cumulative share over the bin histogram — <= max-doc-len/HistBinW rows, schema-bounded (Text.scala; also pinned structurally by the q103-specific test)",
+      "q148_hybrid_rrf" ->
+        "rank over the two fusion input lists — each GlobalLimit-bounded to HybridTopK = 15 rows before the window (RetrievalEval.q148)")
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LogicalPlan, Window => LWindow}
     // Cardinality-aware, not collectFirst-over-the-subtree (advisor r10):
     // a frame is reduced iff EVERY path from the window down to a leaf

@@ -1694,4 +1694,80 @@ class StreamingSpec extends SparkSpec {
       "the null user should surface one row per ledger side")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s31: streamed budget admission — single-batch parity with q145's cut; FCFS cap never exceeded; replay no-op; accepts never revoked") {
+    import graft.streaming.BudgetAdmission.{admittedDocs, audit, processBatch}
+    import org.apache.spark.sql.functions.{size, split}
+    import spark.implicits._
+    // ---- (1) single-batch parity: one batch over the real corpus with
+    // q80's own budget panel admits EXACTLY q145's set (one shared
+    // definition of the cut — Sampling.admissions)
+    val tok = graft.tables.Tables.documents(spark, sf001)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .localCheckpoint(true)
+    val budgets = graft.queries.Sampling
+      .mixBudgets(tok.select(col("source"), col("n_tok")))
+      .select(col("source"), col("planned_tokens"))
+      .localCheckpoint(true)
+    val p1 = tmpDir("s31-parity")
+    processBatch(tok, budgets, s"$p1/store", s"$p1/accept", 0L)
+    val got = admittedDocs(spark, s"$p1/accept").collect().toSet
+    val want = graft.queries.Sampling.admissions(tok)
+      .filter(col("admitted"))
+      .select(col("source"), col("doc_id"), col("n_tok")).collect().toSet
+    assert(got == want, "single-batch admission diverged from q145's cut")
+    // ---- planted corpus with budgets that force a real cut: source a
+    // holds 4x40-token docs against a 90-token budget (only two fit),
+    // source b fits entirely
+    val planted = Seq(
+      ("a", 1L, 40L), ("a", 2L, 40L), ("a", 3L, 40L), ("a", 4L, 40L),
+      ("b", 10L, 10L), ("b", 11L, 10L)
+    ).toDF("source", "doc_id", "n_tok").localCheckpoint(true)
+    val pb = Seq(("a", 90L), ("b", 100L))
+      .toDF("source", "planned_tokens").localCheckpoint(true)
+    val p2 = tmpDir("s31-fcfs")
+    processBatch(planted.filter(col("doc_id").isin(1L, 2L, 10L)),
+      pb, s"$p2/store", s"$p2/accept", 0L)
+    val afterB0 = admittedDocs(spark, s"$p2/accept").collect().toSet
+    processBatch(planted.filter(col("doc_id").isin(3L, 4L, 11L)),
+      pb, s"$p2/store", s"$p2/accept", 1L)
+    // ---- (2) the cap law: per source, consumed <= budget, batch by batch
+    val aud = audit(spark, s"$p2/store", pb).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(1))).toMap
+    aud.foreach { case (src, (consumed, budget)) =>
+      assert(consumed <= budget, s"source $src: consumed $consumed > budget $budget")
+    }
+    // source a admitted exactly its first-arrived 90-fitting prefix
+    // (docs 1,2 = 80 tokens; batch-1's docs 3,4 would push past 90);
+    // source b admitted everything
+    assert(aud("a")._1 == 80L && aud("b")._1 == 20L)
+    val all = admittedDocs(spark, s"$p2/accept").collect().toSet
+    assert(all.map(_.getLong(1)) == Set(1L, 2L, 10L, 11L))
+    // ---- (3) FCFS is ARRIVAL order across batches: the reversed batch
+    // order admits the other prefix — and still never exceeds
+    val p3 = tmpDir("s31-fcfs-rev")
+    processBatch(planted.filter(col("doc_id").isin(3L, 4L, 11L)),
+      pb, s"$p3/store", s"$p3/accept", 0L)
+    processBatch(planted.filter(col("doc_id").isin(1L, 2L, 10L)),
+      pb, s"$p3/store", s"$p3/accept", 1L)
+    assert(admittedDocs(spark, s"$p3/accept").collect()
+      .map(_.getLong(1)).toSet == Set(3L, 4L, 10L, 11L),
+      "reversed arrival should admit the reversed prefix")
+    // ---- (4) replay no-op: re-running the LAST batch with its own id
+    // recomputes byte-identical partitions
+    processBatch(planted.filter(col("doc_id").isin(3L, 4L, 11L)),
+      pb, s"$p2/store", s"$p2/accept", 1L)
+    assert(admittedDocs(spark, s"$p2/accept").collect().toSet == all,
+      "replay changed the accept log")
+    assert(audit(spark, s"$p2/store", pb).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+      .forall { case (s, c) => aud(s)._1 == c }, "replay changed the store")
+    // ---- (5) no revocation: batch 1 never rewrote batch 0's accepts
+    val batch0Accepts = spark.read.parquet(s"$p2/accept")
+      .filter(col("batch_id") === 0L).drop("batch_id").collect().toSet
+    assert(batch0Accepts == afterB0,
+      "a later batch modified an earlier batch's accept partition")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
