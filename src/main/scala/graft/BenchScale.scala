@@ -109,7 +109,12 @@ object BenchScale {
       // realization (one per-source running-sum window over documents)
       "q143_filtered_ann" -> "count",
       "q144_bulk_part_suppliers" -> "count",
-      "q145_mixture_realization" -> "count"
+      "q145_mixture_realization" -> "count",
+      // r14 additions: hybrid RRF (the q92 lexical scan + a broadcast-
+      // query cosine scan, fused on TopK-bounded lists) and the Z-order
+      // layout audit (two map-side passes + one 64-group shuffle)
+      "q148_hybrid_rrf" -> "count",
+      "q149_zorder_layout" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)
@@ -535,6 +540,29 @@ object BenchScale {
       val probed = graft.streaming.VectorIndex
         .probe(spark, s"$streamRoot/s17/store", cells, 0L, 10).count()
       streaming("s17_vector_index") = ((System.nanoTime() - t0) / 1e9, probed)
+      noteHeap()
+      SparkEntry.clearGraftCaches(spark)
+    }
+    if (sections("stream")) locally { // s31 budget admission: per-source
+      // quotas enforced across 4 doc batches. The budget panel build
+      // (one pass over the corpus) is INSIDE the timer — a deployment
+      // computes it offline once, but charging it here keeps the leg
+      // honest about the full cold-start cost, like s17's codebook.
+      val t0 = System.nanoTime()
+      val tokAll = spark.read.parquet(s"$bigDir/documents.parquet")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val budgets = graft.queries.Sampling.mixBudgets(tokAll)
+        .select(col("source"), col("planned_tokens"))
+        .localCheckpoint(true)
+      for (b <- 0 until nBatches)
+        graft.streaming.BudgetAdmission.processBatch(
+          docBatch(b).select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+          budgets, s"$streamRoot/s31/store", s"$streamRoot/s31/accept", b.toLong)
+      val admitted = graft.streaming.BudgetAdmission
+        .admittedDocs(spark, s"$streamRoot/s31/accept").count()
+      streaming("s31_budget_admission") = ((System.nanoTime() - t0) / 1e9, admitted)
       noteHeap()
       SparkEntry.clearGraftCaches(spark)
     }

@@ -97,6 +97,45 @@ object Layout {
     * this is the cheapest full-scan shape an engine has — and it's the
     * query you run ONCE to decide a layout that then prunes every later
     * scan. */
+  /** q150: compaction target — merge groups aim at this many rows (the
+    * row-count proxy for a lakehouse's target file size). With
+    * 2^[[ZBucketBits]] buckets the plan can never exceed 64 groups, so
+    * the output is bucket-bounded at any corpus size. */
+  val CompactTargetRows = 4000L
+
+  /** q150: COMPACTION PLAN over the q149 layout — the second half of
+    * OPTIMIZE: given the per-bucket row counts IN Z-range order (so
+    * merging neighbors preserves the clustering q149 built), split the
+    * ordered bucket stream into contiguous merge groups of
+    * ~[[CompactTargetRows]] rows each: group = floor(running-rows-before
+    * / target), the standard size-based split of an ordered file stream.
+    * Output per merge group: bucket span, bucket count, total rows, and
+    * whether the group hits the target (the last group may be a
+    * remainder). Exact integer arithmetic throughout (the floor is the
+    * mod-reduced exact division).
+    *
+    * Scale posture: everything after q149's 64-row aggregate runs on a
+    * bucket-bounded frame — the cumulative window is global but sits on
+    * a ≤ 64-row post-aggregate frame (bounded-global-window allowlist);
+    * the real work is q149's single map-side-combined shuffle. */
+  def q150(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = q149(spark, sfDir).select(col("bucket"), col("n"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val before = coalesce(sum(col("n")).over(w), lit(0L))
+    val num = before - pmod(before, lit(CompactTargetRows))
+    buckets
+      .withColumn("grp", (num / lit(CompactTargetRows)).cast("long"))
+      .groupBy(col("grp"))
+      .agg(min(col("bucket")).as("first_bucket"),
+        max(col("bucket")).as("last_bucket"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("total_rows"))
+      .withColumn("at_target", col("total_rows") >= CompactTargetRows)
+      .orderBy(col("grp"))
+  }
+
   def q149(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir).select(
       col("o_custkey").as("ck"),

@@ -351,6 +351,7 @@ object OracleSql {
     "q112_pq_adc"       -> pqSql,
     "q148_hybrid_rrf"   -> hybridRrfSql,
     "q149_zorder_layout" -> zorderSql,
+    "q150_compaction_plan" -> compactionSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2471,27 +2472,51 @@ object OracleSql {
     s"(($v3 | ($v3 << 1)) & 1431655765)"
   }
 
-  private def zorderSql: String = {
-    import Layout.{RectCkHi, RectCkLo, RectDayHi, RectDayLo, ZBucketBits, ZDimBits, ZDimMax}
+  /** Shared q149/q150 kernel: orders → quantized Morton key → bucket. */
+  private def zorderCtes: String = {
+    import Layout.{ZBucketBits, ZDimBits, ZDimMax}
     val shift = 2 * ZDimBits - ZBucketBits
     def quant(v: String, lo: String, hi: String): String =
       s"((($v - $lo) * $ZDimMax) // greatest($hi - $lo, 1))"
     val xq = quant("ck", "lo_ck", "hi_ck")
     val yq = quant("day", "lo_day", "hi_day")
-    s"""WITH o AS (SELECT o_custkey AS ck,
+    s"""o AS (SELECT o_custkey AS ck,
        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
        |  FROM orders),
        |dom AS (SELECT min(ck) AS lo_ck, max(ck) AS hi_ck,
        |               min(day) AS lo_day, max(day) AS hi_day FROM o),
        |z AS (SELECT ck, day,
        |        ((${spreadSql(xq)} | (${spreadSql(yq)} << 1)) >> $shift) AS bucket
-       |      FROM o, dom)
+       |      FROM o, dom)""".stripMargin
+  }
+
+  private def zorderSql: String = {
+    import Layout.{RectCkHi, RectCkLo, RectDayHi, RectDayLo}
+    s"""WITH $zorderCtes
        |SELECT bucket, COUNT(*) AS n,
        |       min(ck) AS min_ck, max(ck) AS max_ck,
        |       min(day) AS min_day, max(day) AS max_day,
        |       NOT (max(ck) < $RectCkLo OR min(ck) > $RectCkHi
        |         OR max(day) < $RectDayLo OR min(day) > $RectDayHi) AS would_scan
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // q150: DuckDB's window SUM over BIGINT returns HUGEINT — cast before
+  // the integer division; `//` floors on non-negative cumsums exactly
+  // like the engine's mod-reduced exact division.
+  private def compactionSql: String = {
+    import Layout.CompactTargetRows
+    s"""WITH $zorderCtes,
+       |b AS (SELECT bucket, COUNT(*) AS n FROM z GROUP BY bucket),
+       |c AS (SELECT bucket, n,
+       |        CAST(COALESCE(SUM(n) OVER (ORDER BY bucket
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bfr
+       |      FROM b),
+       |g AS (SELECT bucket, n, bfr // $CompactTargetRows AS grp FROM c)
+       |SELECT grp, min(bucket) AS first_bucket, max(bucket) AS last_bucket,
+       |       COUNT(*) AS n_buckets, CAST(SUM(n) AS BIGINT) AS total_rows,
+       |       CAST(SUM(n) AS BIGINT) >= $CompactTargetRows AS at_target
+       |FROM g GROUP BY grp ORDER BY grp""".stripMargin
   }
 
   /** q95 oracle: the ivfKnn chain (at the production NProbe) evaluated

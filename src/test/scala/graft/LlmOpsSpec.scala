@@ -1194,4 +1194,33 @@ class LlmOpsSpec extends SparkSpec {
       "morton32 diverged from the bit reference")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("q150 laws: merge groups tile the Z-range contiguously, conserve rows, and close only on crossing the target") {
+    import graft.queries.Layout
+    val groups = SparkEntry.queries("q150_compaction_plan")(spark, sf001).collect()
+    val buckets = SparkEntry.queries("q149_zorder_layout")(spark, sf001).collect()
+    assert(groups.nonEmpty)
+    // (1) contiguous tiling in Z-range order: spans are disjoint, ordered,
+    // and jointly cover every non-empty bucket (merging non-neighbors
+    // would destroy the clustering q149 built)
+    val spans = groups.map(r => (r.getLong(1), r.getLong(2))) // (first, last)
+    spans.sliding(2).foreach {
+      case Array((_, lastA), (firstB, _)) =>
+        assert(lastA < firstB, s"overlapping merge groups: $lastA >= $firstB")
+      case _ =>
+    }
+    assert(groups.map(_.getLong(3)).sum == buckets.length,
+      "groups do not cover every non-empty bucket exactly once")
+    // (2) row conservation: compaction plans never drop or invent data
+    assert(groups.map(_.getLong(4)).sum == buckets.map(_.getLong(1)).sum)
+    // (3) the defining split property: a group closes exactly when the
+    // running total crosses the target, so the cumulative row count
+    // through every NON-final group is >= (grp+1) * target
+    val cum = groups.map(_.getLong(4)).scanLeft(0L)(_ + _).drop(1)
+    groups.dropRight(1).zip(cum).foreach { case (r, through) =>
+      assert(through >= (r.getLong(0) + 1) * Layout.CompactTargetRows,
+        s"group ${r.getLong(0)} closed before crossing the target")
+    }
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
