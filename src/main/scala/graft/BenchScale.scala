@@ -543,6 +543,17 @@ object BenchScale {
       noteHeap()
       SparkEntry.clearGraftCaches(spark)
     }
+    if (sections("stream")) locally { // s32 hybrid search: ONE fused read
+      // over the stores the s15/s17 legs just built (the serving path —
+      // ingest is already charged to those legs; a second ingest here
+      // would double-count it)
+      val t0 = System.nanoTime()
+      val hits = graft.streaming.HybridSearch.search(spark,
+        s"$streamRoot/s15/store", s"$streamRoot/s17/store").count()
+      streaming("s32_hybrid_search_read") = ((System.nanoTime() - t0) / 1e9, hits)
+      noteHeap()
+      SparkEntry.clearGraftCaches(spark)
+    }
     if (sections("stream")) locally { // s31 budget admission: per-source
       // quotas enforced across 4 doc batches. The budget panel build
       // (one pass over the corpus) is INSIDE the timer — a deployment

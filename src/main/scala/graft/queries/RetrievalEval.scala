@@ -191,9 +191,6 @@ object RetrievalEval {
     * windows sit on GlobalLimit-reduced frames (PlanSpec
     * bounded-global-window allowlist). */
   def q148(spark: SparkSession, sfDir: String): DataFrame = {
-    val lex = Text.q92(spark, sfDir)
-      .select(col("doc_id"), row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id"))).as("lex_rank"))
     val emb = Tables.embeddings(spark, sfDir)
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qvec"))
@@ -203,6 +200,16 @@ object RetrievalEval {
         round4(cosine(col("embedding"), col("qvec"))).as("sim"))
       .orderBy(col("sim").desc, col("doc_id"))
       .limit(HybridTopK)
+    rrfFuse(Text.q92(spark, sfDir).select(col("doc_id"), col("bm25")), semList)
+  }
+
+  /** The q148 fusion kernel on prepared (doc_id, bm25) / (doc_id, sim)
+    * candidate lists (each already TopK-bounded) — shared with the s32
+    * streaming hybrid search so "the fusion" has exactly one
+    * definition. */
+  private[graft] def rrfFuse(lexList: DataFrame, semList: DataFrame): DataFrame = {
+    val lex = lexList.select(col("doc_id"), row_number().over(
+      Window.orderBy(col("bm25").desc, col("doc_id"))).as("lex_rank"))
     val sem = semList.select(col("doc_id"), row_number().over(
       Window.orderBy(col("sim").desc, col("doc_id"))).as("sem_rank"))
     // exact floor division RrfScale div (RrfK + rank) without an integer

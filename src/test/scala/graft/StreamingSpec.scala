@@ -1770,4 +1770,54 @@ class StreamingSpec extends SparkSpec {
       "a later batch modified an earlier batch's accept partition")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s32: streamed hybrid search == batch q148 after full ingest; a partial store fuses exactly the ingested corpus") {
+    import graft.ops.Dsl.{cosine, round4}
+    import graft.queries.{RetrievalEval, Text, Vectors}
+    import graft.streaming.{HybridSearch, IncrementalIndex, VectorIndex}
+    import org.apache.spark.sql.functions.{broadcast, size, split}
+    val docs = graft.tables.Tables.documents(spark, sf001)
+    val emb = graft.tables.Tables.embeddings(spark, sf001)
+    val cells = Vectors.codebook(Vectors.trainedComponents(emb))
+      .localCheckpoint(true)
+    val is = tmpDir("s32-idx") + "/s"
+    val vs = tmpDir("s32-vec") + "/s"
+    def fused(): List[(Long, Int, Int, Long)] =
+      HybridSearch.search(spark, is, vs).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toList
+    // the same kernels the stores serve, run directly over a corpus
+    // slice and fused by the SHARED rrfFuse core — what the stream must
+    // equal at every ingest point
+    def expectedOver(dHalf: org.apache.spark.sql.DataFrame,
+        eHalf: org.apache.spark.sql.DataFrame): List[(Long, Int, Int, Long)] = {
+      val tf = Text.termFrequencies(dHalf)
+        .filter(col("token").isin(Text.Bm25Query: _*))
+        .select(col("doc_id"), col("token"), col("tf"))
+      val dl = dHalf.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val lex = Text.bm25Rank(tf, dl).select(col("doc_id"), col("bm25"))
+      val e = eHalf.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val sem = e.join(broadcast(qv)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round4(cosine(col("embedding"), col("qvec"))).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id"))
+        .limit(RetrievalEval.HybridTopK)
+      RetrievalEval.rrfFuse(lex, sem).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toList
+    }
+    // ---- partial ingest: the even half only (holds vec/doc 0, the query)
+    IncrementalIndex.processBatch(docs.filter(col("doc_id") % 2 === 0), is, 0L)
+    VectorIndex.processBatch(emb.filter(col("vec_id") % 2 === 0), cells, vs, 0L)
+    assert(fused() == expectedOver(docs.filter(col("doc_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 0)),
+      "partial-store fusion != the kernels over the ingested half")
+    // ---- full ingest: now row-for-row the batch q148
+    IncrementalIndex.processBatch(docs.filter(col("doc_id") % 2 === 1), is, 1L)
+    VectorIndex.processBatch(emb.filter(col("vec_id") % 2 === 1), cells, vs, 1L)
+    val batch = SparkEntry.queries("q148_hybrid_rrf")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toList
+    assert(fused() == batch, "streamed hybrid search != batch q148")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
