@@ -321,8 +321,8 @@ object SparkEntry {
     "q146_ivf_tuned"          -> Vectors.q146 _,
     "q147_filtered_tuned_ann" -> Vectors.q147 _,
     "q148_hybrid_rrf"         -> RetrievalEval.q148 _,
-    "q149_zorder_layout"      -> Layout.q149 _,
-    "q150_compaction_plan"    -> Layout.q150 _,
+    "q149_zorder_layout"      -> ZOrder.q149 _,
+    "q150_compaction_plan"    -> ZOrder.q150 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

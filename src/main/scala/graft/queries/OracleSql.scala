@@ -2474,7 +2474,7 @@ object OracleSql {
 
   /** Shared q149/q150 kernel: orders → quantized Morton key → bucket. */
   private def zorderCtes: String = {
-    import Layout.{ZBucketBits, ZDimBits, ZDimMax}
+    import ZOrder.{ZBucketBits, ZDimBits, ZDimMax}
     val shift = 2 * ZDimBits - ZBucketBits
     def quant(v: String, lo: String, hi: String): String =
       s"((($v - $lo) * $ZDimMax) // greatest($hi - $lo, 1))"
@@ -2491,7 +2491,7 @@ object OracleSql {
   }
 
   private def zorderSql: String = {
-    import Layout.{RectCkHi, RectCkLo, RectDayHi, RectDayLo}
+    import ZOrder.{RectCkHi, RectCkLo, RectDayHi, RectDayLo}
     s"""WITH $zorderCtes
        |SELECT bucket, COUNT(*) AS n,
        |       min(ck) AS min_ck, max(ck) AS max_ck,
@@ -2505,7 +2505,7 @@ object OracleSql {
   // the integer division; `//` floors on non-negative cumsums exactly
   // like the engine's mod-reduced exact division.
   private def compactionSql: String = {
-    import Layout.CompactTargetRows
+    import ZOrder.CompactTargetRows
     s"""WITH $zorderCtes,
        |b AS (SELECT bucket, COUNT(*) AS n FROM z GROUP BY bucket),
        |c AS (SELECT bucket, n,

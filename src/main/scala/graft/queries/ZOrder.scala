@@ -19,7 +19,7 @@ import graft.tables.Tables
   * insert key) — the layout this operator generalizes: Z-order is what
   * replaces single-key clustering when queries also carve on time.
   */
-object Layout {
+object ZOrder {
 
   /** Morton dims are min-max quantized to 16 bits each (the interleaved
     * key fits 32). Quantizing to the DATA's domain — not masking raw

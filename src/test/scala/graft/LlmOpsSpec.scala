@@ -1145,7 +1145,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("q149 laws: envelopes never miss a matching row; Z-order prunes on BOTH dims; Morton key matches a bit-reference") {
-    import graft.queries.Layout
+    import graft.queries.ZOrder
     val buckets = SparkEntry.queries("q149_zorder_layout")(spark, sf001).collect()
     assert(buckets.length > 1, "layout degenerated to one bucket")
     val scanSet = buckets.filter(_.getBoolean(6)).map(_.getLong(0)).toSet
@@ -1160,13 +1160,13 @@ class LlmOpsSpec extends SparkSpec {
     val dom = o.agg(min(col("ck")).as("lo_ck"), max(col("ck")).as("hi_ck"),
       min(col("day")).as("lo_day"), max(col("day")).as("hi_day"))
     val rowBuckets = o.crossJoin(broadcast(dom))
-      .filter(col("ck").between(Layout.RectCkLo, Layout.RectCkHi) &&
-        col("day").between(Layout.RectDayLo, Layout.RectDayHi))
+      .filter(col("ck").between(ZOrder.RectCkLo, ZOrder.RectCkHi) &&
+        col("day").between(ZOrder.RectDayLo, ZOrder.RectDayHi))
       .select(org.apache.spark.sql.functions.shiftright(
-        Layout.morton32(
-          Layout.quant16(col("ck"), col("lo_ck"), col("hi_ck")),
-          Layout.quant16(col("day"), col("lo_day"), col("hi_day"))),
-        2 * Layout.ZDimBits - Layout.ZBucketBits).as("bucket"))
+        ZOrder.morton32(
+          ZOrder.quant16(col("ck"), col("lo_ck"), col("hi_ck")),
+          ZOrder.quant16(col("day"), col("lo_day"), col("hi_day"))),
+        2 * ZOrder.ZDimBits - ZOrder.ZBucketBits).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSet
     assert(rowBuckets.nonEmpty, "the audit rectangle matched no rows")
     assert(rowBuckets.subsetOf(scanSet),
@@ -1174,21 +1174,21 @@ class LlmOpsSpec extends SparkSpec {
     // (2) the multi-dim property a single-sort layout cannot give: EACH
     // single-dimension slice of the rectangle skips buckets too
     val ckScan = buckets.count(r =>
-      !(r.getLong(3) < Layout.RectCkLo || r.getLong(2) > Layout.RectCkHi))
+      !(r.getLong(3) < ZOrder.RectCkLo || r.getLong(2) > ZOrder.RectCkHi))
     val dayScan = buckets.count(r =>
-      !(r.getLong(5) < Layout.RectDayLo || r.getLong(4) > Layout.RectDayHi))
+      !(r.getLong(5) < ZOrder.RectDayLo || r.getLong(4) > ZOrder.RectDayHi))
     assert(ckScan < buckets.length, "no pruning on the custkey dim")
     assert(dayScan < buckets.length, "no pruning on the date dim")
     // (3) the Column mask-shift ladder == a bit-by-bit Scala reference on
     // a planted grid (the expression-equality discipline)
     def mortonRef(x: Long, y: Long): Long =
-      (0 until Layout.ZDimBits).foldLeft(0L) { (acc, i) =>
+      (0 until ZOrder.ZDimBits).foldLeft(0L) { (acc, i) =>
         acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
       }
     val grid = for (x <- Seq(0L, 1L, 255L, 256L, 65535L);
                     y <- Seq(0L, 1L, 255L, 256L, 65535L)) yield (x, y)
     val gotZ = grid.toDF("x", "y")
-      .select(Layout.morton32(col("x"), col("y")).as("z"))
+      .select(ZOrder.morton32(col("x"), col("y")).as("z"))
       .collect().map(_.getLong(0)).toSeq
     assert(gotZ == grid.map { case (x, y) => mortonRef(x, y) },
       "morton32 diverged from the bit reference")
@@ -1196,7 +1196,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("q150 laws: merge groups tile the Z-range contiguously, conserve rows, and close only on crossing the target") {
-    import graft.queries.Layout
+    import graft.queries.ZOrder
     val groups = SparkEntry.queries("q150_compaction_plan")(spark, sf001).collect()
     val buckets = SparkEntry.queries("q149_zorder_layout")(spark, sf001).collect()
     assert(groups.nonEmpty)
@@ -1218,7 +1218,7 @@ class LlmOpsSpec extends SparkSpec {
     // through every NON-final group is >= (grp+1) * target
     val cum = groups.map(_.getLong(4)).scanLeft(0L)(_ + _).drop(1)
     groups.dropRight(1).zip(cum).foreach { case (r, through) =>
-      assert(through >= (r.getLong(0) + 1) * Layout.CompactTargetRows,
+      assert(through >= (r.getLong(0) + 1) * ZOrder.CompactTargetRows,
         s"group ${r.getLong(0)} closed before crossing the target")
     }
     SparkEntry.clearGraftCaches(spark)

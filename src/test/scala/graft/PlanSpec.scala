@@ -218,42 +218,6 @@ class PlanSpec extends SparkSpec {
       s"found a label-only join:\n${joinLines.mkString("\n")}")
   }
 
-  test("bucketed tables co-locate their join: both sides bucketed on the key plan with ZERO exchanges") {
-    // The cluster-scale strategy SURVEY §7.5 argues from plans: pay the
-    // join-key shuffle ONCE at write time (bucketBy), then every later
-    // join on that key is exchange-free — the difference between one
-    // 100 TB shuffle per INGEST and one per QUERY. Broadcast is disabled
-    // for the check because a small test side would otherwise hide the
-    // co-location behind a BroadcastExchange.
-    import org.apache.spark.sql.functions.col
-    val o = graft.tables.Tables.orders(spark, sf001)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val l = graft.tables.Tables.lineitem(spark, sf001)
-      .select(col("l_orderkey"), col("l_quantity"))
-    o.write.mode("overwrite").option("path", tmpDir("bt-orders"))
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bt_orders")
-    l.write.mode("overwrite").option("path", tmpDir("bt-lineitem"))
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("bt_lineitem")
-    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val j = spark.table("bt_orders").join(spark.table("bt_lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      val plan = planString(j)
-      assert(!plan.contains("Exchange"),
-        s"bucketed join still shuffles:\n$plan")
-      assert(plan.contains("SortMergeJoin"), "expected a sort-merge join")
-      // parity: the exchange-free plan returns exactly the shuffled
-      // join's rows
-      assert(j.count() ==
-        o.join(l, col("o_orderkey") === col("l_orderkey")).count())
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-      spark.sql("DROP TABLE IF EXISTS bt_orders")
-      spark.sql("DROP TABLE IF EXISTS bt_lineitem")
-    }
-  }
-
   test("unpartitioned windows: reduced frames only, and every site enumerated in the bounded-global-window allowlist") {
     // An unpartitioned Window moves its ENTIRE input to one partition —
     // the operator that single-threads a 100 TB scan if a refactor ever
@@ -283,7 +247,7 @@ class PlanSpec extends SparkSpec {
       "q148_hybrid_rrf" ->
         "rank over the two fusion input lists — each GlobalLimit-bounded to HybridTopK = 15 rows before the window (RetrievalEval.q148)",
       "q150_compaction_plan" ->
-        "cumulative rows over the q149 bucket frame — post-groupBy(bucket), <= 2^ZBucketBits = 64 rows by construction (Layout.q150)")
+        "cumulative rows over the q149 bucket frame — post-groupBy(bucket), <= 2^ZBucketBits = 64 rows by construction (ZOrder.q150)")
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LogicalPlan, Window => LWindow}
     // Cardinality-aware, not collectFirst-over-the-subtree (advisor r10):
     // a frame is reduced iff EVERY path from the window down to a leaf
