@@ -114,7 +114,8 @@ object BenchScale {
       // query cosine scan, fused on TopK-bounded lists) and the Z-order
       // layout audit (two map-side passes + one 64-group shuffle)
       "q148_hybrid_rrf" -> "count",
-      "q149_zorder_layout" -> "count"
+      "q149_zorder_layout" -> "count",
+      "q150_compaction_plan" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)
