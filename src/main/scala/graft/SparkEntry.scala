@@ -323,6 +323,7 @@ object SparkEntry {
     "q148_hybrid_rrf"         -> RetrievalEval.q148 _,
     "q149_zorder_layout"      -> ZOrder.q149 _,
     "q150_compaction_plan"    -> ZOrder.q150 _,
+    "q151_seasonal_baseline"  -> Stats.q151 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -352,6 +352,7 @@ object OracleSql {
     "q148_hybrid_rrf"   -> hybridRrfSql,
     "q149_zorder_layout" -> zorderSql,
     "q150_compaction_plan" -> compactionSql,
+    "q151_seasonal_baseline" -> seasonalSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2504,6 +2505,27 @@ object OracleSql {
   // q150: DuckDB's window SUM over BIGINT returns HUGEINT — cast before
   // the integer division; `//` floors on non-negative cumsums exactly
   // like the engine's mod-reduced exact division.
+  // q151: calendar join (a.d = b.d + lag), not a row-offset lag — a gap
+  // day simply isn't scored; all-integer until the two ratio4 mirrors.
+  private def seasonalSql: String = {
+    import graft.queries.Stats.SeasonLagDays
+    (eventsCte + s""",
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM e GROUP BY 1, 2),
+      |j AS (SELECT a.event_type, a.n, abs(a.n - b.n) AS err
+      |      FROM daily a JOIN daily b
+      |        ON a.event_type = b.event_type AND a.d = b.d + $SeasonLagDays)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |       CAST(SUM(n) AS BIGINT) AS total_actual,
+      |       CAST(SUM(err) AS BIGINT) AS total_abs_err,
+      |       ${ratio4Sql("CAST(SUM(err) AS BIGINT)", "COUNT(*)")} AS mae4,
+      |       CASE WHEN SUM(n) > 0
+      |            THEN ${ratio4Sql("CAST(SUM(err) AS BIGINT)", "CAST(SUM(n) AS BIGINT)")}
+      |            ELSE NULL END AS wape4
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   private def compactionSql: String = {
     import ZOrder.CompactTargetRows
     s"""WITH $zorderCtes,

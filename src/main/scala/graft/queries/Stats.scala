@@ -229,4 +229,52 @@ object Stats {
         ratio4dec(col("ks_num"), dec(col("n_a")) * dec(col("n_b"))).as("ks"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** q151: seasonal-naive period — the weekly cycle event traffic
+    * actually has. */
+  val SeasonLagDays = 7
+
+  /** q151: seasonal-naive forecast baseline + error audit — the
+    * monitoring layer's FORECAST leg next to q133's spike flags: predict
+    * each day's per-type event count as the count [[SeasonLagDays]] days
+    * earlier (the seasonal-naive baseline every anomaly system is judged
+    * against before anyone ships a model), and report the error profile
+    * per type: evaluated days, total actual volume, total absolute
+    * error, MAE, and WAPE (weighted absolute percentage error —
+    * Σ|err|/Σactual, the zero-proof form of MAPE). A day is evaluated
+    * only when its lag-day was OBSERVED (calendar join, not row-offset
+    * lag — a gap simply isn't scored, never scored against the wrong
+    * day). All-integer until the two final ratio4s.
+    *
+    * Scale posture: everything downstream of [[dailyOf]]'s one map-side-
+    * combined shuffle runs on the (types × days) calendar-bounded frame;
+    * the forecast is a self-equi-join of that frame on (type, day)
+    * (broadcast-eligible at its cardinality), never a window over raw
+    * events. */
+  def q151(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalBaseline(dailyOf(events(spark, sfDir)))
+
+  /** q151 core on a (event_type, d, n) daily frame — split out so the
+    * planted-periodicity law can exercise the zero-error identity. */
+  private[graft] def seasonalBaseline(dailyIn: DataFrame): DataFrame = {
+    // the daily aggregate feeds both join sides (q104 pinning discipline)
+    val d = dailyIn.select(col("event_type"), col("d"), col("n"))
+      .localCheckpoint(true)
+    val fc = d.select(col("event_type"),
+      date_add(col("d"), SeasonLagDays).as("d"), col("n").as("n_fc"))
+    d.join(fc, Seq("event_type", "d"))
+      .select(col("event_type"),
+        col("n"), abs(col("n") - col("n_fc")).as("err"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("total_actual"),
+        sum(col("err")).as("total_abs_err"))
+      .select(col("event_type"), col("n_days"), col("total_actual"),
+        col("total_abs_err"),
+        ratio4(col("total_abs_err"), col("n_days")).as("mae4"),
+        when(col("total_actual") > 0,
+          ratio4(col("total_abs_err"), col("total_actual")))
+          .otherwise(lit(null).cast("double")).as("wape4"))
+      .orderBy(col("event_type"))
+  }
 }

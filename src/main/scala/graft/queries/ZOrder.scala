@@ -137,28 +137,48 @@ object ZOrder {
   }
 
   def q149(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir).select(
+    val o = ordersDims(spark, sfDir)
+    envelopes(bucketed(o, domainOf(o))).orderBy(col("bucket"))
+  }
+
+  /** The two Morton dims of the orders table: (ck, day). */
+  private[graft] def ordersDims(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
       col("o_custkey").as("ck"),
       datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01").cast("date")).cast("long").as("day"))
-    // per-dim domain stats: one single-row aggregate, broadcast into the
-    // scan (the q74/q80 one-row-BNLJ pattern — allowlisted in PlanSpec)
-    val dom = o.agg(
+
+  /** Per-dim domain stats: one single-row aggregate, broadcast into the
+    * scan (the q74/q80 one-row-BNLJ pattern — allowlisted in PlanSpec).
+    * A streaming maintainer (s33) passes a FIXED offline domain here
+    * instead — batch-local domains would shift bucket assignment batch
+    * to batch. */
+  private[graft] def domainOf(o: DataFrame): DataFrame =
+    o.agg(
       min(col("ck")).as("lo_ck"), max(col("ck")).as("hi_ck"),
       min(col("day")).as("lo_day"), max(col("day")).as("hi_day"))
+
+  /** Rows → (ck, day, bucket) under the given domain. */
+  private[graft] def bucketed(o: DataFrame, dom: DataFrame): DataFrame = {
     val z = morton32(
       quant16(col("ck"), col("lo_ck"), col("hi_ck")),
       quant16(col("day"), col("lo_day"), col("hi_day")))
     o.crossJoin(broadcast(dom))
       .select(col("ck"), col("day"),
         shiftright(z, 2 * ZDimBits - ZBucketBits).as("bucket"))
-      .groupBy(col("bucket"))
+  }
+
+  /** Per-bucket envelopes + the fixed-rectangle scan verdict. Every
+    * aggregate is associative and commutative (count/min/max), so the
+    * envelope of a union is the merge of the parts' envelopes — the
+    * property the s33 streaming maintainer's any-split parity law
+    * rests on. */
+  private[graft] def envelopes(b: DataFrame): DataFrame =
+    b.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
         min(col("day")).as("min_day"), max(col("day")).as("max_day"))
       .withColumn("would_scan",
         !(col("max_ck") < RectCkLo || col("min_ck") > RectCkHi ||
           col("max_day") < RectDayLo || col("min_day") > RectDayHi))
-      .orderBy(col("bucket"))
-  }
 }

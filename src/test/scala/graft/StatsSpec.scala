@@ -173,4 +173,27 @@ class StatsSpec extends SparkSpec {
     // mixed docs: equal-and-opposite lambdas cancel to ~0
     assert(math.abs(got(2L)._2) < 1e-9 && math.abs(got(4L)._2) < 1e-9)
   }
+
+  test("q151 seasonal baseline: an exactly weekly-periodic series scores zero error; a gap day is not scored; MAE matches a planted shift") {
+    import java.sql.Date
+    import spark.implicits._
+    import graft.queries.Stats
+    def day(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // type A: 14 days, exactly periodic with period 7 -> zero error on
+    // the 7 evaluated days
+    val periodic = (0 until 14).map(i => ("A", day(i), (10 + i % 7).toLong))
+    // type B: week 2 runs +3 above week 1 on 7 evaluated days -> MAE 3;
+    // and day 8 is MISSING entirely, so day 15 (lag = the gap) must not
+    // be scored even though day 15 exists
+    val shifted = (0 until 7).map(i => ("B", day(i), 20L)) ++
+      (7 until 14).filter(_ != 8).map(i => ("B", day(i), 23L)) :+
+      (("B", day(15), 99L))
+    val daily = (periodic ++ shifted).toDF("event_type", "d", "n")
+    val got = Stats.seasonalBaseline(daily).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("A") == ((7L, 0L, 0.0)), "periodic series must score zero error")
+    // B: evaluated days are 7..13 minus the missing day 8 = 6 days, each
+    // err 3; day 15's lag (day 8) was never observed -> not scored
+    assert(got("B") == ((6L, 18L, 3.0)), s"planted shift mis-scored: ${got("B")}")
+  }
 }

@@ -1820,4 +1820,32 @@ class StreamingSpec extends SparkSpec {
     assert(fused() == batch, "streamed hybrid search != batch q148")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s33: streamed layout stats == batch q149 under an ARBITRARY batch split; replay no-op") {
+    import graft.queries.ZOrder
+    import graft.streaming.LayoutStats.{envelopePanel, processBatch}
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val storeDir = tmpDir("s33-layout") + "/store"
+    // guard: schema-stable empty panel before any write
+    assert(envelopePanel(spark, storeDir).collect().isEmpty)
+    val dims = ZOrder.ordersDims(spark, sf001).localCheckpoint(true)
+    // the maintainer runs under the FIXED offline domain (here: the full
+    // corpus stats, so the batch q149 is the exact reference)
+    val dom = ZOrder.domainOf(dims).localCheckpoint(true)
+    // split by ck mod 3 — deliberately unordered in both dims: the store
+    // is additive (count/min/max partials), so parity holds under ANY
+    // split, the s26-class law
+    for (b <- 0L to 2L)
+      processBatch(dims.filter(pmod(col("ck"), lit(3)) === b), dom, storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q149_zorder_layout")(spark, sf001))
+    assert(rows(envelopePanel(spark, storeDir)) == want,
+      "streamed envelope panel diverged from batch q149")
+    // replay law: re-running batch 1 overwrites its own partition with
+    // identical partials — the merged read cannot tell
+    processBatch(dims.filter(pmod(col("ck"), lit(3)) === 1L), dom, storeDir, 1L)
+    assert(rows(envelopePanel(spark, storeDir)) == want,
+      "replay changed the envelope panel")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
