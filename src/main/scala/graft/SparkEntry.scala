@@ -324,6 +324,10 @@ object SparkEntry {
     "q149_zorder_layout"      -> ZOrder.q149 _,
     "q150_compaction_plan"    -> ZOrder.q150 _,
     "q151_seasonal_baseline"  -> Stats.q151 _,
+    "q152_snapshot_diff"      -> ChangeData.q152 _,
+    "q153_transition_matrix"  -> Behavior.q153 _,
+    "q154_attribution"        -> Behavior.q154 _,
+    "q155_time_weighted_avg"  -> Behavior.q155 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

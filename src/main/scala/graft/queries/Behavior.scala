@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Dsl._
+import graft.tables.Tables
+
+/** Behavioral sequence analytics over the event log — the operators an
+  * event platform runs once the projections (q27) and funnels (q62) are
+  * in place: where users GO next (q153's Markov transition matrix),
+  * which touchpoint gets CREDIT for a conversion (q154's last-touch
+  * attribution, on the native as-of join), and what a state was worth
+  * INTEGRATED OVER TIME rather than per event (q155's time-weighted
+  * average, the temporal mean a per-event AVG silently gets wrong when
+  * states persist for uneven durations). The reference's consumer reads
+  * events one row at a time (consumer/consumer.go:95) and keeps no
+  * sequence context at all; all three of these need exactly the per-user
+  * ordered pass it cannot express.
+  */
+object Behavior {
+
+  /** q153: first-order Markov transition matrix of the event stream —
+    * for every ordered pair of consecutive events of the same user
+    * ((ts, event_id) order, q27's total order), count (from_type →
+    * to_type) and the row-normalized transition probability. The model
+    * behind "what does a user do after signup?" and the sequence prior a
+    * behavioral-cloning pipeline estimates before training anything.
+    *
+    * Scale posture: one window shuffle on user_id (high-cardinality,
+    * embarrassingly parallel), then the pair aggregate — map-side
+    * combined down to at most |types|² partials per task, so the second
+    * exchange moves ≤ 25 rows per task regardless of corpus size. The
+    * probability normalizer is a partitioned window over that bounded
+    * frame. The streamed twin (s35, graft.streaming.TransitionStats)
+    * accumulates the same pair counts additively and finishes through
+    * the same [[transitionProbs]]. */
+  def q153(spark: SparkSession, sfDir: String): DataFrame =
+    transitionProbs(transitionCounts(Tables.events(spark, sfDir)))
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** Consecutive-pair counts — the additive half s35 maintains per
+    * batch. Input needs (user_id, event_type, ts, event_id). */
+  private[graft] def transitionCounts(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** The shared finisher: row-normalize a (from_type, to_type,
+    * n_transitions) count frame to 4-dec probabilities. Window is
+    * PARTITIONED (by from_type) and the frame is ≤ |types|² rows. */
+  private[graft] def transitionProbs(counts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p4", ratio4(col("n_transitions"), sum(col("n_transitions")).over(w)))
+      .select(col("from_type"), col("to_type"), col("n_transitions"), col("p4"))
+  }
+
+  /** q154 attribution lookback: a touch older than this many micros
+    * before the conversion gets no credit — the conversion is `direct`.
+    * 6 h sits inside the stream's ~10 h median inter-event gap, so both
+    * branches are exercised at every sf. */
+  val AttributionWindowMicros: Long = 6L * 3600 * 1000000
+
+  /** q154: last-touch attribution — every purchase is credited to the
+    * channel (event_type) of the user's LATEST preceding non-purchase
+    * event within [[AttributionWindowMicros]], else to `direct`; output
+    * is the per-channel conversion count and attributed revenue, the
+    * report every marketing/event platform derives from its stream.
+    *
+    * The latest-preceding lookup is the NATIVE as-of join
+    * (graft.plans.AsOfJoinExec — each side shuffled once on user_id,
+    * sorted, one forward merge sweep with O(1) state; q09's operator).
+    * The touch side is first reduced to one row per (user_id, ts) — LWW
+    * by event_id — because the as-of contract leaves same-(key, time)
+    * ties unordered (AsOf.join scaladoc); after the reduction the match
+    * is a total function, so the report is deterministic.
+    *
+    * Scale posture: filter → per-(user, ts) aggregate → as-of merge →
+    * 5-group map-side-combined aggregate. No window over raw events, no
+    * inequality join (the oracle's LEFT JOIN ON ts < ts form is the
+    * quadratic plan this operator exists to avoid). */
+  def q154(spark: SparkSession, sfDir: String): DataFrame =
+    attribution(Tables.events(spark, sfDir))
+
+  /** q154 kernel on an arbitrary event frame (planted-data seam). */
+  private[graft] def attribution(ev: DataFrame): DataFrame = {
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    // one shuffle for the whole touch side: partitioning by user_id
+    // satisfies BOTH the (user_id, ts) dedupe's clustered distribution
+    // (subset partitioning co-locates) and the as-of join's key
+    // requirement, so the dedupe-then-join chain re-uses this exchange
+    // instead of shuffling twice (plan-pinned in PlanSpec)
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("ts"), col("m.event_type").as("touch_type"))
+    graft.ops.AsOf.join(conv, touch, "user_id", "ts", "ts",
+        Seq("ts" -> "touch_ts", "touch_type" -> "touch_type"), inclusive = false)
+      .select(col("value"),
+        when(col("touch_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("touch_ts")) <=
+              AttributionWindowMicros,
+          col("touch_type")).otherwise(lit("direct")).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"), dsum(col("value")).as("attr_value"))
+      .orderBy(col("channel"))
+  }
+
+  /** q155: per-user TIME-WEIGHTED average event value — each event's
+    * value is held until the user's next event and integrated over the
+    * holding duration: twap = Σ valueᵢ·Δtᵢ / ΣΔtᵢ over the user's
+    * observation span (the last event holds nothing — a right-open
+    * integral; single-event users have an empty span and a NULL twap).
+    * This is the temporal mean a plain AVG misstates whenever states
+    * persist unevenly — the balance-over-time / exposure-weighting
+    * query of any ledger- or session-valued stream.
+    *
+    * Exactness: durations are exact epoch micros; values are 2-dec
+    * doubles carried as exact integer CENTS, so the integral
+    * Σ cents·Δt_us is exact DECIMAL arithmetic end to end, and the final
+    * 4-dec quotient is [[ratio4dec]] (exact half-up from exact decimal
+    * operands — cents·micros products pass 2⁵³, so the double-carried
+    * ratio4 would already be lossy at THIS scale; the oracle mirrors the
+    * identical half-up in HUGEINT). Nothing floats until the one final
+    * division by 10⁴.
+    *
+    * Scale posture: the lead() window and the groupBy share user_id
+    * hash partitioning — the aggregate reuses the window's exchange, so
+    * the whole query is ONE corpus-sized shuffle; output is one row per
+    * user (the q27 contract). */
+  def q155(spark: SparkSession, sfDir: String): DataFrame =
+    twap(Tables.events(spark, sfDir))
+
+  /** q155 kernel on an arbitrary event frame (planted-data seam). */
+  private[graft] def twap(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("decimal(20,0)")
+    ev.select(col("user_id"), col("ts"), col("event_id"),
+        cents.as("cents"), unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", lead(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("nxt").isNotNull, col("nxt") - col("us")).otherwise(0L))
+          .as("span_us"),
+        sum(when(col("nxt").isNotNull,
+            col("cents") * (col("nxt") - col("us")).cast("decimal(20,0)"))
+          .otherwise(lit(0).cast("decimal(20,0)"))).as("num"))
+      .select(col("user_id"), col("n_events"), col("span_us"),
+        when(col("span_us") > 0,
+          ratio4dec(col("num"), col("span_us").cast("decimal(38,0)") * 100))
+          .otherwise(lit(null).cast("double")).as("twap4"))
+      .orderBy(col("user_id"))
+  }
+}

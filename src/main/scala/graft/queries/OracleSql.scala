@@ -353,6 +353,10 @@ object OracleSql {
     "q149_zorder_layout" -> zorderSql,
     "q150_compaction_plan" -> compactionSql,
     "q151_seasonal_baseline" -> seasonalSql,
+    "q152_snapshot_diff"     -> snapshotDiffSql,
+    "q153_transition_matrix" -> transitionSql,
+    "q154_attribution"       -> attributionSql,
+    "q155_time_weighted_avg" -> twapSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2525,6 +2529,89 @@ object OracleSql {
       |            ELSE NULL END AS wape4
       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
+
+  // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
+  // the winning event_id — the engine's single grouped pass is mirrored as
+  // the composition it is provably equal to. Insert detection keys on the
+  // matched row's event_id (never NULL when matched), not user_id (nullable
+  // by schema), and the join is null-safe for the same reason.
+  private def snapshotDiffSql: String = {
+    import ChangeData.SnapshotCutoff
+    val lww = "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)"
+    (eventsCte + s""",
+      |o0 AS (SELECT user_id, event_id, event_type, value, ts, $lww AS rn
+      |       FROM e WHERE ts <= TIMESTAMP '$SnapshotCutoff'),
+      |o AS (SELECT * FROM o0 WHERE rn = 1),
+      |c0 AS (SELECT user_id, event_id, event_type, value, ts, $lww AS rn FROM e),
+      |c AS (SELECT * FROM c0 WHERE rn = 1)
+      |SELECT c.user_id,
+      |  CASE WHEN o.event_id IS NULL THEN 'insert' ELSE 'update' END AS change,
+      |  o.event_id AS old_event_id, o.event_type AS old_event_type,
+      |  o.value AS old_value, o.ts AS old_ts,
+      |  c.event_id AS new_event_id, c.event_type AS new_event_type,
+      |  c.value AS new_value, c.ts AS new_ts
+      |FROM c LEFT JOIN o ON c.user_id IS NOT DISTINCT FROM o.user_id
+      |WHERE o.event_id IS NULL OR o.event_id <> c.event_id
+      |ORDER BY c.user_id""".stripMargin)
+  }
+
+  private def transitionSql: String =
+    (eventsCte + s""",
+      |s AS (SELECT event_type AS from_type,
+      |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |      FROM e),
+      |n AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+      |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, to_type, n_transitions,
+      |        CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS tot
+      |      FROM n)
+      |SELECT from_type, to_type, n_transitions,
+      |       ${ratio4Sql("n_transitions", "tot")} AS p4
+      |FROM t ORDER BY from_type, to_type""".stripMargin)
+
+  // q154: the as-of lookup mirrored as the inequality-join + arg-max
+  // composition (q09's oracle pattern, payload carried by max_by over the
+  // per-(user, ts)-deduped touch side — unique ts per user makes the
+  // arg-max total). Purchases group by their own event_id so same-(user,
+  // ts, value) conversions never collapse.
+  private def attributionSql: String = {
+    import Behavior.AttributionWindowMicros
+    (eventsCte + s""",
+      |p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, ts, max_by(event_type, event_id) AS touch_type
+      |      FROM e WHERE event_type <> 'purchase' GROUP BY 1, 2),
+      |j AS (SELECT p.event_id, p.ts, p.value,
+      |        max_by(t.touch_type, t.ts) AS touch_type, max(t.ts) AS touch_ts
+      |      FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ts < p.ts
+      |      GROUP BY p.event_id, p.ts, p.value),
+      |a AS (SELECT CASE WHEN touch_ts IS NOT NULL
+      |               AND epoch_us(ts) - epoch_us(touch_ts) <= $AttributionWindowMicros
+      |             THEN touch_type ELSE 'direct' END AS channel, value
+      |      FROM j)
+      |SELECT channel, COUNT(*) AS n_conversions,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attr_value
+      |FROM a GROUP BY channel ORDER BY channel""".stripMargin)
+  }
+
+  // q155: the ratio4dec half-up mirrored in exact HUGEINT arithmetic —
+  // (num·20000 + den) // (2·den) — because cents·micros products pass
+  // 2⁵³, where ratio4Sql's double-carried form would already be lossy.
+  private def twapSql: String =
+    (eventsCte + s""",
+      |s AS (SELECT user_id,
+      |        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS cents,
+      |        epoch_us(ts) AS us,
+      |        lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |      FROM e),
+      |g AS (SELECT user_id, COUNT(*) AS n_events,
+      |        CAST(SUM(CASE WHEN nxt IS NULL THEN 0 ELSE nxt - us END) AS BIGINT) AS span_us,
+      |        SUM(CASE WHEN nxt IS NULL THEN 0 ELSE cents * (nxt - us) END) AS num
+      |      FROM s GROUP BY 1)
+      |SELECT user_id, n_events, span_us,
+      |  CASE WHEN span_us > 0 THEN
+      |    CAST((num * 20000 + span_us * 100) // (span_us * 200) AS DOUBLE) / 10000.0
+      |  ELSE NULL END AS twap4
+      |FROM g ORDER BY user_id""".stripMargin)
 
   private def compactionSql: String = {
     import ZOrder.CompactTargetRows

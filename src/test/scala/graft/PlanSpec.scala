@@ -469,6 +469,40 @@ class PlanSpec extends SparkSpec {
     assert(over.isEmpty, over.mkString("; "))
   }
 
+  test("q152: both snapshots come out of ONE corpus shuffle (conditional max-structs, map-side combined)") {
+    val df = SparkEntry.queries("q152_snapshot_diff")(spark, sf001)
+    val plan = planString(df)
+    // exactly one hash exchange (the user_id aggregate); the only other
+    // exchange is the final orderBy's range partitioning on the bounded
+    // changed-rows output
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"q152 should shuffle the log exactly once:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), "q152 regressed to a window over raw events")
+    // partial+final pair present (map-side combine of the two max-structs)
+    assert("partial_max".r.findAllIn(plan).size >= 2, "no map-side partial for the snapshot images")
+    assert(!plan.contains("props"), "scan reads unprojected columns")
+  }
+
+  test("q154: attribution runs the native as-of (no inequality join); touch side shuffles once") {
+    val df = SparkEntry.queries("q154_attribution")(spark, sf001)
+    val plan = planString(df)
+    assert(plan.contains("AsOfJoin"), "expected the native as-of operator")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "attribution degraded to the oracle's quadratic inequality join")
+    // the user_id repartition serves BOTH the (user_id, ts) dedupe and the
+    // as-of key requirement — no second touch-side exchange
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 2,
+      s"expected exactly one key exchange per as-of side:\n${plan.take(1500)}")
+  }
+
+  test("q155: the lead() window and the per-user aggregate share one exchange") {
+    val df = SparkEntry.queries("q155_time_weighted_avg")(spark, sf001)
+    val plan = planString(df)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"q155 should shuffle the log exactly once (window + agg co-partitioned):\n${plan.take(1500)}")
+    assert("partial_sum".r.findAllIn(plan).size >= 2, "no map-side partials for the integral")
+  }
+
   test("AQE splits a planted skewed join partition (the automatic path next to q47's manual salting)") {
     // q47 proves the hand-salted aggregate; this pins Spark's OWN skew
     // repair so the 100x posture does not rest on manual salting alone.

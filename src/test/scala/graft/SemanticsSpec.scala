@@ -416,4 +416,113 @@ class SemanticsSpec extends SparkSpec {
     assert(got("3_past_15_30") == ((2L, 1L, 13.00, 15L, 30L, "2024-07-16")))
     assert(got("4_past_over_30") == ((2L, 1L, 17.00, 31L, 167L, "2024-07-16")))
   }
+
+  test("q152 snapshot diff: unchanged users absent; insert/update images exact; ties and late arrivals resolve by LWW") {
+    val cutoff = "2020-01-06 00:00:00"
+    val ev = Seq(
+      // user 1: both events inside the snapshot -> winner did not move -> absent
+      (1L, 1L, ts("2020-01-01 10:00:00"), "click", 1.0),
+      (1L, 2L, ts("2020-01-02 10:00:00"), "view", 2.0),
+      // user 2: first seen after the cutoff -> insert with NULL old image
+      (2L, 3L, ts("2020-01-10 10:00:00"), "signup", 3.0),
+      // user 3: plain update
+      (3L, 4L, ts("2020-01-01 10:00:00"), "click", 4.0),
+      (3L, 5L, ts("2020-01-10 10:00:00"), "purchase", 5.0),
+      // user 4: same-ts tie inside the snapshot -> event_id breaks it (7 wins)
+      (4L, 6L, ts("2020-01-01 10:00:00"), "click", 6.0),
+      (4L, 7L, ts("2020-01-01 10:00:00"), "view", 7.0),
+      (4L, 8L, ts("2020-01-20 10:00:00"), "error", 8.0),
+      // user 5: the post-cutoff event is EARLIER than the snapshot winner
+      // (a late arrival) -> the LWW winner never moves -> absent
+      (5L, 9L, ts("2020-01-05 10:00:00"), "view", 9.0),
+      (5L, 10L, ts("2020-01-02 10:00:00"), "click", 10.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = graft.queries.ChangeData.snapshotDiff(ev, cutoff).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(2L, 3L, 4L), s"changed-key set wrong: ${got.keySet}")
+    val ins = got(2L)
+    assert(ins.getString(1) == "insert" && ins.isNullAt(2) && ins.isNullAt(3) &&
+      ins.isNullAt(4) && ins.isNullAt(5))
+    assert(ins.getLong(6) == 3L && ins.getString(7) == "signup" && ins.getDouble(8) == 3.0)
+    val up3 = got(3L)
+    assert(up3.getString(1) == "update" && up3.getLong(2) == 4L && up3.getLong(6) == 5L)
+    val up4 = got(4L)
+    assert(up4.getLong(2) == 7L, "same-ts tie must resolve to the higher event_id (q27 LWW)")
+    assert(up4.getString(3) == "view" && up4.getLong(6) == 8L)
+  }
+
+  test("q153 transitions: per-user consecutive pairs in (ts, event_id) order; no cross-user pair; probabilities row-normalize") {
+    val ev = Seq(
+      (1L, 1L, ts("2020-01-01 10:00:00"), "A", 0.0),
+      (1L, 2L, ts("2020-01-01 11:00:00"), "B", 0.0),
+      (1L, 3L, ts("2020-01-01 12:00:00"), "A", 0.0),
+      (2L, 4L, ts("2020-01-01 10:00:00"), "B", 0.0),
+      (2L, 5L, ts("2020-01-01 11:00:00"), "B", 0.0),
+      // user 3: same-ts pair -> event_id order decides X -> Y
+      (3L, 6L, ts("2020-01-01 10:00:00"), "X", 0.0),
+      (3L, 7L, ts("2020-01-01 10:00:00"), "Y", 0.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = graft.queries.Behavior.transitionProbs(
+        graft.queries.Behavior.transitionCounts(ev)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((1L, 1.0)),
+      ("B", "A") -> ((1L, 0.5)),
+      ("B", "B") -> ((1L, 0.5)),
+      ("X", "Y") -> ((1L, 1.0))), s"got $got")
+  }
+
+  test("q154 attribution: window boundary inclusive, same-ts touch excluded (strict as-of), same-ts touches LWW by event_id") {
+    import graft.queries.Behavior.AttributionWindowMicros
+    assert(AttributionWindowMicros == 21600000000L)
+    val ev = Seq(
+      // u1: touch 1h before -> attributed to view
+      (1L, 1L, ts("2020-01-01 09:00:00"), "view", 0.0),
+      (1L, 2L, ts("2020-01-01 10:00:00"), "purchase", 10.0),
+      // u2: touch 10h before -> outside the 6h window -> direct
+      (2L, 3L, ts("2020-01-01 00:00:00"), "click", 0.0),
+      (2L, 4L, ts("2020-01-01 10:00:00"), "purchase", 20.0),
+      // u3: no touch at all -> direct
+      (3L, 5L, ts("2020-01-01 10:00:00"), "purchase", 30.0),
+      // u4: touch at the purchase instant -> strict < excludes it -> direct
+      (4L, 6L, ts("2020-01-01 10:00:00"), "click", 0.0),
+      (4L, 7L, ts("2020-01-01 10:00:00"), "purchase", 40.0),
+      // u5: two touches at the same ts -> the higher event_id (view) gets credit
+      (5L, 8L, ts("2020-01-01 09:00:00"), "click", 0.0),
+      (5L, 9L, ts("2020-01-01 09:00:00"), "view", 0.0),
+      (5L, 10L, ts("2020-01-01 10:00:00"), "purchase", 50.0),
+      // u6: touch exactly 6h before -> boundary is INCLUSIVE -> attributed
+      (6L, 11L, ts("2020-01-01 04:00:00"), "signup", 0.0),
+      (6L, 12L, ts("2020-01-01 10:00:00"), "purchase", 60.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = graft.queries.Behavior.attribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      "view" -> ((2L, 60.0)),
+      "signup" -> ((1L, 60.0)),
+      "direct" -> ((3L, 90.0))), s"got $got")
+  }
+
+  test("q155 TWAP: right-open integral over holding durations; same-ts order by event_id; single-event user unscored") {
+    val ev = Seq(
+      // u1: 1.0 held 10 s, 3.0 held 30 s, last event holds nothing
+      // -> (1*10 + 3*30) / 40 = 2.5
+      (1L, 1L, ts("2020-01-01 10:00:00"), "A", 1.0),
+      (1L, 2L, ts("2020-01-01 10:00:10"), "A", 3.0),
+      (1L, 3L, ts("2020-01-01 10:00:40"), "A", 2.0),
+      // u2: same-ts pair ordered by event_id: id 4 holds 0 s, id 5 holds
+      // 2 s -> twap = 5.0 (1.0 if the tie broke the other way)
+      (2L, 4L, ts("2020-01-01 10:00:00"), "A", 1.0),
+      (2L, 5L, ts("2020-01-01 10:00:00"), "A", 5.0),
+      (2L, 6L, ts("2020-01-01 10:00:02"), "A", 0.0),
+      // u3: single event -> empty span, NULL twap
+      (3L, 7L, ts("2020-01-01 10:00:00"), "A", 9.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = graft.queries.Behavior.twap(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 40000000L, 2.5)))
+    assert(got(2L) == ((3L, 2000000L, 5.0)))
+    assert(got(3L) == ((1L, 0L, null)))
+  }
 }

@@ -1848,4 +1848,75 @@ class StreamingSpec extends SparkSpec {
       "replay changed the envelope panel")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s34: streamed state == batch q27 under an arbitrary split; netted post-cutoff feed == batch q152 row for row; replay no-op") {
+    import graft.streaming.ChangeFeed.{feed, netted, processBatch, state}
+    import graft.queries.ChangeData.SnapshotCutoff
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = tmpDir("s34-cdf")
+    val stateDir = base + "/state"
+    val cdcDir = base + "/cdc"
+    assert(state(spark, stateDir).collect().isEmpty)
+    assert(feed(spark, cdcDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    val cut = lit(SnapshotCutoff).cast("timestamp")
+    val mid = lit("2024-01-15 00:00:00").cast("timestamp")
+    // batch 0 = the archived snapshot's events; 1/2 = the rest, split at
+    // an arbitrary later instant — the feed emitted by batches >= 1 is
+    // then exactly "what changed since the snapshot"
+    processBatch(ev.filter(col("ts") <= cut), stateDir, cdcDir, 0L)
+    processBatch(ev.filter(col("ts") > cut && col("ts") <= mid), stateDir, cdcDir, 1L)
+    processBatch(ev.filter(col("ts") > mid), stateDir, cdcDir, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    // state face: LWW is commutative, so the stored winners equal q27
+    assert(rows(state(spark, stateDir)) ==
+      rows(SparkEntry.queries("q27_projection_latest")(spark, sf001)),
+      "streamed LWW state diverged from batch q27")
+    // feed face: netting the post-snapshot batches reproduces the diff
+    val want152 = rows(SparkEntry.queries("q152_snapshot_diff")(spark, sf001))
+    val got = rows(netted(feed(spark, cdcDir).filter(col("batch_id") >= 1L)))
+    assert(got == want152, "netted feed diverged from batch q152")
+    // non-vacuity: both change kinds flow through the law
+    val kinds = got.map(_.getString(1)).toSet
+    assert(kinds == Set("insert", "update"), s"law is vacuous: kinds=$kinds")
+    // replay law: re-running batch 1 dynamic-overwrites its own
+    // partitions with identical rows — both faces unchanged
+    processBatch(ev.filter(col("ts") > cut && col("ts") <= mid), stateDir, cdcDir, 1L)
+    assert(rows(netted(feed(spark, cdcDir).filter(col("batch_id") >= 1L))) == want152,
+      "replay changed the netted feed")
+    assert(rows(state(spark, stateDir)) ==
+      rows(SparkEntry.queries("q27_projection_latest")(spark, sf001)),
+      "replay changed the state")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s35: streamed transition matrix == batch q153 under an order-respecting split; replay no-op; late batch dies at the gate") {
+    import graft.streaming.TransitionStats.{processBatch, transitions}
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = tmpDir("s35-trans")
+    val tailDir = base + "/tails"
+    val countsDir = base + "/counts"
+    assert(transitions(spark, countsDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    val t1 = lit("2024-01-11 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-21 00:00:00").cast("timestamp")
+    processBatch(ev.filter(col("ts") < t1), tailDir, countsDir, 0L)
+    processBatch(ev.filter(col("ts") >= t1 && col("ts") < t2), tailDir, countsDir, 1L)
+    processBatch(ev.filter(col("ts") >= t2), tailDir, countsDir, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q153_transition_matrix")(spark, sf001))
+    assert(rows(transitions(spark, countsDir)) == want,
+      "streamed matrix diverged from batch q153 (boundary pairs lost or doubled?)")
+    // replay: batch 1 re-reads tails below it and overwrites byte-identically
+    processBatch(ev.filter(col("ts") >= t1 && col("ts") < t2), tailDir, countsDir, 1L)
+    assert(rows(transitions(spark, countsDir)) == want, "replay changed the matrix")
+    // gate: a batch at or below a touched tail must die BEFORE any write
+    val before = rows(transitions(spark, countsDir))
+    intercept[IllegalStateException] {
+      processBatch(ev.filter(col("ts") < t1), tailDir, countsDir, 3L)
+    }
+    assert(rows(transitions(spark, countsDir)) == before,
+      "the rejected batch left writes behind")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
