@@ -115,7 +115,21 @@ object BenchScale {
       // layout audit (two map-side passes + one 64-group shuffle)
       "q148_hybrid_rrf" -> "count",
       "q149_zorder_layout" -> "count",
-      "q150_compaction_plan" -> "count"
+      "q150_compaction_plan" -> "count",
+      // r14 additions (2): the monitoring + change-data/behavioral layer
+      // over the amplified event log — seasonal baseline (calendar-bounded
+      // after dailyOf's one shuffle), CDC snapshot diff (one conditional-
+      // max shuffle), Markov transitions + TWAP (the q140/q27 partitioned-
+      // window growth class), attribution (two co-partitioned shuffles +
+      // the native as-of merge)
+      "q151_seasonal_baseline" -> "count",
+      "q152_snapshot_diff" -> "count",
+      "q153_transition_matrix" -> "count",
+      "q154_attribution" -> "count",
+      "q155_time_weighted_avg" -> "count",
+      // r14 (2): RFM quantile segmentation — histogram-derived disc
+      // boundaries + one per-user scoring shuffle
+      "q156_rfm_segments" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)
@@ -512,6 +526,58 @@ object BenchScale {
       val rows = graft.streaming.DriftMonitor
         .drift(spark, s"$streamRoot/s29/store").count()
       streaming("s29_stream_drift") = ((System.nanoTime() - t0) / 1e9, rows)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s36 seasonal panel: 4 event batches by event_id block
+      // (additive daily-count store — any split is legal, like s29)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("event_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("event_type"), col("ts"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.SeasonalMonitor.processBatch(evBatch(b),
+          s"$streamRoot/s36/store", b.toLong)
+      val rows = graft.streaming.SeasonalMonitor
+        .baseline(spark, s"$streamRoot/s36/store").count()
+      streaming("s36_stream_seasonal") = ((System.nanoTime() - t0) / 1e9, rows)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s34 change feed: 4 event batches by event_id block
+      // (the LWW state half is commutative — any split is legal, like
+      // s26/s29; the feed is measured as the netted read every CDF
+      // consumer runs)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("event_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts"), col("value"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.ChangeFeed.processBatch(evBatch(b),
+          s"$streamRoot/s34/state", s"$streamRoot/s34/cdc", b.toLong)
+      val netted = graft.streaming.ChangeFeed.netted(
+        graft.streaming.ChangeFeed.feed(spark, s"$streamRoot/s34/cdc")).count()
+      streaming("s34_stream_changefeed") = ((System.nanoTime() - t0) / 1e9, netted)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s35 transitions: 4 event batches by user block
+      // (each user's whole chain in one batch — the enforced per-user
+      // order contract holds trivially, like s24/s25)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("user_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.TransitionStats.processBatch(evBatch(b),
+          s"$streamRoot/s35/tails", s"$streamRoot/s35/counts", b.toLong)
+      val rows = graft.streaming.TransitionStats
+        .transitions(spark, s"$streamRoot/s35/counts").count()
+      streaming("s35_stream_transitions") = ((System.nanoTime() - t0) / 1e9, rows)
       noteHeap()
     }
     if (sections("stream")) locally { // s27 as-of enrichment: 4 event batches by user block

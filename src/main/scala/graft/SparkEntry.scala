@@ -328,6 +328,7 @@ object SparkEntry {
     "q153_transition_matrix"  -> Behavior.q153 _,
     "q154_attribution"        -> Behavior.q154 _,
     "q155_time_weighted_avg"  -> Behavior.q155 _,
+    "q156_rfm_segments"       -> Behavior.q156 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

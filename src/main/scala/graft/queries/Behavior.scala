@@ -138,6 +138,96 @@ object Behavior {
   def q155(spark: SparkSession, sfDir: String): DataFrame =
     twap(Tables.events(spark, sfDir))
 
+  /** q156 quantile count (quintiles — the classic 5×5×5 RFM grid). */
+  val RfmQuantiles = 5
+
+  /** q156 monetary boundary grid: boundaries are computed on a
+    * dollar-floored histogram so the boundary frame is bounded by the
+    * VALUE RANGE over the grid, never by the user count — per-user SUMS
+    * (unlike q135's raw 2-dec values) can take ~one distinct value per
+    * user, which would turn the per-metric cumulative pass into a
+    * corpus-sized single task. Fixed-resolution histograms are exactly
+    * how production quantile systems bound this. */
+  val MonetaryGridCents = 100L
+
+  /** q156: RFM segmentation — every user scored into quintiles of
+    * recency (days from their last event to the log clock, q114's
+    * anchor), frequency (event count), and monetary (exact cents sum),
+    * reported as the segment grid (r_q, f_q, m_q) with user counts,
+    * total value and mean frequency: the behavioral-segmentation query
+    * every event platform derives, and the stratification key a
+    * curation pipeline samples against.
+    *
+    * The quantile machinery is the part built for 100 TB: boundaries
+    * are DISC percentiles read off per-metric value HISTOGRAMS — one
+    * map-side-combined (metric, value) aggregate, a cumulative window
+    * PARTITIONED by metric over the bounded histogram (recency is
+    * calendar-bounded, frequency bounded by the per-user event ceiling,
+    * monetary on the fixed [[MonetaryGridCents]] grid), then
+    * `smallest v with 5·cum ≥ k·N` in exact integers — never a global
+    * sort or an ntile over the corpus (the plan a naive quantile
+    * scoring would produce, and the single-task stage this query
+    * exists to avoid). The 3-row boundary panel broadcasts back into
+    * one per-user scoring pass. */
+  def q156(spark: SparkSession, sfDir: String): DataFrame =
+    rfm(Tables.events(spark, sfDir))
+
+  /** q156 kernel on an arbitrary event frame (planted-data seam). */
+  private[graft] def rfm(ev: DataFrame): DataFrame = {
+    // per-user metrics: ONE map-side-combined shuffle; the log clock is
+    // q114's single-row broadcast anchor (NoCartesian-allowlisted shape)
+    val refRow = ev.agg(to_date(max(col("ts"))).as("ref_date"))
+    val metrics = ev
+      .select(col("user_id"), col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
+        sum(col("cents")).as("cents"))
+      .crossJoin(broadcast(refRow))
+      .select(col("user_id"),
+        datediff(col("ref_date"), to_date(col("last_ts"))).cast("long").as("r"),
+        col("frequency"), col("cents"))
+    // two consumers (histogram chain + scoring) of one evaluation; the
+    // frame is one row per user — local-mode parts bound (pin scaladoc)
+    val pinned = pin(metrics)
+    def melted: DataFrame = pinned.select(col("user_id"), col("cents"),
+        col("frequency"), explode(array(
+          struct(lit("r").as("metric"), col("r").as("v")),
+          struct(lit("f").as("metric"), col("frequency").as("v")),
+          struct(lit("m").as("metric"),
+            (col("cents") - pmod(col("cents"), lit(MonetaryGridCents))).as("v")))).as("mv"))
+      .select(col("user_id"), col("cents"), col("frequency"),
+        col("mv.metric").as("metric"), col("mv.v").as("v"))
+    val hist = melted.groupBy(col("metric"), col("v")).agg(count(lit(1)).as("cnt"))
+    val totals = hist.groupBy(col("metric")).agg(sum(col("cnt")).as("n_tot"))
+    val wc = Window.partitionBy(col("metric")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wc))
+      .join(broadcast(totals), Seq("metric"))
+    // disc percentile in exact integers: cum ≥ ceil(k·N/5) ⟺ 5·cum ≥ k·N
+    val bounds = cum.groupBy(col("metric")).agg(
+      min(when(col("cum") * RfmQuantiles >= col("n_tot"), col("v"))).as("b1"),
+      min(when(col("cum") * RfmQuantiles >= col("n_tot") * 2, col("v"))).as("b2"),
+      min(when(col("cum") * RfmQuantiles >= col("n_tot") * 3, col("v"))).as("b3"),
+      min(when(col("cum") * RfmQuantiles >= col("n_tot") * 4, col("v"))).as("b4"))
+    val q = lit(1) + (col("v") > col("b1")).cast("int") +
+      (col("v") > col("b2")).cast("int") + (col("v") > col("b3")).cast("int") +
+      (col("v") > col("b4")).cast("int")
+    melted.join(broadcast(bounds), Seq("metric"))
+      .select(col("user_id"), col("cents"), col("frequency"),
+        col("metric"), q.as("q"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("metric") === "r", col("q"))).as("r_q"),
+        max(when(col("metric") === "f", col("q"))).as("f_q"),
+        max(when(col("metric") === "m", col("q"))).as("m_q"),
+        max(col("cents")).as("cents"), max(col("frequency")).as("frequency"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col("cents")).cast("double") / 100.0).as("total_value"),
+        ratio4(sum(col("frequency")), count(lit(1))).as("avg_freq4"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   /** q155 kernel on an arbitrary event frame (planted-data seam). */
   private[graft] def twap(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -357,6 +357,7 @@ object OracleSql {
     "q153_transition_matrix" -> transitionSql,
     "q154_attribution"       -> attributionSql,
     "q155_time_weighted_avg" -> twapSql,
+    "q156_rfm_segments"      -> rfmSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2612,6 +2613,57 @@ object OracleSql {
       |    CAST((num * 20000 + span_us * 100) // (span_us * 200) AS DOUBLE) / 10000.0
       |  ELSE NULL END AS twap4
       |FROM g ORDER BY user_id""".stripMargin)
+
+  // q156: the disc-percentile-from-histogram chain mirrored literally —
+  // per-metric value histograms (monetary on the dollar grid), cumulative
+  // counts, boundary = smallest v with 5·cum ≥ k·N in exact integers,
+  // then the broadcast scoring join and the segment rollup.
+  private def rfmSql: String = {
+    import Behavior.{MonetaryGridCents, RfmQuantiles}
+    val Q = RfmQuantiles
+    (eventsCte + s""",
+      |um AS (SELECT user_id, max(ts) AS last_ts, COUNT(*) AS frequency,
+      |         SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+      |       FROM e GROUP BY 1),
+      |ref AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS ref_date FROM e),
+      |m0 AS (SELECT user_id,
+      |         CAST(date_diff('day', CAST(date_trunc('day', last_ts) AS DATE), ref_date) AS BIGINT) AS r,
+      |         frequency, CAST(cents AS BIGINT) AS cents,
+      |         CAST(cents - (cents % $MonetaryGridCents) AS BIGINT) AS mg
+      |       FROM um, ref),
+      |mv AS (SELECT user_id, cents, frequency, 'r' AS metric, r AS v FROM m0
+      |       UNION ALL SELECT user_id, cents, frequency, 'f', frequency FROM m0
+      |       UNION ALL SELECT user_id, cents, frequency, 'm', mg FROM m0),
+      |h AS (SELECT metric, v, COUNT(*) AS cnt FROM mv GROUP BY 1, 2),
+      |t AS (SELECT metric, CAST(SUM(cnt) AS BIGINT) AS n_tot FROM h GROUP BY 1),
+      |cm AS (SELECT h.metric, v,
+      |         CAST(SUM(cnt) OVER (PARTITION BY h.metric ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |         n_tot
+      |       FROM h JOIN t ON h.metric = t.metric),
+      |b AS (SELECT metric,
+      |        min(CASE WHEN cum * $Q >= n_tot THEN v END) AS b1,
+      |        min(CASE WHEN cum * $Q >= n_tot * 2 THEN v END) AS b2,
+      |        min(CASE WHEN cum * $Q >= n_tot * 3 THEN v END) AS b3,
+      |        min(CASE WHEN cum * $Q >= n_tot * 4 THEN v END) AS b4
+      |      FROM cm GROUP BY 1),
+      |s AS (SELECT user_id, cents, frequency, mv.metric,
+      |        1 + (CASE WHEN v > b1 THEN 1 ELSE 0 END)
+      |          + (CASE WHEN v > b2 THEN 1 ELSE 0 END)
+      |          + (CASE WHEN v > b3 THEN 1 ELSE 0 END)
+      |          + (CASE WHEN v > b4 THEN 1 ELSE 0 END) AS q
+      |      FROM mv JOIN b ON mv.metric = b.metric),
+      |p AS (SELECT user_id,
+      |        max(CASE WHEN metric = 'r' THEN q END) AS r_q,
+      |        max(CASE WHEN metric = 'f' THEN q END) AS f_q,
+      |        max(CASE WHEN metric = 'm' THEN q END) AS m_q,
+      |        max(cents) AS cents, max(frequency) AS frequency
+      |      FROM s GROUP BY 1)
+      |SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
+      |       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value,
+      |       ${ratio4Sql("CAST(SUM(frequency) AS BIGINT)", "COUNT(*)")} AS avg_freq4
+      |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+  }
 
   private def compactionSql: String = {
     import ZOrder.CompactTargetRows

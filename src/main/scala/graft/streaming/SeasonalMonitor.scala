@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.Stats
+
+/** s36: streaming seasonal-forecast panel — the online form of q151's
+  * seasonal-naive baseline: events arrive in micro-batches and the
+  * per-(event_type, day) observation counts are maintained as ADDITIVE
+  * exact partials (s29's store class, one calendar-bounded partition per
+  * batch), so the forecast-error read never re-scans the event log. The
+  * read merges the partials (integer sum — associative, commutative:
+  * parity under ANY batch split, no arrival-order assumption) and pushes
+  * the daily panel through the SAME `Stats.seasonalBaseline` kernel
+  * batch q151 runs — lag join, MAE/WAPE ratio4s and gap-day semantics
+  * included, parity by construction.
+  *
+  * This completes the monitoring family's streaming symmetry: q135→s29
+  * (drift), q149→s33 (layout), q151→s36 (forecast) — every batch
+  * monitoring query has a store-maintained face.
+  *
+  * Replay safety is the additive-store argument verbatim (s16/s21/s26):
+  * a re-run of batch b recomputes byte-identical counts and
+  * dynamic-overwrites its own batch_id partition. The store grows one
+  * (types × days)-bounded partition per batch — calendar-bounded, never
+  * volume-bounded; folding old partitions is s21's watermark compaction
+  * (counts are pointwise-summable).
+  *
+  * Scale posture: per batch ONE map-side-combined aggregate of the
+  * batch only; the read is one shuffle over ≤ types × days ×
+  * uncompacted-batches partial rows into q151's calendar-bounded kernel.
+  */
+object SeasonalMonitor {
+
+  private def emptyDaily(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit("").as("event_type"),
+      lit(null).cast("date").as("d"), lit(0L).as("n"))
+
+  /** One micro-batch of (event_type, ts): exact per-(type, day) counts →
+    * the batch's own partition. */
+  def processBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    batch
+      .select(col("event_type"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+  }
+
+  /** The q151-shaped forecast-error report over everything ingested so
+    * far — row-for-row equal to batch q151 on the concatenated log under
+    * ANY batch split. */
+  def baseline(spark: SparkSession, storeDir: String): DataFrame = {
+    val daily =
+      if (!StoreRead.hasParquetData(spark, storeDir)) emptyDaily(spark)
+      else spark.read.parquet(storeDir)
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("n")).as("n"))
+    Stats.seasonalBaseline(daily)
+  }
+
+  /** Wire a streaming (event_type, ts) source into the loop. */
+  def start(events: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, storeDir, batchId)
+      }
+      .start()
+}

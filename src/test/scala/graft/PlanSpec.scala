@@ -127,7 +127,9 @@ class PlanSpec extends SparkSpec {
                                  // inherited by the semantic list)
       "q149_zorder_layout",      // broadcast single-row per-dim domain stats
                                  // (min/max of both Morton dims)
-      "q150_compaction_plan")    // inherits q149's single-row domain broadcast
+      "q150_compaction_plan",    // inherits q149's single-row domain broadcast
+      "q156_rfm_segments")       // broadcast single-row log-clock anchor
+                                 // (q114's ref_date shape)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")

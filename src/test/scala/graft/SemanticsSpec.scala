@@ -525,4 +525,33 @@ class SemanticsSpec extends SparkSpec {
     assert(got(2L) == ((3L, 2000000L, 5.0)))
     assert(got(3L) == ((1L, 0L, null)))
   }
+
+  test("q156 RFM: planted monotone metrics land in hand-computed quintiles; recency anchors on the log clock") {
+    // user u (1..10) has u events, all value 1.00, all on day 2020-01-u:
+    // frequency = u, monetary = u dollars, recency = 10 - u days (the log
+    // clock is user 10's day). All three histograms have N = 10 rows of
+    // count 1, so the disc boundaries (5·cum >= k·N <=> cum >= 2k) are the
+    // 2nd/4th/6th/8th distinct values, and every quintile is derivable by
+    // hand: f_q = m_q = ceil(u/2), r_q = 1 + #{1,3,5,7 < 10-u}.
+    val ev = (1 to 10).flatMap { u =>
+      (0 until u).map { i =>
+        (u.toLong, (u * 100 + i).toLong,
+          ts(f"2020-01-$u%02d 10:$i%02d:00"), "click", 1.00)
+      }
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = graft.queries.Behavior.rfm(ev).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def rq(u: Int) = 1 + Seq(1, 3, 5, 7).count(_ < 10 - u)
+    def fq(u: Int) = (u + 1) / 2
+    val want = (1 to 10).groupBy(u => (rq(u), fq(u), fq(u))).map { case (k, us) =>
+      k -> ((us.size.toLong, us.map(_.toDouble).sum,
+        us.map(_.toDouble).sum / us.size))
+    }
+    assert(got.keySet == want.keySet, s"segment grid wrong: ${got.keySet}")
+    for ((k, (n, tv, af)) <- want) {
+      assert(got(k)._1 == n && got(k)._2 == tv, s"segment $k: ${got(k)} want ($n, $tv)")
+      assert(math.abs(got(k)._3 - af) < 1e-9, s"segment $k avg_freq: ${got(k)._3} want $af")
+    }
+  }
 }

@@ -1919,4 +1919,23 @@ class StreamingSpec extends SparkSpec {
       "the rejected batch left writes behind")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s36: streamed seasonal panel == batch q151 under an ARBITRARY batch split; replay no-op") {
+    import graft.streaming.SeasonalMonitor.{baseline, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s36-seasonal") + "/store"
+    assert(baseline(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    // split by event_id mod 3 — deliberately unordered in both dims: the
+    // store is additive counts, so parity holds under ANY split
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q151_seasonal_baseline")(spark, sf001))
+    assert(rows(baseline(spark, storeDir)) == want,
+      "streamed seasonal panel diverged from batch q151")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(baseline(spark, storeDir)) == want, "replay changed the panel")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
