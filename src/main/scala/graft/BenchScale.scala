@@ -128,8 +128,10 @@ object BenchScale {
       "q154_attribution" -> "count",
       "q155_time_weighted_avg" -> "count",
       // r14 (2): RFM quantile segmentation — histogram-derived disc
-      // boundaries + one per-user scoring shuffle
-      "q156_rfm_segments" -> "count"
+      // boundaries + one per-user scoring shuffle — and position
+      // attribution's binned (user, bin) range join
+      "q156_rfm_segments" -> "count",
+      "q157_position_attribution" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)
@@ -542,6 +544,22 @@ object BenchScale {
       val rows = graft.streaming.SeasonalMonitor
         .baseline(spark, s"$streamRoot/s36/store").count()
       streaming("s36_stream_seasonal") = ((System.nanoTime() - t0) / 1e9, rows)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s37 RFM: 4 event batches by event_id block
+      // (additive per-user metric store — any split is legal, like s36)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("event_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("user_id"), col("ts"), col("value"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.RfmMonitor.processBatch(evBatch(b),
+          s"$streamRoot/s37/store", b.toLong)
+      val segs = graft.streaming.RfmMonitor
+        .segments(spark, s"$streamRoot/s37/store").count()
+      streaming("s37_stream_rfm") = ((System.nanoTime() - t0) / 1e9, segs)
       noteHeap()
     }
     if (sections("stream")) locally { // s34 change feed: 4 event batches by event_id block

@@ -329,6 +329,7 @@ object SparkEntry {
     "q154_attribution"        -> Behavior.q154 _,
     "q155_time_weighted_avg"  -> Behavior.q155 _,
     "q156_rfm_segments"       -> Behavior.q156 _,
+    "q157_position_attribution" -> Behavior.q157 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -113,6 +113,77 @@ object Behavior {
       .orderBy(col("channel"))
   }
 
+  /** q157: POSITION-BASED (first/last split) attribution — q154's
+    * multi-touch completion: within the same 6 h lookback, the FIRST
+    * touch and the LAST touch before each purchase split the credit
+    * 50/50 (one touch takes both halves; no touch → `direct` takes all),
+    * the U-shaped model every attribution suite ships next to last-touch.
+    * Output per channel: first-role credits, last-role credits, direct
+    * conversions, and the attributed revenue.
+    *
+    * Unlike q154 (one as-of lookup), this needs the touch SET inside the
+    * window, so the engine runs q87's binned range join: touches keyed by
+    * (user, ⌊t/W⌋), conversions probe their two candidate bins — an
+    * EQUI-join whose pair fan-out is bounded by the per-user activity
+    * inside one window W, never corpus-quadratic (the oracle's
+    * inequality join is exactly the plan this avoids). Credit halves are
+    * exact DECIMAL (a 2-dec value halves to an exact 3-dec), so the
+    * report is float-free until the final cast.
+    *
+    * Determinism: touches are pre-reduced per (user, ts) by event_id
+    * (q154's move), so first = min, last = max over unique instants. */
+  def q157(spark: SparkSession, sfDir: String): DataFrame =
+    positionAttribution(Tables.events(spark, sfDir))
+
+  /** q157 kernel on an arbitrary event frame (planted-data seam). */
+  private[graft] def positionAttribution(ev: DataFrame): DataFrame = {
+    val W = AttributionWindowMicros
+    // q87's exact integer floor-div binning (pre-1970-safe)
+    def floorDivBin(c: String) =
+      expr(s"($c div $W) - (CASE WHEN $c % $W < 0 THEN 1 ELSE 0 END)")
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"),
+        col("value").cast("decimal(18,4)").as("value"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("m.event_type").as("channel"))
+      .withColumn("bin", floorDivBin("t_us"))
+    // a touch in [p−W, p) sits in the conversion's own bin or the one
+    // below — two probe rows per conversion, an equi-join on (user, bin)
+    val probe = conv
+      .select(col("conv_id"), col("user_id"), col("p_us"), col("value"),
+        explode(array(lit(-1L), lit(0L))).as("db"))
+      .select(col("conv_id"), col("user_id"), col("p_us"), col("value"),
+        (floorDivBin("p_us") + col("db")).as("bin"))
+    val inWin = probe.join(touch, Seq("user_id", "bin"))
+      .filter(col("t_us") < col("p_us") && col("p_us") - col("t_us") <= W)
+      .groupBy(col("conv_id"))
+      .agg(min(struct(col("t_us"), col("channel"))).as("ft"),
+        max(struct(col("t_us"), col("channel"))).as("lt"))
+    val half = (col("value") * lit(0.5).cast("decimal(2,1)")).cast("decimal(19,5)")
+    val full = col("value").cast("decimal(19,5)")
+    conv.join(inWin, Seq("conv_id"), "left_outer")
+      .select(explode(when(col("ft").isNull,
+          array(struct(lit("direct").as("channel"), lit("direct").as("role"),
+            full.as("credit"))))
+        .otherwise(array(
+          struct(col("ft.channel").as("channel"), lit("first").as("role"),
+            half.as("credit")),
+          struct(col("lt.channel").as("channel"), lit("last").as("role"),
+            half.as("credit"))))).as("cr"))
+      .select(col("cr.channel").as("channel"), col("cr.role").as("role"),
+        col("cr.credit").as("credit"))
+      .groupBy(col("channel"))
+      .agg(sum(when(col("role") === "first", 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("role") === "last", 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("role") === "direct", 1L).otherwise(0L)).as("n_direct"),
+        sum(col("credit")).cast("double").as("attr_value"))
+      .orderBy(col("channel"))
+  }
+
   /** q155: per-user TIME-WEIGHTED average event value — each event's
     * value is held until the user's next event and integrated over the
     * holding duration: twap = Σ valueᵢ·Δtᵢ / ΣΔtᵢ over the user's
@@ -173,16 +244,28 @@ object Behavior {
     rfm(Tables.events(spark, sfDir))
 
   /** q156 kernel on an arbitrary event frame (planted-data seam). */
-  private[graft] def rfm(ev: DataFrame): DataFrame = {
-    // per-user metrics: ONE map-side-combined shuffle; the log clock is
-    // q114's single-row broadcast anchor (NoCartesian-allowlisted shape)
-    val refRow = ev.agg(to_date(max(col("ts"))).as("ref_date"))
-    val metrics = ev
-      .select(col("user_id"), col("ts"),
+  private[graft] def rfm(ev: DataFrame): DataFrame =
+    rfmSegments(rfmMetrics(ev))
+
+  /** q156's per-user metric aggregate — the ADDITIVE half s37 maintains
+    * per batch (max/count/sum are all mergeable partials): one
+    * map-side-combined shuffle of the events. */
+  private[graft] def rfmMetrics(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), col("ts"),
         (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
       .groupBy(col("user_id"))
       .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
         sum(col("cents")).as("cents"))
+
+  /** q156's quantile finisher on a (user_id, last_ts, frequency, cents)
+    * metric frame — shared with s37's merged store read so batch and
+    * stream segment identically by construction. */
+  private[graft] def rfmSegments(metricsIn: DataFrame): DataFrame = {
+    // the log clock (q114's anchor) read off the metric frame itself:
+    // max(last_ts) == max event ts — a single-row broadcast
+    // (NoCartesian-allowlisted shape)
+    val refRow = metricsIn.agg(to_date(max(col("last_ts"))).as("ref_date"))
+    val metrics = metricsIn
       .crossJoin(broadcast(refRow))
       .select(col("user_id"),
         datediff(col("ref_date"), to_date(col("last_ts"))).cast("long").as("r"),

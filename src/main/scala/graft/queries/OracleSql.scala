@@ -358,6 +358,7 @@ object OracleSql {
     "q154_attribution"       -> attributionSql,
     "q155_time_weighted_avg" -> twapSql,
     "q156_rfm_segments"      -> rfmSql,
+    "q157_position_attribution" -> positionAttributionSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2663,6 +2664,41 @@ object OracleSql {
       |       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value,
       |       ${ratio4Sql("CAST(SUM(frequency) AS BIGINT)", "COUNT(*)")} AS avg_freq4
       |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+  }
+
+  // q157: the binned range join mirrored as the inequality-join + arg-min/
+  // arg-max composition over the per-(user, ts)-deduped touch side (unique
+  // instants make the arg-extrema total); credit halves stay DECIMAL.
+  private def positionAttributionSql: String = {
+    import Behavior.AttributionWindowMicros
+    (eventsCte + s""",
+      |p AS (SELECT event_id AS conv_id, user_id, epoch_us(ts) AS p_us,
+      |        CAST(value AS DECIMAL(18,4)) AS value
+      |      FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, epoch_us(ts) AS t_us,
+      |        max_by(event_type, event_id) AS channel
+      |      FROM e WHERE event_type <> 'purchase' GROUP BY 1, 2),
+      |w AS (SELECT p.conv_id, p.value,
+      |        min_by(t.channel, t.t_us) AS fch, max_by(t.channel, t.t_us) AS lch,
+      |        count(t.t_us) AS n
+      |      FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.t_us < p.p_us
+      |        AND p.p_us - t.t_us <= $AttributionWindowMicros
+      |      GROUP BY 1, 2),
+      |r AS (SELECT CASE WHEN n = 0 THEN 'direct' ELSE fch END AS channel,
+      |             CASE WHEN n = 0 THEN 'direct' ELSE 'first' END AS role,
+      |             CASE WHEN n = 0 THEN CAST(value AS DECIMAL(19,5))
+      |                  ELSE CAST(value * CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(19,5)) END AS credit
+      |      FROM w
+      |      UNION ALL
+      |      SELECT lch, 'last',
+      |             CAST(value * CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(19,5))
+      |      FROM w WHERE n > 0)
+      |SELECT channel,
+      |  CAST(COUNT(*) FILTER (WHERE role = 'first') AS BIGINT) AS n_first,
+      |  CAST(COUNT(*) FILTER (WHERE role = 'last') AS BIGINT) AS n_last,
+      |  CAST(COUNT(*) FILTER (WHERE role = 'direct') AS BIGINT) AS n_direct,
+      |  CAST(SUM(credit) AS DOUBLE) AS attr_value
+      |FROM r GROUP BY channel ORDER BY channel""".stripMargin)
   }
 
   private def compactionSql: String = {

@@ -497,6 +497,17 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one key exchange per as-of side:\n${plan.take(1500)}")
   }
 
+  test("q157: in-window touch sets come from the binned equi-join, never the oracle's inequality join") {
+    val df = SparkEntry.queries("q157_position_attribution")(spark, sf001)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "range lookup degraded to a nested-loop inequality join")
+    val joinLines = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("HashJoin")).toSeq
+    assert(joinLines.exists(l => l.contains("user_id") && l.contains("bin")),
+      s"expected a (user_id, bin) equi-join:\n${joinLines.mkString("\n")}")
+  }
+
   test("q155: the lead() window and the per-user aggregate share one exchange") {
     val df = SparkEntry.queries("q155_time_weighted_avg")(spark, sf001)
     val plan = planString(df)

@@ -554,4 +554,45 @@ class SemanticsSpec extends SparkSpec {
       assert(math.abs(got(k)._3 - af) < 1e-9, s"segment $k avg_freq: ${got(k)._3} want $af")
     }
   }
+
+  test("q157 position attribution: first/last split, single-touch double credit, boundary inclusive, credit conserved") {
+    val ev = Seq(
+      // u1: two touches in window -> A first half, B last half
+      (1L, 1L, ts("2020-01-01 09:00:00"), "A", 0.0),
+      (1L, 2L, ts("2020-01-01 09:30:00"), "B", 0.0),
+      (1L, 3L, ts("2020-01-01 10:00:00"), "purchase", 10.00),
+      // u2: one touch -> C takes BOTH halves (first and last roles)
+      (2L, 4L, ts("2020-01-01 09:00:00"), "C", 0.0),
+      (2L, 5L, ts("2020-01-01 10:00:00"), "purchase", 20.00),
+      // u3: no touch at all -> direct
+      (3L, 6L, ts("2020-01-01 10:00:00"), "purchase", 30.00),
+      // u4: touch 8h before -> outside the 6h window -> direct
+      (4L, 7L, ts("2020-01-01 02:00:00"), "A", 0.0),
+      (4L, 8L, ts("2020-01-01 10:00:00"), "purchase", 40.00),
+      // u5: same-ts touch pair dedupes to the higher event_id (D), which
+      // then takes both halves; odd cents halve exactly (5.005 + 5.005)
+      (5L, 9L, ts("2020-01-01 09:00:00"), "Cx", 0.0),
+      (5L, 10L, ts("2020-01-01 09:00:00"), "D", 0.0),
+      (5L, 11L, ts("2020-01-01 10:00:00"), "purchase", 10.01),
+      // u6: first touch EXACTLY 6h before (inclusive boundary) + a later
+      // touch -> E first half, F last half
+      (6L, 12L, ts("2020-01-01 04:00:00"), "E", 0.0),
+      (6L, 13L, ts("2020-01-01 09:00:00"), "F", 0.0),
+      (6L, 14L, ts("2020-01-01 10:00:00"), "purchase", 60.00)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = graft.queries.Behavior.positionAttribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got == Map(
+      "A" -> ((1L, 0L, 0L, 5.00)),
+      "B" -> ((0L, 1L, 0L, 5.00)),
+      "C" -> ((1L, 1L, 0L, 20.00)),
+      "D" -> ((1L, 1L, 0L, 10.01)),
+      "E" -> ((1L, 0L, 0L, 30.00)),
+      "F" -> ((0L, 1L, 0L, 30.00)),
+      "direct" -> ((0L, 0L, 2L, 70.00))), s"got $got")
+    // conservation: the split never mints or loses revenue
+    val totalCredit = got.values.map(_._4).sum
+    assert(math.abs(totalCredit - 170.01) < 1e-9, s"credit not conserved: $totalCredit")
+  }
 }

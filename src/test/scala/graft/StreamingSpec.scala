@@ -1938,4 +1938,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows(baseline(spark, storeDir)) == want, "replay changed the panel")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s37: streamed RFM segments == batch q156 under an ARBITRARY batch split; replay no-op") {
+    import graft.streaming.RfmMonitor.{processBatch, segments}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s37-rfm") + "/store"
+    assert(segments(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    // split by event_id mod 3 — the metric partials (MAX/SUM/SUM) merge
+    // under ANY split, so no order assumption is needed
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q156_rfm_segments")(spark, sf001))
+    assert(rows(segments(spark, storeDir)) == want,
+      "streamed segment grid diverged from batch q156")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(segments(spark, storeDir)) == want, "replay changed the grid")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
