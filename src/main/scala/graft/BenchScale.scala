@@ -131,7 +131,10 @@ object BenchScale {
       // boundaries + one per-user scoring shuffle — and position
       // attribution's binned (user, bin) range join
       "q156_rfm_segments" -> "count",
-      "q157_position_attribution" -> "count"
+      "q157_position_attribution" -> "count",
+      // r14 (2): hard-negative mining — q90's probe with the query-
+      // relative label exclusion on the candidate stream
+      "q158_hard_negatives" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)

@@ -330,6 +330,7 @@ object SparkEntry {
     "q155_time_weighted_avg"  -> Behavior.q155 _,
     "q156_rfm_segments"       -> Behavior.q156 _,
     "q157_position_attribution" -> Behavior.q157 _,
+    "q158_hard_negatives"     -> Vectors.q158 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -250,6 +250,17 @@ object OracleSql {
        |FROM r WHERE rk <= ${Vectors.KnnK}
        |ORDER BY src, rk""".stripMargin
 
+  /** q158 oracle: the q90 chain with the QUERY-RELATIVE label exclusion
+    * inside the candidate CTE (correlated scalar lookups DuckDB
+    * decorrelates into joins) — the declarative mirror of
+    * filter-before-rank. */
+  private val hardNegativesSql =
+    s"""${ivfKnnCtes(" AND (SELECT label FROM embeddings e1 WHERE e1.vec_id = a.vec_id)" +
+         " <> (SELECT label FROM embeddings e2 WHERE e2.vec_id = p.src)")}
+       |SELECT src, rk, dst, sim
+       |FROM r WHERE rk <= ${Vectors.KnnK}
+       |ORDER BY src, rk""".stripMargin
+
   /** q146/q147 oracle: the q90 trained chain with the TUNED subcode
     * multi-probe unrolled (Vectors.ivfKnnTuned at the declared
     * TunedSubBits). The subcode is the sign pattern of the first subBits
@@ -359,6 +370,7 @@ object OracleSql {
     "q155_time_weighted_avg" -> twapSql,
     "q156_rfm_segments"      -> rfmSql,
     "q157_position_attribution" -> positionAttributionSql,
+    "q158_hard_negatives"    -> hardNegativesSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,

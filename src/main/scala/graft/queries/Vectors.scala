@@ -715,6 +715,65 @@ object Vectors {
   def q143(spark: SparkSession, sfDir: String): DataFrame =
     ivfKnnFiltered(spark, sfDir, NProbe)
 
+  /** q158: HARD-NEGATIVE mining — for every vector, its top-KnnK nearest
+    * neighbors with a DIFFERENT label, through the same trained IVF index
+    * as q90/q143: the contrastive-training op (the "hard negatives" a
+    * similarity model trains against are exactly the most-similar items
+    * that should NOT match). Unlike q143's corpus-constant predicate,
+    * the exclusion here is QUERY-RELATIVE (dst.label ≠ src.label), so a
+    * member-side pre-prune is impossible by construction — the filter
+    * runs on the candidate pairs BEFORE ranking (never post-top-k, which
+    * would starve queries whose nearest candidates share their label:
+    * k survivors of an f-fraction exclusion need k/f retrieved). Queries
+    * whose probed cells hold only same-label members return fewer than k
+    * rows — absent, not padded; both engines agree.
+    *
+    * Scale posture: q90's machinery verbatim (broadcast codebook, narrow
+    * probe ranking, deterministically salted probe join); the two label
+    * columns ride the existing probe/member frames (one int each), so the
+    * exclusion costs one codegen'd comparison per candidate — no extra
+    * join, no extra shuffle. */
+  def q158(spark: SparkSession, sfDir: String): DataFrame =
+    hardNegatives(spark, sfDir, NProbe)
+
+  /** q158 core, parameterized on the probe width so LlmOpsSpec can pin
+    * the limit identity (nprobe = ncells ⇒ equals the exact
+    * different-label kNN row for row) and the recall floor at the
+    * production NProbe. */
+  private[graft] def hardNegatives(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cells = codebook(trainedComponents(emb))
+    val sims = cellSims(emb, cells).localCheckpoint(true)
+    val assigned = argmaxCell(sims)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val probes = sims
+      .select(col("vec_id"), col("cell"), col("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("src"), col("cell"))
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_a"),
+        col("label").as("src_label")), Seq("src"))
+    val members = assigned
+      .select(col("vec_id").as("dst"), col("cell"), col("embedding").as("emb_b"))
+      .join(emb.select(col("vec_id").as("dst"), col("label").as("dst_label")),
+        Seq("dst"))
+      .withColumn("salt", pmod(xxhash64(col("dst")), lit(ProbeSalt)))
+    val saltedProbes = probes
+      .withColumn("salt", explode(sequence(lit(0L), lit(ProbeSalt - 1L))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    saltedProbes.join(members, Seq("cell", "salt"))
+      .filter(col("src") =!= col("dst") && col("dst_label") =!= col("src_label"))
+      .select(col("src"), col("dst"),
+        round4(cosine(col("emb_a"), col("emb_b"))).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select(col("src"), col("rk"), col("dst"), col("sim"))
+      .orderBy(col("src"), col("rk"))
+  }
+
   /** q143 core, parameterized on the probe width so LlmOpsSpec can pin the
     * limit identity (nprobe = ncells ⇒ equals the predicate-filtered exact
     * kNN row for row) and the recall floor at the production NProbe. */

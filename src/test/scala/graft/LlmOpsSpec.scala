@@ -1223,4 +1223,46 @@ class LlmOpsSpec extends SparkSpec {
     }
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("q158 hard negatives: every neighbor has a DIFFERENT label; recall vs exact cross-label truth; limit identity") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Dsl.{cosine, round4}
+    val e = graft.tables.Tables.embeddings(spark, sf001)
+    // exact ground truth: per query, the exact top-k among OTHER-label
+    // vectors (test-only brute force)
+    val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst")
+    val exactDf = e.select($"vec_id".as("src"), $"embedding".as("emb_a"), $"label".as("la"))
+      .crossJoin(e.select($"vec_id".as("dst"), $"embedding".as("emb_b"), $"label".as("lb")))
+      .filter($"src" =!= $"dst" && $"la" =!= $"lb")
+      .select($"src", $"dst", round4(cosine($"emb_a", $"emb_b")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= graft.queries.Vectors.KnnK)
+      .select($"src", $"rk", $"dst", $"sim")
+    val exact = exactDf.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val got = graft.queries.Vectors.q158(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+    // the exclusion is respected on every output row
+    val lbl = e.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((src, rows) <- got; r <- rows)
+      assert(lbl(r.getLong(2)) != lbl(src),
+        s"src $src: hard negative ${r.getLong(2)} shares its label")
+    // recall vs the cross-label exact truth — q90's index, q143's floor
+    val per = exact.map { case (src, truth) =>
+      val found = got.get(src).map(_.map(_.getLong(2)).toSet).getOrElse(Set.empty)
+      (truth intersect found).size.toDouble / truth.size
+    }
+    val recall = per.sum / per.size
+    info(f"q158 recall=$recall%.3f vs cross-label exact truth")
+    assert(recall >= 0.5, f"q158 recall $recall%.3f below pin")
+    // LIMIT IDENTITY: probing every cell == the exact cross-label k-NN
+    val ncells = e.select($"label").distinct().count().toInt
+    val full = graft.queries.Vectors.hardNegatives(spark, sf001, ncells).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exactRows = exactDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == exactRows, "nprobe=ncells cross-label probe != exact cross-label k-NN")
+    spark.catalog.clearCache()
+  }
 }
