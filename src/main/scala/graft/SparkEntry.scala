@@ -331,6 +331,12 @@ object SparkEntry {
     "q156_rfm_segments"       -> Behavior.q156 _,
     "q157_position_attribution" -> Behavior.q157 _,
     "q158_hard_negatives"     -> Vectors.q158 _,
+    "q159_ohlc_bars"          -> Stats.q159 _,
+    "q160_basket_pairs"       -> Basket.q160 _,
+    "q161_calendar_fill"      -> Stats.q161 _,
+    "q162_mad_outliers"       -> Stats.q162 _,
+    "q163_skyline"            -> Skyline.q163 _,
+    "q164_survival_hazard"    -> Behavior.q164 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

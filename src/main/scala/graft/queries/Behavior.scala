@@ -331,4 +331,63 @@ object Behavior {
           .otherwise(lit(null).cast("double")).as("twap4"))
       .orderBy(col("user_id"))
   }
+
+  /** q164: time-to-conversion survival analysis — the Nelson–Aalen
+    * cumulative-hazard estimator over days-to-first-purchase, with
+    * right-censoring at each user's last observed event: the
+    * churn/conversion curve every retention team derives, done the way
+    * survival statistics requires (a user who simply hasn't converted
+    * YET is censored — at risk until their observation window ends —
+    * never counted as a failure, the mistake a naive conversion-rate-
+    * by-day query bakes in). Per distinct conversion duration t: the
+    * at-risk count n(t) = #users observed ≥ t days, the conversions
+    * d(t), the hazard increment d/n and the running cumulative hazard
+    * H(t) = Σ_{t'≤t} d/n.
+    *
+    * Determinism: durations are whole days (exact integers); each hazard
+    * increment is the ratio4 half-up quotient kept as an INTEGER
+    * (floor((d·20000 + n)/2n) ≤ 20000) so the cumulative sum is exact
+    * integer arithmetic — summing the rounded doubles instead would be
+    * order-dependent (0.0001 is not binary-representable); both ratios
+    * divide by 10⁴'s double exactly once per row. Nelson–Aalen is chosen
+    * over Kaplan–Meier exactly because its estimator is a SUM (exactly
+    * mirrorable) rather than a product (an inherently floating fold).
+    *
+    * Scale posture: ONE map-side-combined per-user shuffle reduces the
+    * corpus to a duration histogram ≤ |observation window in days| rows;
+    * the at-risk counts are a REVERSE cumulative sum over that bounded
+    * frame (no single-row total broadcast needed) and the hazard
+    * accumulates forward over the same frame — both global windows sit
+    * post-Aggregate at calendar-bounded cardinality (bounded-global-
+    * window allowlisted). */
+  def q164(spark: SparkSession, sfDir: String): DataFrame =
+    survivalHazard(Tables.events(spark, sfDir))
+
+  /** q164 kernel on an arbitrary event frame (planted-data seam). */
+  private[graft] def survivalHazard(ev: DataFrame): DataFrame = {
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+        max(col("ts")).as("tend"))
+    val dur = per.select(
+      when(col("tp").isNotNull, datediff(to_date(col("tp")), to_date(col("t0"))))
+        .otherwise(datediff(to_date(col("tend")), to_date(col("t0")))).as("t_days"),
+      col("tp").isNotNull.as("conv"))
+    val h = dur.groupBy(col("t_days"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_conv"))
+    val wRisk = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("n_risk", sum(col("n_all")).over(wRisk))
+      .filter(col("n_conv") > 0)
+      .withColumn("hq",
+        floor((col("n_conv").cast("double") * 20000.0 + col("n_risk")) /
+          (col("n_risk").cast("double") * 2.0)).cast("long"))
+      .select(col("t_days"), col("n_risk"), col("n_conv"),
+        (col("hq") / 10000.0).as("hazard4"),
+        (sum(col("hq")).over(wCum) / 10000.0).as("cumhaz4"))
+      .orderBy(col("t_days"))
+  }
 }

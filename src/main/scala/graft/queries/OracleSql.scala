@@ -371,6 +371,12 @@ object OracleSql {
     "q156_rfm_segments"      -> rfmSql,
     "q157_position_attribution" -> positionAttributionSql,
     "q158_hard_negatives"    -> hardNegativesSql,
+    "q159_ohlc_bars"         -> ohlcSql,
+    "q160_basket_pairs"      -> basketSql,
+    "q161_calendar_fill"     -> calendarFillSql,
+    "q162_mad_outliers"      -> madOutliersSql,
+    "q163_skyline"           -> skylineSql,
+    "q164_survival_hazard"   -> survivalSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2543,6 +2549,152 @@ object OracleSql {
       |            ELSE NULL END AS wape4
       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
+
+  // q159: first/last mirrored as rank-1 rows of the same (ts, event_id)
+  // total order the engine's min/max-over-struct uses — conditional MAX
+  // over the single rank-1 value per direction; volume is the dsum mirror.
+  private def ohlcSql: String =
+    (eventsCte + """,
+      |b AS (SELECT event_type, date_trunc('hour', ts) AS bar_ts, ts, event_id, value FROM e),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY event_type, bar_ts ORDER BY ts, event_id) AS rn_o,
+      |        row_number() OVER (PARTITION BY event_type, bar_ts ORDER BY ts DESC, event_id DESC) AS rn_c
+      |      FROM b)
+      |SELECT event_type, bar_ts,
+      |       MAX(CASE WHEN rn_o = 1 THEN value END) AS open_v,
+      |       MAX(value) AS high_v, MIN(value) AS low_v,
+      |       MAX(CASE WHEN rn_c = 1 THEN value END) AS close_v,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+      |FROM r GROUP BY event_type, bar_ts
+      |ORDER BY event_type, bar_ts""".stripMargin)
+
+  // q161: the dense calendar is generate_series over the global day span
+  // (timestamps in DuckDB — cast back to DATE); the trailing MA divides
+  // window-exact integers through the ratio4 mirror, with the window's own
+  // row count as the left-edge denominator.
+  private def calendarFillSql: String = {
+    import graft.queries.Stats.FillMaDays
+    val w = s"OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN ${FillMaDays - 1} PRECEDING AND CURRENT ROW)"
+    (eventsCte + s""",
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM e GROUP BY 1, 2),
+      |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      |cal AS (SELECT t.event_type, CAST(unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+      |               CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      |        FROM (SELECT DISTINCT event_type FROM daily) t, span s),
+      |dense AS (SELECT c.event_type, c.d,
+      |            COALESCE(dl.n, CAST(0 AS BIGINT)) AS n,
+      |            dl.n IS NOT NULL AS observed
+      |          FROM cal c LEFT JOIN daily dl
+      |            ON c.event_type = dl.event_type AND c.d = dl.d)
+      |SELECT event_type, d, n, observed,
+      |       ${ratio4Sql(s"CAST(SUM(n) $w AS BIGINT)", s"COUNT(*) $w")} AS ma4
+      |FROM dense ORDER BY event_type, d""".stripMargin)
+  }
+
+  // q162: DISC medians read off per-type value histograms (smallest v with
+  // 2*cum >= N — q156's quantile discipline at k = 2); DuckDB's window SUM
+  // over BIGINT returns HUGEINT, cast back before the *2 comparison. The
+  // fence is all-integer.
+  private def madOutliersSql: String = {
+    import graft.queries.Stats.MadFenceK
+    (eventsCte + s""",
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM e GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+      |h1 AS (SELECT event_type, n, COUNT(*) AS c FROM daily GROUP BY 1, 2),
+      |c1 AS (SELECT event_type, n,
+      |         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY n) AS BIGINT) AS cum
+      |       FROM h1),
+      |med AS (SELECT c1.event_type, MIN(n) AS med
+      |        FROM c1 JOIN tot ON c1.event_type = tot.event_type
+      |        WHERE cum * 2 >= n_days GROUP BY 1),
+      |dev AS (SELECT daily.event_type, d, n, med, ABS(n - med) AS dv
+      |        FROM daily JOIN med ON daily.event_type = med.event_type),
+      |h2 AS (SELECT event_type, dv, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+      |c2 AS (SELECT event_type, dv,
+      |         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dv) AS BIGINT) AS cum
+      |       FROM h2),
+      |mad AS (SELECT c2.event_type, MIN(dv) AS mad
+      |        FROM c2 JOIN tot ON c2.event_type = tot.event_type
+      |        WHERE cum * 2 >= n_days GROUP BY 1)
+      |SELECT dev.event_type, d, n, med, mad, dv > $MadFenceK * mad AS outlier
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |ORDER BY dev.event_type, d""".stripMargin)
+  }
+
+  // q160: the pair self-join and both rule statistics mirrored literally;
+  // DuckDB counts are BIGINT already, and the lift mirror is the shared
+  // ratio4 form (ratio4dec's scaladoc: identical wherever both are exact —
+  // the count products stay far inside 2^53 at oracle scales).
+  private def basketSql: String =
+    s"""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+       |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+       |per AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_single FROM ob GROUP BY 1),
+       |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+       |       FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+       |       GROUP BY 1, 2)
+       |SELECT brand_a, brand_b, n_ab, pa.n_single AS n_a, pb.n_single AS n_b,
+       |       ${ratio4Sql("n_ab", "pa.n_single")} AS conf4,
+       |       ${ratio4Sql("n_ab * n_orders", "pa.n_single * pb.n_single")} AS lift4
+       |FROM pr
+       |JOIN per pa ON pr.brand_a = pa.brand
+       |JOIN per pb ON pr.brand_b = pb.brand
+       |CROSS JOIN tot
+       |ORDER BY brand_a, brand_b""".stripMargin
+
+  // q163: the oracle mirrors the same domain reduction the engine runs
+  // (provably equal to the pairwise NOT EXISTS: any same-qty competitor is
+  // dominated by its qty's min-price point, and a candidate survives iff no
+  // higher-qty candidate has price <= its own).
+  private def skylineSql: String =
+    s"""WITH g AS (SELECT l_quantity AS qty, l_extendedprice AS price,
+       |             CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM lineitem GROUP BY 1, 2),
+       |b AS (SELECT qty, MIN(price) AS best_price FROM g GROUP BY 1),
+       |bn AS (SELECT b.qty, b.best_price, g.n AS n_best
+       |       FROM b JOIN g ON g.qty = b.qty AND g.price = b.best_price),
+       |f AS (SELECT qty, best_price, n_best,
+       |        MIN(best_price) OVER (ORDER BY qty DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmin
+       |      FROM bn)
+       |SELECT qty, best_price, n_best
+       |FROM f WHERE runmin IS NULL OR best_price < runmin
+       |ORDER BY qty""".stripMargin
+
+  // q164: Nelson–Aalen over the duration histogram — at-risk counts as a
+  // REVERSE cumulative window, hazard increments kept integer (the ratio4
+  // quotient before its final /10^4) so the cumulative hazard is an exact
+  // integer sum; DuckDB window SUMs over BIGINT return HUGEINT → cast.
+  private def survivalSql: String =
+    (eventsCte + """,
+      |per AS (SELECT user_id, MIN(ts) AS t0,
+      |          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+      |          MAX(ts) AS tend
+      |        FROM e GROUP BY user_id),
+      |dur AS (SELECT CASE WHEN tp IS NOT NULL
+      |            THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+      |            ELSE date_diff('day', CAST(t0 AS DATE), CAST(tend AS DATE)) END AS t_days,
+      |          tp IS NOT NULL AS conv
+      |        FROM per),
+      |h AS (SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_all,
+      |        CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+      |      FROM dur GROUP BY t_days),
+      |r AS (SELECT t_days, n_conv,
+      |        CAST(SUM(n_all) OVER (ORDER BY t_days
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |      FROM h),
+      |q AS (SELECT t_days, n_risk, n_conv,
+      |        CAST(FLOOR((n_conv * 20000.0 + n_risk) / (n_risk * 2.0)) AS BIGINT) AS hq
+      |      FROM r WHERE n_conv > 0)
+      |SELECT CAST(t_days AS INTEGER) AS t_days, n_risk, n_conv,
+      |       hq / 10000.0 AS hazard4,
+      |       CAST(SUM(hq) OVER (ORDER BY t_days) AS BIGINT) / 10000.0 AS cumhaz4
+      |FROM q ORDER BY t_days""".stripMargin)
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
   // the winning event_id — the engine's single grouped pass is mirrored as

@@ -277,4 +277,158 @@ object Stats {
           .otherwise(lit(null).cast("double")).as("wape4"))
       .orderBy(col("event_type"))
   }
+
+  /** q159: hourly OHLC bars — the open/high/low/close/volume rollup every
+    * time-series store derives from a raw tick/event stream (the bar is
+    * the unit a charting or trading layer reads; the reference's row-
+    * at-a-time consumer has no temporal rollup at all). Per (event_type,
+    * hour): the value of the FIRST event, the max, the min, the value of
+    * the LAST event, the event count and the exact-decimal value sum.
+    *
+    * Determinism: first/last ride min/max over the struct (ts, event_id,
+    * value) — (ts, event_id) is a unique total order (q27's discipline),
+    * so the value field never participates in the comparison; high/low
+    * are exact double comparisons; volume is [[dsum]]. The oracle mirrors
+    * first/last as rank-1 rows of the same (ts, event_id) order.
+    *
+    * Scale posture: ONE map-side-combined shuffle on (type, hour) — every
+    * aggregate here (min/max of struct, min/max, count, decimal sum) is
+    * associative AND commutative, which is also exactly why the streamed
+    * twin (s38, graft.streaming.BarStats) can maintain these bars from
+    * per-batch partials with ANY-split parity: [[mergeBars]] is the one
+    * shared merge. Output cardinality types × hours — calendar-bounded. */
+  def q159(spark: SparkSession, sfDir: String): DataFrame =
+    ohlcBars(events(spark, sfDir))
+
+  /** q159 kernel on an arbitrary event frame (planted-data seam): the
+    * per-(type, bar) partial aggregate. Emits the open/close carrier
+    * STRUCTS (o, c) so [[finishBars]] and the s38 store share one partial
+    * schema; n and the decimal sum ride alongside. */
+  private[graft] def barPartials(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("bar_ts"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high_v"), min(col("value")).as("low_v"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_v"))
+
+  /** Merge a bar-partial frame (s38's store holds one partial per batch)
+    * back down to one row per (type, bar) — every column by its own
+    * associative+commutative merge. A single-partial frame is a no-op. */
+  private[graft] def mergeBars(partials: DataFrame): DataFrame =
+    partials.groupBy(col("event_type"), col("bar_ts"))
+      .agg(min(col("o")).as("o"), max(col("c")).as("c"),
+        max(col("high_v")).as("high_v"), min(col("low_v")).as("low_v"),
+        sum(col("n_events")).as("n_events"), sum(col("sum_v")).as("sum_v"))
+
+  /** Project merged partials to the q159 report shape. */
+  private[graft] def finishBars(merged: DataFrame): DataFrame =
+    merged.select(col("event_type"), col("bar_ts"),
+        col("o.value").as("open_v"), col("high_v"), col("low_v"),
+        col("c.value").as("close_v"), col("n_events"),
+        col("sum_v").cast("double").as("volume"))
+      .orderBy(col("event_type"), col("bar_ts"))
+
+  private[graft] def ohlcBars(ev: DataFrame): DataFrame =
+    finishBars(barPartials(ev))
+
+  /** q161 trailing moving-average width (days, inclusive of the day). */
+  val FillMaDays = 7
+
+  /** q161: calendar densification (gap fill) + trailing moving average —
+    * the resample step every time-series pipeline runs before windowed
+    * math: materialize ONE row per (event_type, calendar day) across the
+    * log's global [min, max] day span, zero-filling unobserved days with
+    * an `observed` flag, then the [[FillMaDays]]-day trailing mean over
+    * the DENSE series. The densification is what makes a physical ROWS
+    * window calendar-correct: over the observed-only frame (q140's
+    * input), "last 7 rows" silently spans gaps — the bug this operator
+    * exists to remove. The MA is ratio4 of window-exact integers (the
+    * short left-edge frames divide by their own row count).
+    *
+    * Scale posture: [[dailyOf]]'s one map-side-combined shuffle is the
+    * only corpus-sized stage; the span is a single-row broadcast (q114's
+    * ref-date shape, NoCartesian-allowlisted), the calendar explode and
+    * the left join run on the (types × days) bounded frame, and the MA
+    * window is PARTITIONED by type. At 100 TB the dense frame is still
+    * calendar-bounded. */
+  def q161(spark: SparkSession, sfDir: String): DataFrame =
+    calendarFill(dailyOf(events(spark, sfDir)))
+
+  /** q161 core on a (event_type, d, n) daily frame (planted-data seam). */
+  private[graft] def calendarFill(dailyIn: DataFrame): DataFrame = {
+    // one evaluation feeds the span aggregate, the type list and the
+    // join's right side (q104 pinning discipline)
+    val d = pin(dailyIn.select(col("event_type"), col("d"), col("n")))
+    val span = d.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val calendar = d.select(col("event_type")).distinct()
+      .join(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-(FillMaDays - 1), 0)
+    calendar.join(d, Seq("event_type", "d"), "left_outer")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"), col("n").isNotNull.as("observed"))
+      .select(col("event_type"), col("d"), col("n"), col("observed"),
+        ratio4(sum(col("n")).over(w), count(lit(1)).over(w)).as("ma4"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** q162 outlier fence: flag |n − median| > [[MadFenceK]] · MAD. */
+  val MadFenceK = 3L
+
+  /** q162: robust (median/MAD) daily-volume outliers — q133's z-score
+    * flags re-derived with the estimator monitoring systems actually
+    * trust under contamination: a single monster day inflates the mean
+    * AND the stddev enough to hide itself from a z-test (masking), while
+    * the median and the median-absolute-deviation have a 50% breakdown
+    * point. Per type: the DISC median of daily counts, the DISC median
+    * of |n − median|, and the fence flag |n − median| > k·MAD — ALL
+    * INTEGER end to end (counts are integers, medians of integers are
+    * attained values, the fence is an integer comparison): no float
+    * exists anywhere in this query, so the oracle cannot wobble.
+    *
+    * DISC discipline: median = smallest v with 2·cum(v) ≥ N over the
+    * per-type value histogram — q156's quantile-off-a-histogram move at
+    * k = 2. MAD = 0 (more than half the days identical) degenerates the
+    * fence to "any deviation flags"; documented, mirrored, and exercised
+    * by the planted law.
+    *
+    * Scale posture: [[dailyOf]] shuffles once; histograms, cumulative
+    * windows (PARTITIONED by type) and both median joins run on
+    * calendar-bounded frames — at 100 TB nothing after the first
+    * exchange sees corpus-scale rows. */
+  def q162(spark: SparkSession, sfDir: String): DataFrame =
+    madOutliers(dailyOf(events(spark, sfDir)))
+
+  /** DISC median per event_type of `v` over frame `df`: smallest v with
+    * 2·cum ≥ N (ties counted through RANGE cumulative peers). */
+  private def discMedianByType(df: DataFrame, v: String, out: String): DataFrame = {
+    val tot = df.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val cum = df.groupBy(col("event_type"), col(v))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col(v))))
+    cum.join(broadcast(tot), Seq("event_type"))
+      .filter(col("cum") * 2 >= col("n_days"))
+      .groupBy(col("event_type")).agg(min(col(v)).as(out))
+  }
+
+  /** q162 core on a (event_type, d, n) daily frame (planted-data seam). */
+  private[graft] def madOutliers(dailyIn: DataFrame): DataFrame = {
+    // the daily frame feeds the median histogram, the deviation pass and
+    // the final report (q104 pinning discipline)
+    val d = pin(dailyIn.select(col("event_type"), col("d"), col("n")))
+    val med = discMedianByType(d, "n", "med")
+    val dev = pin(d.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med"))))
+    val mad = discMedianByType(dev, "dev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("d"), col("n"), col("med"), col("mad"),
+        (col("dev") > lit(MadFenceK) * col("mad")).as("outlier"))
+      .orderBy(col("event_type"), col("d"))
+  }
 }

@@ -128,8 +128,13 @@ class PlanSpec extends SparkSpec {
       "q149_zorder_layout",      // broadcast single-row per-dim domain stats
                                  // (min/max of both Morton dims)
       "q150_compaction_plan",    // inherits q149's single-row domain broadcast
-      "q156_rfm_segments")       // broadcast single-row log-clock anchor
+      "q156_rfm_segments",       // broadcast single-row log-clock anchor
                                  // (q114's ref_date shape)
+      "q160_basket_pairs",       // broadcast single-row distinct-order total
+                                 // into the lift denominator
+      "q161_calendar_fill")      // broadcast single-row global day span
+                                 // (q114's ref_date shape) under the
+                                 // calendar explode
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planString(SparkEntry.queries(name)(spark, sf001))
       val cart = plan.contains("CartesianProduct")
@@ -249,7 +254,11 @@ class PlanSpec extends SparkSpec {
       "q148_hybrid_rrf" ->
         "rank over the two fusion input lists — each GlobalLimit-bounded to HybridTopK = 15 rows before the window (RetrievalEval.q148)",
       "q150_compaction_plan" ->
-        "cumulative rows over the q149 bucket frame — post-groupBy(bucket), <= 2^ZBucketBits = 64 rows by construction (ZOrder.q150)")
+        "cumulative rows over the q149 bucket frame — post-groupBy(bucket), <= 2^ZBucketBits = 64 rows by construction (ZOrder.q150)",
+      "q163_skyline" ->
+        "running-min over the per-quantity argmin candidates — post-groupBy(qty), <= |l_quantity domain| = 50 rows by construction (Skyline.skyline)",
+      "q164_survival_hazard" ->
+        "reverse-cumulative at-risk + forward cumulative hazard over the duration histogram — post-groupBy(t_days), <= observation-window-days rows (Behavior.survivalHazard)")
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LogicalPlan, Window => LWindow}
     // Cardinality-aware, not collectFirst-over-the-subtree (advisor r10):
     // a frame is reduced iff EVERY path from the window down to a leaf

@@ -595,4 +595,66 @@ class SemanticsSpec extends SparkSpec {
     val totalCredit = got.values.map(_._4).sum
     assert(math.abs(totalCredit - 170.01) < 1e-9, s"credit not conserved: $totalCredit")
   }
+
+  test("q160 basket pairs: per-order brand membership dedupes; counts, confidence and lift match the hand-computed rules") {
+    // orders: o1 {X, Y}, o2 {X, Y} (Y twice -> dedupes), o3 {X}, o4 {Z}
+    val li = Seq(
+      (1L, 101L), (1L, 102L),
+      (2L, 103L), (2L, 104L), (2L, 105L), // X + Y + Y -> {X, Y}
+      (3L, 106L),
+      (4L, 107L)).toDF("l_orderkey", "l_partkey")
+    val brands = Seq(
+      (101L, "X"), (102L, "Y"), (103L, "X"), (104L, "Y"), (105L, "Y"),
+      (106L, "X"), (107L, "Z")).toDF("p_partkey", "p_brand")
+    val got = graft.queries.Basket.basketPairs(li, brands).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+    // only the co-occurring pair appears; n_orders=4, n_X=3, n_Y=2, n_XY=2
+    // conf P(Y|X) = 2/3 -> 0.6667; lift = 2*4/(3*2) = 4/3 -> 1.3333
+    assert(got.toSeq == Seq((("X", "Y"), (2L, 3L, 2L, 0.6667, 1.3333))), s"got ${got.toSeq}")
+  }
+
+  test("q163 skyline: no output point is dominated, every input is weakly dominated by an output point, and the planted frontier is exact") {
+    // points (qty, price): frontier under (max qty, min price) must be
+    // (1, 1.0), (3, 2.0), (5, 4.0):
+    //  - (1, 1.0) survives: nothing with qty >= 1 has price <= 1.0
+    //  - (2, 3.0) dominated by (3, 2.0); (3, 5.0) dominated by (3, 2.0)
+    //  - (4, 4.0) dominated by (5, 4.0) (equal price, higher qty: strict)
+    //  - duplicate (5, 4.0) keeps both supporting rows -> n_best = 2
+    val rows = Seq(
+      (1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (3.0, 5.0),
+      (4.0, 4.0), (5.0, 4.0), (5.0, 4.0))
+      .toDF("qty", "price")
+    val got = graft.queries.Skyline.skyline(rows).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == Seq((1.0, 1.0, 1L), (3.0, 2.0, 1L), (5.0, 4.0, 2L)), s"got $got")
+    // dominance laws against the raw input
+    val pts = rows.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def dominates(a: (Double, Double), b: (Double, Double)) =
+      a._1 >= b._1 && a._2 <= b._2 && (a._1 > b._1 || a._2 < b._2)
+    got.foreach { case (q, p, _) =>
+      assert(!pts.exists(x => dominates(x, (q, p))), s"frontier point ($q,$p) dominated") }
+    pts.foreach { x =>
+      assert(got.exists { case (q, p, _) => (q, p) == x || dominates((q, p), x) },
+        s"input $x not covered by the frontier") }
+  }
+
+  test("q164 survival: censored users stay at risk through their window but never count as failures; hazards hand-computed; cumhaz sums exactly") {
+    // u1, u2: convert on day 2; u4: converts on day 5; u3: censored at
+    // day 5 (no purchase); u5: censored at day 1. At-risk at t=2 is
+    // {u1,u2,u3,u4} (u5's window ended) = 4; at t=5 it is {u3,u4} = 2.
+    def e(u: Long, id: Long, day: Int, typ: String) =
+      (u, id, ts(f"2020-01-0${day + 1}%d 12:00:00"), typ, 1.0)
+    val ev = Seq(
+      e(1L, 1L, 0, "view"), e(1L, 2L, 2, "purchase"),
+      e(2L, 3L, 0, "view"), e(2L, 4L, 2, "purchase"),
+      e(3L, 5L, 0, "view"), e(3L, 6L, 5, "click"),
+      e(4L, 7L, 0, "view"), e(4L, 8L, 5, "purchase"),
+      e(5L, 9L, 0, "view"), e(5L, 10L, 1, "click"))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = graft.queries.Behavior.survivalHazard(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    // t=2: d=2, n=4 -> hazard 0.5; t=5: d=1, n=2 -> hazard 0.5, cum 1.0
+    assert(got == Seq((2, 4L, 2L, 0.5, 0.5), (5, 2L, 1L, 0.5, 1.0)), s"got $got")
+  }
 }

@@ -196,4 +196,67 @@ class StatsSpec extends SparkSpec {
     // err 3; day 15's lag (day 8) was never observed -> not scored
     assert(got("B") == ((6L, 18L, 3.0)), s"planted shift mis-scored: ${got("B")}")
   }
+
+  test("q159 OHLC: first/last by (ts, event_id) with same-ts ties by event_id; high/low/volume exact; arbitrary-split partials merge to the whole") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:05"), "A", 5.0),
+      (3L, t("2024-01-01 10:00:05"), "A", 7.0), // same ts as id 1: open ties to the LOWER event_id
+      (2L, t("2024-01-01 10:30:00"), "A", 1.0), // low
+      (4L, t("2024-01-01 10:59:59"), "A", 6.0), // close (latest ts)
+      (5L, t("2024-01-01 11:00:00"), "A", 9.0), // next bar
+      (6L, t("2024-01-01 10:15:00"), "B", 2.5))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = Stats.ohlcBars(ev).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7)))).toMap
+    assert(got(("A", "2024-01-01 10:00:00.0")) == ((5.0, 7.0, 1.0, 6.0, 4L, 19.0)))
+    assert(got(("A", "2024-01-01 11:00:00.0")) == ((9.0, 9.0, 9.0, 9.0, 1L, 9.0)))
+    assert(got(("B", "2024-01-01 10:00:00.0")) == ((2.5, 2.5, 2.5, 2.5, 1L, 2.5)))
+    // the s38 foundation: partials over an ARBITRARY split merge to the
+    // whole-frame bars (every column's merge is associative+commutative)
+    val p1 = Stats.barPartials(ev.filter(col("event_id") % 2 === 0))
+    val p2 = Stats.barPartials(ev.filter(col("event_id") % 2 =!= 0))
+    val merged = Stats.finishBars(Stats.mergeBars(p1.unionByName(p2)))
+      .collect().map(_.toSeq).toSeq
+    assert(merged == Stats.ohlcBars(ev).collect().map(_.toSeq).toSeq)
+  }
+
+  test("q161 calendar fill: gaps zero-filled with observed=false across the GLOBAL day span; trailing MA divides by the window's own row count") {
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // A observed on days 0 and 2 (gap at 1); B observed only on day 1 —
+    // the span is GLOBAL (0..2), so B densifies to three rows too
+    val daily = Seq(("A", day(0), 10L), ("A", day(2), 4L), ("B", day(1), 6L))
+      .toDF("event_type", "d", "n")
+    val got = Stats.calendarFill(daily).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(got.size == 6, s"2 types x 3 days expected: $got")
+    assert(got(("A", "2024-01-01")) == ((10L, true, 10.0)))
+    assert(got(("A", "2024-01-02")) == ((0L, false, 5.0)))    // (10+0)/2
+    assert(got(("A", "2024-01-03")) == ((4L, true, 4.6667)))  // ratio4(14, 3)
+    assert(got(("B", "2024-01-01")) == ((0L, false, 0.0)))
+    assert(got(("B", "2024-01-02")) == ((6L, true, 3.0)))
+    assert(got(("B", "2024-01-03")) == ((0L, false, 2.0)))
+  }
+
+  test("q162 MAD outliers: hand-computed DISC median/MAD fence; the monster day a z-test masks flags; MAD=0 degenerates to any-deviation") {
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // A: 10,10,12,14,100 -> med 12 (2*cum>=5 first at 12), devs 2,2,0,2,88
+    //    -> mad 2, fence 3*2=6: ONLY the monster day flags
+    val a = Seq(10L, 10L, 12L, 14L, 100L).zipWithIndex.map { case (n, i) => ("A", day(i), n) }
+    // B: 5,5,5,5,9 -> med 5, devs 0,0,0,0,4 -> mad 0: fence is "any
+    //    deviation" (documented degenerate) -> only the 9 flags
+    val b = Seq(5L, 5L, 5L, 5L, 9L).zipWithIndex.map { case (n, i) => ("B", day(i), n) }
+    val got = graft.queries.Stats.madOutliers((a ++ b).toDF("event_type", "d", "n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(("A", 100L)) == ((12L, 2L, true)))
+    assert(got(("A", 14L)) == ((12L, 2L, false)))
+    assert(got(("A", 12L)) == ((12L, 2L, false)))
+    assert(got(("B", 9L)) == ((5L, 0L, true)))
+    assert(got(("B", 5L)) == ((5L, 0L, false)))
+  }
 }

@@ -1957,4 +1957,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows(segments(spark, storeDir)) == want, "replay changed the grid")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s38: streamed OHLC bars == batch q159 under an ARBITRARY batch split; replay no-op") {
+    import graft.streaming.BarStats.{bars, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s38-bars") + "/store"
+    assert(bars(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    // split by event_id mod 3 — deliberately unordered in both dims: the
+    // open/close structs, high/low, count and decimal volume all merge
+    // associatively+commutatively, so parity needs no order assumption
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q159_ohlc_bars")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(bars(spark, storeDir)) == want,
+      "streamed bars diverged from batch q159")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(bars(spark, storeDir)) == want, "replay changed the bars")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
