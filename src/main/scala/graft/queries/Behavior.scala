@@ -364,11 +364,22 @@ object Behavior {
     survivalHazard(Tables.events(spark, sfDir))
 
   /** q164 kernel on an arbitrary event frame (planted-data seam). */
-  private[graft] def survivalHazard(ev: DataFrame): DataFrame = {
-    val per = ev.groupBy(col("user_id"))
+  private[graft] def survivalHazard(ev: DataFrame): DataFrame =
+    hazardOfSpans(userSpans(ev))
+
+  /** Per-user observation spans (first event, first purchase, last
+    * event) — every column an associative+commutative MIN/MAX partial,
+    * which is what lets the s40 streaming maintainer accumulate them per
+    * batch and merge at read with ANY-split parity. */
+  private[graft] def userSpans(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
       .agg(min(col("ts")).as("t0"),
         min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
         max(col("ts")).as("tend"))
+
+  /** Hazard finisher on a per-user (t0, tp, tend) span frame — the seam
+    * s40 reads through, so stream and batch share one estimator. */
+  private[graft] def hazardOfSpans(per: DataFrame): DataFrame = {
     val dur = per.select(
       when(col("tp").isNotNull, datediff(to_date(col("tp")), to_date(col("t0"))))
         .otherwise(datediff(to_date(col("tend")), to_date(col("t0")))).as("t_days"),

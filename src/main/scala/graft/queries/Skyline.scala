@@ -42,12 +42,18 @@ object Skyline {
       .select(col("l_quantity").as("qty"), col("l_extendedprice").as("price")))
 
   /** q163 kernel on a (qty, price) frame (planted-data seam). */
-  private[graft] def skyline(rows: DataFrame): DataFrame = {
+  private[graft] def skyline(rows: DataFrame): DataFrame =
     // per-(qty, price) counts first (one map-side-combined shuffle; the
-    // 1..50 × 2-dec-price grid bounds it), then per-qty argmin via
-    // min-over-struct — (qty, price) is unique in g, so the struct's n
-    // field never decides a comparison
-    val g = rows.groupBy(col("qty"), col("price")).agg(count(lit(1)).as("n"))
+    // 1..50 × 2-dec-price grid bounds it) — the additive half the s41
+    // streaming maintainer accumulates per batch
+    frontierOfCounts(rows.groupBy(col("qty"), col("price")).agg(count(lit(1)).as("n")))
+
+  /** Frontier finisher on a per-(qty, price) COUNT frame — the seam s41
+    * reads through (its store holds exactly these counts additively), so
+    * stream and batch share one dominance definition by construction. */
+  private[graft] def frontierOfCounts(g: DataFrame): DataFrame = {
+    // per-qty argmin via min-over-struct — (qty, price) is unique in g,
+    // so the struct's n field never decides a comparison
     val best = g.groupBy(col("qty"))
       .agg(min(struct(col("price"), col("n"))).as("b"))
       .select(col("qty"), col("b.price").as("best_price"), col("b.n").as("n_best"))

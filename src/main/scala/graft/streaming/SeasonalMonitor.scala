@@ -65,6 +65,23 @@ object SeasonalMonitor {
     Stats.seasonalBaseline(daily)
   }
 
+  /** s39: the SECOND read of this store — q162's robust median/MAD
+    * outlier flags over the same merged daily panel. One additive store
+    * serving two monitoring reads (forecast error AND robust anomaly) is
+    * the architecture the batch symmetry promises: quantile statistics
+    * are not mergeable, so the store holds the mergeable counts and the
+    * medians are derived AT READ over the calendar-bounded panel (s37's
+    * boundary argument). Row-for-row equal to batch q162 under ANY batch
+    * split; replay no-op inherits from the shared store. */
+  def outliers(spark: SparkSession, storeDir: String): DataFrame = {
+    val daily =
+      if (!StoreRead.hasParquetData(spark, storeDir)) emptyDaily(spark)
+      else spark.read.parquet(storeDir)
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("n")).as("n"))
+    Stats.madOutliers(daily)
+  }
+
   /** Wire a streaming (event_type, ts) source into the loop. */
   def start(events: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =
     events.writeStream

@@ -1978,4 +1978,87 @@ class StreamingSpec extends SparkSpec {
     assert(rows(bars(spark, storeDir)) == want, "replay changed the bars")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s39: streamed MAD outliers == batch q162 off the SAME s36 store; replay no-op") {
+    import graft.streaming.SeasonalMonitor.{outliers, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s39-mad") + "/store"
+    assert(outliers(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    // one additive daily-count store, two reads (s36 forecast + s39
+    // robust outliers) — the medians are derived at read because
+    // quantiles are not mergeable statistics
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q162_mad_outliers")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(outliers(spark, storeDir)) == want,
+      "streamed outlier flags diverged from batch q162")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(outliers(spark, storeDir)) == want, "replay changed the flags")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s40: streamed survival hazard == batch q164 under an ARBITRARY batch split; censoring reclassifies online; replay no-op") {
+    import graft.streaming.SurvivalMonitor.{hazard, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s40-survival") + "/store"
+    assert(hazard(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    // split by event_id mod 3 — a user's purchase may land in any batch;
+    // the span MIN/MAX partials merge under ANY split
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    val want = rows(SparkEntry.queries("q164_survival_hazard")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(hazard(spark, storeDir)) == want,
+      "streamed hazard diverged from batch q164")
+    // online censoring: ingest ONLY non-purchase events into a fresh
+    // store — every user must read as censored (no conversion rows at
+    // all); then the purchases arrive and the full parity returns
+    val store2 = tmpDir("s40-censor") + "/store"
+    processBatch(ev.filter(col("event_type") =!= "purchase"), store2, 0L)
+    assert(hazard(spark, store2).collect().isEmpty,
+      "not-yet-purchased users must be censored, never conversions")
+    processBatch(ev.filter(col("event_type") === "purchase"), store2, 1L)
+    assert(rows(hazard(spark, store2)) == want,
+      "late-arriving purchases must reclassify censored users")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(hazard(spark, storeDir)) == want, "replay changed the hazard")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s41: streamed skyline == batch q163 under an ARBITRARY batch split; a later batch knocks a point off the frontier; replay no-op") {
+    import graft.streaming.SkylineMonitor.{frontier, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import spark.implicits._
+    val storeDir = tmpDir("s41-skyline") + "/store"
+    assert(frontier(spark, storeDir).collect().isEmpty)
+    val li = graft.tables.Tables.lineitem(spark, sf001)
+      .select(col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        col("l_orderkey"))
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    for (b <- 0L to 2L)
+      processBatch(li.filter(pmod(col("l_orderkey"), lit(3)) === b), storeDir, b)
+    val want = rows(SparkEntry.queries("q163_skyline")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(frontier(spark, storeDir)) == want,
+      "streamed frontier diverged from batch q163")
+    // non-mergeable statistic, mergeable store: a dominating point
+    // arriving later must DISPLACE an earlier frontier point
+    val store2 = tmpDir("s41-knock") + "/store"
+    val seed = Seq((5.0, 100.0), (3.0, 50.0)).toDF("qty", "price")
+    processBatch(seed, store2, 0L)
+    assert(frontier(spark, store2).collect().length == 2)
+    processBatch(Seq((6.0, 40.0)).toDF("qty", "price"), store2, 1L)
+    val after = frontier(spark, store2).collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(after.toSeq == Seq((6.0, 40.0)),
+      s"the dominating late arrival must displace both seeds: ${after.toSeq}")
+    processBatch(li.filter(pmod(col("l_orderkey"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(frontier(spark, storeDir)) == want, "replay changed the frontier")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
