@@ -337,6 +337,8 @@ object SparkEntry {
     "q162_mad_outliers"       -> Stats.q162 _,
     "q163_skyline"            -> Skyline.q163 _,
     "q164_survival_hazard"    -> Behavior.q164 _,
+    "q165_ab_chisq"           -> Stats.q165 _,
+    "q166_cusum_changepoint"  -> Stats.q166 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -377,6 +377,8 @@ object OracleSql {
     "q162_mad_outliers"      -> madOutliersSql,
     "q163_skyline"           -> skylineSql,
     "q164_survival_hazard"   -> survivalSql,
+    "q165_ab_chisq"          -> abChisqSql,
+    "q166_cusum_changepoint" -> cusumSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2695,6 +2697,66 @@ object OracleSql {
       |       hq / 10000.0 AS hazard4,
       |       CAST(SUM(hq) OVER (ORDER BY t_days) AS BIGINT) / 10000.0 AS cumhaz4
       |FROM q ORDER BY t_days""".stripMargin)
+
+  // q165: the 2x2 chi-square in exact HUGEINT cross-products (the engine's
+  // DECIMAL(38,0) carrier); the significance fence and the ratio4dec
+  // quotient both mirror in integer arithmetic, so the verdict cannot
+  // wobble. Zero margins -> NULL chi2, not significant.
+  private def abChisqSql: String = {
+    import graft.queries.Stats.ChisqCrit10k
+    (eventsCte + s""",
+      |per AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |        FROM e GROUP BY user_id),
+      |v AS (SELECT user_id % 2 AS variant, conv FROM per),
+      |c AS (SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |             CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |             CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |      FROM v),
+      |x AS (SELECT *,
+      |        CAST(conv_a AS HUGEINT) * (n_b - conv_b)
+      |          - CAST(n_a - conv_a AS HUGEINT) * conv_b AS adbc
+      |      FROM c),
+      |y AS (SELECT *, CAST(n_a + n_b AS HUGEINT) * adbc * adbc AS num,
+      |        CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+      |          * (n_a + n_b - conv_a - conv_b) AS den
+      |      FROM x)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CASE WHEN n_a > 0 THEN ${ratio4Sql("conv_a", "n_a")} END AS cr_a4,
+      |  CASE WHEN n_b > 0 THEN ${ratio4Sql("conv_b", "n_b")} END AS cr_b4,
+      |  CASE WHEN den > 0
+      |       THEN CAST((num * 20000 + den) // (den * 2) AS DOUBLE) / 10000.0 END AS chi2_4,
+      |  (den > 0 AND num * 10000 > $ChisqCrit10k * den) AS significant
+      |FROM y""".stripMargin)
+  }
+
+  // q166: CUSUM deviations in exact HUGEINT (|D*prefix - k*S|), argmax via
+  // (dev DESC, d) row_number — the engine's min-over-(-dev, d) struct; the
+  // peak re-emerges as DECIMAL(38,0) to match the engine's carrier, and
+  // the scaled statistic is the HUGEINT `//` ratio4dec mirror.
+  private def cusumSql: String =
+    (eventsCte + """,
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM e GROUP BY 1, 2),
+      |p AS (SELECT event_type, d,
+      |        CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d) AS HUGEINT) AS prefix,
+      |        CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY d) AS HUGEINT) AS k
+      |      FROM daily),
+      |t AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n_days,
+      |        CAST(SUM(n) AS HUGEINT) AS total
+      |      FROM daily GROUP BY 1),
+      |dv AS (SELECT p.event_type, d, n_days, total,
+      |         ABS(n_days * prefix - k * total) AS dev
+      |       FROM p JOIN t ON p.event_type = t.event_type),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev DESC, d) AS rn
+      |      FROM dv)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, CAST(total AS BIGINT) AS total,
+      |       d AS change_d, CAST(dev AS DECIMAL(38,0)) AS peak_dev,
+      |       CASE WHEN total > 0
+      |            THEN CAST((dev * 20000 + n_days * total) // (n_days * total * 2) AS DOUBLE)
+      |                   / 10000.0 END AS stat4
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
   // the winning event_id — the engine's single grouped pass is mirrored as

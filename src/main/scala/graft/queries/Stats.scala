@@ -431,4 +431,113 @@ object Stats {
         (col("dev") > lit(MadFenceK) * col("mad")).as("outlier"))
       .orderBy(col("event_type"), col("d"))
   }
+
+  /** q165 significance fence: χ² > 3.8416 (= 1.96², the two-sided 5%
+    * normal cutoff — the two-proportion z² IS the 2×2 chi-square), held
+    * as the integer 38416 against 10⁴·χ²'s exact rational form. */
+  val ChisqCrit10k = 38416L
+
+  /** q165: A/B experiment readout — users hash-split into two variants
+    * (user_id mod 2, the deterministic assignment every experimentation
+    * platform derives from a stable ID), conversion = the user purchased
+    * at least once, and the 2×2 chi-square test of independence between
+    * variant and conversion: χ² = N·(ad − bc)² / (r₁·r₂·c₁·c₂) — the
+    * identical statistic to the two-proportion z² test, chosen because
+    * it is a RATIO OF INTEGER PRODUCTS: the significance fence
+    * N·(ad−bc)²·10⁴ > 38416·(r₁r₂c₁c₂) is exact integer arithmetic
+    * (DECIMAL(38,0) carriers — the cross products pass 2⁵³ at ~10⁵
+    * users), so the yes/no every dashboard shows cannot wobble. The
+    * reported χ² itself is the ratio4dec half-up quotient; conversion
+    * rates are ratio4.
+    *
+    * Degenerates (documented, mirrored): an all-converted or
+    * zero-converted corpus (or an empty variant) zeroes a margin →
+    * NULL χ², not significant.
+    *
+    * Scale posture: ONE map-side-combined per-user shuffle (max of a
+    * 0/1 flag), then a single global aggregate whose partials are four
+    * longs per task — the whole test is two exchanges and a one-row
+    * output at any corpus size. */
+  def q165(spark: SparkSession, sfDir: String): DataFrame =
+    abChisq(events(spark, sfDir))
+
+  /** q165 kernel on an arbitrary event frame (planted-data seam). */
+  private[graft] def abChisq(ev: DataFrame): DataFrame = {
+    val per = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(pmod(col("user_id"), lit(2)).as("variant"), col("conv"))
+    val c = per.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    def d(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    val adbc = d(col("conv_a")) * d(col("n_b") - col("conv_b")) -
+      d(col("n_a") - col("conv_a")) * d(col("conv_b"))
+    val num = d(col("n_a") + col("n_b")) * adbc * adbc
+    val den = d(col("n_a")) * d(col("n_b")) *
+      d(col("conv_a") + col("conv_b")) *
+      d(col("n_a") + col("n_b") - col("conv_a") - col("conv_b"))
+    c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0, ratio4(col("conv_a"), col("n_a")))
+        .otherwise(lit(null).cast("double")).as("cr_a4"),
+      when(col("n_b") > 0, ratio4(col("conv_b"), col("n_b")))
+        .otherwise(lit(null).cast("double")).as("cr_b4"),
+      when(den > 0, ratio4dec(num, den))
+        .otherwise(lit(null).cast("double")).as("chi2_4"),
+      (den > 0 && num * lit(10000).cast("decimal(5,0)") > lit(ChisqCrit10k) * den)
+        .as("significant"))
+  }
+
+  /** q166: CUSUM changepoint localization — for each event type, the day
+    * where the cumulative deviation of daily counts from the type's own
+    * mean peaks: argmax_k |prefix_k − k·S/D| (Page's CUSUM at its
+    * classic single-changepoint reading — the day the regime shifted),
+    * reported with the scaled peak statistic in [0, 1]. The complement
+    * to q133/q162 (they flag WHICH days are anomalous; this locates WHEN
+    * the level changed).
+    *
+    * Exactness: the deviation is held as the INTEGER |D·prefix_k − k·S|
+    * (multiply through by D — no division anywhere until the final
+    * ratio4dec against D·S), so the argmax and the tie rule (earliest
+    * day on equal peaks, pinned via min over the (−dev, d) struct) are
+    * exact; DECIMAL(38,0) carriers keep D·prefix exact past 2⁵³ (the
+    * oracle mirrors in HUGEINT).
+    *
+    * Scale posture: [[dailyOf]]'s one map-side-combined shuffle, then
+    * prefix sums over PARTITIONED (per-type) calendar-bounded windows,
+    * a broadcast of the per-type (D, S) totals, and a per-type argmax
+    * aggregate — nothing after the first exchange sees corpus-scale
+    * rows. */
+  def q166(spark: SparkSession, sfDir: String): DataFrame =
+    cusumChangepoint(dailyOf(events(spark, sfDir)))
+
+  /** q166 core on a (event_type, d, n) daily frame (planted-data seam). */
+  private[graft] def cusumChangepoint(dailyIn: DataFrame): DataFrame = {
+    // the daily frame feeds the totals and the prefix pass (q104 pinning)
+    val daily = pin(dailyIn.select(col("event_type"), col("d"), col("n")))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    val dev = daily
+      .withColumn("prefix", sum(col("n")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .join(broadcast(tot), Seq("event_type"))
+      .withColumn("dev",
+        abs(dec(col("n_days")) * dec(col("prefix")) - dec(col("k")) * dec(col("total"))))
+    // argmax with the earliest-day tie rule AND the peak value in one
+    // struct pass — no second evaluation of the windowed frame
+    dev.groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"), max(col("total")).as("total"),
+        min(struct((col("dev") * -1).as("negdev"), col("d"))).as("m"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("m.d").as("change_d"),
+        (col("m.negdev") * -1).cast("decimal(38,0)").as("peak_dev"),
+        when(col("total") > 0,
+          ratio4dec(col("m.negdev") * -1, dec(col("n_days")) * dec(col("total"))))
+          .otherwise(lit(null).cast("double")).as("stat4"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -259,4 +259,50 @@ class StatsSpec extends SparkSpec {
     assert(got(("B", 9L)) == ((5L, 0L, true)))
     assert(got(("B", 5L)) == ((5L, 0L, false)))
   }
+
+  test("q165 A/B chi-square: hand-computed 2x2 statistic and exact significance fence; zero margin degenerates to NULL/not-significant") {
+    import graft.queries.Stats
+    // variant = user_id % 2. Even users 0,2,4,6 (A): 3 of 4 convert;
+    // odd users 1,3,5,7 (B): 0 of 4 convert. a=3 b=1 c=0 d=4:
+    // adbc = 3*4 - 1*0 = 12; chi2 = 8*144/(4*4*3*5) = 1152/240 = 4.8
+    // > 3.8416 -> significant
+    def e(u: Long, id: Long, typ: String) = (u, id, ts(0), typ, 1.0)
+    val ev = Seq(
+      e(0L, 1L, "purchase"), e(2L, 2L, "purchase"), e(4L, 3L, "purchase"),
+      e(6L, 4L, "view"),
+      e(1L, 5L, "view"), e(3L, 6L, "view"), e(5L, 7L, "click"), e(7L, 8L, "view"))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val r = Stats.abChisq(ev).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 3L, 4L, 0L)))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)) ==
+      ((0.75, 0.0, 4.8, true)), s"got $r")
+    // balanced conversion -> chi2 0, not significant
+    val bal = Seq(e(0L, 1L, "purchase"), e(1L, 2L, "purchase"),
+      e(2L, 3L, "view"), e(3L, 4L, "view"))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val rb = Stats.abChisq(bal).collect()(0)
+    assert(rb.getDouble(6) == 0.0 && !rb.getBoolean(7))
+    // zero margin (nobody converts): NULL chi2, not significant
+    val zm = Seq(e(0L, 1L, "view"), e(1L, 2L, "view"))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val rz = Stats.abChisq(zm).collect()(0)
+    assert(rz.isNullAt(6) && !rz.getBoolean(7))
+  }
+
+  test("q166 CUSUM: a planted step series peaks at the last day of the first regime; a constant series reads zero with the earliest-day tie") {
+    import graft.queries.Stats
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // A: 10,10,10,10,10 then 20,20,20,20,20 -> D=10, S=150; peak
+    // |D*prefix_k - k*S| at k=5: |500-750| = 250; stat 250/1500 = 0.1667
+    val a = ((0 until 5).map(i => ("A", day(i), 10L)) ++
+      (5 until 10).map(i => ("A", day(i), 20L)))
+    // B constant: every deviation 0 -> earliest day wins the tie
+    val b = (0 until 4).map(i => ("B", day(i), 7L))
+    val got = Stats.cusumChangepoint((a ++ b).toDF("event_type", "d", "n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDate(3).toString, r.getDecimal(4).longValueExact, r.getDouble(5)))).toMap
+    assert(got("A") == ((10L, 150L, "2024-01-05", 250L, 0.1667)), s"got ${got("A")}")
+    assert(got("B") == ((4L, 28L, "2024-01-01", 0L, 0.0)), s"got ${got("B")}")
+  }
 }
