@@ -134,7 +134,18 @@ object BenchScale {
       "q157_position_attribution" -> "count",
       // r14 (2): hard-negative mining — q90's probe with the query-
       // relative label exclusion on the candidate stream
-      "q158_hard_negatives" -> "count"
+      "q158_hard_negatives" -> "count",
+      // r14 (3): the queries with a corpus-scale stage among the
+      // time-series/experimentation additions — OHLC's one (type, hour)
+      // bar shuffle, the basket-bounded pair self-join, the skyline's
+      // domain reduction, the survival per-user span shuffle and the A/B
+      // per-user conversion shuffle (q161/q162/q166 ride dailyOf's
+      // shuffle — the q151 leg already measures that class)
+      "q159_ohlc_bars" -> "count",
+      "q160_basket_pairs" -> "count",
+      "q163_skyline" -> "count",
+      "q164_survival_hazard" -> "count",
+      "q165_ab_chisq" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)

@@ -339,6 +339,7 @@ object SparkEntry {
     "q164_survival_hazard"    -> Behavior.q164 _,
     "q165_ab_chisq"           -> Stats.q165 _,
     "q166_cusum_changepoint"  -> Stats.q166 _,
+    "q167_holt_trend"         -> Stats.q167 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -379,6 +379,7 @@ object OracleSql {
     "q164_survival_hazard"   -> survivalSql,
     "q165_ab_chisq"          -> abChisqSql,
     "q166_cusum_changepoint" -> cusumSql,
+    "q167_holt_trend"        -> holtSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2757,6 +2758,37 @@ object OracleSql {
       |            THEN CAST((dev * 20000 + n_days * total) // (n_days * total * 2) AS DOUBLE)
       |                   / 10000.0 END AS stat4
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)
+
+  // q167: the Holt recursion stepped by a recursive CTE in day-rank order
+  // — the same left-to-right IEEE fold the engine's struct-accumulator
+  // aggregate runs; the new level inside the trend update is recomputed as
+  // the textually identical expression (IEEE determinism makes recompute
+  // equal reuse bit-for-bit).
+  private def holtSql: String = {
+    import graft.queries.Stats.{HoltAlpha, HoltBeta}
+    val a = HoltAlpha; val b = HoltBeta
+    val lNew = s"$a * dd.m + ${1 - a} * (rec.level + rec.trend)"
+    s"""WITH RECURSIVE
+       |e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+       |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+       |            CAST(COUNT(*) AS BIGINT) AS n,
+       |            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+       |          FROM e GROUP BY 1, 2),
+       |dd AS (SELECT event_type, d, n, sum_v / CAST(n AS DOUBLE) AS m,
+       |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS INTEGER) AS k
+       |       FROM daily),
+       |rec AS (
+       |  SELECT event_type, k, d, n, m, m AS level, CAST(0.0 AS DOUBLE) AS trend
+       |  FROM dd WHERE k = 1
+       |  UNION ALL
+       |  SELECT dd.event_type, dd.k, dd.d, dd.n, dd.m,
+       |         $lNew AS level,
+       |         $b * (($lNew) - rec.level) + ${1 - b} * rec.trend AS trend
+       |  FROM rec JOIN dd ON dd.event_type = rec.event_type AND dd.k = rec.k + 1)
+       |SELECT event_type, d, n, m AS mean_value, level, trend,
+       |       level + trend AS forecast_next
+       |FROM rec ORDER BY event_type, d""".stripMargin
+  }
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
   // the winning event_id — the engine's single grouped pass is mirrored as

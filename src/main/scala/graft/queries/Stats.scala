@@ -432,6 +432,65 @@ object Stats {
       .orderBy(col("event_type"), col("d"))
   }
 
+  /** q167 smoothing constants — both exactly representable in binary, so
+    * the fold multiplies by the same doubles both engines parsed. */
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.25
+
+  /** q167: Holt linear-trend smoothing — the double-exponential
+    * forecaster next to q132's EWMA (level only) and q151's seasonal
+    * naive: per type, the classic recursion l_k = α·m_k +
+    * (1−α)(l_{k−1} + b_{k−1}), b_k = β(l_k − l_{k−1}) + (1−β)b_{k−1}
+    * over the daily mean values in day order (l_1 = m_1, b_1 = 0), with
+    * the one-step-ahead forecast l + b per day. The operator a capacity
+    * planner reads when traffic has a direction, not just a level.
+    *
+    * Float discipline (q132's family): m_k = exact-decimal-sum ÷ count;
+    * both engines run the SAME sequential fold in day order — the engine
+    * as a struct-accumulator `aggregate` over each day's prefix slice,
+    * the oracle as a recursive CTE stepping k → k+1 — and b's reference
+    * to the new level is RECOMPUTED as the identical expression on both
+    * sides (IEEE evaluation is deterministic, so recompute ≡ reuse
+    * bit-for-bit). Outputs ship UNROUNDED (q132's boundary argument: no
+    * libm wobble exists in +·×÷, ROUND itself is the only hazard). Gaps
+    * decay one step, not gap-many (sequence semantics, mirrored).
+    *
+    * Scale posture: identical to q132 — the fold runs on the
+    * (types × days) aggregate of [[dailyOf]], never raw events; the
+    * O(days²) prefix slices are calendar-bounded. */
+  def q167(spark: SparkSession, sfDir: String): DataFrame =
+    holtOf(daily(spark, sfDir))
+
+  /** q167 core on a prepared [[dailyOf]] frame (planted-data seam). */
+  private[graft] def holtOf(dailyDf: DataFrame): DataFrame = {
+    val perType = dailyDf
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("d"), col("n"), col("sum_v")))).as("days"))
+    val a = lit(HoltAlpha); val b = lit(HoltBeta)
+    type C = org.apache.spark.sql.Column
+    val seed = struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(false).as("s"))
+    def step(acc: C, m: C): C = {
+      val lNew = when(!acc.getField("s"), m)
+        .otherwise(a * m + (lit(1.0) - a) * (acc.getField("l") + acc.getField("b")))
+      val bNew = when(!acc.getField("s"), lit(0.0))
+        .otherwise(b * (lNew - acc.getField("l")) +
+          (lit(1.0) - b) * acc.getField("b"))
+      struct(lNew.as("l"), bNew.as("b"), lit(true).as("s"))
+    }
+    perType
+      .select(col("event_type"), col("days"), posexplode(col("days")).as(Seq("p", "sd")))
+      .select(col("event_type"), col("sd.d").as("d"), col("sd.n").as("n"),
+        (col("sd.sum_v") / col("sd.n").cast("double")).as("mean_value"),
+        slice(transform(col("days"), x => x.getField("sum_v") / x.getField("n").cast("double")),
+          lit(1), col("p") + 1).as("ms"))
+      .select(col("event_type"), col("d"), col("n"), col("mean_value"),
+        aggregate(col("ms"), seed, step).as("h"))
+      .select(col("event_type"), col("d"), col("n"), col("mean_value"),
+        col("h.l").as("level"), col("h.b").as("trend"),
+        (col("h.l") + col("h.b")).as("forecast_next"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
   /** q165 significance fence: χ² > 3.8416 (= 1.96², the two-sided 5%
     * normal cutoff — the two-proportion z² IS the 2×2 chi-square), held
     * as the integer 38416 against 10⁴·χ²'s exact rational form. */

@@ -305,4 +305,21 @@ class StatsSpec extends SparkSpec {
     assert(got("A") == ((10L, 150L, "2024-01-05", 250L, 0.1667)), s"got ${got("A")}")
     assert(got("B") == ((4L, 28L, "2024-01-01", 0L, 0.0)), s"got ${got("B")}")
   }
+
+  test("q167 Holt trend: planted 3-day sequence equals the hand-run recursion (l1=m1, b1=0); a gap decays ONE step") {
+    import graft.queries.Stats
+    // one event per day -> daily mean IS the value; days 0,1,3 (gap at 2)
+    val ev = Seq(("A", ts(0), 1.0), ("A", ts(1), 2.0), ("A", ts(3), 3.0))
+      .toDF("event_type", "ts", "value")
+    val got = Stats.holtOf(Stats.dailyOf(ev))
+      .orderBy("d").select("level", "trend", "forecast_next")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // k1: l=1, b=0; k2: l=0.5*2+0.5*1=1.5, b=0.25*0.5=0.125;
+    // k3 (the gap is ONE step): l=0.5*3+0.5*1.625=2.3125,
+    //   b=0.25*0.8125+0.75*0.125=0.296875 — all binary-exact
+    assert(got.toSeq == Seq(
+      (1.0, 0.0, 1.0),
+      (1.5, 0.125, 1.625),
+      (2.3125, 0.296875, 2.609375)), s"got ${got.toSeq}")
+  }
 }
