@@ -340,6 +340,7 @@ object SparkEntry {
     "q165_ab_chisq"           -> Stats.q165 _,
     "q166_cusum_changepoint"  -> Stats.q166 _,
     "q167_holt_trend"         -> Stats.q167 _,
+    "q168_iqr_outliers"       -> Stats.q168 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

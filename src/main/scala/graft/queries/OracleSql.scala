@@ -380,6 +380,7 @@ object OracleSql {
     "q165_ab_chisq"          -> abChisqSql,
     "q166_cusum_changepoint" -> cusumSql,
     "q167_holt_trend"        -> holtSql,
+    "q168_iqr_outliers"      -> iqrSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2789,6 +2790,35 @@ object OracleSql {
        |       level + trend AS forecast_next
        |FROM rec ORDER BY event_type, d""".stripMargin
   }
+
+  // q168: DISC quartiles off per-type cent histograms (q156's discipline at
+  // k = 4); the 1.5*IQR fences multiply through by 2 to stay integer; all
+  // window/group sums cast back from HUGEINT.
+  private def iqrSql: String =
+    (eventsCte + """,
+      |h AS (SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |        CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM e GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cum AS (SELECT h.event_type, cents, cnt, n,
+      |          CAST(SUM(cnt) OVER (PARTITION BY h.event_type ORDER BY cents) AS BIGINT) AS cum
+      |        FROM h JOIN tot ON h.event_type = tot.event_type),
+      |q1 AS (SELECT event_type, MIN(cents) AS q1_c FROM cum WHERE cum * 4 >= n GROUP BY 1),
+      |q2 AS (SELECT event_type, MIN(cents) AS med_c FROM cum WHERE cum * 4 >= n * 2 GROUP BY 1),
+      |q3 AS (SELECT event_type, MIN(cents) AS q3_c FROM cum WHERE cum * 4 >= n * 3 GROUP BY 1)
+      |SELECT h.event_type, MAX(n) AS n, MAX(q1_c) AS q1_c, MAX(med_c) AS med_c,
+      |       MAX(q3_c) AS q3_c, MAX(q3_c) - MAX(q1_c) AS iqr_c,
+      |       CAST(SUM(CASE WHEN cents * 2 < q1_c * 2 - (q3_c - q1_c) * 3
+      |                     THEN cnt ELSE 0 END) AS BIGINT) AS n_low,
+      |       CAST(SUM(CASE WHEN cents * 2 > q3_c * 2 + (q3_c - q1_c) * 3
+      |                     THEN cnt ELSE 0 END) AS BIGINT) AS n_high
+      |FROM h
+      |JOIN tot ON h.event_type = tot.event_type
+      |JOIN q1 ON h.event_type = q1.event_type
+      |JOIN q2 ON h.event_type = q2.event_type
+      |JOIN q3 ON h.event_type = q3.event_type
+      |GROUP BY h.event_type
+      |ORDER BY h.event_type""".stripMargin)
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
   // the winning event_id — the engine's single grouped pass is mirrored as

@@ -521,10 +521,20 @@ object Stats {
     abChisq(events(spark, sfDir))
 
   /** q165 kernel on an arbitrary event frame (planted-data seam). */
-  private[graft] def abChisq(ev: DataFrame): DataFrame = {
-    val per = ev.groupBy(col("user_id"))
+  private[graft] def abChisq(ev: DataFrame): DataFrame =
+    chisqOfConv(userConv(ev))
+
+  /** Per-user conversion flags — a MAX partial (associative +
+    * commutative), which is what lets the s42 streaming maintainer
+    * accumulate them per batch and merge at read. */
+  private[graft] def userConv(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
-      .select(pmod(col("user_id"), lit(2)).as("variant"), col("conv"))
+
+  /** Chi-square finisher on a per-user (user_id, conv) frame — the seam
+    * s42 reads through, so stream and batch share one test. */
+  private[graft] def chisqOfConv(perUser: DataFrame): DataFrame = {
+    val per = perUser.select(pmod(col("user_id"), lit(2)).as("variant"), col("conv"))
     val c = per.agg(
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_a"),
@@ -546,6 +556,62 @@ object Stats {
         .otherwise(lit(null).cast("double")).as("chi2_4"),
       (den > 0 && num * lit(10000).cast("decimal(5,0)") > lit(ChisqCrit10k) * den)
         .as("significant"))
+  }
+
+  /** q168: Tukey box-plot summary + IQR fence outlier counts per event
+    * type over the VALUE distribution — the five-number profile (DISC
+    * quartiles) and the 1.5·IQR outlier rule every EDA/monitoring layer
+    * computes, complementing q162 (daily-count MAD) with the per-event
+    * value axis. ALL INTEGER: values quantize to exact cents
+    * (DECIMAL(12,2)·100, q156's carrier), DISC quartiles are attained
+    * cent values read off histograms (smallest v with 4·cum ≥ k·N), and
+    * the fences multiply through by 2 so 1.5·IQR never leaves the
+    * integers: v is a low outlier iff 2v < 2·q1 − 3·IQR, high iff
+    * 2v > 2·q3 + 3·IQR.
+    *
+    * Scale posture: ONE map-side-combined histogram shuffle — the
+    * stream's 2-dec quantization bounds distinct cents per type
+    * REGARDLESS of corpus size (q135's argument); cumulative windows
+    * PARTITIONED by type over the bounded histogram; the 3-quartile
+    * panel broadcasts back into one conditional count over the same
+    * histogram (never the raw rows). */
+  def q168(spark: SparkSession, sfDir: String): DataFrame =
+    iqrOutliers(events(spark, sfDir))
+
+  /** q168 kernel on an arbitrary (event_type, value) frame. */
+  private[graft] def iqrOutliers(ev: DataFrame): DataFrame = {
+    // one histogram evaluation feeds totals, the quartile scans and the
+    // outlier count (q104 pinning discipline)
+    val h = pin(ev
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt")))
+    val tot = h.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val cum = h.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+      .join(broadcast(tot), Seq("event_type"))
+    def quartile(k: Int, out: String): DataFrame =
+      cum.filter(col("cum") * 4 >= col("n") * k)
+        .groupBy(col("event_type")).agg(min(col("cents")).as(out))
+    val panel = quartile(1, "q1_c")
+      .join(quartile(2, "med_c"), Seq("event_type"))
+      .join(quartile(3, "q3_c"), Seq("event_type"))
+    h.join(broadcast(panel), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"),
+        max(col("q1_c")).as("q1_c"), max(col("med_c")).as("med_c"),
+        max(col("q3_c")).as("q3_c"),
+        sum(when(col("cents") * 2 <
+            col("q1_c") * 2 - (col("q3_c") - col("q1_c")) * 3, col("cnt"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("cents") * 2 >
+            col("q3_c") * 2 + (col("q3_c") - col("q1_c")) * 3, col("cnt"))
+          .otherwise(0L)).as("n_high"))
+      .withColumn("iqr_c", col("q3_c") - col("q1_c"))
+      .select(col("event_type"), col("n"), col("q1_c"), col("med_c"),
+        col("q3_c"), col("iqr_c"), col("n_low"), col("n_high"))
+      .orderBy(col("event_type"))
   }
 
   /** q166: CUSUM changepoint localization — for each event type, the day

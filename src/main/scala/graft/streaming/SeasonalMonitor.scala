@@ -36,16 +36,24 @@ object SeasonalMonitor {
 
   private def emptyDaily(spark: SparkSession): DataFrame =
     spark.range(0).select(lit("").as("event_type"),
-      lit(null).cast("date").as("d"), lit(0L).as("n"))
+      lit(null).cast("date").as("d"), lit(0L).as("n"),
+      lit(0.0).as("sum_v"))
 
-  /** One micro-batch of (event_type, ts): exact per-(type, day) counts →
-    * the batch's own partition. */
+  /** One micro-batch of (event_type, ts, value): exact per-(type, day)
+    * counts AND the exact DECIMAL value sum → the batch's own partition.
+    * The decimal (not double) carrier is what keeps the merge exact: the
+    * read sums the per-batch decimals and casts to double ONCE, so the
+    * merged panel equals batch `Stats.dailyOf` bit-for-bit under any
+    * split (r14: widened from counts-only so the one store serves the
+    * holt read too). */
   def processBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
     if (batch.isEmpty) return
     batch
-      .select(col("event_type"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .select(col("event_type"), to_date(date_trunc("day", col("ts"))).as("d"),
+        col("value"))
       .groupBy(col("event_type"), col("d"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_v"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -53,17 +61,33 @@ object SeasonalMonitor {
       .parquet(storeDir)
   }
 
+  /** The merged (event_type, d, n, sum_v) daily panel — the dailyOf
+    * equivalence every read below starts from. */
+  private def mergedDaily(spark: SparkSession, storeDir: String): DataFrame =
+    if (!StoreRead.hasParquetData(spark, storeDir)) emptyDaily(spark)
+    else spark.read.parquet(storeDir)
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).cast("double").as("sum_v"))
+
   /** The q151-shaped forecast-error report over everything ingested so
     * far — row-for-row equal to batch q151 on the concatenated log under
     * ANY batch split. */
-  def baseline(spark: SparkSession, storeDir: String): DataFrame = {
-    val daily =
-      if (!StoreRead.hasParquetData(spark, storeDir)) emptyDaily(spark)
-      else spark.read.parquet(storeDir)
-        .groupBy(col("event_type"), col("d"))
-        .agg(sum(col("n")).as("n"))
-    Stats.seasonalBaseline(daily)
-  }
+  def baseline(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.seasonalBaseline(mergedDaily(spark, storeDir))
+
+  /** s43: the THIRD read — q167's Holt level/trend smoothing over the
+    * same merged panel, through the SAME `Stats.holtOf` kernel. The
+    * sequential float fold is derived AT READ (a fold is not a mergeable
+    * statistic — the same boundary argument as the s39 medians); the
+    * decimal sum_v partials merge exactly, so the fold's inputs equal
+    * batch q167's bit-for-bit. */
+  def holt(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.holtOf(mergedDaily(spark, storeDir))
+
+  /** s44: the FOURTH read — q166's CUSUM changepoint over the merged
+    * counts, through the SAME `Stats.cusumChangepoint` kernel. */
+  def changepoint(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.cusumChangepoint(mergedDaily(spark, storeDir))
 
   /** s39: the SECOND read of this store — q162's robust median/MAD
     * outlier flags over the same merged daily panel. One additive store
@@ -73,14 +97,8 @@ object SeasonalMonitor {
     * medians are derived AT READ over the calendar-bounded panel (s37's
     * boundary argument). Row-for-row equal to batch q162 under ANY batch
     * split; replay no-op inherits from the shared store. */
-  def outliers(spark: SparkSession, storeDir: String): DataFrame = {
-    val daily =
-      if (!StoreRead.hasParquetData(spark, storeDir)) emptyDaily(spark)
-      else spark.read.parquet(storeDir)
-        .groupBy(col("event_type"), col("d"))
-        .agg(sum(col("n")).as("n"))
-    Stats.madOutliers(daily)
-  }
+  def outliers(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.madOutliers(mergedDaily(spark, storeDir))
 
   /** Wire a streaming (event_type, ts) source into the loop. */
   def start(events: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =

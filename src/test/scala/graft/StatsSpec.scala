@@ -322,4 +322,20 @@ class StatsSpec extends SparkSpec {
       (1.5, 0.125, 1.625),
       (2.3125, 0.296875, 2.609375)), s"got ${got.toSeq}")
   }
+
+  test("q168 IQR outliers: hand-computed DISC quartiles and exact 1.5*IQR fences; a clean distribution counts zero outliers") {
+    import graft.queries.Stats
+    // A: cents 100x4, 200x2, 300x2, 10000x1 (N=9): cum(100)=4 (4*4>=9 ->
+    // q1=100), cum(200)=6 (24>=18 -> med=200), cum(300)=8 (32>=27 ->
+    // q3=300); IQR=200; high fence 2v > 600+600 -> only 10000 flags
+    val a = Seq.fill(4)(1.00) ++ Seq(2.00, 2.00, 3.00, 3.00, 100.00)
+    // B: 1,2,3,4 -> q1=100, med=200, q3=300, no outliers
+    val b = Seq(1.00, 2.00, 3.00, 4.00)
+    val ev = (a.map(("A", _)) ++ b.map(("B", _))).toDF("event_type", "value")
+    val got = Stats.iqrOutliers(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got("A") == ((9L, 100L, 200L, 300L, 200L, 0L, 1L)), s"got ${got("A")}")
+    assert(got("B") == ((4L, 100L, 200L, 300L, 200L, 0L, 0L)), s"got ${got("B")}")
+  }
 }

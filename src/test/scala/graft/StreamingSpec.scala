@@ -2061,4 +2061,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows(frontier(spark, storeDir)) == want, "replay changed the frontier")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s42: streamed A/B readout == batch q165 under an ARBITRARY batch split; a late conversion flips the merged flag; replay no-op") {
+    import graft.streaming.ChisqMonitor.{processBatch, readout}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s42-chisq") + "/store"
+    // empty store: the one-row readout carries NULL margins (SUM over
+    // nothing), matching batch q165 on an empty log
+    assert(readout(spark, storeDir).collect()(0).isNullAt(0))
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    val want = rows(SparkEntry.queries("q165_ab_chisq")(spark, sf001))
+    assert(rows(readout(spark, storeDir)) == want,
+      "streamed readout diverged from batch q165")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(readout(spark, storeDir)) == want, "replay changed the readout")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s43/s44: Holt trend and CUSUM changepoint read off the SAME s36 daily store == batch q167/q166; replay no-op") {
+    import graft.streaming.SeasonalMonitor.{changepoint, holt, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s43-daily") + "/store"
+    assert(holt(spark, storeDir).collect().isEmpty)
+    assert(changepoint(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    // one additive daily panel (counts + exact decimal value sums), FOUR
+    // reads: s36 forecast, s39 MAD, s43 Holt, s44 CUSUM — the decimal
+    // sum partials are what make the Holt fold's inputs exact under
+    // any split
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    val wantHolt = rows(SparkEntry.queries("q167_holt_trend")(spark, sf001))
+    val wantCusum = rows(SparkEntry.queries("q166_cusum_changepoint")(spark, sf001))
+    assert(wantHolt.nonEmpty && wantCusum.nonEmpty)
+    assert(rows(holt(spark, storeDir)) == wantHolt,
+      "streamed Holt panel diverged from batch q167")
+    assert(rows(changepoint(spark, storeDir)) == wantCusum,
+      "streamed changepoint diverged from batch q166")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(holt(spark, storeDir)) == wantHolt, "replay changed the Holt panel")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
