@@ -341,6 +341,9 @@ object SparkEntry {
     "q166_cusum_changepoint"  -> Stats.q166 _,
     "q167_holt_trend"         -> Stats.q167 _,
     "q168_iqr_outliers"       -> Stats.q168 _,
+    "q169_conversion_latency" -> Behavior.q169 _,
+    "q170_ship_lag_quantiles" -> Relational.q170 _,
+    "q171_type_correlation"   -> Stats.q171 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

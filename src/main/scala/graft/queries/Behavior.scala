@@ -401,4 +401,55 @@ object Behavior {
         (sum(col("hq")).over(wCum) / 10000.0).as("cumhaz4"))
       .orderBy(col("t_days"))
   }
+
+  /** q169: signup→purchase conversion-latency quantiles — the "how long
+    * does activation take?" read every product team tracks as p50/p90,
+    * not a mean (latency tails are heavy by nature). Per user: the first
+    * purchase AT OR AFTER the first signup (a purchase before the signup
+    * never counts — the planted law pins that boundary); latency floors
+    * to whole hours (exact integer division of epoch micros), and the
+    * DISC p50/p90 read off the hour histogram (q156's discipline at
+    * k = 2 and 10·cum ≥ 9·N), with the exact-ratio mean alongside.
+    *
+    * Scale posture: the signup reduction and the purchase⋈signup join
+    * co-partition on user_id (one exchange each side, the per-user min
+    * reuses the join's partitioning); everything after is the
+    * hour-domain-bounded histogram — the cumulative window is global but
+    * post-Aggregate at observation-window-hours cardinality
+    * (bounded-global-window allowlisted), and the single-row totals
+    * broadcast (NoCartesian-allowlisted). One-row output. */
+  def q169(spark: SparkSession, sfDir: String): DataFrame =
+    conversionLatency(Tables.events(spark, sfDir))
+
+  /** q169 kernel on an arbitrary event frame (planted-data seam). */
+  private[graft] def conversionLatency(ev: DataFrame): DataFrame = {
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_s"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("ts_p"))
+      .join(su, Seq("user_id"))
+      .filter(col("ts_p") >= col("ts_s"))
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts_p")) - unix_micros(col("ts_s"))).as("lat_us"))
+    // totals ride the SAME windowed frame as the cumulative counts (an
+    // unbounded-frame sum next to the running sum), so one Aggregate
+    // finishes the whole report — no joins, no second evaluation, and
+    // both global windows sit visibly above the histogram Aggregate for
+    // the reduced-frame plan pin
+    val wCum = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lat.select(expr("lat_us div 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("sum_h", sum(col("h") * col("cnt")).over(wAll))
+      .agg(max(col("n")).as("n"), max(col("sum_h")).as("sum_h"),
+        min(when(col("cum") * 2 >= col("n"), col("h"))).as("p50_h"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("h"))).as("p90_h"))
+      .select(col("n").as("n_converted"), col("p50_h"), col("p90_h"),
+        when(col("n") > 0, ratio4(col("sum_h"), col("n")))
+          .otherwise(lit(null).cast("double")).as("mean_h4"))
+  }
 }

@@ -381,6 +381,9 @@ object OracleSql {
     "q166_cusum_changepoint" -> cusumSql,
     "q167_holt_trend"        -> holtSql,
     "q168_iqr_outliers"      -> iqrSql,
+    "q169_conversion_latency" -> conversionLatencySql,
+    "q170_ship_lag_quantiles" -> shipLagSql,
+    "q171_type_correlation"  -> typeCorrSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2819,6 +2822,75 @@ object OracleSql {
       |JOIN q3 ON h.event_type = q3.event_type
       |GROUP BY h.event_type
       |ORDER BY h.event_type""".stripMargin)
+
+  // q169: latency in whole hours by exact integer division of epoch
+  // micros (`//` mirrors Spark's `div`); the DISC p50/p90 off the hour
+  // histogram; the one-row output is the single-row-aggregate cross-join
+  // chain, so an empty log yields one all-NULL row on both engines.
+  private def conversionLatencySql: String =
+    (eventsCte + """,
+      |su AS (SELECT user_id, MIN(ts) AS ts_s FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |lat AS (SELECT e.user_id, MIN(epoch_us(e.ts) - epoch_us(su.ts_s)) AS lat_us
+      |        FROM e JOIN su ON e.user_id = su.user_id
+      |        WHERE e.event_type = 'purchase' AND e.ts >= su.ts_s
+      |        GROUP BY 1),
+      |hh AS (SELECT lat_us // 3600000000 AS h FROM lat),
+      |h AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM hh GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(h * cnt) AS BIGINT) AS sum_h FROM h),
+      |cum AS (SELECT h, CAST(SUM(cnt) OVER (ORDER BY h) AS BIGINT) AS cum FROM h),
+      |p50 AS (SELECT MIN(h) AS p50_h FROM cum, tot WHERE cum * 2 >= n),
+      |p90 AS (SELECT MIN(h) AS p90_h FROM cum, tot WHERE cum * 10 >= n * 9)
+      |SELECT n AS n_converted, p50_h, p90_h,
+      |       CASE WHEN n > 0 THEN """.stripMargin +
+      ratio4Sql("sum_h", "n") + """ END AS mean_h4
+      |FROM tot, p50, p90""".stripMargin)
+
+  // q170: per-priority DISC p50/p90 of order-to-ship lag days; DuckDB
+  // date_diff returns BIGINT -> cast to INTEGER to match Spark's datediff.
+  private def shipLagSql: String =
+    s"""WITH lag AS (SELECT o_orderpriority AS priority,
+       |         CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INTEGER) AS lag_d
+       |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h AS (SELECT priority, lag_d, CAST(COUNT(*) AS BIGINT) AS cnt FROM lag GROUP BY 1, 2),
+       |tot AS (SELECT priority, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+       |cum AS (SELECT h.priority, lag_d, n,
+       |          CAST(SUM(cnt) OVER (PARTITION BY h.priority ORDER BY lag_d) AS BIGINT) AS cum
+       |        FROM h JOIN tot ON h.priority = tot.priority),
+       |p50 AS (SELECT priority, MIN(lag_d) AS p50_d FROM cum WHERE cum * 2 >= n GROUP BY 1),
+       |p90 AS (SELECT priority, MIN(lag_d) AS p90_d FROM cum WHERE cum * 10 >= n * 9 GROUP BY 1)
+       |SELECT tot.priority, n, p50_d, p90_d
+       |FROM tot
+       |JOIN p50 ON tot.priority = p50.priority
+       |JOIN p90 ON tot.priority = p90.priority
+       |ORDER BY tot.priority""".stripMargin
+
+  // q171: Pearson moments in exact HUGEINT; the denominator is the
+  // sqrt-PRODUCT (two sqrts of exactly-cast doubles, then one multiply and
+  // one division — the engine's identical expression), never
+  // sqrt-of-product, keeping the integer carrier far from its ceiling.
+  private def typeCorrSql: String =
+    (eventsCte + """,
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM e GROUP BY 1, 2),
+      |j AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.n AS x, b.n AS y
+      |      FROM daily a JOIN daily b ON a.d = b.d AND a.event_type < b.event_type),
+      |s AS (SELECT type_a, type_b, CAST(COUNT(*) AS HUGEINT) AS nd,
+      |        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |        CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |      FROM j GROUP BY 1, 2),
+      |f AS (SELECT type_a, type_b, nd,
+      |        nd * sxy - sx * sy AS num,
+      |        nd * sxx - sx * sx AS vx,
+      |        nd * syy - sy * sy AS vy
+      |      FROM s)
+      |SELECT type_a, type_b, CAST(nd AS BIGINT) AS n_days,
+      |       CASE WHEN vx > 0 AND vy > 0
+      |            THEN CAST(num AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+      |            END AS r
+      |FROM f ORDER BY type_a, type_b""".stripMargin)
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
   // the winning event_id — the engine's single grouped pass is mirrored as

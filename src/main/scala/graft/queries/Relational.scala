@@ -876,4 +876,44 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** q170: shipping-lag quantiles per order priority — q139's lateness
+    * pivot upgraded from threshold counts to the DISC p50/p90 of the
+    * actual order-to-ship lag distribution, the SLA percentile report a
+    * fulfillment dashboard shows. Quantiles read off per-priority
+    * lag-day histograms (Stats' q162/q168 discipline: smallest v with
+    * k·cum ≥ q·N) — all integer (lags are whole days).
+    *
+    * Scale posture: the lineitem⋈orders fact join is the one
+    * corpus-scale stage (orderkey equi-join, AQE-planned); the lag
+    * histogram map-side-combines to (priorities × lag-domain) partials,
+    * and the cumulative windows are PARTITIONED by priority over that
+    * bounded frame. */
+  def q170(spark: SparkSession, sfDir: String): DataFrame =
+    shipLagQuantiles(
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate")),
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")))
+
+  /** q170 kernel (planted-data seam). */
+  private[graft] def shipLagQuantiles(li: DataFrame, o: DataFrame): DataFrame = {
+    val h = pin(li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("lag_d"))
+      .groupBy(col("priority"), col("lag_d"))
+      .agg(count(lit(1)).as("cnt")))
+    val tot = h.groupBy(col("priority")).agg(sum(col("cnt")).as("n"))
+    val cum = h.withColumn("cum",
+      sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("priority")).orderBy(col("lag_d"))))
+      .join(broadcast(tot), Seq("priority"))
+    def pct(k: Int, q: Int, out: String): DataFrame =
+      cum.filter(col("cum") * k >= col("n") * q)
+        .groupBy(col("priority")).agg(min(col("lag_d")).as(out))
+    tot.join(broadcast(pct(2, 1, "p50_d")), Seq("priority"))
+      .join(broadcast(pct(10, 9, "p90_d")), Seq("priority"))
+      .select(col("priority"), col("n"), col("p50_d"), col("p90_d"))
+      .orderBy(col("priority"))
+  }
 }

@@ -578,15 +578,28 @@ object Stats {
   def q168(spark: SparkSession, sfDir: String): DataFrame =
     iqrOutliers(events(spark, sfDir))
 
-  /** q168 kernel on an arbitrary (event_type, value) frame. */
-  private[graft] def iqrOutliers(ev: DataFrame): DataFrame = {
-    // one histogram evaluation feeds totals, the quartile scans and the
-    // outlier count (q104 pinning discipline)
-    val h = pin(ev
-      .select(col("event_type"),
-        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
-      .groupBy(col("event_type"), col("cents"))
+  /** q168 kernel on an arbitrary (event_type, value) frame: reduce to
+    * per-(type, value) counts FIRST (the same frame the s29 drift store
+    * accumulates — which is what makes s45 a free second read of that
+    * store), then the quartile machinery. */
+  private[graft] def iqrOutliers(ev: DataFrame): DataFrame =
+    iqrOfValueCounts(ev.select(col("event_type"), col("value"))
+      .groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("cnt")))
+
+  /** q168 kernel on a per-(event_type, value) COUNT frame — the seam the
+    * s45 streaming read enters through, so stream and batch share one
+    * quartile/fence definition by construction. */
+  private[graft] def iqrOfValueCounts(counts: DataFrame): DataFrame = {
+    // one histogram evaluation feeds totals, the quartile scans and the
+    // outlier count (q104 pinning discipline); re-aggregating by cents
+    // merges any distinct raw values that quantize to the same cent
+    val h = pin(counts
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        col("cnt"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("cnt")).as("cnt")))
     val tot = h.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
     val cum = h.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col("cents"))))
@@ -612,6 +625,50 @@ object Stats {
       .select(col("event_type"), col("n"), col("q1_c"), col("med_c"),
         col("q3_c"), col("iqr_c"), col("n_low"), col("n_high"))
       .orderBy(col("event_type"))
+  }
+
+  /** q171: Pearson correlation between the daily-count series of every
+    * event-type pair — the metric-correlation matrix an observability
+    * layer derives ("do errors track clicks?"), next to q135's
+    * distribution-level KS. r = (D·Σxy − Σx·Σy) /
+    * (√(D·Σx² − (Σx)²) · √(D·Σy² − (Σy)²)) over the days BOTH types were
+    * observed: numerator and both variance terms are EXACT integers
+    * (DECIMAL(38,0) carriers / HUGEINT oracle), then two sqrts and one
+    * division of identical operands — bit-identical across engines and
+    * deliberately UNROUNDED (q133's z discipline; the denominator is the
+    * sqrt-PRODUCT, not sqrt-of-product, to keep the integer carrier away
+    * from its 10³⁸ ceiling). Zero variance on either side → NULL r.
+    *
+    * Scale posture: [[dailyOf]] shuffles once; the pair join is a
+    * self-equi-join of the calendar-bounded panel on the day key with
+    * ≤ T² fan-out per day; the moment aggregate map-side-combines to
+    * ≤ T² partials per task. */
+  def q171(spark: SparkSession, sfDir: String): DataFrame =
+    typeCorrelation(dailyOf(events(spark, sfDir)))
+
+  /** q171 core on a (event_type, d, n) daily frame (planted-data seam). */
+  private[graft] def typeCorrelation(dailyIn: DataFrame): DataFrame = {
+    // one evaluation feeds both sides of the pair self-join
+    val d = pin(dailyIn.select(col("event_type"), col("d"), col("n")))
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    val j = d.select(col("event_type").as("type_a"), col("d"), col("n").as("x"))
+      .join(d.select(col("event_type").as("type_b"), col("d"), col("n").as("y")),
+        Seq("d"))
+      .filter(col("type_a") < col("type_b"))
+    val s = j.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    val num = dec(col("n_days")) * col("sxy") - dec(col("sx")) * dec(col("sy"))
+    val vx = dec(col("n_days")) * col("sxx") - dec(col("sx")) * dec(col("sx"))
+    val vy = dec(col("n_days")) * col("syy") - dec(col("sy")) * dec(col("sy"))
+    s.select(col("type_a"), col("type_b"), col("n_days"),
+      when(vx > 0 && vy > 0,
+        num.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        .otherwise(lit(null).cast("double")).as("r"))
+      .orderBy(col("type_a"), col("type_b"))
   }
 
   /** q166: CUSUM changepoint localization — for each event type, the day

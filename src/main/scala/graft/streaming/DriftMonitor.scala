@@ -67,6 +67,22 @@ object DriftMonitor {
     Stats.ksOfCounts(counts)
   }
 
+  /** s45: the SECOND read of this store — q168's Tukey box-plot profile
+    * and 1.5·IQR outlier counts over the same merged value histogram,
+    * through the SAME `Stats.iqrOfValueCounts` kernel batch q168 runs.
+    * One additive value-count store, two distribution reads (KS drift +
+    * IQR profile) — the s36/s39 economics on the value axis. Row-for-row
+    * equal to batch q168 under ANY batch split; replay no-op inherits
+    * from the shared store. */
+  def iqr(spark: SparkSession, storeDir: String): DataFrame = {
+    val counts =
+      if (!StoreRead.hasParquetData(spark, storeDir)) emptyCounts(spark)
+      else spark.read.parquet(storeDir)
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(col("cnt")).as("cnt"))
+    Stats.iqrOfValueCounts(counts)
+  }
+
   /** Wire a streaming (event_type, value) source into the loop. */
   def start(events: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =
     events.writeStream

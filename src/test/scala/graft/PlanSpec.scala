@@ -258,7 +258,9 @@ class PlanSpec extends SparkSpec {
       "q163_skyline" ->
         "running-min over the per-quantity argmin candidates — post-groupBy(qty), <= |l_quantity domain| = 50 rows by construction (Skyline.skyline)",
       "q164_survival_hazard" ->
-        "reverse-cumulative at-risk + forward cumulative hazard over the duration histogram — post-groupBy(t_days), <= observation-window-days rows (Behavior.survivalHazard)")
+        "reverse-cumulative at-risk + forward cumulative hazard over the duration histogram — post-groupBy(t_days), <= observation-window-days rows (Behavior.survivalHazard)",
+      "q169_conversion_latency" ->
+        "cumulative over the latency-hour histogram — post-groupBy(h), <= observation-window-hours rows (Behavior.conversionLatency)")
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LogicalPlan, Window => LWindow}
     // Cardinality-aware, not collectFirst-over-the-subtree (advisor r10):
     // a frame is reduced iff EVERY path from the window down to a leaf

@@ -657,4 +657,46 @@ class SemanticsSpec extends SparkSpec {
     // t=2: d=2, n=4 -> hazard 0.5; t=5: d=1, n=2 -> hazard 0.5, cum 1.0
     assert(got == Seq((2, 4L, 2L, 0.5, 0.5), (5, 2L, 1L, 0.5, 1.0)), s"got $got")
   }
+
+  test("q169 conversion latency: purchase before signup never counts, same-instant counts as zero hours, DISC p50/p90 hand-computed") {
+    // u1: signup 10:00, purchase 10:00 (same instant -> 0h) — boundary IN
+    // u2: purchase 09:00 BEFORE signup 10:00, then purchase 13:30 -> 3h
+    // u3: signup 10:00, purchase next day 12:00 -> 26h
+    // u4: purchase only, never signed up -> excluded entirely
+    val ev = Seq(
+      (1L, 1L, ts("2020-01-01 10:00:00"), "signup", 0.0),
+      (1L, 2L, ts("2020-01-01 10:00:00"), "purchase", 1.0),
+      (2L, 3L, ts("2020-01-01 09:00:00"), "purchase", 1.0),
+      (2L, 4L, ts("2020-01-01 10:00:00"), "signup", 0.0),
+      (2L, 5L, ts("2020-01-01 13:30:00"), "purchase", 1.0),
+      (3L, 6L, ts("2020-01-01 10:00:00"), "signup", 0.0),
+      (3L, 7L, ts("2020-01-02 12:00:00"), "purchase", 1.0),
+      (4L, 8L, ts("2020-01-01 11:00:00"), "purchase", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val r = graft.queries.Behavior.conversionLatency(ev).collect()(0)
+    // latencies {0, 3, 26}: N=3; p50 = smallest h with 2cum>=3 -> 3;
+    // p90 = smallest h with 10cum>=27 -> 26; mean = 29/3 -> 9.6667
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((3L, 3L, 26L, 9.6667)), s"got $r")
+  }
+
+  test("q170 ship-lag quantiles: hand-computed DISC p50/p90 per priority") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val o = Seq(
+      (1L, d("1996-01-01"), "1-URGENT"),
+      (2L, d("1996-01-01"), "1-URGENT"),
+      (3L, d("1996-01-01"), "2-HIGH"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    // URGENT lags {1, 1, 5, 9}: p50 -> cum(1)=2, 2*2>=4 -> 1;
+    //   p90 -> 10*cum>=36: cum(5)=3 (30<36), cum(9)=4 -> 9
+    // HIGH lags {7}: p50 = p90 = 7
+    val li = Seq(
+      (1L, d("1996-01-02")), (1L, d("1996-01-02")), (1L, d("1996-01-06")),
+      (2L, d("1996-01-10")),
+      (3L, d("1996-01-08")))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = graft.queries.Relational.shipLagQuantiles(li, o).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toSeq
+    assert(got == Seq("1-URGENT" -> ((4L, 1, 9)), "2-HIGH" -> ((1L, 7, 7))), s"got $got")
+  }
 }

@@ -338,4 +338,28 @@ class StatsSpec extends SparkSpec {
     assert(got("A") == ((9L, 100L, 200L, 300L, 200L, 0L, 1L)), s"got ${got("A")}")
     assert(got("B") == ((4L, 100L, 200L, 300L, 200L, 0L, 0L)), s"got ${got("B")}")
   }
+
+  test("q171 type correlation: perfectly tracking series read r=1, mirrored series r=-1, a constant series reads NULL; only shared days count") {
+    import graft.queries.Stats
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val daily =
+      (0 until 4).map(i => ("A", day(i), (10 + i).toLong)) ++   // 10,11,12,13
+      (0 until 4).map(i => ("B", day(i), (20 + 2 * i).toLong)) ++ // tracks A
+      (0 until 4).map(i => ("C", day(i), (13 - i).toLong)) ++   // mirrors A
+      (0 until 4).map(i => ("D", day(i), 5L)) ++                // constant
+      Seq(("E", day(0), 99L))                                   // one shared day only
+    val got = Stats.typeCorrelation(daily.toDF("event_type", "d", "n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    // the sqrt-product denominator makes r deterministic but not exactly
+    // +-1 on perfect correlation (sqrt(vx)*sqrt(vy) != sqrt(vx*vy) in
+    // IEEE) — the oracle mirrors the identical expression, so the
+    // cross-engine compare is still bit-exact; here we pin the ULP band
+    assert(got(("A", "B"))._1 == 4L && math.abs(got(("A", "B"))._2 - 1.0) < 1e-12)
+    assert(got(("A", "C"))._1 == 4L && math.abs(got(("A", "C"))._2 + 1.0) < 1e-12)
+    assert(got(("A", "D"))._1 == 4L && got(("A", "D"))._2.isNaN,
+      "zero variance must read NULL")
+    // E shares one day with each other type: n=1 -> both variances 0 -> NULL
+    assert(got(("A", "E"))._1 == 1L && got(("A", "E"))._2.isNaN)
+  }
 }

@@ -2106,4 +2106,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows(holt(spark, storeDir)) == wantHolt, "replay changed the Holt panel")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s45: streamed IQR profile == batch q168 off the SAME s29 drift store; replay no-op") {
+    import graft.streaming.DriftMonitor.{iqr, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s45-iqr") + "/store"
+    assert(iqr(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    // one additive value-count store, two distribution reads (s29 KS
+    // drift + s45 IQR profile)
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q168_iqr_outliers")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(iqr(spark, storeDir)) == want,
+      "streamed IQR profile diverged from batch q168")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(iqr(spark, storeDir)) == want, "replay changed the profile")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
