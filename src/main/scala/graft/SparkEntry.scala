@@ -344,6 +344,8 @@ object SparkEntry {
     "q169_conversion_latency" -> Behavior.q169 _,
     "q170_ship_lag_quantiles" -> Relational.q170 _,
     "q171_type_correlation"   -> Stats.q171 _,
+    "q172_traffic_drawdown"   -> Stats.q172 _,
+    "q173_revenue_gini"       -> Stats.q173 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

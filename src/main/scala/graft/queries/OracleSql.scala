@@ -384,6 +384,8 @@ object OracleSql {
     "q169_conversion_latency" -> conversionLatencySql,
     "q170_ship_lag_quantiles" -> shipLagSql,
     "q171_type_correlation"  -> typeCorrSql,
+    "q172_traffic_drawdown"  -> drawdownSql,
+    "q173_revenue_gini"      -> giniSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2891,6 +2893,49 @@ object OracleSql {
       |            THEN CAST(num AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
       |            END AS r
       |FROM f ORDER BY type_a, type_b""".stripMargin)
+
+  // q172: running-peak drawdown per type; argmax via (dd DESC, d)
+  // row_number — the engine's min-over-(-dd, d) struct.
+  private def drawdownSql: String =
+    (eventsCte + """,
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM e GROUP BY 1, 2),
+      |dd AS (SELECT event_type, d, n,
+      |         MAX(n) OVER (PARTITION BY event_type ORDER BY d) - n AS dd
+      |       FROM daily),
+      |r AS (SELECT event_type, d, dd,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY dd DESC, d) AS rn
+      |      FROM dd),
+      |pk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |         CAST(MAX(n) AS BIGINT) AS peak_n
+      |       FROM daily GROUP BY 1)
+      |SELECT pk.event_type, n_days, peak_n, dd AS max_dd, d AS trough_d
+      |FROM pk JOIN r ON pk.event_type = r.event_type AND r.rn = 1
+      |ORDER BY pk.event_type""".stripMargin)
+
+  // q173: the grouped-ties Gini in exact HUGEINT — rank offsets off the
+  // revenue histogram's cumulative counts (the engine computes the same
+  // prefix two-phase; grouped totals make the value identical), one
+  // HUGEINT `//` ratio4dec mirror at the end.
+  private def giniSql: String =
+    s"""WITH per AS (SELECT o_custkey,
+       |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+       |       FROM orders GROUP BY 1),
+       |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM per GROUP BY 1),
+       |cumf AS (SELECT v, c,
+       |           CAST(SUM(c) OVER (ORDER BY v) AS HUGEINT) - c AS a
+       |         FROM h),
+       |t AS (SELECT CAST(SUM(c) AS HUGEINT) AS n,
+       |        CAST(SUM(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s,
+       |        CAST(SUM(CAST(v AS HUGEINT) *
+       |          (2 * CAST(c AS HUGEINT) * a + CAST(c AS HUGEINT) * c + c)) AS HUGEINT) AS twoix
+       |      FROM cumf)
+       |SELECT CAST(n AS BIGINT) AS n_customers, CAST(s AS BIGINT) AS total_cents,
+       |       CASE WHEN n > 0 AND s > 0
+       |            THEN CAST(((twoix - (n + 1) * s) * 20000 + n * s) // (n * s * 2) AS DOUBLE)
+       |                   / 10000.0 END AS gini4
+       |FROM t""".stripMargin
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
   // the winning event_id — the engine's single grouped pass is mirrored as

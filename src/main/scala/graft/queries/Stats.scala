@@ -671,6 +671,93 @@ object Stats {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q172: peak-to-trough drawdown of the daily traffic series — for
+    * each type, the largest decline from a running peak (max_k
+    * (runmax_{≤k}(n) − n_k)) with the day it bottomed: the
+    * "traffic never recovered to its peak" read a monitoring layer runs
+    * next to q133's single-day spikes and q166's changepoint (a slow
+    * bleed below peak is invisible to both). All integer; the trough
+    * tie resolves to the EARLIEST day (min over the (−dd, d) struct,
+    * q166's discipline).
+    *
+    * Scale posture: [[dailyOf]]'s one shuffle, then running max and the
+    * argmax aggregate over PARTITIONED calendar-bounded windows. */
+  def q172(spark: SparkSession, sfDir: String): DataFrame =
+    trafficDrawdown(dailyOf(events(spark, sfDir)))
+
+  /** q172 core on a (event_type, d, n) daily frame (planted-data seam). */
+  private[graft] def trafficDrawdown(dailyIn: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyIn.select(col("event_type"), col("d"), col("n"))
+      .withColumn("dd", max(col("n")).over(w) - col("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("n")).as("peak_n"),
+        min(struct((col("dd") * -1).as("negdd"), col("d"))).as("m"))
+      .select(col("event_type"), col("n_days"), col("peak_n"),
+        (col("m.negdd") * -1).as("max_dd"), col("m.d").as("trough_d"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q173: the Gini coefficient of customer revenue — EXACT, at
+    * distributed scale: the inequality statistic every marketplace /
+    * data-curation team reads next to q122's top-k concentration and
+    * q134's HHI. With per-customer revenues sorted ascending and ties
+    * grouped per distinct cent value v (count c_v, rank offset a_v =
+    * customers strictly below v), G = (2·Σᵢ i·xᵢ − (n+1)·S) / (n·S)
+    * becomes Σ_v v·(2·c_v·a_v + c_v² + c_v) — INTEGER arithmetic end to
+    * end (DECIMAL(38,0) carriers; one ratio4dec at the end).
+    *
+    * The scale move: a_v is a GLOBAL prefix count over the revenue
+    * histogram, whose cardinality is bounded by the cent RANGE, not the
+    * corpus — but not constant, so it gets q72's two-phase distributed
+    * prefix sum (range-partition by cents, per-partition totals, the
+    * triangular P×P offset join, local PARTITIONED cumsum) instead of a
+    * single-task global window. No unpartitioned window anywhere in the
+    * plan (PlanSpec-pinned globally).
+    *
+    * Determinism: pure integers; the q72 boundary-invariance argument
+    * (contiguous ranges + grouped totals reproduce identical offsets
+    * wherever the range sampler cuts). */
+  def q173(spark: SparkSession, sfDir: String): DataFrame =
+    revenueGini(Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents")))
+
+  /** q173 kernel on a (o_custkey, cents) frame (planted-data seam). */
+  private[graft] def revenueGini(rows: DataFrame): DataFrame = {
+    import graft.queries.Sampling.ShardRanges
+    val hist = rows
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .repartitionByRange(ShardRanges, col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = hist.groupBy(col("pid")).agg(sum(col("c")).as("ptot"))
+    val offsets = totals
+      .join(broadcast(totals.select(col("pid").as("prev_pid"), col("ptot").as("prev_tot"))),
+        col("prev_pid") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(coalesce(sum(col("prev_tot")), lit(0L)).as("poff"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    val terms = hist
+      .withColumn("lcum", sum(col("c")).over(w))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("a", col("poff") + col("lcum") - col("c"))
+      .agg(sum(col("c")).as("n"),
+        sum(dec(col("v")) * dec(col("c"))).as("s"),
+        sum(dec(col("v")) * (dec(col("c")) * dec(col("a")) * 2 +
+          dec(col("c")) * dec(col("c")) + dec(col("c")))).as("twoixsum"))
+    terms.select(col("n").as("n_customers"),
+      col("s").cast("long").as("total_cents"),
+      when(col("n") > 0 && col("s") > 0,
+        ratio4dec(col("twoixsum") - dec(col("n") + 1) * col("s"),
+          dec(col("n")) * col("s")))
+        .otherwise(lit(null).cast("double")).as("gini4"))
+  }
+
   /** q166: CUSUM changepoint localization — for each event type, the day
     * where the cumulative deviation of daily counts from the type's own
     * mean peaks: argmax_k |prefix_k − k·S/D| (Page's CUSUM at its

@@ -132,6 +132,9 @@ class PlanSpec extends SparkSpec {
                                  // (q114's ref_date shape)
       "q160_basket_pairs",       // broadcast single-row distinct-order total
                                  // into the lift denominator
+      "q173_revenue_gini",       // the two-phase prefix's triangular P×P
+                                 // offset join over ≤ ShardRanges rows
+                                 // (q72's shape — constant-bounded)
       "q161_calendar_fill")      // broadcast single-row global day span
                                  // (q114's ref_date shape) under the
                                  // calendar explode

@@ -362,4 +362,39 @@ class StatsSpec extends SparkSpec {
     // E shares one day with each other type: n=1 -> both variances 0 -> NULL
     assert(got(("A", "E"))._1 == 1L && got(("A", "E"))._2.isNaN)
   }
+
+  test("q172 drawdown: planted peak-decline series bottoms where hand-computed; a monotone series reads zero at the earliest day") {
+    import graft.queries.Stats
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // A: 10,20,15,5,25 -> runmax 10,20,20,20,25; dd 0,0,5,15,0 ->
+    //   max_dd 15 at day 4 (2024-01-04), peak 25
+    val a = Seq(10L, 20L, 15L, 5L, 25L).zipWithIndex.map { case (n, i) => ("A", day(i), n) }
+    // B monotone up: dd all 0 -> earliest day wins the tie
+    val b = Seq(1L, 2L, 3L).zipWithIndex.map { case (n, i) => ("B", day(i), n) }
+    val got = Stats.trafficDrawdown((a ++ b).toDF("event_type", "d", "n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDate(4).toString))).toMap
+    assert(got("A") == ((5L, 25L, 15L, "2024-01-04")), s"got ${got("A")}")
+    assert(got("B") == ((3L, 3L, 0L, "2024-01-01")), s"got ${got("B")}")
+  }
+
+  test("q173 Gini: hand-computed concentration values — all-equal reads 0, one-takes-all reads (n-1)/n, ties group exactly") {
+    import graft.queries.Stats
+    def gini(revs: Seq[Long]): Double = {
+      val rows = revs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("o_custkey", "cents")
+      val r = Stats.revenueGini(rows).collect()(0)
+      assert(r.getLong(0) == revs.length && r.getLong(1) == revs.sum)
+      r.getDouble(2)
+    }
+    assert(gini(Seq(500L, 500L, 500L, 500L)) == 0.0, "all-equal must read 0")
+    // one customer takes everything: G = (n-1)/n = 0.75
+    assert(gini(Seq(0L, 0L, 0L, 1000L)) == 0.75)
+    // sorted 10,20,30,40: 2*sum(i*x) = 2*(10+40+90+160)=600; (n+1)S=500;
+    // G = 100/400 = 0.25 — and the tie-grouped form must agree
+    assert(gini(Seq(40L, 10L, 30L, 20L)) == 0.25)
+    // ties: 10,10,20 -> 2*(10+20+60)=180, 4*40=160, G=20/120 -> 0.1667
+    assert(gini(Seq(20L, 10L, 10L)) == 0.1667)
+  }
 }
