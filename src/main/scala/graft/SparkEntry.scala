@@ -346,6 +346,7 @@ object SparkEntry {
     "q171_type_correlation"   -> Stats.q171 _,
     "q172_traffic_drawdown"   -> Stats.q172 _,
     "q173_revenue_gini"       -> Stats.q173 _,
+    "q174_revenue_deciles"    -> Stats.q174 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

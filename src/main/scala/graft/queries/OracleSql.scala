@@ -386,6 +386,7 @@ object OracleSql {
     "q171_type_correlation"  -> typeCorrSql,
     "q172_traffic_drawdown"  -> drawdownSql,
     "q173_revenue_gini"      -> giniSql,
+    "q174_revenue_deciles"   -> revenueDecilesSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2936,6 +2937,32 @@ object OracleSql {
        |            THEN CAST(((twoix - (n + 1) * s) * 20000 + n * s) // (n * s * 2) AS DOUBLE)
        |                   / 10000.0 END AS gini4
        |FROM t""".stripMargin
+
+  // q174: the rank-range decile split mirrored literally (generate_series
+  // over the touched deciles, ceil-div boundaries, overlap counts); HUGEINT
+  // revenue sums and the `//` ratio4dec mirror per decile.
+  private def revenueDecilesSql: String =
+    s"""WITH per AS (SELECT o_custkey,
+       |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+       |       FROM orders GROUP BY 1),
+       |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM per GROUP BY 1),
+       |cumf AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) - c AS a FROM h),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |          CAST(SUM(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s
+       |        FROM h),
+       |x AS MATERIALIZED (SELECT v, c, a, n, s,
+       |        unnest(generate_series(a * 10 // n, (a + c - 1) * 10 // n)) AS d
+       |      FROM cumf, tot),
+       |y AS (SELECT v, d, s,
+       |        LEAST(a + c - 1, ((d + 1) * n + 9) // 10 - 1)
+       |          - GREATEST(a, (d * n + 9) // 10) + 1 AS ov
+       |      FROM x)
+       |SELECT d AS decile, CAST(SUM(ov) AS BIGINT) AS n_customers,
+       |       CAST(SUM(CAST(ov AS HUGEINT) * v) AS BIGINT) AS revenue_cents,
+       |       CASE WHEN MAX(s) > 0
+       |            THEN CAST((SUM(CAST(ov AS HUGEINT) * v) * 20000 + MAX(s)) // (MAX(s) * 2) AS DOUBLE)
+       |                   / 10000.0 END AS share4
+       |FROM y WHERE ov > 0 GROUP BY d ORDER BY d""".stripMargin
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
   // the winning event_id — the engine's single grouped pass is mirrored as

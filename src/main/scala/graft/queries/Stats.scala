@@ -724,8 +724,13 @@ object Stats {
       .select(col("o_custkey"),
         (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents")))
 
-  /** q173 kernel on a (o_custkey, cents) frame (planted-data seam). */
-  private[graft] def revenueGini(rows: DataFrame): DataFrame = {
+  /** The ranked revenue histogram shared by q173/q174: per distinct
+    * per-customer cent total v, its customer count c and the EXACT
+    * global rank offset a (customers strictly below v), computed by
+    * q72's two-phase distributed prefix — range-partition by v,
+    * per-partition totals, the triangular offset join, a PARTITIONED
+    * local cumsum. No unpartitioned window at any cardinality. */
+  private[graft] def rankedRevenueHist(rows: DataFrame): DataFrame = {
     import graft.queries.Sampling.ShardRanges
     val hist = rows
       .groupBy(col("o_custkey")).agg(sum(col("cents")).as("v"))
@@ -741,11 +746,16 @@ object Stats {
       .agg(coalesce(sum(col("prev_tot")), lit(0L)).as("poff"))
     val w = Window.partitionBy(col("pid")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
-    val terms = hist
+    hist
       .withColumn("lcum", sum(col("c")).over(w))
       .join(broadcast(offsets), Seq("pid"))
-      .withColumn("a", col("poff") + col("lcum") - col("c"))
+      .select(col("v"), col("c"), (col("poff") + col("lcum") - col("c")).as("a"))
+  }
+
+  /** q173 kernel on a (o_custkey, cents) frame (planted-data seam). */
+  private[graft] def revenueGini(rows: DataFrame): DataFrame = {
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    val terms = rankedRevenueHist(rows)
       .agg(sum(col("c")).as("n"),
         sum(dec(col("v")) * dec(col("c"))).as("s"),
         sum(dec(col("v")) * (dec(col("c")) * dec(col("a")) * 2 +
@@ -756,6 +766,59 @@ object Stats {
         ratio4dec(col("twoixsum") - dec(col("n") + 1) * col("s"),
           dec(col("n")) * col("s")))
         .otherwise(lit(null).cast("double")).as("gini4"))
+  }
+
+  /** q174: the Lorenz decile table — each revenue DECILE's customer
+    * count, revenue and revenue share: the "bottom 10% of customers
+    * hold x% of revenue" report that gives q173's single number its
+    * shape (the production inequality readout — ABC analysis at k=10).
+    * Deciles assign by EXACT global rank (0-based rank r → decile
+    * ⌊r·10/n⌋); a tied value group spanning a decile boundary SPLITS
+    * exactly by rank-range intersection — all integer arithmetic
+    * (overlap counts from ceil-div boundaries; the one ratio4dec per
+    * decile at the end). The revenue-conservation law (decile revenues
+    * sum to the grand total) pins that the split neither mints nor
+    * drops a cent.
+    *
+    * Scale posture: [[rankedRevenueHist]]'s two-phase prefix (no
+    * unpartitioned windows); each histogram row explodes into AT MOST
+    * the ≤ 10 deciles its rank range touches; the decile aggregate
+    * map-side-combines to ≤ 10 partials per task; the single-row
+    * (n, S) total broadcasts (NoCartesian-allowlisted). */
+  def q174(spark: SparkSession, sfDir: String): DataFrame =
+    revenueDeciles(Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents")))
+
+  /** q174 kernel on a (o_custkey, cents) frame (planted-data seam). */
+  private[graft] def revenueDeciles(rows: DataFrame): DataFrame = {
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    // the ranked histogram feeds the totals and the decile explode
+    // (q104 pinning discipline)
+    val rh = pin(rankedRevenueHist(rows))
+    val tot = rh.agg(sum(col("c")).as("n"),
+      sum(dec(col("v")) * dec(col("c"))).as("s"))
+    rh.join(broadcast(tot))
+      .withColumn("d", explode(sequence(
+        expr("a * 10 div n"), expr("(a + c - 1) * 10 div n"))))
+      .withColumn("lo", expr("(d * n + 9) div 10"))
+      .withColumn("hi", expr("((d + 1) * n + 9) div 10 - 1"))
+      .withColumn("ov",
+        least(col("a") + col("c") - 1, col("hi")) -
+          greatest(col("a"), col("lo")) + 1)
+      // when n < 10, floor(r·10/n) skips deciles — a tied group's span
+      // can include skipped deciles with zero overlap; drop them so
+      // "decile absent" means the same thing everywhere
+      .filter(col("ov") > 0)
+      .groupBy(col("d"))
+      .agg(sum(col("ov")).as("n_customers"),
+        sum(dec(col("ov")) * dec(col("v"))).as("rev"),
+        max(col("s")).as("s"))
+      .select(col("d").as("decile"), col("n_customers"),
+        col("rev").cast("long").as("revenue_cents"),
+        when(col("s") > 0, ratio4dec(col("rev"), col("s")))
+          .otherwise(lit(null).cast("double")).as("share4"))
+      .orderBy(col("decile"))
   }
 
   /** q166: CUSUM changepoint localization — for each event type, the day

@@ -89,6 +89,12 @@ object SeasonalMonitor {
   def changepoint(spark: SparkSession, storeDir: String): DataFrame =
     Stats.cusumChangepoint(mergedDaily(spark, storeDir))
 
+  /** s46: the FIFTH read — q172's peak-to-trough traffic drawdown over
+    * the merged counts, through the SAME `Stats.trafficDrawdown`
+    * kernel. */
+  def drawdown(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.trafficDrawdown(mergedDaily(spark, storeDir))
+
   /** s39: the SECOND read of this store — q162's robust median/MAD
     * outlier flags over the same merged daily panel. One additive store
     * serving two monitoring reads (forecast error AND robust anomaly) is

@@ -135,6 +135,9 @@ class PlanSpec extends SparkSpec {
       "q173_revenue_gini",       // the two-phase prefix's triangular P×P
                                  // offset join over ≤ ShardRanges rows
                                  // (q72's shape — constant-bounded)
+      "q174_revenue_deciles",    // q173's triangular offset join + the
+                                 // single-row (n, S) total broadcast into
+                                 // the decile explode
       "q161_calendar_fill")      // broadcast single-row global day span
                                  // (q114's ref_date shape) under the
                                  // calendar explode

@@ -397,4 +397,26 @@ class StatsSpec extends SparkSpec {
     // ties: 10,10,20 -> 2*(10+20+60)=180, 4*40=160, G=20/120 -> 0.1667
     assert(gini(Seq(20L, 10L, 10L)) == 0.1667)
   }
+
+  test("q174 Lorenz deciles: distinct values fill one customer per decile; a tied group splits across boundaries exactly; revenue conserved") {
+    import graft.queries.Stats
+    def deciles(revs: Seq[Long]) = {
+      val rows = revs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("o_custkey", "cents")
+      Stats.revenueDeciles(rows).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    }
+    // 10 distinct values 100..1000: decile d holds exactly customer d+1
+    // with revenue (d+1)*100 of S = 5500
+    val ten = deciles((1 to 10).map(_ * 100L))
+    assert(ten.length == 10)
+    assert(ten.map(_._2._1).forall(_ == 1L), "one customer per decile")
+    assert(ten.map(_._2._2).toSeq == (1 to 10).map(_ * 100L), "ascending revenue")
+    assert(ten.map(_._2._2).sum == 5500L, "revenue conserved")
+    // 4 equal customers: ranks 0..3 land in deciles 0,2,5,7 — the tied
+    // group splits by rank-range intersection, skipped deciles absent
+    val tied = deciles(Seq.fill(4)(500L))
+    assert(tied.map(_._1).toSeq == Seq(0L, 2L, 5L, 7L), s"got ${tied.toSeq}")
+    assert(tied.forall { case (_, (nc, rev, sh)) => nc == 1L && rev == 500L && sh == 0.25 })
+  }
 }

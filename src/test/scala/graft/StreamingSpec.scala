@@ -2126,4 +2126,56 @@ class StreamingSpec extends SparkSpec {
     assert(rows(iqr(spark, storeDir)) == want, "replay changed the profile")
     SparkEntry.clearGraftCaches(spark)
   }
+
+  test("s46: streamed traffic drawdown == batch q172 off the SAME s36 daily store") {
+    import graft.streaming.SeasonalMonitor.{drawdown, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s46-drawdown") + "/store"
+    assert(drawdown(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q172_traffic_drawdown")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(drawdown(spark, storeDir)) == want,
+      "streamed drawdown diverged from batch q172")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s47: streamed Gini + deciles == batch q173/q174 under an ARBITRARY batch split; ranks re-derive as revenue moves; replay no-op") {
+    import graft.streaming.RevenueMonitor.{deciles, gini, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import spark.implicits._
+    val storeDir = tmpDir("s47-revenue") + "/store"
+    assert(gini(spark, storeDir).collect()(0).isNullAt(2))
+    val ord = graft.tables.Tables.orders(spark, sf001)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    // a customer's orders may land in any batch: the cent-sum partials
+    // merge under ANY split, the rank structure re-derives at read
+    for (b <- 0L to 2L)
+      processBatch(ord.filter(pmod(col("o_orderkey"), lit(3)) === b), storeDir, b)
+    val wantG = rows(SparkEntry.queries("q173_revenue_gini")(spark, sf001))
+    val wantD = rows(SparkEntry.queries("q174_revenue_deciles")(spark, sf001))
+    assert(rows(gini(spark, storeDir)) == wantG,
+      "streamed Gini diverged from batch q173")
+    assert(rows(deciles(spark, storeDir)) == wantD,
+      "streamed deciles diverged from batch q174")
+    // rank mobility: a fresh store where one later batch reorders the
+    // whole structure — two equal customers, then one pulls ahead
+    val store2 = tmpDir("s47-mobility") + "/store"
+    processBatch(Seq((1L, 100L), (2L, 100L)).toDF("o_custkey", "cents"), store2, 0L)
+    assert(gini(spark, store2).collect()(0).getDouble(2) == 0.0)
+    processBatch(Seq((1L, 300L)).toDF("o_custkey", "cents"), store2, 1L)
+    // totals now {400, 100}: sorted 100,400 -> 2*(100+800)=1800,
+    // (n+1)S=1500 -> G = 300/1000 = 0.3
+    assert(gini(spark, store2).collect()(0).getDouble(2) == 0.3)
+    processBatch(ord.filter(pmod(col("o_orderkey"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(gini(spark, storeDir)) == wantG, "replay changed the Gini")
+    SparkEntry.clearGraftCaches(spark)
+  }
 }
