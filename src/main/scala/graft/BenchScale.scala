@@ -145,7 +145,18 @@ object BenchScale {
       "q160_basket_pairs" -> "count",
       "q163_skyline" -> "count",
       "q164_survival_hazard" -> "count",
-      "q165_ab_chisq" -> "count"
+      "q165_ab_chisq" -> "count",
+      // r14 (4): the remaining corpus-scale stages — the per-type value
+      // histogram (q168), the user-co-partitioned latency join (q169),
+      // the lineitem⋈orders lag join (q170), and the two-phase-prefix
+      // order statistics (q173/q174); the calendar-panel family
+      // (q161/q162/q166/q167/q171/q172) rides dailyOf's shuffle, which
+      // the q151 leg already measures
+      "q168_iqr_outliers" -> "count",
+      "q169_conversion_latency" -> "count",
+      "q170_ship_lag_quantiles" -> "count",
+      "q173_revenue_gini" -> "count",
+      "q174_revenue_deciles" -> "count"
     ).map { case (k, act) => (k, SparkEntry.queries(k), act) }
     val bits = scaledBits(a)
     val wide: Column => Column = graft.ops.Ann.bucketsWide(_, bits)

@@ -347,6 +347,7 @@ object SparkEntry {
     "q172_traffic_drawdown"   -> Stats.q172 _,
     "q173_revenue_gini"       -> Stats.q173 _,
     "q174_revenue_deciles"    -> Stats.q174 _,
+    "q175_truncation_recall"  -> Vectors.q175 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -387,6 +387,7 @@ object OracleSql {
     "q172_traffic_drawdown"  -> drawdownSql,
     "q173_revenue_gini"      -> giniSql,
     "q174_revenue_deciles"   -> revenueDecilesSql,
+    "q175_truncation_recall" -> truncationRecallSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2963,6 +2964,33 @@ object OracleSql {
        |            THEN CAST((SUM(CAST(ov AS HUGEINT) * v) * 20000 + MAX(s)) // (MAX(s) * 2) AS DOUBLE)
        |                   / 10000.0 END AS share4
        |FROM y WHERE ov > 0 GROUP BY d ORDER BY d""".stripMargin
+
+  // q175: full-width and sliced cosines through the same list kernels the
+  // q31/q77 oracles use (fold parity with the native expression); both
+  // rankings share the (ROUND-4 sim DESC, dst) tie discipline and the
+  // overlap counts on one candidate frame.
+  private def truncationRecallSql: String = {
+    def cosSql(a: String, b: String, d: String): String =
+      s"""list_sum(list_transform(range(1, $d + 1),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a[1:$d], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform($b[1:$d], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    import Vectors.{KnnK, TruncDims, TruncQueries}
+    s"""WITH q AS (SELECT vec_id AS src, embedding AS qvec FROM embeddings
+       |           WHERE vec_id < $TruncQueries),
+       |cand AS (SELECT q.src, e.vec_id AS dst,
+       |    ROUND(${cosSql("e.embedding", "q.qvec", "CAST(len(e.embedding) AS INTEGER)")}, 4) AS sim_full,
+       |    ROUND(${cosSql("e.embedding", "q.qvec", TruncDims.toString)}, 4) AS sim_tr
+       |  FROM embeddings e, q WHERE e.vec_id <> q.src),
+       |r AS (SELECT src, dst,
+       |        row_number() OVER (PARTITION BY src ORDER BY sim_full DESC, dst) AS rk_f,
+       |        row_number() OVER (PARTITION BY src ORDER BY sim_tr DESC, dst) AS rk_t
+       |      FROM cand)
+       |SELECT src, CAST($KnnK AS INTEGER) AS k,
+       |       CAST(SUM(CASE WHEN rk_f <= $KnnK AND rk_t <= $KnnK THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |       ${ratio4Sql(s"SUM(CASE WHEN rk_f <= $KnnK AND rk_t <= $KnnK THEN 1 ELSE 0 END)", KnnK.toString)} AS recall4
+       |FROM r GROUP BY src ORDER BY src""".stripMargin
+  }
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
   // the winning event_id — the engine's single grouped pass is mirrored as

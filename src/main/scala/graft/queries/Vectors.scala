@@ -1085,4 +1085,59 @@ object Vectors {
         .localCheckpoint(true)
     comps
   }
+
+  /** q175 panel: how many query vectors audit the truncation. */
+  val TruncQueries = 8
+  /** q175 truncated width — the Matryoshka operating point under audit
+    * (a quarter of the shipped 64 dims). */
+  val TruncDims = 16
+
+  /** q175: embedding-truncation (Matryoshka) recall audit — for a panel
+    * of [[TruncQueries]] query vectors, how much of the exact top-KnnK
+    * neighborhood survives when every cosine runs on only the FIRST
+    * [[TruncDims]] dimensions: the measurement a vector-store operator
+    * makes before shipping truncated (MRL-style) embeddings, because a
+    * 4× dimension cut is a 4× cost cut exactly when this recall says it
+    * is. Both rankings share q77's tie discipline (ROUND-4 sim DESC,
+    * dst) and the overlap is counted on a SINGLE candidate frame
+    * carrying both similarities — two row_number windows over the same
+    * per-src partitioning, one shuffle.
+    *
+    * Scale posture: the panel is a constant-row broadcast (q95's
+    * constant-panel BNLJ shape, NoCartesian-allowlisted), so candidate
+    * volume is TruncQueries·N = Θ(N); ranks are per-src partitioned
+    * windows; output is one row per query. The audit's exactness: both
+    * cosines are the native fold-parity expression over the full/sliced
+    * arrays — bit-identical to the oracle's list kernels.
+    *
+    * Laws: auditing at the full 64-dim width is the identity (recall
+    * 1.0 for every query); overlap never exceeds k. */
+  def q175(spark: SparkSession, sfDir: String): DataFrame =
+    truncationRecall(Tables.embeddings(spark, sfDir), TruncDims)
+
+  /** q175 kernel at an arbitrary truncation width (identity-law seam). */
+  private[graft] def truncationRecall(emb: DataFrame, dims: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < TruncQueries)
+      .select(col("vec_id").as("src"), col("embedding").as("qvec"))
+    val sims = emb.select(col("vec_id").as("dst"), col("embedding"))
+      .join(broadcast(queries))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round4(cosine(col("embedding"), col("qvec"))).as("sim_full"),
+        round4(cosine(slice(col("embedding"), 1, dims),
+          slice(col("qvec"), 1, dims))).as("sim_tr"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim_full").desc, col("dst"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim_tr").desc, col("dst"))
+    sims
+      .withColumn("rk_f", row_number().over(wf))
+      .withColumn("rk_t", row_number().over(wt))
+      .groupBy(col("src"))
+      .agg(sum(when(col("rk_f") <= KnnK && col("rk_t") <= KnnK, 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .select(col("src"), lit(KnnK).as("k"), col("n_overlap"),
+        ratio4(col("n_overlap"), lit(KnnK.toLong)).as("recall4"))
+      .orderBy(col("src"))
+  }
 }

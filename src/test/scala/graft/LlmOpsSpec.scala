@@ -1265,4 +1265,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(full == exactRows, "nprobe=ncells cross-label probe != exact cross-label k-NN")
     spark.catalog.clearCache()
   }
+
+  test("q175 truncation recall: the full-width audit is the identity (recall 1.0 per query); truncated overlap stays in [0, k]") {
+    import graft.queries.Vectors
+    val emb = graft.tables.Tables.embeddings(spark, sf001)
+    // identity: auditing at the full 64-dim width makes both rankings
+    // the same ranking, so every query reads recall 1.0
+    val full = Vectors.truncationRecall(emb, 64).collect()
+    assert(full.length == Vectors.TruncQueries)
+    assert(full.forall(r => r.getLong(2) == Vectors.KnnK && r.getDouble(3) == 1.0),
+      s"full-width audit must be the identity: ${full.mkString(";")}")
+    val tr = Vectors.truncationRecall(emb, Vectors.TruncDims).collect()
+    assert(tr.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= Vectors.KnnK))
+    val mean = tr.map(_.getDouble(3)).sum / tr.length
+    info(f"q175 mean recall at ${Vectors.TruncDims} of 64 dims = $mean%.3f")
+  }
 }

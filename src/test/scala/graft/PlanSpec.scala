@@ -138,6 +138,9 @@ class PlanSpec extends SparkSpec {
       "q174_revenue_deciles",    // q173's triangular offset join + the
                                  // single-row (n, S) total broadcast into
                                  // the decile explode
+      "q175_truncation_recall",  // broadcast constant TruncQueries-row
+                                 // query panel (q95's constant-panel
+                                 // shape) — candidate volume Q·N = Θ(N)
       "q161_calendar_fill")      // broadcast single-row global day span
                                  // (q114's ref_date shape) under the
                                  // calendar explode
