@@ -348,6 +348,7 @@ object SparkEntry {
     "q173_revenue_gini"       -> Stats.q173 _,
     "q174_revenue_deciles"    -> Stats.q174 _,
     "q175_truncation_recall"  -> Vectors.q175 _,
+    "q176_frame_sampling"     -> MediaQ.q176 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

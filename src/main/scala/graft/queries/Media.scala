@@ -39,4 +39,44 @@ object MediaQ {
         // UTF-8 codepoint)
         md5(substring(col("text"), 1, 64).cast("binary")).as("frame_md5"))
       .orderBy(col("doc_id"))
+
+  /** q176 samples per media item. */
+  val FrameSamples = 4
+
+  /** q176: the FRAME-SAMPLING PLAN — the metadata→index→pointed-read
+    * pipeline a video/audio curation job runs BEFORE any decode: derive
+    * per-item metadata (duration, fps — here deterministic stubs: 1
+    * stand-in char ≡ 1 ms, fps = 24 + doc_id mod 6), compute the total
+    * frame count, pick [[FrameSamples]] uniformly-spaced frame indices by
+    * the midpoint rule (frame_j = ⌊total·(2j+1)/2K⌋ — never out of
+    * range), and perform one POINTED read per sampled frame (a digest of
+    * the 16-char slice at the frame's derived offset — the
+    * seek-and-decode shape, never a full-payload scan per frame). Items
+    * too short to hold a frame are absent, not zero-padded.
+    *
+    * All index arithmetic is exact integers; the reads are codegen'd
+    * expressions on the payload column (q43's contract: no driver
+    * collect, no UDF). At 100 TB the plan stage is a pure map — no
+    * shuffle anywhere — and the explode fan-out is the constant K. */
+  def q176(spark: SparkSession, sfDir: String): DataFrame =
+    frameSamplePlan(Tables.documents(spark, sfDir))
+
+  /** q176 kernel on a (doc_id, text) frame (planted-data seam). */
+  private[graft] def frameSamplePlan(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        length(col("text")).as("n_chars"),
+        length(col("text")).cast("long").as("duration_ms"),
+        (lit(24L) + pmod(col("doc_id"), lit(6L))).as("fps"))
+      .withColumn("total_frames", expr("duration_ms * fps div 1000"))
+      .filter(col("total_frames") > 0)
+      .withColumn("j", explode(sequence(lit(0), lit(FrameSamples - 1))))
+      .withColumn("frame_idx",
+        expr(s"total_frames * (2 * j + 1) div ${2 * FrameSamples}"))
+      .withColumn("off",
+        pmod(col("frame_idx"), greatest(lit(1L), col("n_chars") - 15)) + 1)
+      .select(col("doc_id"), col("j").as("sample_j"), col("fps"),
+        col("total_frames"), col("frame_idx"),
+        md5(expr("substring(text, cast(off as int), 16)").cast("binary"))
+          .as("frame_md5"))
+      .orderBy(col("doc_id"), col("sample_j"))
 }

@@ -388,6 +388,7 @@ object OracleSql {
     "q173_revenue_gini"      -> giniSql,
     "q174_revenue_deciles"   -> revenueDecilesSql,
     "q175_truncation_recall" -> truncationRecallSql,
+    "q176_frame_sampling"    -> frameSampleSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2990,6 +2991,28 @@ object OracleSql {
        |       CAST(SUM(CASE WHEN rk_f <= $KnnK AND rk_t <= $KnnK THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
        |       ${ratio4Sql(s"SUM(CASE WHEN rk_f <= $KnnK AND rk_t <= $KnnK THEN 1 ELSE 0 END)", KnnK.toString)} AS recall4
        |FROM r GROUP BY src ORDER BY src""".stripMargin
+  }
+
+  // q176: the stub metadata, midpoint frame indices and pointed-read
+  // offsets mirrored literally in integer arithmetic; substr position is
+  // 1-based char slicing on both engines, digest over the UTF-8 bytes.
+  private def frameSampleSql: String = {
+    import MediaQ.FrameSamples
+    s"""WITH m AS (SELECT doc_id, text, CAST(len(text) AS INTEGER) AS n_chars,
+       |         CAST(len(text) AS BIGINT) AS duration_ms,
+       |         CAST(24 + doc_id % 6 AS BIGINT) AS fps
+       |       FROM documents),
+       |t AS (SELECT *, duration_ms * fps // 1000 AS total_frames FROM m),
+       |x AS MATERIALIZED (SELECT *, unnest(generate_series(0, ${FrameSamples - 1})) AS j
+       |      FROM t WHERE total_frames > 0),
+       |y AS (SELECT doc_id, CAST(j AS INTEGER) AS sample_j, fps, total_frames,
+       |        total_frames * (2 * j + 1) // ${2 * FrameSamples} AS frame_idx,
+       |        n_chars, text
+       |      FROM x)
+       |SELECT doc_id, sample_j, fps, total_frames, frame_idx,
+       |       md5(substr(text,
+       |         CAST(frame_idx % GREATEST(1, n_chars - 15) + 1 AS INTEGER), 16)) AS frame_md5
+       |FROM y ORDER BY doc_id, sample_j""".stripMargin
   }
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by

@@ -699,4 +699,19 @@ class SemanticsSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toSeq
     assert(got == Seq("1-URGENT" -> ((4L, 1, 9)), "2-HIGH" -> ((1L, 7, 7))), s"got $got")
   }
+
+  test("q176 frame sampling: midpoint indices land in range, K rows per item, too-short items absent") {
+    // doc 0: 1000 chars, fps 24 -> total 24 frames; midpoint indices
+    // 24*(1,3,5,7)/8 = 3, 9, 15, 21
+    // doc 1: 10 chars, fps 25 -> total 10*25 div 1000 = 0 -> absent
+    val docs = Seq((0L, "x" * 1000), (1L, "y" * 10))
+      .toDF("doc_id", "text")
+    val got = graft.queries.MediaQ.frameSamplePlan(docs).collect()
+    assert(got.map(_.getLong(0)).distinct.toSeq == Seq(0L), "short item must be absent")
+    assert(got.length == graft.queries.MediaQ.FrameSamples)
+    assert(got.map(_.getLong(4)).toSeq == Seq(3L, 9L, 15L, 21L), "midpoint indices")
+    got.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) < r.getLong(3), "index in range")
+      assert(r.getString(5).length == 32, "pointed read digested") }
+  }
 }
