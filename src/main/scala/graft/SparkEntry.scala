@@ -349,6 +349,9 @@ object SparkEntry {
     "q174_revenue_deciles"    -> Stats.q174 _,
     "q175_truncation_recall"  -> Vectors.q175 _,
     "q176_frame_sampling"     -> MediaQ.q176 _,
+    "q177_lag_correlation"    -> Stats.q177 _,
+    "q178_session_flow"       -> Windows.q178 _,
+    "q179_value_bands"        -> Stats.q179 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

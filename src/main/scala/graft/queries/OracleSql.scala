@@ -389,6 +389,9 @@ object OracleSql {
     "q174_revenue_deciles"   -> revenueDecilesSql,
     "q175_truncation_recall" -> truncationRecallSql,
     "q176_frame_sampling"    -> frameSampleSql,
+    "q177_lag_correlation"   -> lagCorrSql,
+    "q178_session_flow"      -> sessionFlowSql,
+    "q179_value_bands"       -> valueBandsSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -3014,6 +3017,92 @@ object OracleSql {
        |         CAST(frame_idx % GREATEST(1, n_chars - 15) + 1 AS INTEGER), 16)) AS frame_md5
        |FROM y ORDER BY doc_id, sample_j""".stripMargin
   }
+
+  // q177: q171's moment mirror swept over the lag offsets (b.d = a.d + lag
+  // via the shifted join key); ordered pairs because direction matters at
+  // lag > 0.
+  private def lagCorrSql: String = {
+    import graft.queries.Stats.XcorrMaxLag
+    val legs = (0 to XcorrMaxLag).map { l =>
+      s"""SELECT a.event_type AS type_a, b.event_type AS type_b, $l AS lag_d,
+         |       a.n AS x, b.n AS y
+         |FROM daily a JOIN daily b
+         |  ON b.d = a.d + $l AND a.event_type <> b.event_type""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (eventsCte + s""",
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM e GROUP BY 1, 2),
+      |j AS ($legs),
+      |s AS (SELECT type_a, type_b, lag_d, CAST(COUNT(*) AS HUGEINT) AS nd,
+      |        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |        CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |      FROM j GROUP BY 1, 2, 3),
+      |f AS (SELECT type_a, type_b, lag_d, nd,
+      |        nd * sxy - sx * sy AS num,
+      |        nd * sxx - sx * sx AS vx, nd * syy - sy * sy AS vy
+      |      FROM s)
+      |SELECT type_a, type_b, CAST(lag_d AS INTEGER) AS lag_d,
+      |       CAST(nd AS BIGINT) AS n_days,
+      |       CASE WHEN vx > 0 AND vy > 0
+      |            THEN CAST(num AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+      |            END AS r
+      |FROM f ORDER BY type_a, type_b, lag_d""".stripMargin)
+  }
+
+  // q178: the q25 sessionization mirror carrying (event_id, event_type);
+  // entry/exit as rank-1 rows of the (ts, event_id) order; duration in
+  // exact epoch micros with the HUGEINT `//` ratio4dec mean.
+  private def sessionFlowSql: String =
+    (eventsCte + """,
+      |x AS (SELECT user_id, ts, event_id, event_type,
+      |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e),
+      |y AS (SELECT user_id, ts, event_id, event_type,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM x),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn_f,
+      |        row_number() OVER (PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC) AS rn_l
+      |      FROM y),
+      |g AS (SELECT user_id, sid,
+      |        MAX(CASE WHEN rn_f = 1 THEN event_type END) AS entry_type,
+      |        MAX(CASE WHEN rn_l = 1 THEN event_type END) AS exit_type,
+      |        CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS dur_us,
+      |        COUNT(*) AS n_events
+      |      FROM r GROUP BY 1, 2)
+      |SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+      |       FLOOR((CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) * 20000.0 + COUNT(*))
+      |         / (CAST(COUNT(*) AS DOUBLE) * 2.0)) / 10000.0 AS bounce4,
+      |       CAST((CAST(SUM(dur_us) AS HUGEINT) * 20000 + COUNT(*) * 1000000)
+      |         // (CAST(COUNT(*) AS HUGEINT) * 2000000) AS DOUBLE) / 10000.0 AS mean_dur_s4
+      |FROM g GROUP BY entry_type, exit_type
+      |ORDER BY entry_type, exit_type""".stripMargin)
+
+  // q179: per-(type, day) DISC p10/p50/p90 off cent histograms — the q168
+  // machinery swept along the calendar, totals via the unbounded window.
+  private def valueBandsSql: String =
+    (eventsCte + """,
+      |h AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |        CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM e GROUP BY 1, 2, 3),
+      |c AS (SELECT event_type, d, cents, cnt,
+      |        CAST(SUM(cnt) OVER (PARTITION BY event_type, d ORDER BY cents) AS BIGINT) AS cum,
+      |        CAST(SUM(cnt) OVER (PARTITION BY event_type, d) AS BIGINT) AS n
+      |      FROM h)
+      |SELECT event_type, d, MAX(n) AS n,
+      |       MIN(CASE WHEN cum * 10 >= n THEN cents END) AS p10_c,
+      |       MIN(CASE WHEN cum * 2 >= n THEN cents END) AS p50_c,
+      |       MIN(CASE WHEN cum * 10 >= n * 9 THEN cents END) AS p90_c
+      |FROM c GROUP BY event_type, d
+      |ORDER BY event_type, d""".stripMargin)
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
   // the winning event_id — the engine's single grouped pass is mirrored as

@@ -650,12 +650,20 @@ object Stats {
   private[graft] def typeCorrelation(dailyIn: DataFrame): DataFrame = {
     // one evaluation feeds both sides of the pair self-join
     val d = pin(dailyIn.select(col("event_type"), col("d"), col("n")))
-    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
     val j = d.select(col("event_type").as("type_a"), col("d"), col("n").as("x"))
       .join(d.select(col("event_type").as("type_b"), col("d"), col("n").as("y")),
         Seq("d"))
       .filter(col("type_a") < col("type_b"))
-    val s = j.groupBy(col("type_a"), col("type_b"))
+    corrOfPairs(j, Seq("type_a", "type_b"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** The shared Pearson finisher on a paired-observation frame (grouping
+    * keys + x + y) — q171 (contemporaneous, unordered pairs) and q177
+    * (lagged, ordered pairs) both reduce to this one moment kernel. */
+  private def corrOfPairs(j: DataFrame, keys: Seq[String]): DataFrame = {
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    val s = j.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_days"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(dec(col("x")) * dec(col("x"))).as("sxx"),
@@ -664,11 +672,44 @@ object Stats {
     val num = dec(col("n_days")) * col("sxy") - dec(col("sx")) * dec(col("sy"))
     val vx = dec(col("n_days")) * col("sxx") - dec(col("sx")) * dec(col("sx"))
     val vy = dec(col("n_days")) * col("syy") - dec(col("sy")) * dec(col("sy"))
-    s.select(col("type_a"), col("type_b"), col("n_days"),
+    s.select(keys.map(col) ++ Seq(col("n_days"),
       when(vx > 0 && vy > 0,
         num.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
-        .otherwise(lit(null).cast("double")).as("r"))
-      .orderBy(col("type_a"), col("type_b"))
+        .otherwise(lit(null).cast("double")).as("r")): _*)
+  }
+
+  /** q177 lag horizon (days): cross-correlations at lags 0..this. */
+  val XcorrMaxLag = 2
+
+  /** q177: lead–lag cross-correlation — q171's matrix swept over time
+    * offsets: r(a, b, ℓ) = corr(count_a(d), count_b(d + ℓ)) for lags
+    * 0..[[XcorrMaxLag]], over ORDERED type pairs (direction matters once
+    * ℓ > 0: "errors track clicks with a one-day delay" is a ≠ b ∧ ℓ = 1,
+    * not its transpose). The observability read behind cascade/root-cause
+    * timing ("which metric moves FIRST?").
+    *
+    * Same exactness as q171 (integer moments in DECIMAL(38,0)/HUGEINT,
+    * sqrt-product denominator, unrounded deterministic r, zero variance
+    * → NULL) through the SAME [[corrOfPairs]] kernel — one definition.
+    *
+    * Scale posture: per lag, a self-equi-join of the calendar-bounded
+    * panel on the shifted day key (≤ T² fan-out per day, lags a
+    * constant); the moment aggregate map-side-combines per (pair, lag). */
+  def q177(spark: SparkSession, sfDir: String): DataFrame =
+    lagCorrelation(dailyOf(events(spark, sfDir)))
+
+  /** q177 core on a (event_type, d, n) daily frame (planted-data seam). */
+  private[graft] def lagCorrelation(dailyIn: DataFrame): DataFrame = {
+    val d = pin(dailyIn.select(col("event_type"), col("d"), col("n")))
+    val joined = (0 to XcorrMaxLag).map { l =>
+      d.select(col("event_type").as("type_a"), col("d"), col("n").as("x"))
+        .join(d.select(col("event_type").as("type_b"),
+          date_sub(col("d"), l).as("d"), col("n").as("y")), Seq("d"))
+        .filter(col("type_a") =!= col("type_b"))
+        .withColumn("lag_d", lit(l))
+    }.reduce(_ unionByName _)
+    corrOfPairs(joined, Seq("type_a", "type_b", "lag_d"))
+      .orderBy(col("type_a"), col("type_b"), col("lag_d"))
   }
 
   /** q172: peak-to-trough drawdown of the daily traffic series — for
@@ -819,6 +860,41 @@ object Stats {
         when(col("s") > 0, ratio4dec(col("rev"), col("s")))
           .otherwise(lit(null).cast("double")).as("share4"))
       .orderBy(col("decile"))
+  }
+
+  /** q179: daily value BANDS — per (type, day), the DISC p10/p50/p90 of
+    * the event-value distribution: the band chart every latency/value
+    * monitor renders (a mean hides exactly the tail movement the p90
+    * band shows). ALL INTEGER: exact cents, quantiles as attained values
+    * off per-(type, day) cent histograms — the q168 machinery swept along
+    * the calendar axis. Totals ride an unbounded window over the SAME
+    * partitioned frame as the cumulative counts (q169's no-join trick),
+    * so one aggregate finishes the panel.
+    *
+    * Scale posture: ONE map-side-combined histogram shuffle (cardinality
+    * types × days × cents-domain — quantization-bounded per day);
+    * PARTITIONED windows; output types × days. */
+  def q179(spark: SparkSession, sfDir: String): DataFrame =
+    valueBands(events(spark, sfDir))
+
+  /** q179 kernel on an arbitrary (event_type, ts, value) frame. */
+  private[graft] def valueBands(ev: DataFrame): DataFrame = {
+    val h = ev.select(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("d"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("d"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type"), col("d")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"), col("d"))
+    h.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"), col("d"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 10 >= col("n"), col("cents"))).as("p10_c"),
+        min(when(col("cum") * 2 >= col("n"), col("cents"))).as("p50_c"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("cents"))).as("p90_c"))
+      .orderBy(col("event_type"), col("d"))
   }
 
   /** q166: CUSUM changepoint localization — for each event type, the day

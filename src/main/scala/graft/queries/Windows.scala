@@ -233,4 +233,42 @@ object Windows {
       .drop("rn")
       .orderBy(col("user_id"))
   }
+
+  /** q178: session entry→exit flow report — q25's gap sessionization
+    * upgraded from counts to the web-analytics staple: per (entry event
+    * type, exit event type), the session count, the BOUNCE count
+    * (single-event sessions — where entry IS exit by construction), the
+    * bounce rate and the mean session duration in seconds. "Where do
+    * journeys start, where do they die" is the first read any event
+    * platform's session layer serves.
+    *
+    * Entry/exit ride min/max over the (ts, event_id, event_type) struct
+    * (q159's discipline — the unique (ts, event_id) order decides, the
+    * type field never compares); durations are exact epoch micros; the
+    * mean is ratio4dec(Σ dur_us, n·10⁶) — exact half-up seconds. The
+    * session boundary is the SAME 30-minute gap rule as q25 (exact-gap
+    * merges), mirrored by the oracle's lag+cumsum sessionization.
+    *
+    * Scale posture: session_window's one user-keyed shuffle (q25's
+    * plan), then a ≤ |types|²-cardinality map-side-combined aggregate. */
+  def q178(spark: SparkSession, sfDir: String): DataFrame =
+    sessionFlow(Tables.events(spark, sfDir))
+
+  /** q178 kernel on an arbitrary event frame (planted-data seam). */
+  private[graft] def sessionFlow(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("first"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("first.event_type").as("entry_type"),
+        col("last.event_type").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(unix_micros(col("last.ts")) - unix_micros(col("first.ts"))).as("dur_us"))
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+        col("n_bounce"),
+        ratio4(col("n_bounce"), col("n_sessions")).as("bounce4"),
+        ratio4dec(col("dur_us"),
+          col("n_sessions").cast("decimal(38,0)") * 1000000).as("mean_dur_s4"))
+      .orderBy(col("entry_type"), col("exit_type"))
 }

@@ -700,6 +700,27 @@ class SemanticsSpec extends SparkSpec {
     assert(got == Seq("1-URGENT" -> ((4L, 1, 9)), "2-HIGH" -> ((1L, 7, 7))), s"got $got")
   }
 
+  test("q178 session flow: entry/exit by the (ts, event_id) order, bounces are single-event sessions, durations exact") {
+    val ev = Seq(
+      // u1 session 1: view -> click -> purchase over 20 min
+      (1L, 1L, ts("2020-01-01 10:00:00"), "view", 0.0),
+      (1L, 2L, ts("2020-01-01 10:10:00"), "click", 0.0),
+      (1L, 3L, ts("2020-01-01 10:20:00"), "purchase", 0.0),
+      // u1 session 2: 70 min after the last event -> new single-view
+      // session -> a bounce
+      (1L, 4L, ts("2020-01-01 11:30:00"), "view", 0.0),
+      // u2: lone error -> bounce with entry == exit
+      (2L, 5L, ts("2020-01-01 12:00:00"), "error", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = graft.queries.Windows.sessionFlow(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == Map(
+      ("error", "error") -> ((1L, 1L, 1.0, 0.0)),
+      ("view", "purchase") -> ((1L, 0L, 0.0, 1200.0)),
+      ("view", "view") -> ((1L, 1L, 1.0, 0.0))), s"got $got")
+  }
+
   test("q176 frame sampling: midpoint indices land in range, K rows per item, too-short items absent") {
     // doc 0: 1000 chars, fps 24 -> total 24 frames; midpoint indices
     // 24*(1,3,5,7)/8 = 3, 9, 15, 21

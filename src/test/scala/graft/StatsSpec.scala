@@ -363,6 +363,37 @@ class StatsSpec extends SparkSpec {
     assert(got(("A", "E"))._1 == 1L && got(("A", "E"))._2.isNaN)
   }
 
+  test("q177 lag correlation: a series and its one-day-shifted copy read r~1 exactly at lag 1, not at lag 0; direction is ordered") {
+    import graft.queries.Stats
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val a = Seq(1L, 4L, 2L, 8L, 5L).zipWithIndex.map { case (n, i) => ("A", day(i), n) }
+    // B is A delayed by one day: B_{d+1} = A_d
+    val b = Seq(1L, 4L, 2L, 8L, 5L).zipWithIndex.map { case (n, i) => ("B", day(i + 1), n) }
+    val got = Stats.lagCorrelation((a ++ b).toDF("event_type", "d", "n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        ((r.getLong(3), if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    val atLag1 = got(("A", "B", 1))
+    assert(atLag1._1 == 5L && math.abs(atLag1._2 - 1.0) < 1e-12,
+      s"A leads B by exactly one day: $atLag1")
+    val atLag0 = got(("A", "B", 0))
+    assert(atLag0._2 < 0.99, s"contemporaneous correlation must NOT read 1: $atLag0")
+    // the transpose direction exists and differs (B does not lead A)
+    assert(got.contains(("B", "A", 1)) && math.abs(got(("B", "A", 1))._2 - 1.0) > 0.01)
+  }
+
+  test("q179 value bands: hand-computed DISC p10/p50/p90 per (type, day)") {
+    import graft.queries.Stats
+    def t(i: Int) = new java.sql.Timestamp(86400000L * 20000 + i * 1000L)
+    // one day, type A: cents 100 x8, 200 x1, 1000 x1 -> p10=100 (cum 8 covers
+    // 1), p50=100 (cum 8 >= 5), p90=200 (cum 9 >= 9)
+    val vals = Seq.fill(8)(1.00) ++ Seq(2.00, 10.00)
+    val ev = vals.zipWithIndex.map { case (v, i) => ("A", t(i), v) }
+      .toDF("event_type", "ts", "value")
+    val r = Stats.valueBands(ev).collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((10L, 100L, 100L, 200L)), s"got $r")
+  }
+
   test("q172 drawdown: planted peak-decline series bottoms where hand-computed; a monotone series reads zero at the earliest day") {
     import graft.queries.Stats
     def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
