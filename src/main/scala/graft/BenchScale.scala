@@ -545,7 +545,7 @@ object BenchScale {
         graft.tables.Tables.events(spark, bigDir)
           .filter((col("event_id") / ScaleGen.IdStride).cast("int")
             .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
-          .select(col("event_type"), col("value"))
+          .select(col("event_type"), col("ts"), col("value"))
       val t0 = System.nanoTime()
       for (b <- 0 until nBatches)
         graft.streaming.DriftMonitor.processBatch(evBatch(b),

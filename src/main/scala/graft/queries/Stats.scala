@@ -877,13 +877,25 @@ object Stats {
   def q179(spark: SparkSession, sfDir: String): DataFrame =
     valueBands(events(spark, sfDir))
 
-  /** q179 kernel on an arbitrary (event_type, ts, value) frame. */
-  private[graft] def valueBands(ev: DataFrame): DataFrame = {
-    val h = ev.select(col("event_type"),
-        to_date(date_trunc("day", col("ts"))).as("d"),
-        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+  /** q179 kernel on an arbitrary (event_type, ts, value) frame: reduce
+    * to per-(type, day, value) counts FIRST — the frame the (r14-widened)
+    * s29 store accumulates, which is what makes s48 a read of that
+    * store — then the band machinery. */
+  private[graft] def valueBands(ev: DataFrame): DataFrame =
+    bandsOfCounts(ev
+      .select(col("event_type"), to_date(date_trunc("day", col("ts"))).as("d"),
+        col("value"))
+      .groupBy(col("event_type"), col("d"), col("value"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q179 kernel on a per-(event_type, d, value) COUNT frame — the seam
+    * the s48 streaming read enters through. */
+  private[graft] def bandsOfCounts(counts: DataFrame): DataFrame = {
+    val h = counts.select(col("event_type"), col("d"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        col("cnt"))
       .groupBy(col("event_type"), col("d"), col("cents"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"))
     val wCum = Window.partitionBy(col("event_type"), col("d")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("event_type"), col("d"))

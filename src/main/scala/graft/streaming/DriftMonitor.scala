@@ -39,14 +39,17 @@ object DriftMonitor {
 
   private def emptyCounts(spark: SparkSession): DataFrame =
     spark.range(0).select(lit("").as("event_type"),
-      lit(0.0).as("value"), lit(0L).as("cnt"))
+      lit(null).cast("date").as("d"), lit(0.0).as("value"), lit(0L).as("cnt"))
 
-  /** One micro-batch of (event_type, value): exact per-(type, value)
-    * counts → the batch's own partition. */
+  /** One micro-batch of (event_type, ts, value): exact per-(type, day,
+    * value) counts → the batch's own partition. The day column was added
+    * in r14 so the same store serves the calendar-sliced band read (s48);
+    * the drift/IQR reads simply merge across it. */
   def processBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    batch.select(col("event_type"), col("value"))
-      .groupBy(col("event_type"), col("value"))
+    batch.select(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("d"), col("value"))
+      .groupBy(col("event_type"), col("d"), col("value"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -83,7 +86,22 @@ object DriftMonitor {
     Stats.iqrOfValueCounts(counts)
   }
 
-  /** Wire a streaming (event_type, value) source into the loop. */
+  /** s48: the THIRD read of this store — q179's daily p10/p50/p90 value
+    * bands over the calendar-sliced histogram, through the SAME
+    * `Stats.bandsOfCounts` kernel batch q179 runs (the r14 day-widened
+    * partials make this read possible; drift and IQR keep merging across
+    * the day axis). Row-for-row equal to batch q179 under ANY batch
+    * split; replay no-op inherits from the shared store. */
+  def bands(spark: SparkSession, storeDir: String): DataFrame = {
+    val counts =
+      if (!StoreRead.hasParquetData(spark, storeDir)) emptyCounts(spark)
+      else spark.read.parquet(storeDir)
+        .groupBy(col("event_type"), col("d"), col("value"))
+        .agg(sum(col("cnt")).as("cnt"))
+    Stats.bandsOfCounts(counts)
+  }
+
+  /** Wire a streaming (event_type, ts, value) source into the loop. */
   def start(events: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =
     events.writeStream
       .outputMode("append")

@@ -1522,7 +1522,7 @@ class StreamingSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("type_a", "type_b", "n_a", "n_b", "ks"))
     assert(empty.collect().isEmpty)
     val ev = graft.tables.Tables.events(spark, sf001)
-      .select(col("event_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
       .localCheckpoint(true)
     // split by event_id mod 3 — deliberately NOT time-ordered: the store
     // is additive exact counts, so parity holds under ANY split
@@ -2124,6 +2124,31 @@ class StreamingSpec extends SparkSpec {
       "streamed IQR profile diverged from batch q168")
     processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
     assert(rows(iqr(spark, storeDir)) == want, "replay changed the profile")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s48: streamed value bands == batch q179 off the SAME s29 store (day-widened partials); drift and IQR reads unchanged") {
+    import graft.streaming.DriftMonitor.{bands, drift, iqr, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s48-bands") + "/store"
+    assert(bands(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q179_value_bands")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(bands(spark, storeDir)) == want,
+      "streamed bands diverged from batch q179")
+    // the widened store still serves its first two reads exactly
+    assert(rows(drift(spark, storeDir)) ==
+      rows(SparkEntry.queries("q135_distribution_drift")(spark, sf001)),
+      "day widening must not move the KS read")
+    assert(rows(iqr(spark, storeDir)) ==
+      rows(SparkEntry.queries("q168_iqr_outliers")(spark, sf001)),
+      "day widening must not move the IQR read")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(bands(spark, storeDir)) == want, "replay changed the bands")
     SparkEntry.clearGraftCaches(spark)
   }
 
