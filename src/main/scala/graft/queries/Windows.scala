@@ -256,10 +256,22 @@ object Windows {
 
   /** q178 kernel on an arbitrary event frame (planted-data seam). */
   private[graft] def sessionFlow(ev: DataFrame): DataFrame =
+    flowOf(sessionize(ev))
+
+  /** The per-session partial frame (user_id, first, last, n_events) —
+    * the unit the s49 streaming tracker stores (its open-session state
+    * IS one of these rows) and merges at batch seams. */
+  private[graft] def sessionize(ev: DataFrame): DataFrame =
     ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("first"),
         max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"),
         count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("first"), col("last"), col("n_events"))
+
+  /** The flow finisher on a session-partial frame — the seam the s49
+    * read enters through, so stream and batch share one report. */
+  private[graft] def flowOf(sessions: DataFrame): DataFrame =
+    sessions
       .groupBy(col("first.event_type").as("entry_type"),
         col("last.event_type").as("exit_type"))
       .agg(count(lit(1)).as("n_sessions"),

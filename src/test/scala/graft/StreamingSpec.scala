@@ -2152,6 +2152,56 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s49: streamed session flow == batch q178 under an order-respecting split; a seam-spanning session merges; gate rejects; replay no-op") {
+    import graft.streaming.SessionTracker.{flow, processBatch}
+    import org.apache.spark.sql.functions.{col, dayofmonth, lit}
+    import spark.implicits._
+    val root = tmpDir("s49")
+    val openDir = root + "/open"; val closedDir = root + "/closed"
+    assert(flow(spark, openDir, closedDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    // order-RESPECTING split (sessionization is order-sensitive): slice
+    // the log by calendar thirds, which preserves every user's order
+    val cuts = Seq(ev.filter(dayofmonth(col("ts")) <= 10),
+      ev.filter(dayofmonth(col("ts")).between(11, 20)),
+      ev.filter(dayofmonth(col("ts")) > 20))
+    cuts.zipWithIndex.foreach { case (b, i) => processBatch(b, openDir, closedDir, i.toLong) }
+    val want = rows(SparkEntry.queries("q178_session_flow")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(flow(spark, openDir, closedDir)) == want,
+      "streamed session flow diverged from batch q178")
+    // seam-spanning session: 10:00 view (batch 0), 10:20 click (batch 1,
+    // 20 min gap -> MERGES across the seam), 11:00 purchase (batch 2,
+    // 40 min gap -> new session, still open)
+    val root2 = tmpDir("s49-seam")
+    val o2 = root2 + "/open"; val c2 = root2 + "/closed"
+    def one(id: Long, t: String, typ: String) =
+      Seq((9L, id, typ, java.sql.Timestamp.valueOf(t)))
+        .toDF("user_id", "event_id", "event_type", "ts")
+    processBatch(one(1L, "2020-01-01 10:00:00", "view"), o2, c2, 0L)
+    processBatch(one(2L, "2020-01-01 10:20:00", "click"), o2, c2, 1L)
+    processBatch(one(3L, "2020-01-01 11:00:00", "purchase"), o2, c2, 2L)
+    val seam = flow(spark, o2, c2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    assert(seam == Map(
+      ("view", "click") -> ((1L, 0L, 1200.0)),
+      ("purchase", "purchase") -> ((1L, 1L, 0.0))), s"got $seam")
+    // gate: an out-of-order batch dies at the boundary, stores untouched
+    val before = rows(flow(spark, o2, c2))
+    intercept[IllegalStateException] {
+      processBatch(one(4L, "2020-01-01 09:00:00", "error"), o2, c2, 3L)
+    }
+    assert(rows(flow(spark, o2, c2)) == before, "rejected batch must not write")
+    // replay no-op on the big store
+    processBatch(cuts(1), openDir, closedDir, 1L)
+    assert(rows(flow(spark, openDir, closedDir)) == want, "replay changed the flow")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s46: streamed traffic drawdown == batch q172 off the SAME s36 daily store") {
     import graft.streaming.SeasonalMonitor.{drawdown, processBatch}
     import org.apache.spark.sql.functions.{col, lit, pmod}
