@@ -556,12 +556,13 @@ object BenchScale {
       noteHeap()
     }
     if (sections("stream")) locally { // s36 seasonal panel: 4 event batches by event_id block
-      // (additive daily-count store — any split is legal, like s29)
+      // (additive daily-count store — any split is legal, like s29; the
+      // r14 widening adds the exact decimal value-sum partial)
       def evBatch(b: Int): DataFrame =
         graft.tables.Tables.events(spark, bigDir)
           .filter((col("event_id") / ScaleGen.IdStride).cast("int")
             .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
-          .select(col("event_type"), col("ts"))
+          .select(col("event_type"), col("ts"), col("value"))
       val t0 = System.nanoTime()
       for (b <- 0 until nBatches)
         graft.streaming.SeasonalMonitor.processBatch(evBatch(b),
@@ -569,6 +570,57 @@ object BenchScale {
       val rows = graft.streaming.SeasonalMonitor
         .baseline(spark, s"$streamRoot/s36/store").count()
       streaming("s36_stream_seasonal") = ((System.nanoTime() - t0) / 1e9, rows)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s38 OHLC bars: 4 event batches by event_id block
+      // (additive bar-partial store — any split is legal)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("event_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.BarStats.processBatch(evBatch(b),
+          s"$streamRoot/s38/store", b.toLong)
+      val rows = graft.streaming.BarStats
+        .bars(spark, s"$streamRoot/s38/store").count()
+      streaming("s38_stream_ohlc") = ((System.nanoTime() - t0) / 1e9, rows)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s47 revenue inequality: 4 order batches by orderkey block
+      // (additive per-customer cent sums — any split; ranks re-derive at
+      // the Gini read via the two-phase prefix)
+      def ordBatch(b: Int): DataFrame =
+        graft.tables.Tables.orders(spark, bigDir)
+          .filter(pmod(col("o_orderkey"), lit(nBatches.toLong)) === b.toLong)
+          .select(col("o_custkey"),
+            (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.RevenueMonitor.processBatch(ordBatch(b),
+          s"$streamRoot/s47/store", b.toLong)
+      val rows = graft.streaming.RevenueMonitor
+        .gini(spark, s"$streamRoot/s47/store").count()
+      streaming("s47_stream_revenue") = ((System.nanoTime() - t0) / 1e9, rows)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s49 sessions: 4 event batches by event_id block
+      // (ORDER-GATED, but replica blocks hold disjoint user ids, so each
+      // user's whole history sits inside one batch — the gate is
+      // trivially satisfied, like the s24/s25 replica-block legs)
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("event_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.SessionTracker.processBatch(evBatch(b),
+          s"$streamRoot/s49/open", s"$streamRoot/s49/closed", b.toLong)
+      val rows = graft.streaming.SessionTracker
+        .flow(spark, s"$streamRoot/s49/open", s"$streamRoot/s49/closed").count()
+      streaming("s49_stream_sessions") = ((System.nanoTime() - t0) / 1e9, rows)
       noteHeap()
     }
     if (sections("stream")) locally { // s37 RFM: 4 event batches by event_id block

@@ -85,12 +85,17 @@ object IncrementalDedup {
     val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val bands = Dedup.bandKeys(Dedup.signatures(sh)).localCheckpoint(true)
     try {
+      // probe through hasParquetData, not a catch: Spark's missing-path
+      // error class has shifted across releases (AnalysisException vs
+      // FileNotFoundException — bit us on the first-ever read of a fresh
+      // store root), and the explicit probe is the same discipline every
+      // other store module uses
       val store =
-        try spark.read.parquet(storeDir)
+        if (!StoreRead.hasParquetData(spark, storeDir))
+          spark.emptyDataFrame.select(lit(0).as("band_id"), lit("").as("bk")).limit(0)
+        else spark.read.parquet(storeDir)
           .filter(col("batch_id") < batchId) // replay: never see own keys
           .select(col("band_id"), col("bk"))
-        catch { case _: org.apache.spark.sql.AnalysisException =>
-          spark.emptyDataFrame.select(lit(0).as("band_id"), lit("").as("bk")).limit(0) }
       val hitStore = bands
         .join(store, Seq("band_id", "bk"), "left_semi")
         .select(col("doc_id"))
