@@ -352,6 +352,7 @@ object SparkEntry {
     "q177_lag_correlation"    -> Stats.q177 _,
     "q178_session_flow"       -> Windows.q178 _,
     "q179_value_bands"        -> Stats.q179 _,
+    "q180_equidepth_stats"    -> ZOrder.q180 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -392,6 +392,7 @@ object OracleSql {
     "q177_lag_correlation"   -> lagCorrSql,
     "q178_session_flow"      -> sessionFlowSql,
     "q179_value_bands"       -> valueBandsSql,
+    "q180_equidepth_stats"   -> equiDepthSql,
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -3103,6 +3104,30 @@ object OracleSql {
       |       MIN(CASE WHEN cum * 10 >= n * 9 THEN cents END) AS p90_c
       |FROM c GROUP BY event_type, d
       |ORDER BY event_type, d""".stripMargin)
+
+  // q180: DISC equi-depth boundaries off the ranked histogram (the engine
+  // computes the ranks two-phase; grouped totals make the values equal),
+  // tie-collapsed boundary list, first-admitting-bucket assignment.
+  private def equiDepthSql: String = {
+    import ZOrder.EqDepthBuckets
+    s"""WITH vv AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+       |            FROM orders),
+       |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vv GROUP BY 1),
+       |r AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) - c AS a FROM h),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+       |ks AS (SELECT unnest(generate_series(1, $EqDepthBuckets)) AS k),
+       |bnd AS (SELECT k, MIN(v) AS ub
+       |        FROM r, tot, ks
+       |        WHERE (a + c) * $EqDepthBuckets >= k * n GROUP BY k),
+       |ubs AS (SELECT list_sort(list(DISTINCT ub)) AS ubs FROM bnd),
+       |asg AS (SELECT v, c,
+       |          CAST(len(list_filter(ubs, x -> x < v)) AS INTEGER) + 1 AS bucket
+       |        FROM r, ubs)
+       |SELECT bucket, MAX(v) AS ub, CAST(SUM(c) AS BIGINT) AS n_rows,
+       |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |       MIN(v) AS min_v, MAX(v) AS max_v
+       |FROM asg GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
 
   // q152: two LWW snapshots (row_number mirrors of q27's window) diffed by
   // the winning event_id — the engine's single grouped pass is mirrored as

@@ -771,10 +771,18 @@ object Stats {
     * q72's two-phase distributed prefix — range-partition by v,
     * per-partition totals, the triangular offset join, a PARTITIONED
     * local cumsum. No unpartitioned window at any cardinality. */
-  private[graft] def rankedRevenueHist(rows: DataFrame): DataFrame = {
+  private[graft] def rankedRevenueHist(rows: DataFrame): DataFrame =
+    rankedHist(rows.groupBy(col("o_custkey")).agg(sum(col("cents")).as("v")))
+
+  /** The generalized ranked histogram: any single-column LONG frame `v`
+    * reduces to (v, c, a) — distinct value, count, exact global rank
+    * offset — via q72's two-phase distributed prefix. The order-statistic
+    * substrate under q173 (Gini), q174 (deciles) and q180 (equi-depth
+    * optimizer stats): everything "needs a global sort" reduces to this,
+    * with zero global sorts and zero unpartitioned windows. */
+  private[graft] def rankedHist(vals: DataFrame): DataFrame = {
     import graft.queries.Sampling.ShardRanges
-    val hist = rows
-      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("v"))
+    val hist = vals
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
       .repartitionByRange(ShardRanges, col("v"))
       .withColumn("pid", spark_partition_id())

@@ -181,4 +181,58 @@ object ZOrder {
       .withColumn("would_scan",
         !(col("max_ck") < RectCkLo || col("min_ck") > RectCkHi ||
           col("max_day") < RectDayLo || col("min_day") > RectDayHi))
+
+  /** q180 bucket count: equi-depth histogram width. */
+  val EqDepthBuckets = 8
+
+  /** q180: equi-depth column statistics — the ANALYZE-TABLE read a
+    * cost-based optimizer consumes: the o_totalprice column reduced to
+    * [[EqDepthBuckets]] equal-population buckets, each reporting its
+    * upper boundary (a DISC quantile — an attained value), actual row
+    * count, distinct-value count and min/max. Equi-depth (not
+    * equi-width) is what survives skew: a selectivity estimate reads
+    * rows/bucket ≈ n/B regardless of how lopsided the values are, which
+    * is exactly why every CBO (and DuckDB/Spark's own ANALYZE) builds
+    * this shape.
+    *
+    * Semantics: boundary_k = min v with (a_v + c_v)·B ≥ k·n over the
+    * ranked histogram; a value belongs to the FIRST bucket whose
+    * boundary admits it (ties never split across buckets — the histogram
+    * convention; a massive tie degenerates gracefully: all-one-value
+    * input yields ONE bucket, law-pinned). All integer arithmetic.
+    *
+    * Scale posture: the rank offsets come from the shared
+    * [[Stats.rankedHist]] two-phase prefix (zero global sorts, zero
+    * unpartitioned windows — the q173/q174 substrate, third consumer);
+    * the boundary scan is a constant-B explode over the bounded
+    * histogram; bucket assignment is a size(filter(...)) against ONE
+    * broadcast boundary array (single-row, NoCartesian-allowlisted);
+    * the final aggregate is ≤ B rows. */
+  def q180(spark: SparkSession, sfDir: String): DataFrame =
+    equiDepthStats(Tables.orders(spark, sfDir)
+      .select((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("v")))
+
+  /** q180 kernel on any single-long-column frame `v` (planted seam). */
+  private[graft] def equiDepthStats(vals: DataFrame): DataFrame = {
+    val B = EqDepthBuckets
+    // the ranked histogram feeds the total, the boundary scan and the
+    // bucket assignment (q104 pinning discipline)
+    val rh = graft.ops.Dsl.pin(Stats.rankedHist(vals))
+    val tot = rh.agg(sum(col("c")).as("n"))
+    val bounds = rh.join(broadcast(tot))
+      .withColumn("k", explode(sequence(lit(1), lit(B))))
+      .filter((col("a") + col("c")) * B >= col("k") * col("n"))
+      .groupBy(col("k")).agg(min(col("v")).as("ub"))
+      .agg(array_sort(collect_set(col("ub"))).as("ubs"))
+    rh.join(broadcast(bounds))
+      .withColumn("bucket",
+        (size(filter(col("ubs"), x => x < col("v"))) + 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(max(col("v")).as("ub"), sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .select(col("bucket"), col("ub"), col("n_rows"), col("n_distinct"),
+        col("min_v"), col("max_v"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -141,6 +141,9 @@ class PlanSpec extends SparkSpec {
       "q175_truncation_recall",  // broadcast constant TruncQueries-row
                                  // query panel (q95's constant-panel
                                  // shape) — candidate volume Q·N = Θ(N)
+      "q180_equidepth_stats",    // q173's triangular offset join + the
+                                 // single-row total and the single-row
+                                 // boundary-array broadcasts
       "q161_calendar_fill")      // broadcast single-row global day span
                                  // (q114's ref_date shape) under the
                                  // calendar explode

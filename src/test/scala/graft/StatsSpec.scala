@@ -429,6 +429,27 @@ class StatsSpec extends SparkSpec {
     assert(gini(Seq(20L, 10L, 10L)) == 0.1667)
   }
 
+  test("q180 equi-depth stats: uniform distinct values fill equal buckets with exact boundaries; a massive tie collapses to one bucket; rows conserved") {
+    import graft.queries.ZOrder
+    def stats(vs: Seq[Long]) = {
+      val got = ZOrder.equiDepthStats(vs.toDF("v")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.map(_._3).sum == vs.length, "rows conserved")
+      got.toSeq
+    }
+    // 1..16 once each, B=8: boundary_k = 2k, every bucket exactly 2 rows
+    val uni = stats((1L to 16L))
+    assert(uni == (1 to 8).map(k => (k, 2L * k, 2L, 2L)), s"got $uni")
+    // a massive tie cannot split: all-one-value input is ONE bucket
+    val tie = stats(Seq.fill(5)(7L))
+    assert(tie == Seq((1, 7L, 5L, 1L)), s"got $tie")
+    // skew: 9x one value + 7 distinct still covers everything, boundaries
+    // monotone, first bucket absorbs the tie mass
+    val skew = stats(Seq.fill(9)(1L) ++ (2L to 8L))
+    assert(skew.head._2 == 1L && skew.head._3 == 9L, s"got $skew")
+    assert(skew.map(_._2) == skew.map(_._2).sorted, "boundaries monotone")
+  }
+
   test("q174 Lorenz deciles: distinct values fill one customer per decile; a tied group splits across boundaries exactly; revenue conserved") {
     import graft.queries.Stats
     def deciles(revs: Seq[Long]) = {
