@@ -780,10 +780,15 @@ object Stats {
     * substrate under q173 (Gini), q174 (deciles) and q180 (equi-depth
     * optimizer stats): everything "needs a global sort" reduces to this,
     * with zero global sorts and zero unpartitioned windows. */
-  private[graft] def rankedHist(vals: DataFrame): DataFrame = {
+  private[graft] def rankedHist(vals: DataFrame): DataFrame =
+    rankedHistOfCounts(vals.groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+
+  /** [[rankedHist]] from a pre-counted (v, cnt) frame — the seam the s50
+    * streaming column-statistics store reads through. */
+  private[graft] def rankedHistOfCounts(counts: DataFrame): DataFrame = {
     import graft.queries.Sampling.ShardRanges
-    val hist = vals
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val hist = counts
+      .groupBy(col("v")).agg(sum(col("cnt")).as("c"))
       .repartitionByRange(ShardRanges, col("v"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)

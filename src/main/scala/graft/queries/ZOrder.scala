@@ -213,11 +213,18 @@ object ZOrder {
       .select((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("v")))
 
   /** q180 kernel on any single-long-column frame `v` (planted seam). */
-  private[graft] def equiDepthStats(vals: DataFrame): DataFrame = {
+  private[graft] def equiDepthStats(vals: DataFrame): DataFrame =
+    equiDepthStatsOfCounts(
+      vals.groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+
+  /** q180 kernel on a pre-counted (v, cnt) frame — the seam the s50
+    * streaming read enters through, so stream and batch share one
+    * histogram definition. */
+  private[graft] def equiDepthStatsOfCounts(counts: DataFrame): DataFrame = {
     val B = EqDepthBuckets
     // the ranked histogram feeds the total, the boundary scan and the
     // bucket assignment (q104 pinning discipline)
-    val rh = graft.ops.Dsl.pin(Stats.rankedHist(vals))
+    val rh = graft.ops.Dsl.pin(Stats.rankedHistOfCounts(counts))
     val tot = rh.agg(sum(col("c")).as("n"))
     val bounds = rh.join(broadcast(tot))
       .withColumn("k", explode(sequence(lit(1), lit(B))))

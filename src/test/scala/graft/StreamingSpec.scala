@@ -2202,6 +2202,40 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s50: streamed equi-depth column stats == batch q180 under an ARBITRARY batch split; a hot batch moves the boundaries; replay no-op") {
+    import graft.streaming.ColumnStats.{processBatch, stats}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import spark.implicits._
+    val storeDir = tmpDir("s50-colstats") + "/store"
+    assert(stats(spark, storeDir).collect().isEmpty)
+    val v = graft.tables.Tables.orders(spark, sf001)
+      .select((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("v"),
+        col("o_orderkey"))
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    for (b <- 0L to 2L)
+      processBatch(v.filter(pmod(col("o_orderkey"), lit(3)) === b).select(col("v")),
+        storeDir, b)
+    val want = rows(SparkEntry.queries("q180_equidepth_stats")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(stats(spark, storeDir)) == want,
+      "streamed column stats diverged from batch q180")
+    // boundary mobility: equal counts read one tied bucket; a hot batch
+    // of a new value re-derives the whole boundary structure at read
+    val store2 = tmpDir("s50-mobility") + "/store"
+    processBatch(Seq.fill(8)(5L).toDF("v"), store2, 0L)
+    assert(stats(spark, store2).collect().map(_.getInt(0)).toSeq == Seq(1))
+    processBatch(Seq.fill(8)(9L).toDF("v"), store2, 1L)
+    val after = stats(spark, store2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(after.toSeq == Seq((1, 5L, 8L), (2, 9L, 8L)),
+      s"a hot batch must re-derive the boundary structure: ${after.toSeq}")
+    processBatch(v.filter(pmod(col("o_orderkey"), lit(3)) === 1L).select(col("v")),
+      storeDir, 1L)
+    assert(rows(stats(spark, storeDir)) == want, "replay changed the stats")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s46: streamed traffic drawdown == batch q172 off the SAME s36 daily store") {
     import graft.streaming.SeasonalMonitor.{drawdown, processBatch}
     import org.apache.spark.sql.functions.{col, lit, pmod}
