@@ -2746,8 +2746,9 @@ object OracleSql {
 
   // q166: CUSUM deviations in exact HUGEINT (|D*prefix - k*S|), argmax via
   // (dev DESC, d) row_number — the engine's min-over-(-dev, d) struct; the
-  // peak re-emerges as DECIMAL(38,0) to match the engine's carrier, and
-  // the scaled statistic is the HUGEINT `//` ratio4dec mirror.
+  // peak re-emerges as BIGINT at the output seam (dev ≤ n_days·total keeps
+  // it in long range; HUGEINT stays internal), and the scaled statistic is
+  // the HUGEINT `//` ratio4dec mirror.
   private def cusumSql: String =
     (eventsCte + """,
       |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -2766,7 +2767,7 @@ object OracleSql {
       |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev DESC, d) AS rn
       |      FROM dv)
       |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, CAST(total AS BIGINT) AS total,
-      |       d AS change_d, CAST(dev AS DECIMAL(38,0)) AS peak_dev,
+      |       d AS change_d, CAST(dev AS BIGINT) AS peak_dev,
       |       CASE WHEN total > 0
       |            THEN CAST((dev * 20000 + n_days * total) // (n_days * total * 2) AS DOUBLE)
       |                   / 10000.0 END AS stat4

@@ -935,7 +935,11 @@ object Stats {
     * ratio4dec against D·S), so the argmax and the tie rule (earliest
     * day on equal peaks, pinned via min over the (−dev, d) struct) are
     * exact; DECIMAL(38,0) carriers keep D·prefix exact past 2⁵³ (the
-    * oracle mirrors in HUGEINT).
+    * oracle mirrors in HUGEINT). The carriers stay INTERNAL: `peak_dev`
+    * leaves as BIGINT (dev ≤ n_days·total, comfortably in long range) —
+    * the driver's hash canonicalization renders DECIMAL and BIGINT
+    * differently, so no query may emit a raw decimal output column
+    * (enforced by VerifySpec's output-type law).
     *
     * Scale posture: [[dailyOf]]'s one map-side-combined shuffle, then
     * prefix sums over PARTITIONED (per-type) calendar-bounded windows,
@@ -967,7 +971,7 @@ object Stats {
         min(struct((col("dev") * -1).as("negdev"), col("d"))).as("m"))
       .select(col("event_type"), col("n_days"), col("total"),
         col("m.d").as("change_d"),
-        (col("m.negdev") * -1).cast("decimal(38,0)").as("peak_dev"),
+        (col("m.negdev") * -1).cast("long").as("peak_dev"),
         when(col("total") > 0,
           ratio4dec(col("m.negdev") * -1, dec(col("n_days")) * dec(col("total"))))
           .otherwise(lit(null).cast("double")).as("stat4"))

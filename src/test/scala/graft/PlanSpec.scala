@@ -571,4 +571,27 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("output-type law: no query emits a raw DECIMAL output column") {
+    // The driver hashes canonicalized cell STRINGS, where DECIMAL(38,0)
+    // `123` and BIGINT `123` render differently even when the values are
+    // equal — exactly the r14 q166 hash_match failure. Decimal carriers
+    // are fine INTERNALLY (exact big-integer arithmetic); the output seam
+    // must cast back to a driver-hashable type (BIGINT/DOUBLE/DATE/...).
+    // Swept recursively so a decimal can't hide inside a struct or array.
+    import org.apache.spark.sql.types._
+    def decimalPaths(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(path)
+      case s: StructType => s.fields.flatMap(f => decimalPaths(f.dataType, s"$path.${f.name}")).toSeq
+      case a: ArrayType => decimalPaths(a.elementType, s"$path[]")
+      case m: MapType =>
+        decimalPaths(m.keyType, s"$path{k}") ++ decimalPaths(m.valueType, s"$path{v}")
+      case _ => Nil
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      decimalPaths(SparkEntry.queries(name)(spark, sf001).schema, name)
+    }
+    assert(offenders.isEmpty,
+      s"raw DECIMAL output columns (cast to BIGINT/DOUBLE at the seam): ${offenders.mkString(", ")}")
+  }
 }

@@ -53,6 +53,24 @@ def main():
         scols = [d[0] for d in s.description]
         srows = s.fetchall()
         msgs = []
+        # Driver-hash guard: the driver hashes canonicalized cell STRINGS,
+        # where Decimal('123') and 123 render differently even though
+        # Python compares them equal — so a raw DECIMAL output column can
+        # pass this value-level check yet fail the driver (r14 q166).
+        # Flag decimal-typed outputs on EITHER side as hard failures.
+        import decimal as _dec
+        def _dec_cols(cols, rows):
+            hit = set()
+            for r in rows[:50]:
+                for c, v in zip(cols, r):
+                    if isinstance(v, _dec.Decimal):
+                        hit.add(c)
+            return sorted(hit)
+        sdec = _dec_cols(scols, srows)
+        odec = _dec_cols(ocols, orows)
+        if sdec or odec:
+            msgs.append(f"raw DECIMAL output (driver hash would diverge): "
+                        f"spark={sdec} oracle={odec}")
         if sorted(scols) != sorted(ocols):
             msgs.append(f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
