@@ -301,7 +301,7 @@ class StatsSpec extends SparkSpec {
     val got = Stats.cusumChangepoint((a ++ b).toDF("event_type", "d", "n"))
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getDate(3).toString, r.getDecimal(4).longValueExact, r.getDouble(5)))).toMap
+        r.getDate(3).toString, r.getLong(4), r.getDouble(5)))).toMap
     assert(got("A") == ((10L, 150L, "2024-01-05", 250L, 0.1667)), s"got ${got("A")}")
     assert(got("B") == ((4L, 28L, "2024-01-01", 0L, 0.0)), s"got ${got("B")}")
   }
