@@ -132,9 +132,10 @@ object BenchScale {
       // attribution's binned (user, bin) range join
       "q156_rfm_segments" -> "count",
       "q157_position_attribution" -> "count",
-      // r14 (2): hard-negative mining — q90's probe with the query-
-      // relative label exclusion on the candidate stream
-      "q158_hard_negatives" -> "count",
+      // r14 (2): hard-negative mining — measured r14 at exp 1.39 on the
+      // flat probe; the leg moved to the TUNED operating point in r15
+      // (scaled list below), the same q146-composition route that retired
+      // the flat q90 confirm octave
       // r14 (3): the queries with a corpus-scale stage among the
       // time-series/experimentation additions — OHLC's one (type, hour)
       // bar shuffle, the basket-bounded pair self-join, the skyline's
@@ -196,6 +197,14 @@ object BenchScale {
       (s"q147_filtered_tuned_ann[b=${tunedSubBits(a)}]",
         (s: SparkSession, dir: String) =>
           Vectors.ivfKnnFilteredTuned(s, dir, Vectors.NProbe, tunedSubBits(a)),
+        "count"),
+      // r15 (r14 verdict item 2): hard-negative mining at the TUNED
+      // operating point — q158's query-relative exclusion riding q146's
+      // subcode multi-probe (declared as q181), replacing the flat leg
+      // whose r14 octave measured exp 1.39 / 39.9 s at ×32.
+      (s"q158_tuned[b=${tunedSubBits(a)}]",
+        (s: SparkSession, dir: String) =>
+          Vectors.hardNegativesTuned(s, dir, Vectors.NProbe, tunedSubBits(a)),
         "count"))
     std ++ scaled
   }
@@ -337,9 +346,14 @@ object BenchScale {
     // r12/r13) and no longer burns ~140 s re-proving it. Full-base-name
     // matching so the flat q90_ivf_knn leg and the tuned one are
     // distinguishable.
+    // r15 (r14 verdict item 6): every ladder leg ≥ ~7 s at ×32 gets a
+    // confirm octave — q100/q112/q143/q160 join, plus the new tuned
+    // hard-negatives leg (item 2).
     val confirmSet = Set("q36_ngram_jaccard", "q84_containment",
       "q77_knn_join", "q90_tuned", "q99_dedup_eval",
-      "q104_mutual_knn_clusters", "q147_filtered_tuned_ann")
+      "q104_mutual_knn_clusters", "q147_filtered_tuned_ann",
+      "q158_tuned", "q100_leakage_safe_split", "q112_pq_adc",
+      "q143_filtered_ann", "q160_basket_pairs")
     val confirmFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONFIRM", "64").toInt
     if (sections("confirm") && confirmFactor > factors.max) {
       val dir = s"$scaleRoot/x$confirmFactor"
@@ -358,6 +372,30 @@ object BenchScale {
       for (p <- 1 to 2; (name, fn, action) <- buildQueries(confirmFactor)
            if confirmSet(name.takeWhile(_ != '['))) {
         val (dt, rows) = runOnce(spark, name, fn, dir, action)
+        noteHeap()
+        if (dt >= 0) {
+          val prev = byQ.get(name)
+          if (prev.isEmpty || prev.get._1 > dt) byQ(name) = (dt, rows)
+        }
+        System.err.println(f"[bench-scale] x$confirmFactor pass$p $name%-32s $dt%8.2f s rows=$rows")
+      }
+      // r15 (r14 verdict item 4): the q77 knob-vs-kernel A/B at the bend
+      // octave — the bucket join re-run with the PREVIOUS octave's bits
+      // held fixed (candidates ∝ N²/2^bits, so this leg carries ~2× the
+      // scheduled leg's candidate volume). t(fixed)/t(scheduled) ≈ 2 ⇒
+      // wall time tracks candidate volume and the bits schedule is
+      // holding occupancy (the confirm exponent's excess over 1.0 is
+      // then constants — fat-array shuffle + fixed costs — not drift);
+      // a ratio ≪ 2 ⇒ candidate volume is NOT the driver at this octave.
+      val abBits = scaledBits(confirmFactor / 2)
+      val abWide: Column => Column = graft.ops.Ann.bucketsWide(_, abBits)
+      for (p <- 1 to 2) {
+        val name = s"q77_fixed_bits[b=$abBits]"
+        val (dt, rows) = runOnce(spark, name,
+          (s: SparkSession, d: String) =>
+            Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, d), abWide)
+              .orderBy(col("src"), col("rk")),
+          dir, "count")
         noteHeap()
         if (dt >= 0) {
           val prev = byQ.get(name)

@@ -60,6 +60,15 @@ object ExpProbe {
         Vectors.ivfKnnTuned(s, d, Vectors.NProbe, BenchScale.tunedSubBits(factor))
       case "q147_filtered_tuned_ann" => (s, d) =>
         Vectors.ivfKnnFilteredTuned(s, d, Vectors.NProbe, BenchScale.tunedSubBits(factor))
+      // r15: hard negatives at the tuned point (the q181 ladder leg)
+      case "q158_tuned" => (s, d) =>
+        Vectors.hardNegativesTuned(s, d, Vectors.NProbe, BenchScale.tunedSubBits(factor))
+      // r15: the q77 knob-vs-kernel A/B — previous octave's bits held
+      // fixed at this factor (~2× the scheduled leg's candidate volume)
+      case "q77_fixed_bits" => (s, d) =>
+        Vectors.knnPairsOn(graft.tables.Tables.embeddings(s, d),
+            graft.ops.Ann.bucketsWide(_, BenchScale.scaledBits(factor / 2)))
+          .orderBy(col("src"), col("rk"))
       case k => SparkEntry.queries(k)
     }
 

@@ -353,6 +353,7 @@ object SparkEntry {
     "q178_session_flow"       -> Windows.q178 _,
     "q179_value_bands"        -> Stats.q179 _,
     "q180_equidepth_stats"    -> ZOrder.q180 _,
+    "q181_hard_negatives_tuned" -> Vectors.q181 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -350,6 +350,17 @@ object OracleSql {
        |FROM r WHERE rk <= ${Vectors.KnnK}
        |ORDER BY src, rk""".stripMargin
 
+  /** q181 oracle: the q146 tuned chain with q158's QUERY-RELATIVE label
+    * exclusion inside the candidate CTE (correlated scalar lookups DuckDB
+    * decorrelates into joins) — filter-before-rank at the tuned point. */
+  private val hardNegativesTunedSql =
+    s"""${ivfKnnTunedCtes(Vectors.TunedSubBits,
+         " AND (SELECT label FROM embeddings e1 WHERE e1.vec_id = m.dst)" +
+         " <> (SELECT label FROM embeddings e2 WHERE e2.vec_id = p.src)")}
+       |SELECT src, rk, dst, sim
+       |FROM r WHERE rk <= ${Vectors.KnnK}
+       |ORDER BY src, rk""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q54_doc_chunking"  -> chunkSql,
@@ -371,6 +382,7 @@ object OracleSql {
     "q156_rfm_segments"      -> rfmSql,
     "q157_position_attribution" -> positionAttributionSql,
     "q158_hard_negatives"    -> hardNegativesSql,
+    "q181_hard_negatives_tuned" -> hardNegativesTunedSql,
     "q159_ohlc_bars"         -> ohlcSql,
     "q160_basket_pairs"      -> basketSql,
     "q161_calendar_fill"     -> calendarFillSql,

@@ -581,7 +581,8 @@ object Vectors {
     * lower-plane tie-break, unique argmax cell assignment. */
   private[graft] def ivfKnnTuned(spark: SparkSession, sfDir: String,
       nprobe: Int, subBits: Int,
-      memberPrune: DataFrame => DataFrame = identity): DataFrame = {
+      memberPrune: DataFrame => DataFrame = identity,
+      excludeSameLabel: Boolean = false): DataFrame = {
     import graft.ops.Ann
     require(subBits >= 0 && subBits <= 16, s"subBits=$subBits out of range")
     def subcode(emb: Column): Column =
@@ -600,7 +601,12 @@ object Vectors {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("src"), col("cell"))
-      .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_a")), Seq("src"))
+      .join(emb.select(Seq(col("vec_id").as("src"), col("embedding").as("emb_a")) ++
+        (if (excludeSameLabel) Seq(col("label").as("src_label")) else Nil): _*), Seq("src"))
+    // columns the multi-probe explode must carry through (q181 rides the
+    // query-side label here — the exclusion predicate is query-relative)
+    val probeCarry = Seq(col("src"), col("cell"), col("emb_a")) ++
+      (if (excludeSameLabel) Seq(col("src_label")) else Nil)
     val probes =
       if (subBits == 0) probes0.withColumn("code", lit(0L))
       else {
@@ -613,9 +619,9 @@ object Vectors {
         probes0
           .withColumn("code0", subcode(col("emb_a")))
           .withColumn("flip", flip)
-          .select(col("src"), col("cell"), col("emb_a"),
+          .select(probeCarry :+
             explode(array(col("code0"),
-              expr("code0 ^ shiftleft(CAST(1 AS BIGINT), flip)"))).as("code"))
+              expr("code0 ^ shiftleft(CAST(1 AS BIGINT), flip)"))).as("code"): _*)
       }
     // Salt inversely to the subcode width (advisor r13): at subBits=0 the
     // (cell, code) key collapses to the bare ncells-cardinality cell key —
@@ -626,8 +632,12 @@ object Vectors {
     // the salt is a free no-op (saltN = 1: one-element explode, zero
     // probe replication). Deterministic dst-hash salt, the q47/ivfKnn way.
     val saltN = math.max(1L, ProbeSalt >> subBits)
-    val members = memberPrune(assigned
+    val members0 = memberPrune(assigned
         .select(col("cell"), col("vec_id").as("dst"), col("embedding").as("emb_b")))
+    val members = (if (excludeSameLabel)
+        members0.join(emb.select(col("vec_id").as("dst"),
+          col("label").as("dst_label")), Seq("dst"))
+      else members0)
       .withColumn("code", subcode(col("emb_b")))
       .withColumn("salt", pmod(xxhash64(col("dst")), lit(saltN)))
     val saltedProbes = probes
@@ -635,7 +645,8 @@ object Vectors {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
     saltedProbes.join(members, Seq("cell", "code", "salt"))
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") =!= col("dst") &&
+        (if (excludeSameLabel) col("dst_label") =!= col("src_label") else lit(true)))
       .select(col("src"), col("dst"),
         round4(cosine(col("emb_a"), col("emb_b"))).as("sim"))
       // a dst reachable through BOTH probed codes of one (src, cell) pair
@@ -773,6 +784,31 @@ object Vectors {
       .select(col("src"), col("rk"), col("dst"), col("sim"))
       .orderBy(col("src"), col("rk"))
   }
+
+  /** q181: HARD-NEGATIVE mining at the TUNED operating point (r14 verdict
+    * item 2) — q158's semantics (top-KnnK different-label neighbors, the
+    * contrastive-training op) riding q146's subcode multi-probe instead of
+    * the flat cell scan: the configuration a 100 TB mining job actually
+    * runs. The label exclusion is QUERY-RELATIVE (dst.label ≠ src.label),
+    * so it cannot be a member-side pre-prune like q147's corpus-constant
+    * predicate (the memberPrune hook); it rides the candidate-pair filter
+    * inside the (cell, code, salt) join — still strictly BEFORE ranking
+    * (post-top-k filtering would starve queries whose nearest candidates
+    * share their label: k survivors of an f-fraction exclusion need k/f
+    * retrieved). Per-query candidate volume is q146's constant
+    * NProbe · 2 · ⟨subcell⟩, so total probe work is Θ(N) where q158's flat
+    * composition measured exponent 1.39 on the ladder. LlmOpsSpec pins the
+    * identity (subBits=0 ⇒ equals q158's flat probe row for row) and the
+    * recall floor vs the exact cross-label truth. */
+  def q181(spark: SparkSession, sfDir: String): DataFrame =
+    hardNegativesTuned(spark, sfDir, NProbe, TunedSubBits)
+
+  /** q181 core, parameterized so LlmOpsSpec can pin the subBits=0 identity
+    * against [[hardNegatives]] and the recall floor at the declared
+    * operating point. */
+  private[graft] def hardNegativesTuned(spark: SparkSession, sfDir: String,
+      nprobe: Int, subBits: Int): DataFrame =
+    ivfKnnTuned(spark, sfDir, nprobe, subBits, excludeSameLabel = true)
 
   /** q143 core, parameterized on the probe width so LlmOpsSpec can pin the
     * limit identity (nprobe = ncells ⇒ equals the predicate-filtered exact

@@ -1266,6 +1266,48 @@ class LlmOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q181 hard negatives tuned: subBits=0 degenerates to q158 exactly; exclusion respected; recall floor at the declared point") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Dsl.{cosine, round4}
+    val np = graft.queries.Vectors.NProbe
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // IDENTITY at subBits=0: the multi-probe degenerates to the flat salted
+    // cell probe, so the tuned miner must equal q158 row for row — pins the
+    // label-carry plumbing through the subcode machinery as a refinement
+    val base = rows(graft.queries.Vectors.hardNegatives(spark, sf001, np))
+    val t0 = rows(graft.queries.Vectors.hardNegativesTuned(spark, sf001, np, 0))
+    assert(t0 == base, "subBits=0 tuned hard negatives != q158 flat probe")
+    // the exclusion is respected on every output row at the DECLARED point
+    val e = graft.tables.Tables.embeddings(spark, sf001)
+    val lbl = e.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = graft.queries.Vectors.q181(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+    for ((src, rs) <- got; r <- rs)
+      assert(lbl(r.getLong(2)) != lbl(src),
+        s"src $src: tuned hard negative ${r.getLong(2)} shares its label")
+    // RECALL floor vs the exact cross-label truth — the q146 trade applied
+    // to mining: lower than q158's flat 0.5+ floor by construction (the
+    // subcode cuts candidates), pinned so machinery regressions surface
+    val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst")
+    val exact = e.select($"vec_id".as("src"), $"embedding".as("emb_a"), $"label".as("la"))
+      .crossJoin(e.select($"vec_id".as("dst"), $"embedding".as("emb_b"), $"label".as("lb")))
+      .filter($"src" =!= $"dst" && $"la" =!= $"lb")
+      .select($"src", $"dst", round4(cosine($"emb_a", $"emb_b")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= graft.queries.Vectors.KnnK)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val per = exact.map { case (src, truth) =>
+      val found = got.get(src).map(_.map(_.getLong(2)).toSet).getOrElse(Set.empty)
+      (truth intersect found).size.toDouble / truth.size
+    }
+    val recall = per.sum / per.size
+    info(f"q181 recall=$recall%.3f vs cross-label exact truth (q158 flat ~0.5+)")
+    assert(recall >= 0.25, f"q181 recall $recall%.3f below pin")
+    spark.catalog.clearCache()
+  }
+
   test("q175 truncation recall: the full-width audit is the identity (recall 1.0 per query); truncated overlap stays in [0, k]") {
     import graft.queries.Vectors
     val emb = graft.tables.Tables.embeddings(spark, sf001)
