@@ -937,6 +937,44 @@ object BenchScale {
       noteHeap()
       SparkEntry.clearGraftCaches(spark)
     }
+    if (sections("stream")) locally { // s51 socket transport (r15, r14 verdict
+      // item 5): the full cascade fed a purchase backlog over a REAL TCP
+      // hop — loopback socket server → Spark's built-in socket source —
+      // with the derived-promise self-loop republished through the same
+      // socket. Measured to the CONVERGED log (backlog purchases + their
+      // derived promises all committed), the honest end-to-end number.
+      val nSock = 20000L
+      val sroot = s"$streamRoot/s51sock"
+      val lines = (0L until nSock).map { i =>
+        s"""{"event_id":"sk-$i","event_type":"${graft.streaming.Envelope.PurchaseCompleted}",""" +
+        s""""ts":"${java.time.Instant.ofEpochMilli(1700000000000L + i * 2L)}",""" +
+        s""""order_id":"order-sk-$i","user_id":"u${i % 64}","amount":${(i % 50 + 1) * 100}}"""
+      }
+      val sb = new graft.streaming.SocketBroker(spark)
+      val pipe = new graft.streaming.BnplPipeline(spark, s"$sroot/events",
+        s"$sroot/state", broker = Some(sb.brokerArg))
+      val t0 = System.nanoTime()
+      pipe.start()
+      val committed = try {
+        // publish in broker-sized chunks (the wire is line-framed; chunking
+        // only bounds the per-write syscall, not the semantics)
+        lines.grouped(2000).foreach(sb.publish)
+        def logged(): Long =
+          try spark.read.parquet(s"$sroot/state/events_log").count()
+          catch { case _: Throwable => 0L }
+        val want = nSock * 2 // purchases + their derived promises
+        val deadline = System.nanoTime() + 600L * 1000000000L
+        while (logged() < want && System.nanoTime() < deadline) pipe.drain(1)
+        logged()
+      } finally { pipe.stop(); sb.close() }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench-scale] s51 socket: $committed log rows " +
+        f"($nSock purchases over TCP + derived promises) in $dt%.1f s " +
+        f"(${committed / dt}%.0f rows/s)")
+      streaming("s51_socket_transport") = (dt, committed)
+      noteHeap()
+      SparkEntry.clearGraftCaches(spark)
+    }
 
     // ---- report ----
     def jnum(d: Double): String =

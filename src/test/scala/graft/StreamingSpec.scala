@@ -455,6 +455,67 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s51 socket-source ingest: the cascade over a real TCP hop equals the file pipeline on the same wire lines") {
+    // the s28 runbook lines, verbatim on both transports — the claim is
+    // s28's parity law carried across an actual network boundary (the
+    // loopback socket server + Spark's built-in `socket` source)
+    val step1 = Seq(ev("ev-1", Envelope.PurchaseCompleted, "2024-03-01T10:00:00.000Z",
+      "order_id" -> "\"order-u1\"", "user_id" -> "\"u1\"", "amount" -> "4000"))
+    val step2 = Seq(ev("ev-2", Envelope.MemberBillCreated, "2024-03-01T10:02:00.000Z",
+      "user_id" -> "\"u1\"", "amount" -> "4000", "bill_id" -> "\"bill-1\"",
+      "promise_id" -> "\"p-ev-1\"", "issued_date" -> "\"2024-04-01\""))
+    val step3 = Seq(ev("ev-3", Envelope.PaymentCompleted, "2024-03-01T10:04:00.000Z",
+      "user_id" -> "\"u1\"", "bill_id" -> "\"bill-1\"", "paid_date" -> "\"2024-04-02\""))
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.toJSON.collect().toSet
+
+    // file transport (the reference ordering)
+    val (fEvents, fState) = (tmpDir("s51-file-events"), tmpDir("s51-file-state"))
+    val pipeF = new BnplPipeline(spark, fEvents, fState)
+    pipeF.start()
+    val (fLog, fProm, fBills) = try {
+      Seq(step1, step2, step3).zipWithIndex.foreach { case (s, i) =>
+        writeEvents(fEvents, s"e$i.json", s); pipeF.drain()
+      }
+      (rows(pipeF.eventsLog), rows(pipeF.paymentPromises("u1")), rows(pipeF.memberBills("u1")))
+    } finally pipeF.stop()
+
+    // socket transport — same lines over TCP; the promise self-loop posts
+    // back through the socket server (the loop crosses the network too)
+    val sb = new graft.streaming.SocketBroker(spark)
+    val sState = tmpDir("s51-sock-state")
+    val pipeS = new BnplPipeline(spark, tmpDir("s51-sock-events"), sState,
+      broker = Some(sb.brokerArg))
+    pipeS.start()
+    try {
+      // TCP delivery is asynchronous: publish, then poll-drain to the
+      // parity conditions themselves (the s30 convergence discipline —
+      // fixed drain counts race the wire)
+      def sLog(): Set[String] =
+        try rows(pipeS.eventsLog) catch { case _: Throwable => Set.empty }
+      def sProm(): Set[String] =
+        try rows(pipeS.paymentPromises("u1")) catch { case _: Throwable => Set.empty }
+      def sBills(): Set[String] =
+        try rows(pipeS.memberBills("u1")) catch { case _: Throwable => Set.empty }
+      def converged(): Boolean =
+        sLog() == fLog && sProm() == fProm && sBills() == fBills
+      Seq(step1, step2, step3).foreach { s => sb.publish(s); pipeS.drain() }
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!converged() && System.nanoTime() < deadline) pipeS.drain()
+      assert(sLog() == fLog,
+        "event log diverged between the socket and file transports")
+      assert(sProm() == fProm,
+        "promise projection diverged between transports")
+      assert(sBills() == fBills,
+        "bill projection diverged between transports")
+      // non-vacuous: the cascade really ran across the wire (purchase +
+      // looped promise + bill + payment)
+      assert(fLog.size == 4)
+    } finally { pipeS.stop(); sb.close() }
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("unknown event types reach the log but no projection (R3: switch without default)") {
     val eventsDir = tmpDir("bnpl-unknown-events")
     val stateDir = tmpDir("bnpl-unknown-state")
