@@ -66,6 +66,8 @@ object MediaQ {
     docs.select(col("doc_id"), col("text"),
         length(col("text")).as("n_chars"),
         length(col("text")).cast("long").as("duration_ms"),
+        // pmod mirrored in the oracle as (doc_id % 6 + 6) % 6 so negative
+        // ids read the same fps on both engines (advisor r14)
         (lit(24L) + pmod(col("doc_id"), lit(6L))).as("fps"))
       .withColumn("total_frames", expr("duration_ms * fps div 1000"))
       .filter(col("total_frames") > 0)

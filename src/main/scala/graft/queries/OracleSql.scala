@@ -2733,7 +2733,7 @@ object OracleSql {
     (eventsCte + s""",
       |per AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
       |        FROM e GROUP BY user_id),
-      |v AS (SELECT user_id % 2 AS variant, conv FROM per),
+      |v AS (SELECT (user_id % 2 + 2) % 2 AS variant, conv FROM per),
       |c AS (SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
       |             CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
       |             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
@@ -3017,7 +3017,7 @@ object OracleSql {
     import MediaQ.FrameSamples
     s"""WITH m AS (SELECT doc_id, text, CAST(len(text) AS INTEGER) AS n_chars,
        |         CAST(len(text) AS BIGINT) AS duration_ms,
-       |         CAST(24 + doc_id % 6 AS BIGINT) AS fps
+       |         CAST(24 + (doc_id % 6 + 6) % 6 AS BIGINT) AS fps
        |       FROM documents),
        |t AS (SELECT *, duration_ms * fps // 1000 AS total_frames FROM m),
        |x AS MATERIALIZED (SELECT *, unnest(generate_series(0, ${FrameSamples - 1})) AS j

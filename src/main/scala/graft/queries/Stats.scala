@@ -534,6 +534,9 @@ object Stats {
   /** Chi-square finisher on a per-user (user_id, conv) frame — the seam
     * s42 reads through, so stream and batch share one test. */
   private[graft] def chisqOfConv(perUser: DataFrame): DataFrame = {
+    // pmod (always-nonnegative) — the oracle mirrors with
+    // (user_id % 2 + 2) % 2 so a negative id lands in the SAME variant
+    // on both engines (advisor r14: DuckDB's % keeps the dividend's sign)
     val per = perUser.select(pmod(col("user_id"), lit(2)).as("variant"), col("conv"))
     val c = per.agg(
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),

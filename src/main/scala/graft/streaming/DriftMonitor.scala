@@ -34,6 +34,21 @@ import graft.queries.Stats
   * aggregate of the batch only; the drift read is one shuffle over the
   * store (≤ grid × uncompacted batches rows) feeding q135's
   * already-bounded pair kernel — the event log itself is never re-read.
+  *
+  * STORE-FORMAT BREAK (r14, advisor-flagged r15): the partial schema
+  * gained the day column `d` in r14 (to serve the s48 band read), so a
+  * store written by pre-r14 code fails the merged read with a missing
+  * column. Partials are derived state — rebuild by replaying the event
+  * log through `processBatch` (the replay law makes this exact); there
+  * is deliberately no silent read-side default, because an old partition
+  * coalesced onto a sentinel day would CORRUPT the s48 calendar slices
+  * while appearing to work. (SeasonalMonitor's r14 `sum_v` widening has
+  * the same posture.) Read-cost note (advisor r15): the day axis
+  * multiplies per-batch partition cardinality (types × days × values),
+  * so the drift/IQR reads merge ~days× more rows per uncompacted batch —
+  * still quantization-bounded; if it ever shows up at scale, s21's
+  * watermark compaction can fold the day axis out of partitions older
+  * than the band horizon (bands only read recent days).
   */
 object DriftMonitor {
 

@@ -31,6 +31,14 @@ import graft.queries.Stats
   * Scale posture: per batch ONE map-side-combined aggregate of the
   * batch only; the read is one shuffle over ≤ types × days ×
   * uncompacted-batches partial rows into q151's calendar-bounded kernel.
+  *
+  * STORE-FORMAT BREAK (r14, advisor-flagged r15): the partial schema
+  * gained the exact `sum_v` decimal column in r14 (to serve the s43 Holt
+  * read), so a store written by pre-r14 code fails the merged read with
+  * a missing column. Partials are derived state — rebuild by replaying
+  * the event log through `processBatch`; no silent read-side default
+  * (a defaulted sum would corrupt the mean-based reads while appearing
+  * to work). Same posture as DriftMonitor's r14 day widening.
   */
 object SeasonalMonitor {
 

@@ -2215,7 +2215,7 @@ class StreamingSpec extends SparkSpec {
 
   test("s49: streamed session flow == batch q178 under an order-respecting split; a seam-spanning session merges; gate rejects; replay no-op") {
     import graft.streaming.SessionTracker.{flow, processBatch}
-    import org.apache.spark.sql.functions.{col, dayofmonth, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit}
     import spark.implicits._
     val root = tmpDir("s49")
     val openDir = root + "/open"; val closedDir = root + "/closed"
@@ -2225,10 +2225,15 @@ class StreamingSpec extends SparkSpec {
       .localCheckpoint(true)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
     // order-RESPECTING split (sessionization is order-sensitive): slice
-    // the log by calendar thirds, which preserves every user's order
-    val cuts = Seq(ev.filter(dayofmonth(col("ts")) <= 10),
-      ev.filter(dayofmonth(col("ts")).between(11, 20)),
-      ev.filter(dayofmonth(col("ts")) > 20))
+    // the log at its own ts terciles — globally time-ordered regardless
+    // of the generator's calendar span (advisor r15: the old
+    // dayofmonth slicing was only monotonic while the log fit ONE month)
+    val Seq(cutA, cutB) = ev
+      .agg(expr("percentile(cast(ts as long), array(0.33, 0.66))"))
+      .head.getSeq[Double](0).map(_.toLong).toSeq
+    val cuts = Seq(ev.filter(col("ts").cast("long") <= cutA),
+      ev.filter(col("ts").cast("long") > cutA && col("ts").cast("long") <= cutB),
+      ev.filter(col("ts").cast("long") > cutB))
     cuts.zipWithIndex.foreach { case (b, i) => processBatch(b, openDir, closedDir, i.toLong) }
     val want = rows(SparkEntry.queries("q178_session_flow")(spark, sf001))
     assert(want.nonEmpty)
