@@ -354,6 +354,7 @@ object SparkEntry {
     "q179_value_bands"        -> Stats.q179 _,
     "q180_equidepth_stats"    -> ZOrder.q180 _,
     "q181_hard_negatives_tuned" -> Vectors.q181 _,
+    "q182_winsorized_stats"   -> Stats.q182 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -383,6 +383,7 @@ object OracleSql {
     "q157_position_attribution" -> positionAttributionSql,
     "q158_hard_negatives"    -> hardNegativesSql,
     "q181_hard_negatives_tuned" -> hardNegativesTunedSql,
+    "q182_winsorized_stats"  -> winsorizedSql,
     "q159_ohlc_bars"         -> ohlcSql,
     "q160_basket_pairs"      -> basketSql,
     "q161_calendar_fill"     -> calendarFillSql,
@@ -2844,6 +2845,35 @@ object OracleSql {
       |JOIN q3 ON h.event_type = q3.event_type
       |GROUP BY h.event_type
       |ORDER BY h.event_type""".stripMargin)
+
+  // q182: winsorized stats off the same per-type cent histograms — DISC
+  // p05/p95 (20·cum >= k·n), integer clamp, exact long winsorized sum,
+  // and the ratio4 mirror for the 4-dec mean.
+  private def winsorizedSql: String =
+    (eventsCte + s""",
+      |h AS (SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |        CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM e GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cum AS (SELECT h.event_type, cents, cnt, n,
+      |          CAST(SUM(cnt) OVER (PARTITION BY h.event_type ORDER BY cents) AS BIGINT) AS cum
+      |        FROM h JOIN tot ON h.event_type = tot.event_type),
+      |lo AS (SELECT event_type, MIN(cents) AS lo_c FROM cum WHERE cum * 20 >= n GROUP BY 1),
+      |hi AS (SELECT event_type, MIN(cents) AS hi_c FROM cum WHERE cum * 20 >= n * 19 GROUP BY 1),
+      |w AS (SELECT h.event_type, cents, cnt, n, lo_c, hi_c,
+      |        GREATEST(LEAST(cents, hi_c), lo_c) AS cl
+      |      FROM h
+      |      JOIN tot ON h.event_type = tot.event_type
+      |      JOIN lo ON h.event_type = lo.event_type
+      |      JOIN hi ON h.event_type = hi.event_type),
+      |agg AS (SELECT event_type, MAX(n) AS n, MAX(lo_c) AS lo_c, MAX(hi_c) AS hi_c,
+      |          CAST(SUM(CASE WHEN cents < lo_c THEN cnt ELSE 0 END) AS BIGINT) AS n_lo,
+      |          CAST(SUM(CASE WHEN cents > hi_c THEN cnt ELSE 0 END) AS BIGINT) AS n_hi,
+      |          CAST(SUM(cnt * cl) AS BIGINT) AS wsum_c
+      |        FROM w GROUP BY 1)
+      |SELECT event_type, n, lo_c, hi_c, n_lo, n_hi, wsum_c,
+      |       ${ratio4Sql("wsum_c", "n")} AS wmean_c4
+      |FROM agg ORDER BY event_type""".stripMargin)
 
   // q169: latency in whole hours by exact integer division of epoch
   // micros (`//` mirrors Spark's `div`); the DISC p50/p90 off the hour

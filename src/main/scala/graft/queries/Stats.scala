@@ -630,6 +630,64 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** q182: WINSORIZED value statistics per event type — the robust-mean
+    * profile every metrics/feature pipeline computes when raw means are
+    * tail-hostage: clip the value distribution at its own DISC p05/p95
+    * cent quantiles (smallest v with 20·cum ≥ k·n, k = 1 and 19 — q168's
+    * attained-value discipline at the 5% tails), then the clipped count,
+    * sum and 4-dec mean. ALL INTEGER until the one ratio4dec quotient:
+    * cents are exact (q156's DECIMAL(12,2)·100 carrier), the clamp is
+    * integer min/max against the broadcast boundary panel, and the
+    * winsorized sum is Σ cnt·clamp(cents) in long.
+    *
+    * Scale posture: q168's shape verbatim — ONE map-side-combined
+    * histogram shuffle (the 2-dec value grid bounds distinct cents per
+    * type regardless of corpus size), type-PARTITIONED cumulative
+    * windows over the bounded histogram, and the 2-boundary panel
+    * broadcasts back into one conditional aggregate over the same
+    * histogram; the raw rows are read exactly once. */
+  def q182(spark: SparkSession, sfDir: String): DataFrame =
+    winsorizedStats(events(spark, sfDir))
+
+  /** q182 kernel on an arbitrary (event_type, value) frame — reduce to
+    * per-(type, value) counts first (the s29 drift-store frame, making a
+    * streaming read of this statistic a free extra read of that store). */
+  private[graft] def winsorizedStats(ev: DataFrame): DataFrame =
+    winsorizedOfValueCounts(ev.select(col("event_type"), col("value"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q182 kernel on a per-(event_type, value) COUNT frame (the s29-store
+    * seam, like [[iqrOfValueCounts]]). */
+  private[graft] def winsorizedOfValueCounts(counts: DataFrame): DataFrame = {
+    val h = pin(counts
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        col("cnt"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("cnt")).as("cnt")))
+    val tot = h.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val cum = h.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+      .join(broadcast(tot), Seq("event_type"))
+    def pct(k: Int, out: String): DataFrame =
+      cum.filter(col("cum") * 20 >= col("n") * k)
+        .groupBy(col("event_type")).agg(min(col("cents")).as(out))
+    val panel = pct(1, "lo_c").join(pct(19, "hi_c"), Seq("event_type"))
+    val clamped = greatest(least(col("cents"), col("hi_c")), col("lo_c"))
+    h.join(broadcast(panel), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"),
+        max(col("lo_c")).as("lo_c"), max(col("hi_c")).as("hi_c"),
+        sum(when(col("cents") < col("lo_c"), col("cnt")).otherwise(0L)).as("n_lo"),
+        sum(when(col("cents") > col("hi_c"), col("cnt")).otherwise(0L)).as("n_hi"),
+        sum(col("cnt") * clamped).as("wsum_c"))
+      .withColumn("wmean_c4", graft.ops.Dsl.ratio4dec(col("wsum_c"), col("n")))
+      .select(col("event_type"), col("n"), col("lo_c"), col("hi_c"),
+        col("n_lo"), col("n_hi"), col("wsum_c"), col("wmean_c4"))
+      .orderBy(col("event_type"))
+  }
+
   /** q171: Pearson correlation between the daily-count series of every
     * event-type pair — the metric-correlation matrix an observability
     * layer derives ("do errors track clicks?"), next to q135's

@@ -339,6 +339,25 @@ class StatsSpec extends SparkSpec {
     assert(got("B") == ((4L, 100L, 200L, 300L, 200L, 0L, 0L)), s"got ${got("B")}")
   }
 
+  test("q182 winsorized stats: hand-computed DISC p05/p95 clamp; heavy tails collapse to the mid value; a clean tail clips exactly one point") {
+    import graft.queries.Stats
+    // A: one extreme low (0.01), 38 mid (1.00), one extreme high (100.00),
+    // N=40: lo = smallest cents with 20*cum >= 40 -> cum >= 2 -> 100;
+    // hi = 20*cum >= 760 -> cum >= 38 -> 100. Both tails clip onto the mid
+    // value: n_lo=1, n_hi=1, wsum = 40*100 = 4000, mean 1.00
+    val a = Seq(0.01) ++ Seq.fill(38)(1.00) ++ Seq(100.00)
+    // B: cents 1..20 once each, N=20: lo = cum>=1 -> 1, hi = cum>=19 -> 19;
+    // only 20 clips (n_hi=1), wsum = (1..19).sum + 19 = 209, ratio4 ->
+    // 10.45 (the exact mean of the clipped histogram)
+    val b = (1 to 20).map(_ / 100.0)
+    val ev = (a.map(("A", _)) ++ b.map(("B", _))).toDF("event_type", "value")
+    val got = Stats.winsorizedStats(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    assert(got("A") == ((40L, 100L, 100L, 1L, 1L, 4000L, 100.0)), s"got ${got("A")}")
+    assert(got("B") == ((20L, 1L, 19L, 0L, 1L, 209L, 10.45)), s"got ${got("B")}")
+  }
+
   test("q171 type correlation: perfectly tracking series read r=1, mirrored series r=-1, a constant series reads NULL; only shared days count") {
     import graft.queries.Stats
     def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
