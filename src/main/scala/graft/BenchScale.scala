@@ -810,6 +810,25 @@ object BenchScale {
       streaming("s50_colstats_read") = ((System.nanoTime() - t1) / 1e9, rows)
       noteHeap()
     }
+    if (sections("stream")) locally { // s52 NDV sketches (r15): 4 event batches
+      // by event_id block (sketch union is order-free — any split); the
+      // store appends KB-sized sketch rows, corpus-size-independent
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("event_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("event_type"), col("user_id"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.NdvMonitor.processBatch(evBatch(b),
+          s"$streamRoot/s52/store", b.toLong)
+      streaming("s52_ndv_ingest") = ((System.nanoTime() - t0) / 1e9, nBatches.toLong)
+      val t1 = System.nanoTime()
+      val rows = graft.streaming.NdvMonitor
+        .ndv(spark, s"$streamRoot/s52/store").count()
+      streaming("s52_ndv_read") = ((System.nanoTime() - t1) / 1e9, rows)
+      noteHeap()
+    }
     if (sections("stream")) locally { // s27 as-of enrichment: 4 event batches by user block
       // (each user's events in one batch — the order gate holds trivially)
       def evBatch(b: Int): DataFrame =

@@ -2213,6 +2213,41 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s52: streamed NDV sketches == one-shot sketch under an arbitrary split; small cardinalities exact; replay no-op") {
+    import graft.streaming.NdvMonitor.{ndv, oneShot, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import spark.implicits._
+    val storeDir = tmpDir("s52-ndv") + "/store"
+    assert(ndv(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("event_type"), col("user_id"))
+      .localCheckpoint(true)
+    // arbitrary split: the sketch union is associative/commutative
+    // (register-wise max), so ANY split is legal — the s26 store class
+    // with a sketch instead of a counter
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("user_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(oneShot(ev))
+    assert(want.nonEmpty)
+    assert(rows(ndv(spark, storeDir)) == want,
+      "streamed sketch union diverged from the one-shot sketch")
+    // replay no-op: identical sketch bytes overwrite their own partition
+    processBatch(ev.filter(pmod(col("user_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(ndv(spark, storeDir)) == want, "replay changed the NDV read")
+    // small-cardinality exactness: below the sparse threshold the HLL
+    // coupon list IS the distinct set — the estimate reads exact
+    val small = tmpDir("s52-small") + "/store"
+    val planted = (Seq.fill(5)(("A", 1L)) ++ Seq(("A", 2L), ("A", 3L)) ++
+      (0L until 40L).map(u => ("B", u))).toDF("event_type", "user_id")
+    processBatch(planted.filter(col("user_id") % 2 === 0), small, 0L)
+    processBatch(planted.filter(col("user_id") % 2 === 1), small, 1L)
+    val got = ndv(spark, small).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 3L, "B" -> 40L), s"got $got")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s49: streamed session flow == batch q178 under an order-respecting split; a seam-spanning session merges; gate rejects; replay no-op") {
     import graft.streaming.SessionTracker.{flow, processBatch}
     import org.apache.spark.sql.functions.{col, expr, lit}
