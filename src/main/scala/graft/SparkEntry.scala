@@ -355,6 +355,7 @@ object SparkEntry {
     "q180_equidepth_stats"    -> ZOrder.q180 _,
     "q181_hard_negatives_tuned" -> Vectors.q181 _,
     "q182_winsorized_stats"   -> Stats.q182 _,
+    "q183_mmr_rerank"         -> Vectors.q183 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

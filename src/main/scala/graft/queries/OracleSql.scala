@@ -384,6 +384,7 @@ object OracleSql {
     "q158_hard_negatives"    -> hardNegativesSql,
     "q181_hard_negatives_tuned" -> hardNegativesTunedSql,
     "q182_winsorized_stats"  -> winsorizedSql,
+    "q183_mmr_rerank"        -> mmrSql,
     "q159_ohlc_bars"         -> ohlcSql,
     "q160_basket_pairs"      -> basketSql,
     "q161_calendar_fill"     -> calendarFillSql,
@@ -2874,6 +2875,60 @@ object OracleSql {
       |SELECT event_type, n, lo_c, hi_c, n_lo, n_hi, wsum_c,
       |       ${ratio4Sql("wsum_c", "n")} AS wmean_c4
       |FROM agg ORDER BY event_type""".stripMargin)
+
+  // q183: MMR reranking — the MmrK greedy steps UNROLLED as chained CTEs
+  // (no recursion; DuckDB inlines multiply-referenced CTEs, so the shared
+  // cand/pair frames are MATERIALIZED). Cosines through the q175 list
+  // kernels (fold parity with the native expression); every step's score
+  // is the textually identical `simq * 0.5 - maxp * 0.5` the engine
+  // computes, compared on bit-identical doubles; the score column stays
+  // unrounded (it sits on .00005 boundaries where ROUND semantics
+  // diverge).
+  private def mmrSql: String = {
+    import Vectors.{MmrCand, MmrK, MmrQueries}
+    def cosSql(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, CAST(len($a) AS INTEGER) + 1),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    val steps = (2 to MmrK).map { k =>
+      s"""r$k AS (SELECT c.src, c.dst, c.simq, MAX(p.simp) AS maxp
+         |  FROM cand c
+         |  JOIN pair p ON p.src = c.src AND p.a = c.dst
+         |  JOIN sel${k - 1} s ON s.src = p.src AND s.dst = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+         |                    WHERE x.src = c.src AND x.dst = c.dst)
+         |  GROUP BY 1, 2, 3),
+         |s$k AS (SELECT src, $k AS step, dst, mmr FROM (
+         |    SELECT src, dst, mmr,
+         |           row_number() OVER (PARTITION BY src ORDER BY mmr DESC, dst) AS rn
+         |    FROM (SELECT src, dst, simq * 0.5 - maxp * 0.5 AS mmr FROM r$k))
+         |  WHERE rn = 1),
+         |sel$k AS MATERIALIZED (SELECT src, dst FROM sel${k - 1}
+         |  UNION ALL SELECT src, dst FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to MmrK).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS src, embedding AS qvec FROM embeddings
+       |           WHERE vec_id < $MmrQueries),
+       |c0 AS (SELECT q.src, e.vec_id AS dst,
+       |    ROUND(${cosSql("e.embedding", "q.qvec")}, 4) AS simq,
+       |    e.embedding AS dvec
+       |  FROM embeddings e, q WHERE e.vec_id <> q.src),
+       |cand AS MATERIALIZED (SELECT src, dst, simq, dvec FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY simq DESC, dst) AS rc
+       |    FROM c0) WHERE rc <= $MmrCand),
+       |pair AS MATERIALIZED (SELECT a.src, a.dst AS a, b.dst AS b,
+       |    ROUND(${cosSql("a.dvec", "b.dvec")}, 4) AS simp
+       |  FROM cand a JOIN cand b ON a.src = b.src AND a.dst <> b.dst),
+       |s1 AS (SELECT src, 1 AS step, dst, simq AS mmr FROM (
+       |    SELECT src, dst, simq,
+       |           row_number() OVER (PARTITION BY src ORDER BY simq DESC, dst) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |sel1 AS MATERIALIZED (SELECT src, dst FROM s1),
+       |$steps
+       |SELECT src, step, dst, mmr AS score FROM ($unionAll)
+       |ORDER BY src, step""".stripMargin
+  }
 
   // q169: latency in whole hours by exact integer division of epoch
   // micros (`//` mirrors Spark's `div`); the DISC p50/p90 off the hour

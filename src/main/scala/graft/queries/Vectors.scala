@@ -1176,4 +1176,89 @@ object Vectors {
         ratio4(col("n_overlap"), lit(KnnK.toLong)).as("recall4"))
       .orderBy(col("src"))
   }
+
+  /** q183 panel geometry: [[MmrQueries]] query vectors (q175's constant
+    * broadcast panel), [[MmrCand]] exact-top candidates retrieved per
+    * query, [[MmrK]] results selected by MMR at λ = 1/2. */
+  val MmrQueries = 8
+  val MmrCand = 10
+  val MmrK = 5
+
+  /** q183: MMR DIVERSITY RERANKING (maximal marginal relevance,
+    * Carbonell & Goldstein '98) — the post-retrieval step every RAG /
+    * search stack runs so the k results aren't k near-duplicates: from
+    * each query's exact top-[[MmrCand]] candidates, greedily select
+    * [[MmrK]], each step taking argmax of
+    * λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s) at λ = 1/2 (step 1 is
+    * the pure-relevance argmax; ties break to the lower dst, the q31
+    * rank discipline).
+    *
+    * Determinism: every similarity is the ROUND-4 fold-parity cosine
+    * (the shared [[graft.functions.CosineSimilarity]] discipline), and
+    * the score is the same `0.5·simq − 0.5·maxpair` expression text on
+    * both engines over those identical doubles — so each greedy argmax
+    * compares bit-identical values and the selection is exact. The
+    * oracle UNROLLS the [[MmrK]] greedy steps as chained CTEs (no
+    * recursion), mirroring the engine's unrolled plan step for step.
+    *
+    * Scale posture: candidate retrieval is a broadcast-panel scan
+    * (MmrQueries·N = Θ(N), the q95/q175 class — a production system
+    * feeds the IVF candidates in instead); everything after is bounded
+    * by queries × MmrCand² pair rows; the per-step windows are
+    * src-partitioned over ≤ MmrCand rows. The greedy loop is UNROLLED in
+    * the plan (MmrK is a compile-time constant), not driver-iterated
+    * over collected data. */
+  def q183(spark: SparkSession, sfDir: String): DataFrame =
+    mmrRerank(Tables.embeddings(spark, sfDir))
+
+  /** q183 kernel (planted-data seam). */
+  private[graft] def mmrRerank(emb: DataFrame): DataFrame = {
+    import graft.ops.Dsl.pin
+    val queries = emb.filter(col("vec_id") < MmrQueries)
+      .select(col("vec_id").as("src"), col("embedding").as("qvec"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("simq").desc, col("dst"))
+    // exact top-MmrCand per query — pinned: the candidate frame feeds
+    // the pair frame AND every greedy step (q104 pin discipline)
+    val cand = pin(emb.select(col("vec_id").as("dst"), col("embedding").as("dvec"))
+      .join(broadcast(queries))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round4(cosine(col("dvec"), col("qvec"))).as("simq"), col("dvec"))
+      .withColumn("rc", row_number().over(wc))
+      .filter(col("rc") <= MmrCand))
+    // pairwise candidate sims: ≤ MmrCand² rows per query, computed once
+    val pair = pin(cand.select(col("src"), col("dst").as("a"), col("dvec").as("va"))
+      .join(cand.select(col("src"), col("dst").as("b"), col("dvec").as("vb")), Seq("src"))
+      .filter(col("a") =!= col("b"))
+      .select(col("src"), col("a"), col("b"),
+        round4(cosine(col("va"), col("vb"))).as("simp")))
+    val base = cand.select(col("src"), col("dst"), col("simq"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("simq").desc, col("dst"))
+    var sel = base.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("src"), lit(1).as("step"), col("dst"), col("simq").as("mmr"))
+    for (k <- 2 to MmrK) {
+      val selSet = sel.select(col("src"), col("dst"))
+      val rem = base.join(selSet, Seq("src", "dst"), "left_anti")
+      val red = rem
+        .join(pair.withColumnRenamed("a", "dst"), Seq("src", "dst"))
+        .join(selSet.withColumnRenamed("dst", "b"), Seq("src", "b"), "left_semi")
+        .groupBy(col("src"), col("dst"), col("simq"))
+        .agg(max(col("simp")).as("maxp"))
+        .withColumn("mmr", col("simq") * 0.5 - col("maxp") * 0.5)
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("mmr").desc, col("dst"))
+      sel = sel.unionByName(red
+        .withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
+        .select(col("src"), lit(k).as("step"), col("dst"), col("mmr")))
+    }
+    // score stays UNROUNDED (q171's r discipline): 0.5·simq − 0.5·maxp
+    // over round4 cosines sits exactly on .00005 boundaries, where Spark
+    // round() and DuckDB ROUND() disagree — both engines compute the
+    // identical double from identical operands instead
+    sel.select(col("src"), col("step"), col("dst"), col("mmr").as("score"))
+      .orderBy(col("src"), col("step"))
+  }
 }

@@ -1308,6 +1308,40 @@ class LlmOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q183 MMR rerank: planted near-duplicate cluster — the diverse candidate beats the duplicate at step 2; selection is the hand-run greedy order") {
+    import graft.queries.Vectors
+    // query 0 = e1; a1 (id 8) most relevant; a2 (id 9) is a1's near-dup
+    // (pair sim ~0.9998) and the RELEVANCE rank-2; c/d are progressively
+    // less relevant but diverse; e is orthogonal filler. Hand-run MMR at
+    // lambda = 1/2: a1 (0.9) -> c (+0.030 beats a2's -0.055) -> d
+    // (+0.025) -> a2 -> e. Pure relevance would return a1, a2, c, d, e —
+    // step 2 is the whole point of the operator.
+    val vecs = Seq(
+      0L  -> Array(1f, 0f, 0f, 0f),
+      8L  -> Array(0.9f, 0.43589f, 0f, 0f),
+      9L  -> Array(0.89f, 0.45599f, 0f, 0f),
+      10L -> Array(0.6f, 0f, 0.8f, 0f),
+      11L -> Array(0.5f, 0f, 0f, 0.866f),
+      12L -> Array(0f, 1f, 0f, 0f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Vectors.mmrRerank(emb).collect()
+    val mine = got.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    assert(mine.map(_.getInt(1)).toSeq == (1 to Vectors.MmrK),
+      s"steps: ${mine.map(_.getInt(1)).mkString(",")}")
+    assert(mine.map(_.getLong(2)).toSeq == Seq(8L, 10L, 11L, 9L, 12L),
+      s"selection order: ${mine.map(_.getLong(2)).mkString(",")}")
+    // per-query invariants on every query row: distinct picks, step 1 is
+    // the relevance argmax (score == max simq is implied by construction)
+    val bySrc = got.groupBy(_.getLong(0))
+    for ((src, rows) <- bySrc) {
+      assert(rows.map(_.getLong(2)).distinct.length == rows.length,
+        s"src $src repeated a pick")
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        s"src $src has a step gap")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q175 truncation recall: the full-width audit is the identity (recall 1.0 per query); truncated overlap stays in [0, k]") {
     import graft.queries.Vectors
     val emb = graft.tables.Tables.embeddings(spark, sf001)
