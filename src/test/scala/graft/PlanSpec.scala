@@ -141,6 +141,10 @@ class PlanSpec extends SparkSpec {
       "q175_truncation_recall",  // broadcast constant TruncQueries-row
                                  // query panel (q95's constant-panel
                                  // shape) — candidate volume Q·N = Θ(N)
+      "q183_mmr_rerank",         // the same broadcast constant query
+                                 // panel (MmrQueries rows) feeding the
+                                 // candidate scan — Θ(N); every later
+                                 // stage is queries × MmrCand² bounded
       "q180_equidepth_stats",    // q173's triangular offset join + the
                                  // single-row total and the single-row
                                  // boundary-array broadcasts
