@@ -356,6 +356,7 @@ object SparkEntry {
     "q181_hard_negatives_tuned" -> Vectors.q181 _,
     "q182_winsorized_stats"   -> Stats.q182 _,
     "q183_mmr_rerank"         -> Vectors.q183 _,
+    "q184_bootstrap_ci"       -> Stats.q184 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

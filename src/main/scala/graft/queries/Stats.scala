@@ -688,6 +688,75 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** q184 replicate count — 40 keeps the DISC 2.5%/97.5% order stats at
+    * exactly the 1st and 39th replicate mean (0.025·40 = 1). */
+  val BootB = 40
+
+  /** q184: DETERMINISTIC POISSON-BOOTSTRAP confidence interval for the
+    * per-type mean value — the experimentation family's missing CI
+    * primitive (q165 tests a difference; this bounds a level). Classic
+    * distributed bootstrap (Poisson(1) weights approximate multinomial
+    * resampling when n is large — the only bootstrap that runs in ONE
+    * pass with no global coordination, which is why every large-scale
+    * A/B platform uses it): replicate b draws row i with weight
+    * w = F⁻¹_Poisson(1)(u), u seeded by the 60-bit content hash of
+    * (event_id, b) — fully deterministic and EXACTLY mirrorable, unlike
+    * rand(). The weight ladder is the inverse CDF on the integer grid
+    * u ∈ [0, 10000): 3679/7358/9197/9810/9963 (e⁻¹ partial sums ×10⁴),
+    * truncated at w = 5 (P(w ≥ 6) ≈ 6·10⁻⁴ — a documented spec choice
+    * both engines implement identically, not an approximation drift).
+    * Replicate means are ratio4dec half-up quotients of exact integer
+    * sums; the CI is the DISC 2.5%/97.5% order statistics over the B
+    * replicate means (smallest mean with B·rank ≥ n_reps·k, k = 1/39,
+    * ties to the lower replicate id).
+    *
+    * Scale posture: the B-fold explode is map-side COMPUTE fan-out, not
+    * data movement — each task folds its replicate partials locally and
+    * the one shuffle carries ≤ types × B partial rows (the textbook
+    * distributed-bootstrap shape); the rank window sits on a ≤ B-row
+    * per-type panel. */
+  def q184(spark: SparkSession, sfDir: String): DataFrame =
+    bootstrapCi(events(spark, sfDir))
+
+  /** q184 kernel on an arbitrary (event_type, event_id, value) frame
+    * (planted-data seam). */
+  private[graft] def bootstrapCi(ev: DataFrame): DataFrame = {
+    import graft.ops.Dsl.{h60, ratio4dec}
+    val base = ev.select(col("event_type"), col("event_id"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val tot = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"))
+      .withColumn("mean_c4", ratio4dec(col("sum_c"), col("n")))
+    val reps = base
+      .withColumn("b", explode(sequence(lit(0), lit(BootB - 1))))
+      .withColumn("u", pmod(h60(concat_ws(":", col("event_id"), col("b"))), lit(10000L)))
+      .withColumn("w",
+        when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
+          .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
+          .when(col("u") < 9963, 4L).otherwise(5L))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("nw"), sum(col("w") * col("cents")).as("sw"))
+      .filter(col("nw") > 0)
+      .withColumn("rmean4", ratio4dec(col("sw"), col("nw")))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("rmean4"), col("b"))
+    val ranked = reps
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("n_reps", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))).cast("long"))
+    def ostat(k: Int, out: String): DataFrame =
+      ranked.filter(col("rk") * BootB >= col("n_reps") * k)
+        .groupBy(col("event_type")).agg(min(col("rmean4")).as(out))
+    tot
+      .join(ostat(1, "ci_lo4"), Seq("event_type"))
+      .join(ostat(39, "ci_hi4"), Seq("event_type"))
+      .join(ranked.groupBy(col("event_type"))
+        .agg(max(col("n_reps")).as("n_reps")), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean_c4"),
+        col("ci_lo4"), col("ci_hi4"), col("n_reps"))
+      .orderBy(col("event_type"))
+  }
+
   /** q171: Pearson correlation between the daily-count series of every
     * event-type pair — the metric-correlation matrix an observability
     * layer derives ("do errors track clicks?"), next to q135's

@@ -358,6 +358,29 @@ class StatsSpec extends SparkSpec {
     assert(got("B") == ((20L, 1L, 19L, 0L, 1L, 209L, 10.45)), s"got ${got("B")}")
   }
 
+  test("q184 bootstrap CI: a constant series collapses to a zero-width interval at the mean; a spread series brackets it; all 40 replicates realize") {
+    import graft.queries.Stats
+    // A: 50 rows of 2.00 — every replicate mean is exactly 200.0 cents
+    // regardless of the Poisson weights, so the DISC 2.5/97.5 order
+    // stats BOTH read 200.0 (the bootstrap's scale-invariance smoke)
+    val a = (0L until 50L).map(i => ("A", i, 2.00))
+    // B: half 1.00 / half 3.00 — replicate means spread around 200
+    val b = (0L until 25L).map(i => ("B", 100L + i, 1.00)) ++
+      (0L until 25L).map(i => ("B", 200L + i, 3.00))
+    val ev = (a ++ b).toDF("event_type", "event_id", "value")
+    val got = Stats.bootstrapCi(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    val (na, ma, loA, hiA, ra) = got("A")
+    assert((na, ma, loA, hiA) == ((50L, 200.0, 200.0, 200.0)), s"A: ${got("A")}")
+    assert(ra == Stats.BootB.toLong, s"A realized $ra of ${Stats.BootB} replicates")
+    val (nb, mb, loB, hiB, rb) = got("B")
+    assert(nb == 50L && mb == 200.0 && rb == Stats.BootB.toLong, s"B: ${got("B")}")
+    assert(loB < hiB, s"B interval has no width: ${got("B")}")
+    assert(loB >= 100.0 && hiB <= 300.0 && loB <= mb && mb <= hiB,
+      s"B interval does not bracket the mean: ${got("B")}")
+  }
+
   test("q171 type correlation: perfectly tracking series read r=1, mirrored series r=-1, a constant series reads NULL; only shared days count") {
     import graft.queries.Stats
     def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
