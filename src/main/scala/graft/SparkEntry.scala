@@ -72,8 +72,12 @@ object SparkEntry {
     * grew — pass 2 recompiled 1644 classes at cache=2000 vs 68 at 4000,
     * warm-pass suite 152.0→127.5 s, q85 0.98→0.40 s (its 16 fused
     * DotProductFold kernels were exactly the eviction victims the r13
-    * verdict flagged), q135 2.22→1.62 s, q99 5.18→3.87 s. 4000 holds the
-    * measured 2104 with headroom for ~130 more queries; cost is retained
+    * verdict flagged), q135 2.22→1.62 s, q99 5.18→3.87 s. Re-derived r15
+    * at 184 queries: per-pass working set ~3560 classes (the unrolled
+    * q183 greedy chain and the q181 tuned-IVF composition are codegen-
+    * heavy), 89% of 4000 — pass 2 recompiled 251 at 4000 vs 130 at 6000
+    * (the ~130 floor is per-run class-name churn, not eviction), suite
+    * time flat. 6000 restores the r14 headroom ratio; cost is retained
     * class metadata (~10-100 KiB/entry) — bounded and worth it for any
     * long-lived session running many distinct plans; the same conf
     * applies executor-side on a cluster. Re-derive with CodegenProbe
@@ -85,7 +89,7 @@ object SparkEntry {
     * Janino compilations (evictions) through this seam. */
   val StaticEngineConfs: Map[String, String] = Map(
     "spark.sql.codegen.cache.maxEntries" ->
-      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "6000"))
 
   /** Apply [[StaticEngineConfs]] to a session builder (call before
     * `getOrCreate`; on an already-running session these would be

@@ -20,9 +20,10 @@ class PlanSpec extends SparkSpec {
     // routing through applyStaticEngineConfs, which is exactly the
     // regression this pins)
     assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "false")
-    // 4000 = the CodegenProbe-measured 2104-class suite working set +
-    // growth headroom (r14; was 2000 from r12, outgrown at 147 queries)
-    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "4000")
+    // 6000 = the CodegenProbe-measured ~3560-class suite working set +
+    // growth headroom (r15; 4000 from r14 hit 89% saturation at 184
+    // queries — pass-2 recompiles 251 vs the 130 churn floor)
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "6000")
   }
 
   test("q01: filter and column pruning reach the parquet scan") {
