@@ -829,6 +829,22 @@ object BenchScale {
       streaming("s52_ndv_read") = ((System.nanoTime() - t1) / 1e9, rows)
       noteHeap()
     }
+    if (sections("stream")) locally { // s53 near-dup admission (r15): 4 doc
+      // batches by replica block — ascending doc_id ranges, so the order
+      // gate holds; the LSH band index accumulates across batches
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.NearDupAdmission.processBatch(
+          docBatch(b).select(col("doc_id"), col("text")),
+          s"$streamRoot/s53/store", s"$streamRoot/s53/accept", b.toLong)
+      streaming("s53_neardup_ingest") = ((System.nanoTime() - t0) / 1e9, nBatches.toLong)
+      val t1 = System.nanoTime()
+      val kept = graft.streaming.NearDupAdmission
+        .admitted(spark, s"$streamRoot/s53/accept").count()
+      streaming("s53_neardup_read") = ((System.nanoTime() - t1) / 1e9, kept)
+      noteHeap()
+      SparkEntry.clearGraftCaches(spark)
+    }
     if (sections("stream")) locally { // s27 as-of enrichment: 4 event batches by user block
       // (each user's events in one batch — the order gate holds trivially)
       def evBatch(b: Int): DataFrame =

@@ -2213,6 +2213,54 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s53: streamed near-dup admission == the batch band rule under a doc_id-ordered split; a replayed duplicate is caught; gate rejects; replay no-op") {
+    import graft.streaming.NearDupAdmission.{admitted, batchRule, processBatch}
+    import org.apache.spark.sql.functions.{col, max}
+    import spark.implicits._
+    val root = tmpDir("s53")
+    val storeDir = root + "/store"; val acceptDir = root + "/accept"
+    assert(admitted(spark, acceptDir).collect().isEmpty)
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    // doc_id-ordered thirds — the order the gate enforces
+    processBatch(docs.filter(col("doc_id") <= c1), storeDir, acceptDir, 0L)
+    processBatch(docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      storeDir, acceptDir, 1L)
+    processBatch(docs.filter(col("doc_id") > c2), storeDir, acceptDir, 2L)
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    val want = ids(batchRule(docs))
+    val got = ids(admitted(spark, acceptDir))
+    assert(want.nonEmpty && got == want,
+      s"streamed admission diverged from the batch band rule (${got.size} vs ${want.size})")
+    // the law is non-vacuous: something was rejected
+    assert(got.size < docs.select("doc_id").distinct().count(),
+      "no near-duplicate was ever rejected — the law is vacuous")
+    // gate: a batch at or below the high-water mark throws before writing
+    intercept[IllegalStateException] {
+      processBatch(Seq((0L, "a b c d")).toDF("doc_id", "text"),
+        storeDir, acceptDir, 3L)
+    }
+    assert(ids(admitted(spark, acceptDir)) == want, "gate rejection wrote state")
+    // replay no-op: re-running batch 1 sees the same prior view
+    // (batch_id < 1) and overwrites its own partitions identically
+    processBatch(docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      storeDir, acceptDir, 1L)
+    assert(ids(admitted(spark, acceptDir)) == want, "replay changed admissions")
+    // planted: an exact duplicate of an ADMITTED earlier doc is rejected,
+    // fresh content is admitted
+    val root2 = tmpDir("s53-dup")
+    val s2 = root2 + "/store"; val a2 = root2 + "/accept"
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    processBatch(Seq((10L, t)).toDF("doc_id", "text"), s2, a2, 0L)
+    processBatch(Seq((20L, t), (30L, "completely different words make no shared shingles here at all"))
+      .toDF("doc_id", "text"), s2, a2, 1L)
+    assert(ids(admitted(spark, a2)) == Seq(10L, 30L),
+      s"planted duplicate admission wrong: ${ids(admitted(spark, a2))}")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s52: streamed NDV sketches == one-shot sketch under an arbitrary split; small cardinalities exact; replay no-op") {
     import graft.streaming.NdvMonitor.{ndv, oneShot, processBatch}
     import org.apache.spark.sql.functions.{col, lit, pmod}
