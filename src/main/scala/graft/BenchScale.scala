@@ -154,6 +154,13 @@ object BenchScale {
       // (q161/q162/q166/q167/q171/q172) rides dailyOf's shuffle, which
       // the q151 leg already measures
       "q168_iqr_outliers" -> "count",
+      // r15 additions: the winsorized read of the same per-type value
+      // histogram class, and the Poisson bootstrap's 40x map-side
+      // compute fan-out (one types x B shuffle — the leg measures the
+      // explode's compute scaling, the textbook distributed-bootstrap
+      // cost shape)
+      "q182_winsorized_stats" -> "count",
+      "q184_bootstrap_ci" -> "count",
       "q169_conversion_latency" -> "count",
       "q170_ship_lag_quantiles" -> "count",
       "q173_revenue_gini" -> "count",

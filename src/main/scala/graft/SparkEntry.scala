@@ -361,6 +361,7 @@ object SparkEntry {
     "q182_winsorized_stats"   -> Stats.q182 _,
     "q183_mmr_rerank"         -> Vectors.q183 _,
     "q184_bootstrap_ci"       -> Stats.q184 _,
+    "q185_decayed_engagement" -> Stats.q185 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

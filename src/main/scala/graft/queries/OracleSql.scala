@@ -386,6 +386,7 @@ object OracleSql {
     "q182_winsorized_stats"  -> winsorizedSql,
     "q183_mmr_rerank"        -> mmrSql,
     "q184_bootstrap_ci"      -> bootstrapSql,
+    "q185_decayed_engagement" -> decayedSql,
     "q159_ohlc_bars"         -> ohlcSql,
     "q160_basket_pairs"      -> basketSql,
     "q161_calendar_fill"     -> calendarFillSql,
@@ -2972,6 +2973,30 @@ object OracleSql {
       |FROM tot t
       |JOIN lo USING (event_type) JOIN hi USING (event_type) JOIN nr USING (event_type)
       |ORDER BY event_type""".stripMargin)
+  }
+
+  // q185: time-decayed engagement — integer power-of-two weights
+  // (1 << (40 - k), k = floor(days/7) clamped) over exact cent sums in
+  // HUGEINT, one ratio4dec quotient against the 2^40 denominator.
+  private def decayedSql: String = {
+    import graft.queries.Stats.{DecayClampK, DecayHalfLifeDays}
+    val den = 1L << DecayClampK
+    (eventsCte + s""",
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS sc
+      |          FROM e GROUP BY 1, 2),
+      |r AS (SELECT MAX(d) AS ref_d FROM daily),
+      |k AS (SELECT event_type, d, sc, ref_d,
+      |        LEAST((ref_d - d) // $DecayHalfLifeDays, $DecayClampK) AS kk
+      |      FROM daily, r),
+      |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |          MAX(ref_d) AS ref_d,
+      |          SUM(CAST(sc AS HUGEINT) *
+      |              (CAST(1 AS BIGINT) << CAST($DecayClampK - kk AS INTEGER))) AS num
+      |        FROM k GROUP BY 1)
+      |SELECT event_type, n_days, ref_d,
+      |       CAST((num * 20000 + $den) // (CAST($den AS HUGEINT) * 2) AS DOUBLE) / 10000.0 AS decayed_c4
+      |FROM agg ORDER BY event_type""".stripMargin)
   }
 
   // q169: latency in whole hours by exact integer division of epoch

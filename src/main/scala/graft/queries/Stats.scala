@@ -757,6 +757,55 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** q185 decay geometry: half-life 7 days, exponent clamped at 40 (a
+    * weight below 2⁻⁴⁰ ≈ 10⁻¹² of full is noise at cent precision; the
+    * clamp is what keeps the carrier integer — see the scaladoc). */
+  val DecayHalfLifeDays = 7
+  val DecayClampK = 40
+
+  /** q185: TIME-DECAYED engagement value per event type — the feature-
+    * store primitive ("activity score with a 7-day half-life, as of the
+    * log's horizon") behind every recency-weighted ranking/churn
+    * feature. EXACT BY CONSTRUCTION where float decay folds are not:
+    * the weight for a day dd days before the reference is
+    * (1/2)^⌊dd/7⌋ — an INTEGER power of two — so the decayed sum is
+    * carried as Σ cents·2^(40−k) over exact integer operands
+    * (DECIMAL(38,0) / HUGEINT) and divided by 2⁴⁰ once at the output
+    * seam via the ratio4dec half-up quotient. No pow(), no float
+    * accumulation order, nothing for two engines to disagree on — the
+    * q166 integer-carrier discipline applied to exponential decay
+    * (whole-day granularity and the ⌊dd/7⌋ step are the documented SPEC,
+    * not an approximation of some other spec).
+    *
+    * Scale posture: rides [[dailyOf]]'s one map-side-combined shuffle;
+    * the reference day is a single-row broadcast (the q74/q80 pattern);
+    * everything after is arithmetic on the calendar-bounded panel. The
+    * s54 streaming read derives this from the s36 daily store — scoring
+    * at ingest for free. */
+  def q185(spark: SparkSession, sfDir: String): DataFrame =
+    decayedEngagement(dailyOf(events(spark, sfDir)))
+
+  /** q185 kernel on a (event_type, d, sum_v) daily frame with sum_v
+    * decimal-exact — the dailyOf/s36-store seam, so stream and batch
+    * share one decay definition. */
+  private[graft] def decayedEngagement(dailyIn: DataFrame): DataFrame = {
+    val daily = pin(dailyIn.select(col("event_type"), col("d"),
+      (col("sum_v").cast("decimal(18,4)") * 100).cast("long").as("sc")))
+    val ref = daily.agg(max(col("d")).as("ref_d"))
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    daily.crossJoin(broadcast(ref))
+      .withColumn("dd", datediff(col("ref_d"), col("d")))
+      .withColumn("k", least(expr(s"dd div $DecayHalfLifeDays"), lit(DecayClampK.toLong)))
+      .withColumn("w", expr(s"shiftleft(CAST(1 AS BIGINT), CAST($DecayClampK - k AS INT))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("ref_d")).as("ref_d"),
+        sum(dec(col("sc")) * dec(col("w"))).as("num"))
+      .withColumn("decayed_c4",
+        graft.ops.Dsl.ratio4dec(col("num"), lit(1L << DecayClampK)))
+      .select(col("event_type"), col("n_days"), col("ref_d"), col("decayed_c4"))
+      .orderBy(col("event_type"))
+  }
+
   /** q171: Pearson correlation between the daily-count series of every
     * event-type pair — the metric-correlation matrix an observability
     * layer derives ("do errors track clicks?"), next to q135's

@@ -83,6 +83,24 @@ object SeasonalMonitor {
   def baseline(spark: SparkSession, storeDir: String): DataFrame =
     Stats.seasonalBaseline(mergedDaily(spark, storeDir))
 
+  /** s54: the SIXTH read of this store — q185's time-decayed engagement
+    * over the merged panel, through the SAME `Stats.decayedEngagement`
+    * kernel. Unlike [[mergedDaily]], the sum merge here stays DECIMAL
+    * end to end (no double cast): q185's integer-carrier exactness
+    * starts from decimal-exact cent sums, and a decimal like x.78 cast
+    * to double is no longer exact. Row-for-row equal to batch q185
+    * under ANY batch split; replay no-op inherits from the shared
+    * store. */
+  def decayed(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.decayedEngagement(
+      if (!StoreRead.hasParquetData(spark, storeDir))
+        spark.range(0).select(lit("").as("event_type"),
+          lit(null).cast("date").as("d"),
+          lit(null).cast("decimal(18,4)").as("sum_v"))
+      else spark.read.parquet(storeDir)
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("sum_v")).as("sum_v")))
+
   /** s43: the THIRD read — q167's Holt level/trend smoothing over the
     * same merged panel, through the SAME `Stats.holtOf` kernel. The
     * sequential float fold is derived AT READ (a fold is not a mergeable

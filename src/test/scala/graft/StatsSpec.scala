@@ -381,6 +381,26 @@ class StatsSpec extends SparkSpec {
       s"B interval does not bracket the mean: ${got("B")}")
   }
 
+  test("q185 decayed engagement: power-of-two weights land exactly (day 0/7/70 all contribute 100c); the half-life boundary steps at day 7, not 6") {
+    import graft.queries.Stats
+    def day(s: String) = java.sql.Date.valueOf(s)
+    def d18(v: Double) = new java.math.BigDecimal(v).setScale(4)
+    // ref = global max d = 2024-03-01. A: 1.00 at dd=0 (w=1), 2.00 at
+    // dd=7 (w=1/2), 1024.00 at dd=70 (k=10, w=2^-10): each contributes
+    // exactly 100 cents -> 300.0
+    val rows = Seq(
+      ("A", day("2024-03-01"), d18(1.00)),
+      ("A", day("2024-02-23"), d18(2.00)),
+      ("A", day("2023-12-22"), d18(1024.00)),
+      // B: dd=6 keeps FULL weight (k = 6 div 7 = 0), dd=7 halves
+      ("B", day("2024-02-24"), d18(1.00)),
+      ("B", day("2024-02-23"), d18(1.00)))
+    val got = Stats.decayedEngagement(rows.toDF("event_type", "d", "sum_v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDate(2).toString, r.getDouble(3)))).toMap
+    assert(got("A") == ((3L, "2024-03-01", 300.0)), s"A: ${got("A")}")
+    assert(got("B") == ((2L, "2024-03-01", 150.0)), s"B: ${got("B")}")
+  }
+
   test("q171 type correlation: perfectly tracking series read r=1, mirrored series r=-1, a constant series reads NULL; only shared days count") {
     import graft.queries.Stats
     def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
