@@ -2261,6 +2261,29 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s54: time-decayed engagement read off the s36 daily store == batch q185 under an arbitrary split; replay no-op") {
+    import graft.streaming.SeasonalMonitor.{decayed, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val storeDir = tmpDir("s54-decay") + "/store"
+    assert(decayed(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("event_type"), col("ts"), col("value"))
+      .localCheckpoint(true)
+    // arbitrary split (additive decimal sum partials); the DECIMAL merge
+    // is what keeps the integer-carrier decay exact — the double-cast
+    // panel the other five reads use would lose cent exactness
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(xxhash64(col("ts")), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q185_decayed_engagement")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(decayed(spark, storeDir)) == want,
+      "streamed decayed engagement diverged from batch q185")
+    processBatch(ev.filter(pmod(xxhash64(col("ts")), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(decayed(spark, storeDir)) == want, "replay changed the decayed read")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s52: streamed NDV sketches == one-shot sketch under an arbitrary split; small cardinalities exact; replay no-op") {
     import graft.streaming.NdvMonitor.{ndv, oneShot, processBatch}
     import org.apache.spark.sql.functions.{col, lit, pmod}
