@@ -1204,10 +1204,11 @@ object Vectors {
     * Scale posture: candidate retrieval is a broadcast-panel scan
     * (MmrQueries·N = Θ(N), the q95/q175 class — a production system
     * feeds the IVF candidates in instead); everything after is bounded
-    * by queries × MmrCand² pair rows; the per-step windows are
-    * src-partitioned over ≤ MmrCand rows. The greedy loop is UNROLLED in
-    * the plan (MmrK is a compile-time constant), not driver-iterated
-    * over collected data. */
+    * by queries × MmrCand² pair rows, and the greedy loop itself runs
+    * as ONE cogrouped mapGroups over each query's constant-bounded
+    * candidate/pair panel — distributed per query, never driver-
+    * iterated, and free of the 20-exchange unrolled-plan overhead the
+    * first cut measured (kernel scaladoc). */
   def q183(spark: SparkSession, sfDir: String): DataFrame =
     mmrRerank(Tables.embeddings(spark, sfDir))
 
@@ -1233,32 +1234,62 @@ object Vectors {
       .filter(col("a") =!= col("b"))
       .select(col("src"), col("a"), col("b"),
         round4(cosine(col("va"), col("vb"))).as("simp")))
-    val base = cand.select(col("src"), col("dst"), col("simq"))
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("simq").desc, col("dst"))
-    var sel = base.withColumn("rn", row_number().over(w1))
-      .filter(col("rn") === 1)
-      .select(col("src"), lit(1).as("step"), col("dst"), col("simq").as("mmr"))
-    for (k <- 2 to MmrK) {
-      val selSet = sel.select(col("src"), col("dst"))
-      val rem = base.join(selSet, Seq("src", "dst"), "left_anti")
-      val red = rem
-        .join(pair.withColumnRenamed("a", "dst"), Seq("src", "dst"))
-        .join(selSet.withColumnRenamed("dst", "b"), Seq("src", "b"), "left_semi")
-        .groupBy(col("src"), col("dst"), col("simq"))
-        .agg(max(col("simp")).as("maxp"))
-        .withColumn("mmr", col("simq") * 0.5 - col("maxp") * 0.5)
-      val wk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")).orderBy(col("mmr").desc, col("dst"))
-      sel = sel.unionByName(red
-        .withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
-        .select(col("src"), lit(k).as("step"), col("dst"), col("mmr")))
+    // The greedy selection runs as ONE mapGroups over each query's
+    // ≤ MmrCand candidates + ≤ MmrCand² pair sims (r15: the first cut
+    // UNROLLED the loop as MmrK plan stages — ~20 exchanges over 8-row
+    // frames and 2 MiB generated-code task binaries, 8.6 s of pure plan
+    // overhead in the sf0.1 bench; per-group imperative logic over a
+    // constant-bounded panel is exactly the documented mapGroups
+    // boundary). Every SIMILARITY is still the shared round4 fold-parity
+    // cosine computed in the frames above — the Scala side only
+    // compares and combines them, with the score as the textually
+    // identical `0.5 * simq - 0.5 * maxp` the oracle computes, and it
+    // stays UNROUNDED (q171's r discipline: differences of round4
+    // cosines sit on .00005 boundaries where ROUND semantics diverge).
+    val sess = emb.sparkSession
+    import sess.implicits._
+    val candL = cand.select(col("src"), col("dst"), col("simq"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+    val pairMap = pair.select(col("src"), col("a"), col("b"), col("simp"))
+      .as[(Long, Long, Long, Double)]
+    val grouped = candL.cogroup(pairMap.groupByKey(_._1)) { (src, cs, ps) =>
+      val cands = cs.map(t => (t._2, t._3)).toArray
+        .sortBy { case (dst, simq) => (-simq, dst) }
+      val sim = ps.map(t => ((t._2, t._3), t._4)).toMap
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+      val chosen = scala.collection.mutable.Set.empty[Long]
+      var step = 1
+      while (step <= MmrK && chosen.size < cands.length) {
+        var bestDst = -1L; var bestScore = Double.NegativeInfinity
+        for ((dst, simq) <- cands if !chosen(dst)) {
+          val score =
+            if (step == 1) simq
+            else {
+              var maxp = Double.NegativeInfinity
+              for (s <- chosen) {
+                // every (candidate, selected) pair exists in the pair
+                // frame by construction — a miss is a bug, throw loudly
+                val p = sim((dst, s))
+                if (p > maxp) maxp = p
+              }
+              simq * 0.5 - maxp * 0.5
+            }
+          // ties to the lower dst: strict > keeps the first (sorted) hit
+          // only when scores tie exactly; cands is (simq desc, dst asc)
+          // ordered, so iterate-and-strict-improve needs an explicit
+          // dst tie-break instead
+          if (score > bestScore || (score == bestScore && dst < bestDst)) {
+            bestScore = score; bestDst = dst
+          }
+        }
+        sel += ((step, bestDst, bestScore))
+        chosen += bestDst
+        step += 1
+      }
+      sel.iterator.map { case (st, dst, sc) => (src, st, dst, sc) }
     }
-    // score stays UNROUNDED (q171's r discipline): 0.5·simq − 0.5·maxp
-    // over round4 cosines sits exactly on .00005 boundaries, where Spark
-    // round() and DuckDB ROUND() disagree — both engines compute the
-    // identical double from identical operands instead
-    sel.select(col("src"), col("step"), col("dst"), col("mmr").as("score"))
+    grouped.toDF("src", "step", "dst", "score")
       .orderBy(col("src"), col("step"))
   }
 }

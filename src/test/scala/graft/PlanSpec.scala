@@ -149,6 +149,9 @@ class PlanSpec extends SparkSpec {
       "q180_equidepth_stats",    // q173's triangular offset join + the
                                  // single-row total and the single-row
                                  // boundary-array broadcasts
+      "q185_decayed_engagement", // broadcast single-row global reference
+                                 // day (the q74/q80 shape) under the
+                                 // calendar-bounded decay panel
       "q161_calendar_fill")      // broadcast single-row global day span
                                  // (q114's ref_date shape) under the
                                  // calendar explode
