@@ -98,6 +98,24 @@ class LlmOpsSpec extends SparkSpec {
     // q34 catalog-caches its signature frame; q57's CC fixpoint pins
     // localCheckpoint RDD blocks OUTSIDE the catalog. The one callable
     // must drop both (the round-4 bench-inflation lesson made callable).
+    // Block-manager removals from catalog.clearCache / Dataset.unpersist
+    // are ASYNC (blocking=false): a straggler from an earlier test's
+    // clear can still be draining when this test samples storage (seen
+    // once under full-suite load, r15). Poll to a deadline — the claim
+    // under test is that the clear EMPTIES storage, not that removal is
+    // synchronous; a clear that never empties still fails the deadline.
+    def rddBlocks(): Seq[org.apache.spark.storage.BlockId] =
+      org.apache.spark.SparkEnv.get.blockManager.master.getStorageStatus
+        .flatMap(_.blocks.keys).filter(_.isRDD).toSeq
+    def awaitEmpty(what: String): Unit = {
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (rddBlocks().nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(rddBlocks().isEmpty,
+        s"$what: blocks survived: ${rddBlocks().take(5).mkString(",")}")
+    }
+    // hermetic start: drain any foreign in-flight removals first
+    SparkEntry.clearGraftCaches(spark)
+    awaitEmpty("pre-existing storage never drained")
     graft.queries.Dedup.q34(spark, sf001).write.format("noop").mode("overwrite").save()
     graft.queries.Dedup.q57(spark, sf001).write.format("noop").mode("overwrite").save()
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
@@ -106,9 +124,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty, "RDD handles survived the clear")
     // the decisive check: no rdd block of any kind remains in the block
     // manager (catalog cache and checkpoint blocks both live there)
-    val status = org.apache.spark.SparkEnv.get.blockManager.master.getStorageStatus
-    val cached = status.flatMap(_.blocks.keys).filter(_.isRDD)
-    assert(cached.isEmpty, s"blocks survived: ${cached.take(5).mkString(",")}")
+    awaitEmpty("clearGraftCaches left storage")
   }
 
   test("q90 batch IVF probe: exact sims, dense ranks, recall vs brute-force ground truth (and q77)") {
