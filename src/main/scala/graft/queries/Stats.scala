@@ -650,8 +650,9 @@ object Stats {
     winsorizedStats(events(spark, sfDir))
 
   /** q182 kernel on an arbitrary (event_type, value) frame — reduce to
-    * per-(type, value) counts first (the s29 drift-store frame, making a
-    * streaming read of this statistic a free extra read of that store). */
+    * per-(type, value) counts first (the s29 drift-store frame, which is
+    * what makes the s55 streaming read of this statistic a free extra
+    * read of that store — DriftMonitor.winsorized). */
   private[graft] def winsorizedStats(ev: DataFrame): DataFrame =
     winsorizedOfValueCounts(ev.select(col("event_type"), col("value"))
       .groupBy(col("event_type"), col("value"))

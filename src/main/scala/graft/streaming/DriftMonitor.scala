@@ -43,14 +43,39 @@ import graft.queries.Stats
   * is deliberately no silent read-side default, because an old partition
   * coalesced onto a sentinel day would CORRUPT the s48 calendar slices
   * while appearing to work. (SeasonalMonitor's r14 `sum_v` widening has
-  * the same posture.) Read-cost note (advisor r15): the day axis
-  * multiplies per-batch partition cardinality (types × days × values),
-  * so the drift/IQR reads merge ~days× more rows per uncompacted batch —
-  * still quantization-bounded; if it ever shows up at scale, s21's
-  * watermark compaction can fold the day axis out of partitions older
-  * than the band horizon (bands only read recent days).
+  * the same posture.) SECOND store-format break (r16): partials gained
+  * the `covered_upto` watermark column so [[foldBase]] can compact —
+  * same rebuild-by-replay posture.
+  *
+  * Read-cost note (advisor r15, closed r16): the day axis multiplies
+  * per-batch partition cardinality (types × days × values), so the
+  * drift/IQR reads merge ~days× more rows per uncompacted batch — still
+  * quantization-bounded. [[compactStore]] is s21's watermark fold with
+  * one twist: while folding base + covered batches into a new base, the
+  * DAY AXIS IS DROPPED (d → NULL, counts pointwise-summed) for days
+  * older than [[BandHorizonDays]] behind the store's newest day. Drift,
+  * IQR and winsorized reads merge across d anyway, so they are provably
+  * unchanged by any fold (the compaction law in StreamingSpec); the
+  * bands read skips the folded NULL-day rows, i.e. after a fold s48
+  * serves the calendar slices inside the horizon — exactly the "bands
+  * only read recent days" contract. Compaction is a maintainer
+  * operation, deliberately NOT on processBatch's automatic cadence: a
+  * fold is the moment the operator gives up per-day band slices older
+  * than the horizon, so it belongs on the band-retention schedule, not
+  * the ingest path. Fold with upToBatch = everything ingested, and pick
+  * the horizon with slack beyond the feed's late-data bound — a
+  * post-fold late row on a pre-cutoff day would reappear in the bands
+  * read as a partial-count slice (the standard watermark-slack
+  * argument; the d-merging reads are immune either way).
   */
 object DriftMonitor {
+
+  /** Default for how many days of per-day band slices a fold preserves,
+    * counted back from the store's newest day at fold time; older
+    * partials lose the day axis (d → NULL). A retention choice, so
+    * [[foldBase]]/[[compactStore]] take it as a parameter; drift/IQR/
+    * winsorized reads are invariant to it (they never look at d). */
+  val BandHorizonDays = 45
 
   private def emptyCounts(spark: SparkSession): DataFrame =
     spark.range(0).select(lit("").as("event_type"),
@@ -66,6 +91,7 @@ object DriftMonitor {
         to_date(date_trunc("day", col("ts"))).as("d"), col("value"))
       .groupBy(col("event_type"), col("d"), col("value"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("covered_upto", lit(null).cast("long"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -73,17 +99,87 @@ object DriftMonitor {
       .parquet(storeDir)
   }
 
+  /** Store rows a reader may count: the base (batch_id = −1) plus batch
+    * partitions the base does not already cover (s16/s21's watermark
+    * read — folded-but-unswept partitions are invisible the instant the
+    * new base commits). */
+  private def liveRows(all: DataFrame): DataFrame = {
+    val upto = all.filter(col("batch_id") === -1L)
+      .agg(coalesce(max(col("covered_upto")), lit(0L)).as("_upto"))
+    all.crossJoin(broadcast(upto))
+      .filter(col("batch_id") === -1L || col("batch_id") >= col("_upto"))
+      .drop("_upto")
+  }
+
+  private def storeCounts(spark: SparkSession, storeDir: String): DataFrame =
+    if (!StoreRead.hasParquetData(spark, storeDir)) emptyCounts(spark)
+    else liveRows(spark.read.parquet(storeDir))
+      .select(col("event_type"), col("d"), col("value"), col("cnt"))
+
+  /** Phase 1 of compaction: fold the base and every batch partition
+    * below `upToBatch` into a new base with covered_upto = upToBatch,
+    * dropping the day axis (d → NULL, counts pointwise-summed) for days
+    * more than [[BandHorizonDays]] behind the folded frame's newest day.
+    * Counts are exact integers, so the fold commutes with every
+    * d-merging read; only the bands read narrows (to the horizon). */
+  def foldBase(spark: SparkSession, storeDir: String, upToBatch: Long,
+      horizonDays: Int = BandHorizonDays): Unit = {
+    if (!StoreRead.hasParquetData(spark, storeDir)) return
+    val folded = liveRows(spark.read.parquet(storeDir))
+      .filter(col("batch_id") === -1L || col("batch_id") < upToBatch)
+      .select(col("event_type"), col("d"), col("value"), col("cnt"))
+    val cutoff = Option(
+      folded.agg(date_sub(max(col("d")), horizonDays)).collect()(0).getDate(0))
+    val dropped = cutoff.fold(folded) { c =>
+      folded.withColumn("d",
+        when(col("d") >= lit(c), col("d")).otherwise(lit(null).cast("date")))
+    }
+    val newBase = dropped
+      .groupBy(col("event_type"), col("d"), col("value"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true) // pin: the overwrite below rewrites the source path
+    newBase
+      .withColumn("covered_upto", lit(upToBatch))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+  }
+
+  /** Phase 2: garbage-collect covered batch partitions (pure cleanup —
+    * can crash, re-run, or never run without moving any read). */
+  def sweepFolded(spark: SparkSession, storeDir: String): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val dir = new Path(storeDir)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val covered = spark.read.parquet(storeDir)
+      .filter(col("batch_id") === -1L)
+      .agg(coalesce(max(col("covered_upto")), lit(0L)))
+      .collect()(0).getLong(0)
+    fs.listStatus(dir).map(_.getPath).filter { p =>
+      p.getName.startsWith("batch_id=") &&
+        scala.util.Try(p.getName.stripPrefix("batch_id=").toLong)
+          .toOption.exists(v => v >= 0 && v < covered)
+    }.foreach(p => fs.delete(p, true))
+  }
+
+  /** The maintainer fold: see the class doc for why this runs on the
+    * band-retention schedule rather than processBatch's cadence. */
+  def compactStore(spark: SparkSession, storeDir: String, upToBatch: Long,
+      horizonDays: Int = BandHorizonDays): Unit = {
+    foldBase(spark, storeDir, upToBatch, horizonDays)
+    sweepFolded(spark, storeDir)
+  }
+
   /** The q135-shaped KS drift matrix over everything ingested so far —
     * row-for-row equal to batch q135 on the concatenated log under ANY
     * batch split (the count merge is associative and commutative). */
-  def drift(spark: SparkSession, storeDir: String): DataFrame = {
-    val counts =
-      if (!StoreRead.hasParquetData(spark, storeDir)) emptyCounts(spark)
-      else spark.read.parquet(storeDir)
-        .groupBy(col("event_type"), col("value"))
-        .agg(sum(col("cnt")).as("cnt"))
-    Stats.ksOfCounts(counts)
-  }
+  def drift(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.ksOfCounts(storeCounts(spark, storeDir)
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("cnt")).as("cnt")))
 
   /** s45: the SECOND read of this store — q168's Tukey box-plot profile
     * and 1.5·IQR outlier counts over the same merged value histogram,
@@ -92,14 +188,24 @@ object DriftMonitor {
     * IQR profile) — the s36/s39 economics on the value axis. Row-for-row
     * equal to batch q168 under ANY batch split; replay no-op inherits
     * from the shared store. */
-  def iqr(spark: SparkSession, storeDir: String): DataFrame = {
-    val counts =
-      if (!StoreRead.hasParquetData(spark, storeDir)) emptyCounts(spark)
-      else spark.read.parquet(storeDir)
-        .groupBy(col("event_type"), col("value"))
-        .agg(sum(col("cnt")).as("cnt"))
-    Stats.iqrOfValueCounts(counts)
-  }
+  def iqr(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.iqrOfValueCounts(storeCounts(spark, storeDir)
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("cnt")).as("cnt")))
+
+  /** s55: the FOURTH read of this store — q182's winsorized robust-mean
+    * profile (p05/p95 clip, clipped count/sum/4-dec mean) over the same
+    * merged value histogram, through the SAME
+    * `Stats.winsorizedOfValueCounts` kernel batch q182 runs — the read
+    * q182's scaladoc promised. Row-for-row equal to batch q182 under ANY
+    * batch split (the count merge is associative and commutative, and
+    * the kernel sees only the summed histogram); replay no-op and
+    * compaction invariance inherit from the shared store (it never looks
+    * at d). */
+  def winsorized(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.winsorizedOfValueCounts(storeCounts(spark, storeDir)
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("cnt")).as("cnt")))
 
   /** s48: the THIRD read of this store — q179's daily p10/p50/p90 value
     * bands over the calendar-sliced histogram, through the SAME
@@ -107,14 +213,13 @@ object DriftMonitor {
     * partials make this read possible; drift and IQR keep merging across
     * the day axis). Row-for-row equal to batch q179 under ANY batch
     * split; replay no-op inherits from the shared store. */
-  def bands(spark: SparkSession, storeDir: String): DataFrame = {
-    val counts =
-      if (!StoreRead.hasParquetData(spark, storeDir)) emptyCounts(spark)
-      else spark.read.parquet(storeDir)
-        .groupBy(col("event_type"), col("d"), col("value"))
-        .agg(sum(col("cnt")).as("cnt"))
-    Stats.bandsOfCounts(counts)
-  }
+  def bands(spark: SparkSession, storeDir: String): DataFrame =
+    // folded NULL-day rows carry no calendar slice — after a fold this
+    // read serves the days inside the band horizon (class doc)
+    Stats.bandsOfCounts(storeCounts(spark, storeDir)
+      .filter(col("d").isNotNull)
+      .groupBy(col("event_type"), col("d"), col("value"))
+      .agg(sum(col("cnt")).as("cnt")))
 
   /** Wire a streaming (event_type, ts, value) source into the loop. */
   def start(events: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =

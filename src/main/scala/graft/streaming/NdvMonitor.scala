@@ -71,7 +71,11 @@ object NdvMonitor {
       if (!StoreRead.hasParquetData(spark, storeDir)) emptySketches(spark)
       else spark.read.parquet(storeDir)
     sk.groupBy(col("event_type"))
-      .agg(expr(s"hll_union_agg(sketch, true)").as("merged"))
+      // allowDifferentLgConfigK=false: every sketch in the store is
+      // written at the one LgK above; a foreign-width sketch must fail
+      // the read loudly rather than silently downsize the union and
+      // break the one-shot-equality parity law.
+      .agg(expr(s"hll_union_agg(sketch, false)").as("merged"))
       .select(col("event_type"),
         expr("hll_sketch_estimate(merged)").as("ndv_users"))
       .orderBy(col("event_type"))

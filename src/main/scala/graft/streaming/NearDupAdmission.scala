@@ -27,8 +27,15 @@ import graft.queries.{Dedup, Text}
   *
   * ORDER-GATED family (s23/s24/s31/s35/s49): admission is relative to
   * "earlier" documents, so batches must arrive in doc_id order — the
-  * gate derives the high-water mark from the store itself and throws
-  * BEFORE any write when a batch dips under it.
+  * gate throws BEFORE any write when a batch dips under the high-water
+  * mark. The mark is SIDE STATE (one (hwm, batch_id) row per batch in a
+  * sibling `_hwm` store, partition-pruned to batch_id < current), not a
+  * max scan over the docs×Bands band index — the r15 advisor point: the
+  * gate probe must stay O(batches seen), independent of index size.
+  * Replay repairs the side store exactly like the main one (a re-run
+  * writes the identical hwm row over its own partition), and a crash
+  * between the two writes is healed by the checkpoint replaying the
+  * whole batch.
   *
   * Replay safety: prior state is read as `batch_id < current` (partition
   * pruning on the store layout), so a re-run of batch b sees the same
@@ -56,8 +63,12 @@ object NearDupAdmission {
       Text.shinglesOf(batch)
         .select(col("doc_id"), (h60(col("shingle")) % Dedup.P).as("hm"))))
 
+  /** The gate's side-state store: one (hwm, batch_id) row per batch. */
+  private[graft] def hwmDir(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_hwm"
+
   /** One micro-batch of (doc_id, text): gate, decide, append bands +
-    * admissions to their own batch_id partitions. */
+    * admissions + the gate's hwm row to their own batch_id partitions. */
   def processBatch(batch: DataFrame, storeDir: String, acceptDir: String,
       batchId: Long): Unit = {
     if (batch.isEmpty) return
@@ -67,10 +78,18 @@ object NearDupAdmission {
       else spark.read.parquet(storeDir)
         .filter(col("batch_id") < batchId)
         .select(col("doc_id"), col("band_id"), col("bk"))
-    // order gate (bounded driver probe): admission is order-relative
-    val low = batch.agg(min(col("doc_id"))).collect()(0).getLong(0)
-    val hw = prior.agg(max(col("doc_id"))).collect()(0)
-    if (!hw.isNullAt(0) && low <= hw.getLong(0))
+    // order gate (bounded driver probe over the SIDE store — one skinny
+    // row per prior batch, never the band index): admission is
+    // order-relative
+    val mm = batch.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val (low, high) = (mm.getLong(0), mm.getLong(1))
+    val hd = hwmDir(storeDir)
+    val hw =
+      if (!StoreRead.hasParquetData(spark, hd)) null
+      else spark.read.parquet(hd)
+        .filter(col("batch_id") < batchId)
+        .agg(max(col("hwm"))).collect()(0)
+    if (hw != null && !hw.isNullAt(0) && low <= hw.getLong(0))
       throw new IllegalStateException(
         s"s53 order gate: batch $batchId min doc_id $low <= high-water ${hw.getLong(0)}")
     val bands = bandsOf(batch).localCheckpoint(true)
@@ -93,6 +112,11 @@ object NearDupAdmission {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(acceptDir)
+    // gate side state last: already-computed batch max as a literal row
+    spark.range(1).select(lit(high).as("hwm"), lit(batchId).as("batch_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(hd)
   }
 
   /** Every admitted doc_id so far. */

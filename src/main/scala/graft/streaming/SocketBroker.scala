@@ -56,17 +56,30 @@ final class SocketBroker(spark: SparkSession) {
   @volatile private var closed = false
 
   private val acceptor = new Thread(() => {
-    try while (!closed) {
-      val sock: Socket = server.accept()
-      val w = new BufferedWriter(new OutputStreamWriter(
-        sock.getOutputStream, StandardCharsets.UTF_8))
-      lock.synchronized {
-        // replay-from-origin for the late-connecting query, then tail
-        history.foreach { l => w.write(l); w.write('\n') }
-        w.flush()
-        clients += w
+    var accepting = true
+    while (accepting && !closed) {
+      // accept() failing means the server socket itself is gone — stop;
+      // a failure while replaying history to ONE flaky client must only
+      // drop that client, never the accept loop (later readers still
+      // need to connect).
+      val sock: Socket =
+        try server.accept()
+        catch { case _: Throwable => accepting = false; null }
+      if (sock != null) {
+        try {
+          val w = new BufferedWriter(new OutputStreamWriter(
+            sock.getOutputStream, StandardCharsets.UTF_8))
+          lock.synchronized {
+            // replay-from-origin for the late-connecting query, then tail
+            history.foreach { l => w.write(l); w.write('\n') }
+            w.flush()
+            clients += w
+          }
+        } catch {
+          case _: Throwable => try sock.close() catch { case _: Throwable => () }
+        }
       }
-    } catch { case _: Throwable => () } // server closed
+    }
   }, s"socket-broker-$port")
   acceptor.setDaemon(true)
   acceptor.start()

@@ -2213,6 +2213,71 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s55: streamed winsorized profile == batch q182 off the SAME s29 store; replay no-op") {
+    import graft.streaming.DriftMonitor.{processBatch, winsorized}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s55-winsor") + "/store"
+    assert(winsorized(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    // one additive value-count store, FOUR distribution reads (s29 KS
+    // drift + s45 IQR + s48 bands + s55 winsorized)
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q182_winsorized_stats")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(winsorized(spark, storeDir)) == want,
+      "streamed winsorized profile diverged from batch q182")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(winsorized(spark, storeDir)) == want, "replay changed the profile")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s29 compaction: the day-axis fold moves NO d-merging read (drift/IQR/winsorized), narrows bands to the horizon, and the crash window is safe") {
+    import graft.streaming.DriftMonitor._
+    import org.apache.spark.sql.functions.{col, date_sub, lit, max, pmod}
+    val storeDir = tmpDir("s29-compact") + "/store"
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    for (b <- 0L to 3L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(4)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val (wantDrift, wantIqr, wantWin) =
+      (rows(drift(spark, storeDir)), rows(iqr(spark, storeDir)),
+        rows(winsorized(spark, storeDir)))
+    val bandsBefore = rows(bands(spark, storeDir))
+    // retention tighter than the data span (sf0.001 events cover ~30
+    // days) so the day-drop law is non-vacuous
+    val horizon = 7
+    val cutoff = spark.read.parquet(storeDir)
+      .agg(date_sub(max(col("d")), horizon)).collect()(0).getDate(0)
+    val wantBands = bandsBefore.filter(r => !r.getDate(1).before(cutoff))
+    assert(wantBands.size < bandsBefore.size,
+      "planted data spans <= the horizon — the day-drop law is vacuous")
+    // crash window: base committed, sweep never ran — folded partitions
+    // still on disk must be invisible (watermark read). The fold covers
+    // EVERYTHING ingested (upToBatch = 4) — the maintainer contract, so
+    // no live batch re-introduces pre-cutoff days into the bands read.
+    foldBase(spark, storeDir, 4L, horizon)
+    assert(rows(drift(spark, storeDir)) == wantDrift, "fold (unswept) moved the KS read")
+    assert(rows(iqr(spark, storeDir)) == wantIqr, "fold (unswept) moved the IQR read")
+    assert(rows(winsorized(spark, storeDir)) == wantWin,
+      "fold (unswept) moved the winsorized read")
+    assert(rows(bands(spark, storeDir)) == wantBands,
+      "fold (unswept) bands != batch bands restricted to the horizon")
+    sweepFolded(spark, storeDir)
+    assert(rows(drift(spark, storeDir)) == wantDrift, "sweep moved the KS read")
+    assert(rows(iqr(spark, storeDir)) == wantIqr, "sweep moved the IQR read")
+    assert(rows(winsorized(spark, storeDir)) == wantWin, "sweep moved the winsorized read")
+    assert(rows(bands(spark, storeDir)) == wantBands, "sweep moved the bands read")
+    // replay across the base: batch 1 is covered by the watermark, so a
+    // re-run's partition is invisible — no read moves
+    processBatch(ev.filter(pmod(col("event_id"), lit(4)) === 1L), storeDir, 1L)
+    assert(rows(drift(spark, storeDir)) == wantDrift, "replay across the base double-counted")
+    assert(rows(winsorized(spark, storeDir)) == wantWin,
+      "replay across the base moved the winsorized read")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s53: streamed near-dup admission == the batch band rule under a doc_id-ordered split; a replayed duplicate is caught; gate rejects; replay no-op") {
     import graft.streaming.NearDupAdmission.{admitted, batchRule, processBatch}
     import org.apache.spark.sql.functions.{col, max}
@@ -2248,6 +2313,16 @@ class StreamingSpec extends SparkSpec {
     processBatch(docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
       storeDir, acceptDir, 1L)
     assert(ids(admitted(spark, acceptDir)) == want, "replay changed admissions")
+    // the gate's side state (r16): one hwm row per batch — the O(batches)
+    // probe the gate reads instead of max-scanning the band index — and
+    // replay left it at the per-batch maxima
+    val hwmRows = spark.read
+      .parquet(graft.streaming.NearDupAdmission.hwmDir(storeDir))
+      .collect().map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("hwm")).toMap
+    def mxUpTo(c: Long) =
+      docs.filter(col("doc_id") <= c).agg(max(col("doc_id"))).collect()(0).getLong(0)
+    assert(hwmRows == Map(0L -> mxUpTo(c1), 1L -> mxUpTo(c2), 2L -> hi),
+      s"gate side state wrong: $hwmRows")
     // planted: an exact duplicate of an ADMITTED earlier doc is rejected,
     // fresh content is admitted
     val root2 = tmpDir("s53-dup")

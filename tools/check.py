@@ -58,16 +58,29 @@ def main():
         # Python compares them equal — so a raw DECIMAL output column can
         # pass this value-level check yet fail the driver (r14 q166).
         # Flag decimal-typed outputs on EITHER side as hard failures.
+        # Detection is SCHEMA-level (DESCRIBE column_type), so a decimal
+        # column that happens to be NULL in every row is still caught;
+        # a full-row value scan is the fallback if DESCRIBE fails.
         import decimal as _dec
-        def _dec_cols(cols, rows):
+        def _dec_cols_schema(sql):
+            try:
+                d = con.execute(f"DESCRIBE {sql}").fetchall()
+                return sorted(r[0] for r in d if "DECIMAL" in str(r[1]).upper())
+            except Exception:
+                return None
+        def _dec_cols_values(cols, rows):
             hit = set()
-            for r in rows[:50]:
+            for r in rows:
                 for c, v in zip(cols, r):
                     if isinstance(v, _dec.Decimal):
                         hit.add(c)
             return sorted(hit)
-        sdec = _dec_cols(scols, srows)
-        odec = _dec_cols(ocols, orows)
+        sdec = _dec_cols_schema(f"SELECT * FROM read_parquet({files!r})")
+        if sdec is None:
+            sdec = _dec_cols_values(scols, srows)
+        odec = _dec_cols_schema(oracle[name])
+        if odec is None:
+            odec = _dec_cols_values(ocols, orows)
         if sdec or odec:
             msgs.append(f"raw DECIMAL output (driver hash would diverge): "
                         f"spark={sdec} oracle={odec}")
