@@ -362,6 +362,7 @@ object SparkEntry {
     "q183_mmr_rerank"         -> Vectors.q183 _,
     "q184_bootstrap_ci"       -> Stats.q184 _,
     "q185_decayed_engagement" -> Stats.q185 _,
+    "q186_mmr_tuned"          -> Vectors.q186 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

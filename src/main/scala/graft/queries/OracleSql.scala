@@ -387,6 +387,7 @@ object OracleSql {
     "q183_mmr_rerank"        -> mmrSql,
     "q184_bootstrap_ci"      -> bootstrapSql,
     "q185_decayed_engagement" -> decayedSql,
+    "q186_mmr_tuned"         -> mmrTunedSql,
     "q159_ohlc_bars"         -> ohlcSql,
     "q160_basket_pairs"      -> basketSql,
     "q161_calendar_fill"     -> calendarFillSql,
@@ -2886,16 +2887,22 @@ object OracleSql {
   // computes, compared on bit-identical doubles; the score column stays
   // unrounded (it sits on .00005 boundaries where ROUND semantics
   // diverge).
-  private def mmrSql: String = {
-    import Vectors.{MmrCand, MmrK, MmrQueries}
-    def cosSql(a: String, b: String): String =
-      s"""list_sum(list_transform(range(1, CAST(len($a) AS INTEGER) + 1),
-         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+  private def mmrCosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, CAST(len($a) AS INTEGER) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** The shared MMR greedy chain: `candCtes` must open the WITH clause
+    * and end with a `mcand AS MATERIALIZED (src, dst, simq, dvec)` CTE;
+    * the greedy steps (pair sims, MmrK unrolled selections) are appended
+    * verbatim, so q183 and q186 run one selection definition over their
+    * two retrievals. */
+  private def mmrGreedySql(candCtes: String): String = {
+    import Vectors.MmrK
     val steps = (2 to MmrK).map { k =>
       s"""r$k AS (SELECT c.src, c.dst, c.simq, MAX(p.simp) AS maxp
-         |  FROM cand c
+         |  FROM mcand c
          |  JOIN pair p ON p.src = c.src AND p.a = c.dst
          |  JOIN sel${k - 1} s ON s.src = p.src AND s.dst = p.b
          |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
@@ -2910,26 +2917,49 @@ object OracleSql {
          |  UNION ALL SELECT src, dst FROM s$k)""".stripMargin
     }.mkString(",\n")
     val unionAll = (1 to MmrK).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
-    s"""WITH q AS (SELECT vec_id AS src, embedding AS qvec FROM embeddings
-       |           WHERE vec_id < $MmrQueries),
-       |c0 AS (SELECT q.src, e.vec_id AS dst,
-       |    ROUND(${cosSql("e.embedding", "q.qvec")}, 4) AS simq,
-       |    e.embedding AS dvec
-       |  FROM embeddings e, q WHERE e.vec_id <> q.src),
-       |cand AS MATERIALIZED (SELECT src, dst, simq, dvec FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY simq DESC, dst) AS rc
-       |    FROM c0) WHERE rc <= $MmrCand),
+    s"""$candCtes,
        |pair AS MATERIALIZED (SELECT a.src, a.dst AS a, b.dst AS b,
-       |    ROUND(${cosSql("a.dvec", "b.dvec")}, 4) AS simp
-       |  FROM cand a JOIN cand b ON a.src = b.src AND a.dst <> b.dst),
+       |    ROUND(${mmrCosSql("a.dvec", "b.dvec")}, 4) AS simp
+       |  FROM mcand a JOIN mcand b ON a.src = b.src AND a.dst <> b.dst),
        |s1 AS (SELECT src, 1 AS step, dst, simq AS mmr FROM (
        |    SELECT src, dst, simq,
        |           row_number() OVER (PARTITION BY src ORDER BY simq DESC, dst) AS rn
-       |    FROM cand) WHERE rn = 1),
+       |    FROM mcand) WHERE rn = 1),
        |sel1 AS MATERIALIZED (SELECT src, dst FROM s1),
        |$steps
        |SELECT src, step, dst, mmr AS score FROM ($unionAll)
        |ORDER BY src, step""".stripMargin
+  }
+
+  private def mmrSql: String = {
+    import Vectors.{MmrCand, MmrQueries}
+    mmrGreedySql(
+      s"""WITH q AS (SELECT vec_id AS src, embedding AS qvec FROM embeddings
+         |           WHERE vec_id < $MmrQueries),
+         |c0 AS (SELECT q.src, e.vec_id AS dst,
+         |    ROUND(${mmrCosSql("e.embedding", "q.qvec")}, 4) AS simq,
+         |    e.embedding AS dvec
+         |  FROM embeddings e, q WHERE e.vec_id <> q.src),
+         |mcand AS MATERIALIZED (SELECT src, dst, simq, dvec FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY simq DESC, dst) AS rc
+         |    FROM c0) WHERE rc <= $MmrCand)""".stripMargin)
+  }
+
+  // q186: MMR over the TUNED IVF retrieval — the q146 candidate chain
+  // (subcode multi-probe, verbatim via ivfKnnTunedCtes) restricted to
+  // the MmrQueries panel and widened to top-MmrCand, feeding the SAME
+  // greedy CTE chain as q183. The engine restricts the query side
+  // BEFORE probe ranking; the oracle filters the ranked frame — per-src
+  // ranks are independent, so the two are result-identical.
+  private def mmrTunedSql: String = {
+    import Vectors.{MmrCand, MmrQueries, TunedSubBits}
+    mmrGreedySql(
+      s"""${ivfKnnTunedCtes(TunedSubBits)},
+         |tc AS (SELECT src, dst, sim AS simq FROM r
+         |       WHERE rk <= $MmrCand AND src < $MmrQueries),
+         |mcand AS MATERIALIZED (SELECT tc.src, tc.dst, tc.simq,
+         |    e.embedding AS dvec
+         |  FROM tc JOIN embeddings e ON e.vec_id = tc.dst)""".stripMargin)
   }
 
   // q184: deterministic Poisson bootstrap — the h60 seed, the integer

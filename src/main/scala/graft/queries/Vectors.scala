@@ -582,7 +582,9 @@ object Vectors {
   private[graft] def ivfKnnTuned(spark: SparkSession, sfDir: String,
       nprobe: Int, subBits: Int,
       memberPrune: DataFrame => DataFrame = identity,
-      excludeSameLabel: Boolean = false): DataFrame = {
+      excludeSameLabel: Boolean = false,
+      k: Int = KnnK,
+      queryFilter: DataFrame => DataFrame = identity): DataFrame = {
     import graft.ops.Ann
     require(subBits >= 0 && subBits <= 16, s"subBits=$subBits out of range")
     def subcode(emb: Column): Column =
@@ -596,8 +598,11 @@ object Vectors {
     val assigned = argmaxCell(sims)
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
-    val probes0 = sims
-      .select(col("vec_id"), col("cell"), col("csim"))
+    // queryFilter (q186): restrict WHICH vectors act as queries before
+    // probe ranking — the index (assignment/member side) still covers the
+    // whole corpus; per-src ranks are independent, so pre- vs
+    // post-filtering is result-identical and pre is the production shape
+    val probes0 = queryFilter(sims.select(col("vec_id"), col("cell"), col("csim")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("src"), col("cell"))
@@ -656,7 +661,7 @@ object Vectors {
       // belt-and-braces dedup before ranking
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KnnK)
+      .filter(col("rk") <= k)
       .select(col("src"), col("rk"), col("dst"), col("sim"))
       .orderBy(col("src"), col("rk"))
   }
@@ -1228,6 +1233,57 @@ object Vectors {
         round4(cosine(col("dvec"), col("qvec"))).as("simq"), col("dvec"))
       .withColumn("rc", row_number().over(wc))
       .filter(col("rc") <= MmrCand))
+    mmrGreedy(cand)
+  }
+
+  /** q186: MMR AT THE PRODUCTION SHAPE (r15 verdict item 5) — q183's
+    * greedy diversity selection fed by q146's TUNED IVF candidates
+    * instead of the exact broadcast-panel scan: the composition a real
+    * RAG/search stack runs (retrieve approximately, rerank exactly).
+    * Retrieval is [[ivfKnnTuned]] restricted to the [[MmrQueries]] query
+    * panel BEFORE probe ranking (per-src ranks are independent, so the
+    * restriction is result-identical to post-filtering and skips ranking
+    * probes for N−Q vectors), widened to top-[[MmrCand]]; the greedy is
+    * the SAME [[mmrGreedy]] cogrouped kernel over the same round-4
+    * fold-parity cosines, so LlmOpsSpec pins the identity: at
+    * nprobe = ncells ∧ subBits = 0 the candidate set is the exact top-k
+    * (q146's limit identity) and the output equals q183 row for row —
+    * the q158→q181 move, repeated.
+    *
+    * Scale posture: the candidate scan drops from q183's Θ(N·Q)
+    * broadcast panel to q146's constant NProbe · 2 · ⟨subcell⟩ per query
+    * (Θ(1) per query once the index is built — the index build itself is
+    * q146's, already on the ladder); everything after is bounded by
+    * queries × MmrCand² rows. Fewer than MmrCand candidates may survive
+    * for a query (the approximate-retrieval trade) — the greedy then
+    * selects min(MmrK, found), absent rows not padded, both engines
+    * agree. */
+  def q186(spark: SparkSession, sfDir: String): DataFrame =
+    mmrTuned(spark, sfDir, NProbe, TunedSubBits)
+
+  /** q186 core, parameterized so LlmOpsSpec can pin the exact-candidate
+    * identity (nprobe = ncells ∧ subBits = 0 ⇒ equals q183 row for
+    * row). */
+  private[graft] def mmrTuned(spark: SparkSession, sfDir: String,
+      nprobe: Int, subBits: Int): DataFrame = {
+    import graft.ops.Dsl.pin
+    val emb = Tables.embeddings(spark, sfDir)
+    val knn = ivfKnnTuned(spark, sfDir, nprobe, subBits, k = MmrCand,
+      queryFilter = s => s.filter(col("vec_id") < MmrQueries))
+    // re-attach candidate vectors for the pairwise sims: queries×MmrCand
+    // skinny rows against the corpus — the dst side is the join key side
+    // of a tiny frame, so AQE broadcasts it
+    val cand = pin(knn.select(col("src"), col("dst"), col("sim").as("simq"))
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dvec")),
+        Seq("dst")))
+    mmrGreedy(cand)
+  }
+
+  /** The shared MMR greedy over a (src, dst, simq, dvec) candidate frame
+    * (≤ [[MmrCand]] rows per src, PINNED by the caller — it feeds the
+    * pair self-join and every greedy step). */
+  private def mmrGreedy(cand: DataFrame): DataFrame = {
+    import graft.ops.Dsl.pin
     // pairwise candidate sims: ≤ MmrCand² rows per query, computed once
     val pair = pin(cand.select(col("src"), col("dst").as("a"), col("dvec").as("va"))
       .join(cand.select(col("src"), col("dst").as("b"), col("dvec").as("vb")), Seq("src"))
@@ -1246,7 +1302,7 @@ object Vectors {
     // identical `0.5 * simq - 0.5 * maxp` the oracle computes, and it
     // stays UNROUNDED (q171's r discipline: differences of round4
     // cosines sit on .00005 boundaries where ROUND semantics diverge).
-    val sess = emb.sparkSession
+    val sess = cand.sparkSession
     import sess.implicits._
     val candL = cand.select(col("src"), col("dst"), col("simq"))
       .as[(Long, Long, Double)]

@@ -1358,6 +1358,36 @@ class LlmOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q186 MMR tuned: exact candidates (nprobe=ncells, subBits=0) reproduce q183 row for row; declared point is well-formed") {
+    import graft.queries.Vectors
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // IDENTITY: probing every cell with no subcode makes the tuned
+    // retrieval the exact top-MmrCand (q146's limit identity at k =
+    // MmrCand), and the greedy is the SAME cogrouped kernel — so the
+    // composition must equal q183 exactly (the q158→q181 law, repeated)
+    val e = graft.tables.Tables.embeddings(spark, sf001)
+    val ncells = e.select($"label").distinct().count().toInt
+    assert(rows(Vectors.mmrTuned(spark, sf001, ncells, 0)) ==
+      rows(Vectors.q183(spark, sf001)),
+      "exact-candidate MMR-tuned != q183")
+    // DECLARED point: approximate retrieval may find fewer candidates,
+    // never different invariants — per-src distinct picks, gap-free
+    // steps, step counts ≤ MmrK, and every query in the panel present
+    val got = Vectors.q186(spark, sf001).collect()
+    val bySrc = got.groupBy(_.getLong(0))
+    assert(bySrc.keySet == (0L until Vectors.MmrQueries).toSet,
+      s"query panel incomplete: ${bySrc.keySet.toSeq.sorted}")
+    for ((src, rs) <- bySrc) {
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length,
+        s"src $src repeated a pick")
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length),
+        s"src $src has a step gap")
+      assert(rs.length <= Vectors.MmrK, s"src $src selected too many")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q175 truncation recall: the full-width audit is the identity (recall 1.0 per query); truncated overlap stays in [0, k]") {
     import graft.queries.Vectors
     val emb = graft.tables.Tables.embeddings(spark, sf001)

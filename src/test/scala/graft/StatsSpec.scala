@@ -381,6 +381,35 @@ class StatsSpec extends SparkSpec {
       s"B interval does not bracket the mean: ${got("B")}")
   }
 
+  test("q184 width A/B (r15 verdict item 6): the one-hash rotation's CI width agrees with the fully independent per-(row,b) hash spec at planted scale") {
+    import graft.queries.Stats
+    // 20k rows, values uniform-ish on [10.00, 19.99] via a coprime walk —
+    // big enough that both specs' 40 replicate means are CLT-normal, so
+    // a material cross-replicate correlation penalty would move the
+    // order-statistic spread visibly
+    val ev = (0L until 20000L)
+      .map(i => ("T", i, 10.0 + (i * 7919L % 1000L) / 100.0))
+      .toDF("event_type", "event_id", "value")
+    def ci(indep: Boolean) = {
+      val r = Stats.bootstrapCi(ev, indepMix = indep).collect()(0)
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+    }
+    val (meanR, loR, hiR, nrR) = ci(indep = false)
+    val (meanI, loI, hiI, nrI) = ci(indep = true)
+    assert(meanR == meanI, "the point estimate must not depend on the mix")
+    assert(nrR == Stats.BootB.toLong && nrI == Stats.BootB.toLong,
+      s"unrealized replicates: rot=$nrR indep=$nrI")
+    // both brackets cover the true mean
+    assert(loR <= meanR && meanR <= hiR, s"rotation CI [$loR, $hiR] misses $meanR")
+    assert(loI <= meanI && meanI <= hiI, s"indep CI [$loI, $hiI] misses $meanI")
+    val (wR, wI) = (hiR - loR, hiI - loI)
+    info(f"rotation width $wR%.4f vs independent width $wI%.4f (ratio ${wR / wI}%.3f)")
+    assert(wR > 0 && wI > 0, s"degenerate widths: rot=$wR indep=$wI")
+    // the licensing bound: the cheap spec's width within 2x either way
+    assert(wR / wI > 0.5 && wR / wI < 2.0,
+      f"rotation CI width diverged from the independent spec: ratio ${wR / wI}%.3f")
+  }
+
   test("q185 decayed engagement: power-of-two weights land exactly (day 0/7/70 all contribute 100c); the half-life boundary steps at day 7, not 6") {
     import graft.queries.Stats
     def day(s: String) = java.sql.Date.valueOf(s)
