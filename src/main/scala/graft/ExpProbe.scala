@@ -60,9 +60,14 @@ object ExpProbe {
         Vectors.ivfKnnTuned(s, d, Vectors.NProbe, BenchScale.tunedSubBits(factor))
       case "q147_filtered_tuned_ann" => (s, d) =>
         Vectors.ivfKnnFilteredTuned(s, d, Vectors.NProbe, BenchScale.tunedSubBits(factor))
-      // r15: hard negatives at the tuned point (the q181 ladder leg)
-      case "q158_tuned" => (s, d) =>
+      // r15: hard negatives at the tuned point (the q181 ladder leg;
+      // renamed from q158_tuned in r16 — old key kept resolving so prior
+      // expprobe.jsonl lines stay reproducible)
+      case "q181_tuned" | "q158_tuned" => (s, d) =>
         Vectors.hardNegativesTuned(s, d, Vectors.NProbe, BenchScale.tunedSubBits(factor))
+      // r16: MMR over tuned-IVF candidates at the scale-keyed width
+      case "q186_mmr_tuned" => (s, d) =>
+        Vectors.mmrTuned(s, d, Vectors.NProbe, BenchScale.tunedSubBits(factor))
       // r15: the q77 knob-vs-kernel A/B — previous octave's bits held
       // fixed at this factor (~2× the scheduled leg's candidate volume)
       case "q77_fixed_bits" => (s, d) =>
