@@ -168,6 +168,11 @@ object BenchScale {
       // calendar-bounded decay panel
       "q183_mmr_rerank" -> "count",
       "q185_decayed_engagement" -> "count",
+      // r16: the bucketed bootstrap — one (type, h) shuffle + a
+      // panel-sized replicate fan-out; the contrast leg to q184's
+      // per-row B-fold explode (r16 evidence via fresh-JVM ExpProbe;
+      // joins the in-run ladder here for the next full run)
+      "q187_bootstrap_bucketed" -> "count",
       "q169_conversion_latency" -> "count",
       "q170_ship_lag_quantiles" -> "count",
       "q173_revenue_gini" -> "count",
@@ -875,6 +880,25 @@ object BenchScale {
       val rows = graft.streaming.NdvMonitor
         .ndv(spark, s"$streamRoot/s52/store").count()
       streaming("s52_ndv_read") = ((System.nanoTime() - t1) / 1e9, rows)
+      noteHeap()
+    }
+    if (sections("stream")) locally { // s56 bootstrap CI (r16): 4 event batches
+      // by event_id block (additive bucket store — any split); state is
+      // <= types x 10^4 rows per batch regardless of volume
+      def evBatch(b: Int): DataFrame =
+        graft.tables.Tables.events(spark, bigDir)
+          .filter((col("event_id") / ScaleGen.IdStride).cast("int")
+            .between(b * repsPerBatch, (b + 1) * repsPerBatch - 1))
+          .select(col("event_type"), col("event_id"), col("value"))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.BootstrapMonitor.processBatch(evBatch(b),
+          s"$streamRoot/s56/store", b.toLong)
+      streaming("s56_bootstrap_ingest") = ((System.nanoTime() - t0) / 1e9, nBatches.toLong)
+      val t1 = System.nanoTime()
+      val rows = graft.streaming.BootstrapMonitor
+        .ci(spark, s"$streamRoot/s56/store").count()
+      streaming("s56_bootstrap_read") = ((System.nanoTime() - t1) / 1e9, rows)
       noteHeap()
     }
     if (sections("stream")) locally { // s53 near-dup admission (r15): 4 doc

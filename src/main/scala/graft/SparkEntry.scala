@@ -363,6 +363,7 @@ object SparkEntry {
     "q184_bootstrap_ci"       -> Stats.q184 _,
     "q185_decayed_engagement" -> Stats.q185 _,
     "q186_mmr_tuned"          -> Vectors.q186 _,
+    "q187_bootstrap_bucketed" -> Stats.q187 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -388,6 +388,7 @@ object OracleSql {
     "q184_bootstrap_ci"      -> bootstrapSql,
     "q185_decayed_engagement" -> decayedSql,
     "q186_mmr_tuned"         -> mmrTunedSql,
+    "q187_bootstrap_bucketed" -> bootstrapBucketedSql,
     "q159_ohlc_bars"         -> ohlcSql,
     "q160_basket_pairs"      -> basketSql,
     "q161_calendar_fill"     -> calendarFillSql,
@@ -2988,6 +2989,53 @@ object OracleSql {
       |       FROM rep),
       |rm AS (SELECT event_type, b, CAST(SUM(w) AS BIGINT) AS nw,
       |         CAST(SUM(w * cents) AS BIGINT) AS sw
+      |       FROM wt GROUP BY 1, 2),
+      |rmean AS (SELECT event_type, b, ${ratio4Sql("sw", "nw")} AS rmean4
+      |          FROM rm WHERE nw > 0),
+      |rk AS (SELECT event_type, b, rmean4,
+      |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY rmean4, b) AS BIGINT) AS rk,
+      |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_reps
+      |       FROM rmean),
+      |lo AS (SELECT event_type, MIN(rmean4) AS ci_lo4 FROM rk
+      |       WHERE rk * $BootB >= n_reps GROUP BY 1),
+      |hi AS (SELECT event_type, MIN(rmean4) AS ci_hi4 FROM rk
+      |       WHERE rk * $BootB >= n_reps * ${BootB - 1} GROUP BY 1),
+      |nr AS (SELECT event_type, MAX(n_reps) AS n_reps FROM rk GROUP BY 1)
+      |SELECT t.event_type, n, ${ratio4Sql("sum_c", "n")} AS mean_c4,
+      |       ci_lo4, ci_hi4, n_reps
+      |FROM tot t
+      |JOIN lo USING (event_type) JOIN hi USING (event_type) JOIN nr USING (event_type)
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  // q187: the bucketed Poisson bootstrap — the SAME weight ladder and
+  // CI finish as q184, but replicate sums computed from the (type, h)
+  // bucket panel (the rotation's weights depend only on h, so the sums
+  // factor through the buckets integer-exactly; result equals q184 row
+  // for row).
+  private def bootstrapBucketedSql: String = {
+    import graft.queries.Stats.BootB
+    (eventsCte + s""",
+      |base AS (SELECT event_type, event_id,
+      |           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |         FROM e),
+      |bk AS (SELECT event_type,
+      |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS h,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt,
+      |         CAST(SUM(cents) AS BIGINT) AS sum_c
+      |       FROM base GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+      |          CAST(SUM(sum_c) AS BIGINT) AS sum_c
+      |        FROM bk GROUP BY 1),
+      |rep AS (SELECT event_type, b, cnt, sum_c, (h + b * 5761) % 10000 AS u
+      |        FROM bk, (SELECT unnest(generate_series(0, ${BootB - 1})) AS b)),
+      |wt AS (SELECT event_type, b, cnt, sum_c,
+      |         CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+      |              WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+      |              WHEN u < 9963 THEN 4 ELSE 5 END AS w
+      |       FROM rep),
+      |rm AS (SELECT event_type, b, CAST(SUM(w * cnt) AS BIGINT) AS nw,
+      |         CAST(SUM(w * sum_c) AS BIGINT) AS sw
       |       FROM wt GROUP BY 1, 2),
       |rmean AS (SELECT event_type, b, ${ratio4Sql("sw", "nw")} AS rmean4
       |          FROM rm WHERE nw > 0),

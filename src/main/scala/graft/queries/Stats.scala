@@ -767,6 +767,16 @@ object Stats {
           .when(col("u") < 9963, 4L).otherwise(5L))
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w")).as("nw"), sum(col("w") * col("cents")).as("sw"))
+    ciFinish(tot, reps)
+  }
+
+  /** The shared CI finish: rank the replicate means, take the DISC
+    * 2.5/97.5 order statistics, join onto the point estimate. `reps` is
+    * (event_type, b, nw, sw) — exact integer replicate sums, from EITHER
+    * the per-row fold (q184) or the bucket panel (q187/s56). */
+  private def ciFinish(tot: DataFrame, reps0: DataFrame): DataFrame = {
+    import graft.ops.Dsl.ratio4dec
+    val reps = reps0
       .filter(col("nw") > 0)
       .withColumn("rmean4", ratio4dec(col("sw"), col("nw")))
     val wr = Window.partitionBy(col("event_type"))
@@ -786,6 +796,66 @@ object Stats {
       .select(col("event_type"), col("n"), col("mean_c4"),
         col("ci_lo4"), col("ci_hi4"), col("n_reps"))
       .orderBy(col("event_type"))
+  }
+
+  /** q187: the BUCKETED Poisson bootstrap — q184's CI computed from the
+    * 10⁴-bucket hash panel instead of the raw rows, EXACTLY. The
+    * rotation spec's replicate weight for a row depends ONLY on
+    * h = h60(event_id) mod 10⁴ (never on the row beyond its hash), so
+    * replicate sums factor through the buckets:
+    * Σᵢ w(uᵢ,b)·cᵢ = Σ_h w(u(h,b)) · Σ_{i∈h} cᵢ — integer-exact, term
+    * for term. One (type, h)-keyed map-side-combined aggregate reduces
+    * the corpus to ≤ types × 10⁴ bucket rows carrying (cnt, Σcents);
+    * the B-fold explode then runs over the PANEL, not the corpus:
+    * Θ(N + B·10⁴) total work where q184's per-row fold is Θ(B·N).
+    * Output equals q184 row for row (StatsSpec law) — the same
+    * factorization is what the s56 streaming read rides (the bucket
+    * panel is an additive store), and it is structurally IMPOSSIBLE
+    * under the independent per-(row, b) mix: the rotation trade q184's
+    * scaladoc documents buys exactly this.
+    *
+    * Scale posture: one map-side-combined shuffle of ≤ types × 10⁴
+    * rows; the explode fans out 40× over the bounded panel (≤ types ×
+    * 4·10⁵ in-memory rows, no shuffle growth); the rank window sits on
+    * the ≤ B-row per-type frame. At 100 TB this is THE way to bootstrap:
+    * the corpus is read once, everything after is constant-bounded. */
+  def q187(spark: SparkSession, sfDir: String): DataFrame =
+    bootstrapCiBucketed(events(spark, sfDir))
+
+  /** q187 kernel on an arbitrary (event_type, event_id, value) frame. */
+  private[graft] def bootstrapCiBucketed(ev: DataFrame): DataFrame =
+    ciOfBuckets(bucketsOf(ev))
+
+  /** The (type, h)-bucket reduction — the s56 store's partial frame and
+    * the seam stream and batch share (one hash/weight definition by
+    * construction). */
+  private[graft] def bucketsOf(ev: DataFrame): DataFrame = {
+    import graft.ops.Dsl.h60
+    ev.select(col("event_type"),
+        pmod(h60(col("event_id").cast("string")), lit(10000L)).as("h"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_c"))
+  }
+
+  /** q187 kernel on a merged (event_type, h, cnt, sum_c) bucket panel
+    * (the s56-store seam). */
+  private[graft] def ciOfBuckets(buckets: DataFrame): DataFrame = {
+    import graft.ops.Dsl.ratio4dec
+    val tot = buckets.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"), sum(col("sum_c")).as("sum_c"))
+      .withColumn("mean_c4", ratio4dec(col("sum_c"), col("n")))
+    val reps = buckets
+      .withColumn("b", explode(sequence(lit(0), lit(BootB - 1))))
+      .withColumn("u", pmod(col("h") + col("b") * lit(5761L), lit(10000L)))
+      .withColumn("w",
+        when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
+          .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
+          .when(col("u") < 9963, 4L).otherwise(5L))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("cnt")).as("nw"),
+        sum(col("w") * col("sum_c")).as("sw"))
+    ciFinish(tot, reps)
   }
 
   /** q185 decay geometry: half-life 7 days, exponent clamped at 40 (a

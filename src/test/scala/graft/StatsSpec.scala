@@ -410,6 +410,25 @@ class StatsSpec extends SparkSpec {
       f"rotation CI width diverged from the independent spec: ratio ${wR / wI}%.3f")
   }
 
+  test("q187 bucketed bootstrap == q184 row for row: the replicate sums factor through the 10^4 hash buckets integer-exactly") {
+    import graft.queries.Stats
+    // the q184 planted frames (constant + spread types) AND a bigger
+    // mixed frame so bucket collisions actually occur (20k rows over
+    // 10^4 buckets — ~2 rows/bucket, the factorization's real case)
+    val ev = ((0L until 50L).map(i => ("A", i, 2.00)) ++
+      (0L until 25L).map(i => ("B", 100L + i, 1.00)) ++
+      (0L until 25L).map(i => ("B", 200L + i, 3.00)) ++
+      (0L until 20000L).map(i => ("C", 1000L + i, 10.0 + (i * 7919L % 1000L) / 100.0)))
+      .toDF("event_type", "event_id", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+    val want = rows(Stats.bootstrapCi(ev))
+    val got = rows(Stats.bootstrapCiBucketed(ev))
+    assert(want.nonEmpty && got == want,
+      s"bucketed bootstrap diverged from the per-row fold:\n  got  $got\n  want $want")
+  }
+
   test("q185 decayed engagement: power-of-two weights land exactly (day 0/7/70 all contribute 100c); the half-life boundary steps at day 7, not 6") {
     import graft.queries.Stats
     def day(s: String) = java.sql.Date.valueOf(s)

@@ -2233,6 +2233,31 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s56: streamed bootstrap CI == batch q184 under an ARBITRARY batch split; replay no-op") {
+    import graft.streaming.BootstrapMonitor.{ci, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s56-boot") + "/store"
+    assert(ci(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .localCheckpoint(true)
+    // split by event_id mod 3 — deliberately NOT time-ordered: the
+    // bucket store is additive exact integers, so parity holds under
+    // ANY split
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    // the read equals BOTH batch forms: q187 shares the kernel (by
+    // construction) and q184 by the q187 factorization law
+    val want = rows(SparkEntry.queries("q184_bootstrap_ci")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(ci(spark, storeDir)) == want,
+      "streamed bootstrap CI diverged from batch q184")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(ci(spark, storeDir)) == want, "replay changed the CI")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s29 compaction: the day-axis fold moves NO d-merging read (drift/IQR/winsorized), narrows bands to the horizon, and the crash window is safe") {
     import graft.streaming.DriftMonitor._
     import org.apache.spark.sql.functions.{col, date_sub, lit, max, pmod}
