@@ -173,6 +173,9 @@ object BenchScale {
       // per-row B-fold explode (r16 evidence via fresh-JVM ExpProbe;
       // joins the in-run ladder here for the next full run)
       "q187_bootstrap_bucketed" -> "count",
+      // r16 (2): median+MAD — the q168 histogram class (one bounded
+      // shuffle, the deviation histogram derives from it)
+      "q188_median_mad" -> "count",
       "q169_conversion_latency" -> "count",
       "q170_ship_lag_quantiles" -> "count",
       "q173_revenue_gini" -> "count",
@@ -636,6 +639,11 @@ object BenchScale {
       val wrows = graft.streaming.DriftMonitor
         .winsorized(spark, s"$streamRoot/s29/store").count()
       streaming("s55_winsorized_read") = ((System.nanoTime() - t1) / 1e9, wrows)
+      // r16 (2): the s57 median+MAD read — the store's fifth read
+      val t2 = System.nanoTime()
+      val mrows = graft.streaming.DriftMonitor
+        .mad(spark, s"$streamRoot/s29/store").count()
+      streaming("s57_mad_read") = ((System.nanoTime() - t2) / 1e9, mrows)
       noteHeap()
     }
     if (sections("stream")) locally { // s36 seasonal panel: 4 event batches by event_id block

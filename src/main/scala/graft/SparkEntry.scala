@@ -364,6 +364,7 @@ object SparkEntry {
     "q185_decayed_engagement" -> Stats.q185 _,
     "q186_mmr_tuned"          -> Vectors.q186 _,
     "q187_bootstrap_bucketed" -> Stats.q187 _,
+    "q188_median_mad"         -> Stats.q188 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

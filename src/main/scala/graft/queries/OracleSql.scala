@@ -389,6 +389,7 @@ object OracleSql {
     "q185_decayed_engagement" -> decayedSql,
     "q186_mmr_tuned"         -> mmrTunedSql,
     "q187_bootstrap_bucketed" -> bootstrapBucketedSql,
+    "q188_median_mad"        -> madSql,
     "q159_ohlc_bars"         -> ohlcSql,
     "q160_basket_pairs"      -> basketSql,
     "q161_calendar_fill"     -> calendarFillSql,
@@ -2848,6 +2849,37 @@ object OracleSql {
       |JOIN q1 ON h.event_type = q1.event_type
       |JOIN q2 ON h.event_type = q2.event_type
       |JOIN q3 ON h.event_type = q3.event_type
+      |GROUP BY h.event_type
+      |ORDER BY h.event_type""".stripMargin)
+
+  // q188: median + MAD off the same per-type cent histograms — q168's
+  // DISC attained-value rule (2·cum >= n) applied twice: to the cent
+  // histogram for the median, then to the derived |cents − med|
+  // deviation histogram for the MAD; the 3·MAD robust-outlier count is
+  // an integer conditional sum. All BIGINT (no ratios in this panel).
+  private def madSql: String =
+    (eventsCte + """,
+      |h AS (SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |        CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM e GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cum AS (SELECT h.event_type, cents, cnt, n,
+      |          CAST(SUM(cnt) OVER (PARTITION BY h.event_type ORDER BY cents) AS BIGINT) AS cum
+      |        FROM h JOIN tot ON h.event_type = tot.event_type),
+      |med AS (SELECT event_type, MIN(cents) AS med_c FROM cum WHERE cum * 2 >= n GROUP BY 1),
+      |dev AS (SELECT h.event_type, abs(cents - med_c) AS dv, CAST(SUM(cnt) AS BIGINT) AS cnt
+      |        FROM h JOIN med ON h.event_type = med.event_type GROUP BY 1, 2),
+      |cumd AS (SELECT dev.event_type, dv, dev.cnt, n,
+      |           CAST(SUM(dev.cnt) OVER (PARTITION BY dev.event_type ORDER BY dv) AS BIGINT) AS cum
+      |         FROM dev JOIN tot ON dev.event_type = tot.event_type),
+      |mad AS (SELECT event_type, MIN(dv) AS mad_c FROM cumd WHERE cum * 2 >= n GROUP BY 1)
+      |SELECT h.event_type, CAST(SUM(cnt) AS BIGINT) AS n, MAX(med_c) AS med_c,
+      |       MAX(mad_c) AS mad_c,
+      |       CAST(SUM(CASE WHEN abs(cents - med_c) > mad_c * 3
+      |                     THEN cnt ELSE 0 END) AS BIGINT) AS n_far
+      |FROM h
+      |JOIN med ON h.event_type = med.event_type
+      |JOIN mad ON h.event_type = mad.event_type
       |GROUP BY h.event_type
       |ORDER BY h.event_type""".stripMargin)
 

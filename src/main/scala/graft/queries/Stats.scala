@@ -689,6 +689,79 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** q188: MEDIAN + MAD robust dispersion per event type — the third
+    * member of the robust-statistics family (q168 IQR fences, q182
+    * winsorized mean): the median absolute deviation is THE robust scale
+    * estimate (breakdown point 50 % where IQR's is 25 %), and
+    * |x − med| > 3·MAD is the robust z-score outlier rule every metrics
+    * pipeline reaches for when the Tukey fence is too loose. ALL
+    * INTEGER: exact cents (q156's DECIMAL(12,2)·100 carrier), the
+    * median and the MAD are DISC attained values (smallest value with
+    * 2·cum ≥ n — q168's quartile discipline applied twice: once to the
+    * cent histogram, once to the |cents − med| deviation histogram
+    * derived from it), and the flagged count is an integer conditional
+    * sum. Output (event_type, n, med_c, mad_c, n_far) — no ratios, no
+    * doubles anywhere.
+    *
+    * Scale posture: ONE map-side-combined histogram shuffle (the q168
+    * shape — the 2-dec value grid bounds distinct cents per type
+    * regardless of corpus size); the deviation histogram DERIVES from
+    * the bounded histogram (grid-cardinality rows, no corpus re-read);
+    * type-PARTITIONED cumulative windows on both; the three
+    * single-value panels broadcast back into one conditional aggregate
+    * over the same histogram. The raw rows are read exactly once. */
+  def q188(spark: SparkSession, sfDir: String): DataFrame =
+    madStats(events(spark, sfDir))
+
+  /** q188 kernel on an arbitrary (event_type, value) frame — reduce to
+    * per-(type, value) counts first (the s29 drift-store frame, which
+    * is what makes the s57 streaming read of this statistic the
+    * store's fifth free read — DriftMonitor.mad). */
+  private[graft] def madStats(ev: DataFrame): DataFrame =
+    madOfValueCounts(ev.select(col("event_type"), col("value"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q188 kernel on a per-(event_type, value) COUNT frame (the s29-store
+    * seam, like [[iqrOfValueCounts]]/[[winsorizedOfValueCounts]]). */
+  private[graft] def madOfValueCounts(counts: DataFrame): DataFrame = {
+    val h = pin(counts
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        col("cnt"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("cnt")).as("cnt")))
+    val tot = h.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val cum = h.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+      .join(broadcast(tot), Seq("event_type"))
+    val med = cum.filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("event_type")).agg(min(col("cents")).as("med_c"))
+    // deviation histogram DERIVED from the bounded cent histogram —
+    // distinct |cents − med| values collapse (symmetric deviations
+    // merge), counts pointwise-summed
+    val dev = h.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"),
+        abs(col("cents") - col("med_c")).as("dv"), col("cnt"))
+      .groupBy(col("event_type"), col("dv"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val cumd = dev.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col("dv"))))
+      .join(broadcast(tot), Seq("event_type"))
+    val mad = cumd.filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("event_type")).agg(min(col("dv")).as("mad_c"))
+    h.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"),
+        max(col("med_c")).as("med_c"), max(col("mad_c")).as("mad_c"),
+        sum(when(abs(col("cents") - col("med_c")) > col("mad_c") * 3, col("cnt"))
+          .otherwise(0L)).as("n_far"))
+      .select(col("event_type"), col("n"), col("med_c"), col("mad_c"),
+        col("n_far"))
+      .orderBy(col("event_type"))
+  }
+
   /** q184 replicate count — 40 keeps the DISC 2.5%/97.5% order stats at
     * exactly the 1st and 39th replicate mean (0.025·40 = 1). */
   val BootB = 40

@@ -207,6 +207,17 @@ object DriftMonitor {
       .groupBy(col("event_type"), col("value"))
       .agg(sum(col("cnt")).as("cnt")))
 
+  /** s57: the FIFTH read of this store — q188's median + MAD robust
+    * dispersion panel over the same merged value histogram, through the
+    * SAME `Stats.madOfValueCounts` kernel batch q188 runs. Row-for-row
+    * equal to batch q188 under ANY batch split; replay no-op and
+    * compaction invariance inherit from the shared store (the read
+    * never looks at d). */
+  def mad(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.madOfValueCounts(storeCounts(spark, storeDir)
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("cnt")).as("cnt")))
+
   /** s48: the THIRD read of this store — q179's daily p10/p50/p90 value
     * bands over the calendar-sliced histogram, through the SAME
     * `Stats.bandsOfCounts` kernel batch q179 runs (the r14 day-widened

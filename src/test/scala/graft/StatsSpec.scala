@@ -410,6 +410,29 @@ class StatsSpec extends SparkSpec {
       f"rotation CI width diverged from the independent spec: ratio ${wR / wI}%.3f")
   }
 
+  test("q188 median+MAD: hand-computed panel on planted histograms — DISC attained values, symmetric-deviation merge, 3*MAD outliers non-vacuous") {
+    import graft.queries.Stats
+    // A: values 1,2,2,3,100 (cents 100,200,200,300,10000). n=5; DISC
+    // median = smallest cents with 2*cum >= 5 -> cum(200)=3 -> 200.
+    // deviations |c-200|: 100,0,0,100,9800 -> dev hist {0:2, 100:2,
+    // 9800:1}; 2*cum >= 5 -> cum(100)=4 -> MAD=100. 3*MAD=300: only
+    // 9800 exceeds -> n_far=1.
+    val a = Seq(1.00, 2.00, 2.00, 3.00, 100.00).map(("A", _))
+    // B: constant 7 -> med=700, MAD=0, n_far=0 (nothing exceeds 0*3=0?
+    // |c-700|=0 > 0 is false -> 0)
+    val b = Seq.fill(4)(("B", 7.00))
+    // C: even count 1,1,3,3 -> 2*cum>=4 at cents=100 (cum=2) -> med=100
+    // (the DISC lower-median rule); devs {0:2, 200:2} -> MAD attained at
+    // 0 (cum=2, 2*2>=4) -> mad=0; n_far counts devs > 0 -> 2
+    val c = Seq(1.00, 1.00, 3.00, 3.00).map(("C", _))
+    val got = Stats.madStats((a ++ b ++ c).toDF("event_type", "value")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got("A") == ((5L, 200L, 100L, 1L)), s"A: ${got("A")}")
+    assert(got("B") == ((4L, 700L, 0L, 0L)), s"B: ${got("B")}")
+    assert(got("C") == ((4L, 100L, 0L, 2L)), s"C: ${got("C")}")
+  }
+
   test("q187 bucketed bootstrap == q184 row for row: the replicate sums factor through the 10^4 hash buckets integer-exactly") {
     import graft.queries.Stats
     // the q184 planted frames (constant + spread types) AND a bigger

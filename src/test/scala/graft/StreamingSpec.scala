@@ -2233,6 +2233,26 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s57: streamed median+MAD == batch q188 off the SAME s29 store; replay no-op") {
+    import graft.streaming.DriftMonitor.{mad, processBatch}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val storeDir = tmpDir("s57-mad") + "/store"
+    assert(mad(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    // one additive value-count store, FIVE distribution reads (s29 KS
+    // drift + s45 IQR + s48 bands + s55 winsorized + s57 MAD)
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(col("event_id"), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val want = rows(SparkEntry.queries("q188_median_mad")(spark, sf001))
+    assert(want.nonEmpty)
+    assert(rows(mad(spark, storeDir)) == want,
+      "streamed median+MAD diverged from batch q188")
+    processBatch(ev.filter(pmod(col("event_id"), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(mad(spark, storeDir)) == want, "replay changed the panel")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s56: streamed bootstrap CI == batch q184 under an ARBITRARY batch split; replay no-op") {
     import graft.streaming.BootstrapMonitor.{ci, processBatch}
     import org.apache.spark.sql.functions.{col, lit, pmod}
