@@ -66,7 +66,14 @@ import graft.queries.Stats
   * the horizon with slack beyond the feed's late-data bound — a
   * post-fold late row on a pre-cutoff day would reappear in the bands
   * read as a partial-count slice (the standard watermark-slack
-  * argument; the d-merging reads are immune either way).
+  * argument; the d-merging reads are immune either way). The same
+  * partial-slice caveat applies to a PARTIAL fold (upToBatch below
+  * everything ingested): batches left live keep their pre-cutoff days,
+  * so the bands read serves those days as partial-count slices until
+  * the next fold covers them — fold with upToBatch = everything
+  * ingested to avoid the window entirely. The horizon anchor is the
+  * newest day across ALL live rows (folded or not), so a partial fold
+  * never moves the cutoff backwards.
   */
 object DriftMonitor {
 
@@ -125,11 +132,26 @@ object DriftMonitor {
   def foldBase(spark: SparkSession, storeDir: String, upToBatch: Long,
       horizonDays: Int = BandHorizonDays): Unit = {
     if (!StoreRead.hasParquetData(spark, storeDir)) return
-    val folded = liveRows(spark.read.parquet(storeDir))
+    val all = spark.read.parquet(storeDir)
+    // a regressed watermark would re-expose covered-but-unswept batch
+    // partitions to liveRows (double count on every d-merging read) —
+    // fail loudly instead (r16 advisor; read the same way sweepFolded
+    // reads it)
+    val current = all.filter(col("batch_id") === -1L)
+      .agg(coalesce(max(col("covered_upto")), lit(0L))).collect()(0).getLong(0)
+    require(upToBatch >= current,
+      s"s29 foldBase: upToBatch $upToBatch < current covered_upto $current — " +
+        "a regressed watermark re-exposes folded batch partitions")
+    val live = liveRows(all)
+    val folded = live
       .filter(col("batch_id") === -1L || col("batch_id") < upToBatch)
       .select(col("event_type"), col("d"), col("value"), col("cnt"))
+    // horizon anchor = the newest day across ALL live rows (the class
+    // doc's "store's newest day"), not just the folded frame's — a
+    // partial fold with newer unfolded batches must not shift the band
+    // horizon backwards (r16 advisor doc/code alignment)
     val cutoff = Option(
-      folded.agg(date_sub(max(col("d")), horizonDays)).collect()(0).getDate(0))
+      live.agg(date_sub(max(col("d")), horizonDays)).collect()(0).getDate(0))
     val dropped = cutoff.fold(folded) { c =>
       folded.withColumn("d",
         when(col("d") >= lit(c), col("d")).otherwise(lit(null).cast("date")))

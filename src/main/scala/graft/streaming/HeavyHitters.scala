@@ -116,6 +116,13 @@ object HeavyHitters {
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
     val all = spark.read.parquet(storeDir)
+    // a regressed watermark would re-expose covered-but-unswept batch
+    // partitions to liveRows (double count) — fail loudly (r16 advisor)
+    val current = all.filter(col("batch_id") === -1L)
+      .agg(coalesce(max(col("covered_upto")), lit(0L))).collect()(0).getLong(0)
+    require(upToBatch >= current,
+      s"s16 foldBase: upToBatch $upToBatch < current covered_upto $current — " +
+        "a regressed watermark re-exposes folded batch partitions")
     val newBase = mergeSketch(
       liveRows(all).filter(col("batch_id") === -1L || col("batch_id") < upToBatch), m)
       .localCheckpoint(true) // pin: the overwrite below rewrites the source path

@@ -89,6 +89,19 @@ object NearDupAdmission {
       else spark.read.parquet(hd)
         .filter(col("batch_id") < batchId)
         .agg(max(col("hwm"))).collect()(0)
+    // pre-r16 store detection (r16 advisor): band data from earlier
+    // batches with NO _hwm sibling means the side store was never
+    // written — a null hwm would silently open the order gate. Fail
+    // loudly with the rebuild-by-replay posture every store-format
+    // break in this engine carries (DriftMonitor's covered_upto break);
+    // in normal operation the probe never runs (hwm rows exist the
+    // moment prior bands do — foreachBatch replays a batch that crashed
+    // between the two writes).
+    if ((hw == null || hw.isNullAt(0)) && !prior.isEmpty)
+      throw new IllegalStateException(
+        s"s53 order gate: band store $storeDir has pre-batch-$batchId data but the " +
+          s"_hwm side store has no covering row — pre-r16 store format; rebuild by " +
+          "replaying the document log through processBatch")
     if (hw != null && !hw.isNullAt(0) && low <= hw.getLong(0))
       throw new IllegalStateException(
         s"s53 order gate: batch $batchId min doc_id $low <= high-water ${hw.getLong(0)}")

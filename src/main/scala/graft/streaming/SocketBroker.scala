@@ -58,13 +58,21 @@ final class SocketBroker(spark: SparkSession) {
   private val acceptor = new Thread(() => {
     var accepting = true
     while (accepting && !closed) {
-      // accept() failing means the server socket itself is gone — stop;
-      // a failure while replaying history to ONE flaky client must only
-      // drop that client, never the accept loop (later readers still
-      // need to connect).
+      // exception discipline (r16 advisor): stop the loop ONLY when the
+      // broker is closed / the server socket is gone; a TRANSIENT accept
+      // failure must not silently kill accepting (later readers still
+      // need to connect), and fatal VM errors (OutOfMemoryError) must
+      // propagate, never be swallowed. A failure while replaying history
+      // to ONE flaky client drops only that client.
       val sock: Socket =
         try server.accept()
-        catch { case _: Throwable => accepting = false; null }
+        catch {
+          case _: java.net.SocketException if closed || server.isClosed =>
+            accepting = false; null
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[socket-broker:$port] transient accept failure: $e")
+            Thread.sleep(10); null
+        }
       if (sock != null) {
         try {
           val w = new BufferedWriter(new OutputStreamWriter(
@@ -76,7 +84,9 @@ final class SocketBroker(spark: SparkSession) {
             clients += w
           }
         } catch {
-          case _: Throwable => try sock.close() catch { case _: Throwable => () }
+          case scala.util.control.NonFatal(_) =>
+            try sock.close()
+            catch { case scala.util.control.NonFatal(_) => () }
         }
       }
     }
@@ -128,7 +138,10 @@ final class SocketBroker(spark: SparkSession) {
 
   def close(): Unit = {
     closed = true
-    try server.close() catch { case _: Throwable => () }
-    lock.synchronized { clients.foreach(w => try w.close() catch { case _: Throwable => () }) }
+    try server.close() catch { case scala.util.control.NonFatal(_) => () }
+    lock.synchronized {
+      clients.foreach(w =>
+        try w.close() catch { case scala.util.control.NonFatal(_) => () })
+    }
   }
 }

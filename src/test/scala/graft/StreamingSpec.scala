@@ -2323,6 +2323,86 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("fold guards (r16 advisor): a regressed watermark fold fails loudly on all three additive stores") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import spark.implicits._
+    // s29: fold to 2, then ask for 1 — the covered-but-unswept batch
+    // partitions would go live again and every d-merging read would
+    // double-count; the guard must throw BEFORE the base is rewritten
+    val dStore = tmpDir("s29-guard") + "/store"
+    val ev = graft.tables.Tables.events(spark, sf001).localCheckpoint(true)
+    for (b <- 0L to 2L)
+      graft.streaming.DriftMonitor.processBatch(
+        ev.filter(pmod(col("event_id"), lit(3)) === b), dStore, b)
+    graft.streaming.DriftMonitor.foldBase(spark, dStore, 2L)
+    val wantDrift = graft.streaming.DriftMonitor.drift(spark, dStore).collect().toSeq
+    intercept[IllegalArgumentException] {
+      graft.streaming.DriftMonitor.foldBase(spark, dStore, 1L)
+    }
+    assert(graft.streaming.DriftMonitor.drift(spark, dStore).collect().toSeq == wantDrift,
+      "the rejected fold moved the drift read")
+    // s16: same contract on the Misra-Gries sketch store
+    val hStore = tmpDir("s16-guard") + "/store"
+    for (b <- 0L to 2L)
+      graft.streaming.HeavyHitters.processBatch(
+        Seq.tabulate(8)(i => s"tok${i % 3} tok${i % 2}").toDF("text"), hStore, b)
+    graft.streaming.HeavyHitters.foldBase(spark, hStore, 2L)
+    intercept[IllegalArgumentException] {
+      graft.streaming.HeavyHitters.foldBase(spark, hStore, 1L)
+    }
+    // s21: same contract on the embedding-stats partial store
+    val vStore = tmpDir("s21-guard") + "/store"
+    val vecs = graft.tables.Tables.embeddings(spark, sf001).limit(24).localCheckpoint(true)
+    for (b <- 0L to 2L)
+      graft.streaming.VectorStats.processBatch(
+        vecs.filter(pmod(col("vec_id"), lit(3)) === b), vStore, b)
+    graft.streaming.VectorStats.foldBase(spark, vStore, 2L)
+    intercept[IllegalArgumentException] {
+      graft.streaming.VectorStats.foldBase(spark, vStore, 1L)
+    }
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s29 partial fold: the band horizon anchors at the LIVE max day, and unfolded pre-cutoff days stay whole") {
+    import graft.streaming.DriftMonitor._
+    import spark.implicits._
+    val storeDir = tmpDir("s29-partial") + "/store"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 0: ten January days; batch 1: one March day (the feed moved on)
+    val old = (1 to 10).map(i => ("a", ts(f"2024-01-$i%02d 10:00:00"), 5.0))
+    val fresh = Seq(("a", ts("2024-03-01 10:00:00"), 7.0))
+    processBatch(old.toDF("event_type", "ts", "value"), storeDir, 0L)
+    processBatch(fresh.toDF("event_type", "ts", "value"), storeDir, 1L)
+    val wantDrift = drift(spark, storeDir).collect().toSeq
+    val wantIqr = iqr(spark, storeDir).collect().toSeq
+    // PARTIAL fold: covers only batch 0, horizon 7 days. The anchor is
+    // max(d) over ALL live rows (March 1, batch 1 is live) — the class
+    // doc's "store's newest day" — so every January day in the folded
+    // frame is beyond the cutoff and loses its day axis. Under a
+    // folded-frame anchor (Jan 10) the Jan 4-10 slices would survive.
+    foldBase(spark, storeDir, 1L, horizonDays = 7)
+    val bandDays = bands(spark, storeDir).collect().map(_.getDate(1).toString).toSet
+    assert(bandDays == Set("2024-03-01"),
+      s"partial fold did not anchor the horizon at the live max day: $bandDays")
+    // the d-merging reads are invariant to any fold, partial or not
+    assert(drift(spark, storeDir).collect().toSeq == wantDrift,
+      "partial fold moved the KS read")
+    assert(iqr(spark, storeDir).collect().toSeq == wantIqr,
+      "partial fold moved the IQR read")
+    // the documented partial-fold caveat, pinned from the other side: a
+    // batch left LIVE keeps its pre-cutoff days in the bands read until
+    // a later fold covers it (here: fold only batch 1's March day away
+    // from a store whose live batch 0 still carries January)
+    val store2 = tmpDir("s29-partial2") + "/store"
+    processBatch(fresh.toDF("event_type", "ts", "value"), store2, 0L)
+    processBatch(old.toDF("event_type", "ts", "value"), store2, 1L)
+    foldBase(spark, store2, 1L, horizonDays = 7)
+    val live2 = bands(spark, store2).collect().map(_.getDate(1).toString).toSet
+    assert(live2.contains("2024-01-01"),
+      "a live unfolded batch lost its pre-cutoff day slices")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s53: streamed near-dup admission == the batch band rule under a doc_id-ordered split; a replayed duplicate is caught; gate rejects; replay no-op") {
     import graft.streaming.NearDupAdmission.{admitted, batchRule, processBatch}
     import org.apache.spark.sql.functions.{col, max}
@@ -2379,6 +2459,59 @@ class StreamingSpec extends SparkSpec {
     assert(ids(admitted(spark, a2)) == Seq(10L, 30L),
       s"planted duplicate admission wrong: ${ids(admitted(spark, a2))}")
     SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s53 store-format break (r16 advisor): band data with no _hwm side store fails loudly instead of opening the gate") {
+    import graft.streaming.NearDupAdmission.{admitted, hwmDir, processBatch}
+    import spark.implicits._
+    val root = tmpDir("s53-pre-r16")
+    val storeDir = root + "/store"; val acceptDir = root + "/accept"
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different words make no shared shingles here at all"
+    processBatch(Seq((10L, t1)).toDF("doc_id", "text"), storeDir, acceptDir, 0L)
+    processBatch(Seq((20L, t2)).toDF("doc_id", "text"), storeDir, acceptDir, 1L)
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    val want = ids(admitted(spark, acceptDir))
+    // simulate a pre-r16 store: band data present, side store gone — a
+    // null hwm must NOT silently admit (the gate would wave through an
+    // out-of-order batch); the posture is the engine's standard
+    // store-format break: throw, rebuild by replay
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(hwmDir(storeDir)))
+    val e = intercept[IllegalStateException] {
+      processBatch(Seq((30L, "yet more fresh words that collide with nothing seen before"))
+        .toDF("doc_id", "text"), storeDir, acceptDir, 2L)
+    }
+    assert(e.getMessage.contains("_hwm"), s"wrong failure: ${e.getMessage}")
+    assert(ids(admitted(spark, acceptDir)) == want, "the format-break throw wrote state")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
+  test("s51 broker: a flaky client dropped mid-replay never kills the accept loop (r16 advisor)") {
+    val sb = new graft.streaming.SocketBroker(spark)
+    try {
+      sb.publish(Seq("{\"a\":1}", "{\"b\":2}"))
+      // client 1 connects and slams the door without reading — whatever
+      // failure that provokes (replay write, reset) must only drop this
+      // client
+      val c1 = new java.net.Socket("127.0.0.1", sb.port)
+      c1.setSoLinger(true, 0) // RST on close: the rudest disconnect
+      c1.close()
+      sb.publish(Seq("{\"c\":3}"))
+      // client 2 must still be able to connect and receive the FULL
+      // replayed history — proof the accept loop survived client 1
+      val c2 = new java.net.Socket("127.0.0.1", sb.port)
+      try {
+        c2.setSoTimeout(30000)
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+          c2.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        val got = Seq(r.readLine(), r.readLine(), r.readLine())
+        assert(got == Seq("{\"a\":1}", "{\"b\":2}", "{\"c\":3}"),
+          s"replay after a flaky client diverged: $got")
+      } finally c2.close()
+    } finally sb.close()
   }
 
   test("s54: time-decayed engagement read off the s36 daily store == batch q185 under an arbitrary split; replay no-op") {
