@@ -29,6 +29,26 @@ object Bench {
     * round-over-round regression table is supposed to compare. */
   val Runs = 3
 
+  /** Drift sentinel (r16 verdict): ambient box drift is the dominant
+    * noise term in every cross-round comparison (same-code boards an
+    * hour apart have differed 23%), and until now every judge had to
+    * rediscover that from the query numbers themselves. This is a
+    * FIXED, data-independent probe — 64M xxhash64 + bit_xor over 32
+    * slices, the same work every round on every box — run [[SentinelK]]
+    * times at the start and end of each bench run and recorded in the
+    * artifact, so the noise floor is machine-readable: comparing two
+    * rounds' query times starts by comparing their sentinel minima
+    * (same code + slower sentinel = the box, not a regression). collect
+    * of ONE row; constant work regardless of SF or query surface. */
+  val SentinelK = 5
+  def sentinelRuns(spark: SparkSession, k: Int = SentinelK): Seq[Double] =
+    (1 to k).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 64000000L, 1, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,6 +84,7 @@ object Bench {
     SparkEntry.applyEngineConfs(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").count() // JIT/codegen warmup outside any timer
+    val sentStart = sentinelRuns(spark)
 
     val ordered = SparkEntry.queries.toSeq
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -134,8 +155,12 @@ object Bench {
     val errors = results.collect { case (n, (m, _)) if m < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, (m, _)) if m >= 0 => m }.sum
-    val detail = results.map { case (k, (mn, mean)) =>
-      s"""{"name":"$k","min_sec":${fmt(mn)},"mean_sec":${fmt(mean)}}""" }
+    val sentEnd = sentinelRuns(spark)
+    def jarr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+    val sentMin = (sentStart ++ sentEnd).min
+    val detail = (results.map { case (k, (mn, mean)) =>
+      s"""{"name":"$k","min_sec":${fmt(mn)},"mean_sec":${fmt(mean)}}""" } :+
+      s"""{"name":"_sentinel","min_sec":${fmt(sentMin)},"start":${jarr(sentStart)},"end":${jarr(sentEnd)}}""")
       .mkString("[\n", ",\n", "\n]")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -149,7 +174,11 @@ object Bench {
       System.err.println(s"[bench] WARNING: foreign JVM(s) appeared DURING the run " +
         s"(pids ${appeared.mkString(",")})")
     val foreignSeen = (foreignAtStart ++ foreignAtEnd).distinct
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(_._1)},"errors":$errors,"foreign_jvms":${foreignSeen.size},"foreign_appeared":${appeared.size},"sf":"$sfDir"}""")
+    // field order matters: the driver keeps only the LAST 2000 chars of
+    // stdout, and at 188 queries the line head (metric/value) is already
+    // cut — so the headline total and the drift sentinel ride at the END
+    // of the line where the tail window preserves them.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(_._1)},"errors":$errors,"foreign_jvms":${foreignSeen.size},"foreign_appeared":${appeared.size},"sf":"$sfDir","total_sec":${fmt(total)},"sentinel":{"start":${jarr(sentStart)},"end":${jarr(sentEnd)},"min":${fmt(sentMin)}}}""")
     spark.stop()
   }
 }

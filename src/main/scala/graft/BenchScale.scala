@@ -301,6 +301,10 @@ object BenchScale {
     SparkEntry.applyEngineConfs(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").count()
+    // drift sentinel (r16 verdict): fixed constant work at run start and
+    // end so the artifact carries its own noise floor — see Bench's
+    // sentinelRuns scaladoc
+    val sentStart = Bench.sentinelRuns(spark)
 
     val rt = Runtime.getRuntime
     var heapPeakMb = 0L
@@ -1092,8 +1096,10 @@ object BenchScale {
     }
 
     // ---- report ----
+    val sentEnd = Bench.sentinelRuns(spark)
     def jnum(d: Double): String =
       if (d.isNaN) "null" else f"$d%.3f"
+    def jarr(xs: Seq[Double]): String = xs.map(jnum).mkString("[", ",", "]")
     // section-scoped re-runs may never have built the max corpus; the
     // report must degrade to null, not crash at the finish line (r11)
     def countOrNull(path: String): String =
@@ -1189,6 +1195,7 @@ $freshJson
     "q181_tuned": "ran as q158_tuned in the r15 artifact — identical computation (hardNegativesTuned at the scale-keyed width), renamed r16 to match the declared contract key",
     "q90_ivf_knn": "the FLAT probe leg is the deliberate tuned-vs-flat contrast (Theta(N^1.5), exponent 1.47 measured r12 and r13) — no x64 confirm octave by design; the tuned point q90_tuned carries the confirm"
   },
+  "sentinel": {"start": ${jarr(sentStart)}, "end": ${jarr(sentEnd)}, "min": ${jnum((sentStart ++ sentEnd).min)}},
   "heap_peak_mb": $heapPeakMb,
   "driver_xmx_mb": ${rt.maxMemory() / (1024 * 1024)}
 }

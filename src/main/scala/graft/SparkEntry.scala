@@ -365,6 +365,8 @@ object SparkEntry {
     "q186_mmr_tuned"          -> Vectors.q186 _,
     "q187_bootstrap_bucketed" -> Stats.q187 _,
     "q188_median_mad"         -> Stats.q188 _,
+    "q189_theilsen_trend"     -> Stats.q189 _,
+    "q190_kendall_tau"        -> Stats.q190 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -390,6 +390,8 @@ object OracleSql {
     "q186_mmr_tuned"         -> mmrTunedSql,
     "q187_bootstrap_bucketed" -> bootstrapBucketedSql,
     "q188_median_mad"        -> madSql,
+    "q189_theilsen_trend"    -> theilSenSql,
+    "q190_kendall_tau"       -> kendallSql,
     "q159_ohlc_bars"         -> ohlcSql,
     "q160_basket_pairs"      -> basketSql,
     "q161_calendar_fill"     -> calendarFillSql,
@@ -2660,6 +2662,62 @@ object OracleSql {
       |FROM dev JOIN mad ON dev.event_type = mad.event_type
       |ORDER BY dev.event_type, d""".stripMargin)
   }
+
+  // q189: Theil–Sen — the pairwise-slope self-join on the daily panel,
+  // each slope ONE double division of exact integers (the kernel scaladoc's
+  // bounded-denominator argument makes the double a canonical key), DISC
+  // median via the q162 histogram discipline. Slopes ship unrounded.
+  private def theilSenSql: String =
+    (eventsCte + s""",
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM e GROUP BY 1, 2),
+      |pr AS (SELECT a.event_type,
+      |         CAST(b.n - a.n AS DOUBLE) / CAST(datediff('day', a.d, b.d) AS DOUBLE) AS s
+      |       FROM daily a JOIN daily b
+      |         ON a.event_type = b.event_type AND b.d > a.d),
+      |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pr GROUP BY 1),
+      |h AS (SELECT event_type, s, COUNT(*) AS c FROM pr GROUP BY 1, 2),
+      |cc AS (SELECT event_type, s,
+      |         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY s) AS BIGINT) AS cum
+      |       FROM h),
+      |med AS (SELECT cc.event_type, MIN(s) AS slope
+      |        FROM cc JOIN tot ON cc.event_type = tot.event_type
+      |        WHERE cum * 2 >= n_pairs GROUP BY 1),
+      |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+      |SELECT nd.event_type, n_days, n_pairs, slope
+      |FROM nd JOIN tot ON nd.event_type = tot.event_type
+      |JOIN med ON nd.event_type = med.event_type
+      |ORDER BY nd.event_type""".stripMargin)
+
+  // q190: Kendall tau-a — inner day alignment, strict-sign concordance
+  // (no products, no overflow class), all-integer until the one mirrored
+  // ratio4 quotient.
+  private def kendallSql: String =
+    (eventsCte + s""",
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM e GROUP BY 1, 2),
+      |al AS (SELECT x.event_type AS type_a, y.event_type AS type_b, x.d AS d,
+      |         x.n AS na, y.n AS nb
+      |       FROM daily x JOIN daily y
+      |         ON x.d = y.d AND x.event_type < y.event_type),
+      |ndx AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days
+      |        FROM al GROUP BY 1, 2),
+      |dp AS (SELECT i.type_a, i.type_b,
+      |         CASE WHEN (j.na > i.na AND j.nb > i.nb) OR (j.na < i.na AND j.nb < i.nb)
+      |              THEN 1 ELSE 0 END AS c,
+      |         CASE WHEN (j.na > i.na AND j.nb < i.nb) OR (j.na < i.na AND j.nb > i.nb)
+      |              THEN 1 ELSE 0 END AS dd
+      |       FROM al i JOIN al j
+      |         ON i.type_a = j.type_a AND i.type_b = j.type_b AND j.d > i.d),
+      |agg AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |          CAST(SUM(c) AS BIGINT) AS nc, CAST(SUM(dd) AS BIGINT) AS nd
+      |        FROM dp GROUP BY 1, 2)
+      |SELECT agg.type_a, agg.type_b, n_days, n_pairs, nc, nd,
+      |       ${ratio4Sql("nc - nd", "n_pairs")} AS tau4
+      |FROM agg JOIN ndx ON agg.type_a = ndx.type_a AND agg.type_b = ndx.type_b
+      |ORDER BY agg.type_a, agg.type_b""".stripMargin)
 
   // q160: the pair self-join and both rule statistics mirrored literally;
   // DuckDB counts are BIGINT already, and the lift mirror is the shared

@@ -762,6 +762,110 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** q189: Theil–Sen robust trend — the slope estimator that belongs
+    * next to q162's median/MAD (level + dispersion → this is the robust
+    * DIRECTION): per type, the median over all day pairs i < j of the
+    * pairwise slope (n_j − n_i)/(d_j − d_i) on the daily-count series.
+    * Where q167's Holt trend is a smoother a single monster day can
+    * bend, Theil–Sen has a 29.3% breakdown point — the slope a capacity
+    * planner trusts under contamination (Sen 1968; the reference has no
+    * statistical layer at all, SURVEY §2 note).
+    *
+    * Exactness: each slope is ONE IEEE division of exact integers
+    * (Δcount, Δdays — bit-identical in both engines), and the double is
+    * a CANONICAL key for the rational it rounds from: denominators are
+    * calendar-bounded (Δdays ≤ span), so two distinct slopes differ by
+    * ≥ 1/span² ≈ 6·10⁻⁶ while double spacing at any plausible |slope|
+    * (≤ 10⁹ even at 100 TB daily volumes) is ≤ 2·10⁻⁷ — distinct
+    * rationals get distinct doubles, equal rationals get THE double.
+    * Grouping/ordering by the double is therefore exact, and the DISC
+    * median (smallest s with 2·cum ≥ n_pairs — q162's discipline) is an
+    * attained slope, shipped unrounded (q132's boundary argument: the
+    * one division is correctly rounded from identical operands; ROUND
+    * itself would be the only hazard). Types with a single observed day
+    * have no pairs and drop out (documented, mirrored).
+    *
+    * Scale posture: [[dailyOf]] is the ONE corpus-sized shuffle; the
+    * pair self-join runs on the types × days panel (calendar-bounded —
+    * days² pairs per type is a CONSTANT in corpus size, the whole point
+    * of pairing AFTER the daily reduction), and the median histogram +
+    * type-partitioned cumulative window live on that bounded frame. */
+  def q189(spark: SparkSession, sfDir: String): DataFrame =
+    theilSenOf(dailyOf(events(spark, sfDir)))
+
+  /** q189 core on a (event_type, d, n) daily frame (planted-data seam;
+    * also the s58 read of the s36 SeasonalMonitor store). */
+  private[graft] def theilSenOf(dailyIn: DataFrame): DataFrame = {
+    // one evaluation feeds both sides of the pair join, the day count
+    // and the median chain (q104 pinning discipline)
+    val d = pin(dailyIn.select(col("event_type"), col("d"), col("n")))
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.event_type") === col("b.event_type") && col("b.d") > col("a.d"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.n") - col("a.n")).cast("double") /
+          datediff(col("b.d"), col("a.d")).cast("double")).as("s"))
+    val tot = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("n_pairs"))
+    val med = discMedianByType(pairs, "s", "slope")
+    d.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      .join(tot, Seq("event_type"))
+      .join(med, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"), col("slope"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q190: Kendall rank correlation (tau-a) between every pair of event
+    * types' daily-count series — the RANK companion to q171's Pearson
+    * matrix: Pearson asks "do the volumes move together linearly",
+    * Kendall asks the monotone question a heavy-tailed count series
+    * actually supports ("when type A has a bigger day, does type B?"),
+    * immune to any monotone transform of either series. Series align on
+    * COMMON observed days (inner alignment — a day one type missed
+    * carries no rank information about the other; documented,
+    * mirrored); per aligned day pair i < j, concordant means the two
+    * deltas share a strict sign, discordant means they oppose; ties on
+    * either axis count as neither (tau-a). tau4 = half-up 4-dec
+    * (nc − nd)/n_pairs via the shared [[graft.ops.Dsl.ratio4]] —
+    * ALL-INTEGER until that one mirrored quotient. Type pairs with
+    * fewer than two common days have no day pairs and drop out.
+    *
+    * Scale posture: after [[dailyOf]]'s one corpus shuffle, the
+    * day-alignment join and the day-pair join both run on calendar- and
+    * type-bounded panels (types²·days² rows is a constant in corpus
+    * size); sign counting is one map-side-combined aggregate. */
+  def q190(spark: SparkSession, sfDir: String): DataFrame =
+    kendallOf(dailyOf(events(spark, sfDir)))
+
+  /** q190 core on a (event_type, d, n) daily frame (planted-data seam;
+    * also the s59 read of the s36 SeasonalMonitor store). */
+  private[graft] def kendallOf(dailyIn: DataFrame): DataFrame = {
+    val d = pin(dailyIn.select(col("event_type"), col("d"), col("n")))
+    // inner day alignment, canonical pair order type_a < type_b
+    val aligned = pin(d.as("x").join(d.as("y"),
+        col("x.d") === col("y.d") && col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"),
+        col("x.d").as("d"), col("x.n").as("na"), col("y.n").as("nb")))
+    val nDays = aligned.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"))
+    aligned.as("i").join(aligned.as("j"),
+        col("i.type_a") === col("j.type_a") && col("i.type_b") === col("j.type_b") &&
+          col("j.d") > col("i.d"))
+      // strict sign agreement — no products, so no overflow class exists
+      .select(col("i.type_a").as("type_a"), col("i.type_b").as("type_b"),
+        (col("j.na") > col("i.na")).as("au"), (col("j.na") < col("i.na")).as("ad"),
+        (col("j.nb") > col("i.nb")).as("bu"), (col("j.nb") < col("i.nb")).as("bd"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("au") && col("bu")) || (col("ad") && col("bd")), 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((col("au") && col("bd")) || (col("ad") && col("bu")), 1L)
+          .otherwise(0L)).as("nd"))
+      .join(nDays, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_days"), col("n_pairs"),
+        col("nc"), col("nd"),
+        ratio4(col("nc") - col("nd"), col("n_pairs")).as("tau4"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** q184 replicate count — 40 keeps the DISC 2.5%/97.5% order stats at
     * exactly the 1st and 39th replicate mean (0.025·40 = 1). */
   val BootB = 40

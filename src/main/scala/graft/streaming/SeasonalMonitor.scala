@@ -132,6 +132,28 @@ object SeasonalMonitor {
   def outliers(spark: SparkSession, storeDir: String): DataFrame =
     Stats.madOutliers(mergedDaily(spark, storeDir))
 
+  /** s58: the SEVENTH read of this store — q189's Theil–Sen robust
+    * trend slope over the same merged daily panel, through the SAME
+    * `Stats.theilSenOf` kernel. A pairwise-slope median is not a
+    * mergeable statistic, so (like the s39 medians and the s43 fold)
+    * it is derived AT READ over the calendar-bounded panel; the count
+    * partials merge exactly, so the slopes — one IEEE division each of
+    * identical integers — equal batch q189's bit-for-bit under ANY
+    * batch split. Replay no-op inherits from the shared store. */
+  def theilsen(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.theilSenOf(mergedDaily(spark, storeDir))
+
+  /** s59: the EIGHTH read — q190's Kendall tau-a rank correlation
+    * between every type pair's daily-count series, through the SAME
+    * `Stats.kendallOf` kernel. All-integer until the one mirrored
+    * ratio4 quotient, so any-split parity is the count-merge argument
+    * verbatim. One additive daily store now serves eight reads
+    * (forecast, MAD flags, Holt, CUSUM, drawdown, decay, trend, rank
+    * correlation) — the batch statistics family served online for one
+    * store's upkeep. */
+  def kendall(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.kendallOf(mergedDaily(spark, storeDir))
+
   /** Wire a streaming (event_type, ts) source into the loop. */
   def start(events: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =
     events.writeStream

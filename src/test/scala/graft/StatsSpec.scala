@@ -260,6 +260,55 @@ class StatsSpec extends SparkSpec {
     assert(got(("B", 5L)) == ((5L, 0L, false)))
   }
 
+  test("q189 Theil–Sen: hand-computed pairwise-slope DISC median; gap days divide by the REAL day distance; a single-day type drops out") {
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // A on days 0,1,2,4 (day 3 is a gap) with counts 1,3,2,10 — six pairs:
+    //   (0,1): (3-1)/1 = 2     (0,2): (2-1)/2 = 0.5   (0,4): (10-1)/4 = 2.25
+    //   (1,2): (2-3)/1 = -1    (1,4): (10-3)/3 = 7/3  (2,4): (10-2)/2 = 4
+    // sorted: -1, 0.5, 2, 2.25, 7/3, 4 — n_pairs 6, DISC median = first s
+    // with 2*cum >= 6 -> cum(2) = 3 -> slope 2.0 (an ATTAINED slope, and
+    // the gap pair (0,2,4 distances) proves the divisor is datediff, not
+    // an index)
+    val a = Seq((0, 1L), (1, 3L), (2, 2L), (4, 10L)).map { case (i, n) => ("A", day(i), n) }
+    // B has one day — no pairs, must drop out entirely
+    val b = Seq(("B", day(0), 5L))
+    val got = graft.queries.Stats.theilSenOf((a ++ b).toDF("event_type", "d", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map("A" -> ((4L, 6L, 2.0))), s"got $got")
+    // a perfectly linear series reads its exact slope (every pair agrees)
+    val lin = (0 to 4).map(i => ("L", day(i), 7L + 3L * i))
+    val gl = graft.queries.Stats.theilSenOf(lin.toDF("event_type", "d", "n"))
+      .collect()(0)
+    assert((gl.getLong(2), gl.getDouble(3)) == ((10L, 3.0)))
+  }
+
+  test("q190 Kendall tau-a: hand-counted concordant/discordant pairs; ties count as neither; inner day alignment; <2 common days drops out") {
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 2, 1).plusDays(i))
+    // A: 1,2,3  B: 3,1,2 on days 0,1,2 — pairs (01): A up B down = D;
+    // (02): A up B down = D; (12): A up B up = C -> nc 1, nd 2,
+    // tau4 = ratio4(-1, 3) = -0.3333
+    // C: 5,5,9 vs A — (01): A up C TIE = neither; (02): C; (12): C
+    //   -> nc 2, nd 0, tau4 = ratio4(2,3) = 0.6667
+    // D shares only day 0 with the others -> every D pair has 1 common
+    //   day, 0 day pairs -> drops out
+    val rows = Seq(
+      ("A", day(0), 1L), ("A", day(1), 2L), ("A", day(2), 3L),
+      ("B", day(0), 3L), ("B", day(1), 1L), ("B", day(2), 2L),
+      ("C", day(0), 5L), ("C", day(1), 5L), ("C", day(2), 9L),
+      ("D", day(0), 4L))
+    val got = graft.queries.Stats.kendallOf(rows.toDF("event_type", "d", "n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")), s"got ${got.keySet}")
+    assert(got(("A", "B")) == ((3L, 3L, 1L, 2L, -0.3333)), s"got ${got(("A", "B"))}")
+    assert(got(("A", "C")) == ((3L, 3L, 2L, 0L, 0.6667)), s"got ${got(("A", "C"))}")
+    // B vs C: B 3,1,2 / C 5,5,9 — (01): B down C tie = neither;
+    // (02): B down C up = D; (12): B up C up = C -> nc 1, nd 1, tau 0
+    assert(got(("B", "C")) == ((3L, 3L, 1L, 1L, 0.0)), s"got ${got(("B", "C"))}")
+  }
+
   test("q165 A/B chi-square: hand-computed 2x2 statistic and exact significance fence; zero margin degenerates to NULL/not-significant") {
     import graft.queries.Stats
     // variant = user_id % 2. Even users 0,2,4,6 (A): 3 of 4 convert;

@@ -2537,6 +2537,35 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
+  test("s58/s59: Theil–Sen trend and Kendall tau read off the s36 daily store == batch q189/q190 under an arbitrary split; replay no-op") {
+    import graft.streaming.SeasonalMonitor.{kendall, processBatch, theilsen}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val storeDir = tmpDir("s58-trend") + "/store"
+    assert(theilsen(spark, storeDir).collect().isEmpty)
+    assert(kendall(spark, storeDir).collect().isEmpty)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("event_type"), col("ts"), col("value"))
+      .localCheckpoint(true)
+    // arbitrary split — the daily count partials are additive, and both
+    // kernels see only the summed panel (slopes are one IEEE division of
+    // identical integers; tau is all-integer to the mirrored quotient)
+    for (b <- 0L to 2L)
+      processBatch(ev.filter(pmod(xxhash64(col("ts")), lit(3)) === b), storeDir, b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val wantTs = rows(SparkEntry.queries("q189_theilsen_trend")(spark, sf001))
+    val wantKt = rows(SparkEntry.queries("q190_kendall_tau")(spark, sf001))
+    assert(wantTs.nonEmpty && wantKt.nonEmpty)
+    assert(rows(theilsen(spark, storeDir)) == wantTs,
+      "streamed Theil–Sen diverged from batch q189")
+    assert(rows(kendall(spark, storeDir)) == wantKt,
+      "streamed Kendall tau diverged from batch q190")
+    // replay no-op: a re-run overwrites its own partition byte-identically
+    processBatch(ev.filter(pmod(xxhash64(col("ts")), lit(3)) === 1L), storeDir, 1L)
+    assert(rows(theilsen(spark, storeDir)) == wantTs, "replay moved the s58 read")
+    assert(rows(kendall(spark, storeDir)) == wantKt, "replay moved the s59 read")
+    SparkEntry.clearGraftCaches(spark)
+  }
+
   test("s52: streamed NDV sketches == one-shot sketch under an arbitrary split; small cardinalities exact; replay no-op") {
     import graft.streaming.NdvMonitor.{ndv, oneShot, processBatch}
     import org.apache.spark.sql.functions.{col, lit, pmod}
