@@ -182,6 +182,7 @@ object BenchScale {
       // certify the reduction dominates, i.e. near-flat exponents)
       "q189_theilsen_trend" -> "count",
       "q190_kendall_tau" -> "count",
+      "q191_mann_kendall" -> "count",
       "q169_conversion_latency" -> "count",
       "q170_ship_lag_quantiles" -> "count",
       "q173_revenue_gini" -> "count",
@@ -409,7 +410,7 @@ object BenchScale {
       "q57_dedup_clusters", "q66_dedup_materialize",
       "q82_char_entropy", "q95_retrieval_eval", "q186_mmr_tuned",
       "q187_bootstrap_bucketed", "q188_median_mad",
-      "q189_theilsen_trend", "q190_kendall_tau")
+      "q189_theilsen_trend", "q190_kendall_tau", "q191_mann_kendall")
     val confirmFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONFIRM", "64").toInt
     if (sections("confirm") && confirmFactor > factors.max) {
       val dir = s"$scaleRoot/x$confirmFactor"
@@ -779,6 +780,8 @@ object BenchScale {
         graft.streaming.SeasonalMonitor.theilsen(spark, s"$streamRoot/s36/store"))
       readLeg("s59_kendall_read",
         graft.streaming.SeasonalMonitor.kendall(spark, s"$streamRoot/s36/store"))
+      readLeg("s60_mannkendall_read",
+        graft.streaming.SeasonalMonitor.mannKendall(spark, s"$streamRoot/s36/store"))
       noteHeap()
     }
     if (sections("stream")) locally { // s38 OHLC bars: 4 event batches by event_id block
@@ -1295,7 +1298,7 @@ $streamJson
 $freshJson
   },
   "streaming_coverage": {
-    "own_leg": "every store-backed component s14-s59 carries its own ingest and/or read leg in streaming_x$aMax above",
+    "own_leg": "every store-backed component s14-s60 carries its own ingest and/or read leg in streaming_x$aMax above",
     "pipeline_riders": "s01-s07 (CQRS cascade), s09 (AvailableNow catch-up), s28 (memory broker) and s51 (socket) are the SAME BnplPipeline the s30_rate_sustained / s30_backlog_drain / s51_socket_transport legs drive end-to-end — their throughput evidence IS those legs",
     "functional_scale_only": "s08 (stream-stream interval join), s10 (session windows), s11 (stream-static enrich), s12 (windowed distinct), s13 (state-store timers) have no x-leg: they are trigger/watermark-cadence components whose emission is wall-clock-bound, not volume-bound, in this single-box harness; their per-batch kernels are the aggregates/joins the batch legs measure, and their semantics are pinned in StreamingSpec/StatefulSpec"
   },

@@ -367,6 +367,7 @@ object SparkEntry {
     "q188_median_mad"         -> Stats.q188 _,
     "q189_theilsen_trend"     -> Stats.q189 _,
     "q190_kendall_tau"        -> Stats.q190 _,
+    "q191_mann_kendall"       -> Stats.q191 _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

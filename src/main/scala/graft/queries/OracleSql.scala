@@ -392,6 +392,7 @@ object OracleSql {
     "q188_median_mad"        -> madSql,
     "q189_theilsen_trend"    -> theilSenSql,
     "q190_kendall_tau"       -> kendallSql,
+    "q191_mann_kendall"      -> mannKendallSql,
     "q159_ohlc_bars"         -> ohlcSql,
     "q160_basket_pairs"      -> basketSql,
     "q161_calendar_fill"     -> calendarFillSql,
@@ -2718,6 +2719,38 @@ object OracleSql {
       |       ${ratio4Sql("nc - nd", "n_pairs")} AS tau4
       |FROM agg JOIN ndx ON agg.type_a = ndx.type_a AND agg.type_b = ndx.type_b
       |ORDER BY agg.type_a, agg.type_b""".stripMargin)
+
+  // q191: Mann–Kendall — S and the tie-corrected 18·Var as exact integers,
+  // the 95% decision as the squared continuity-corrected fence (q165's
+  // no-sqrt discipline); squared products in HUGEINT mirroring the
+  // engine's DECIMAL(38,0).
+  private def mannKendallSql: String =
+    (eventsCte + s""",
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM e GROUP BY 1, 2),
+      |pr AS (SELECT a.event_type,
+      |         CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sg
+      |       FROM daily a JOIN daily b
+      |         ON a.event_type = b.event_type AND b.d > a.d),
+      |s AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat FROM pr GROUP BY 1),
+      |tg AS (SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2),
+      |tz AS (SELECT event_type, CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tt,
+      |         CAST(SUM(t) AS BIGINT) AS n_days
+      |       FROM tg GROUP BY 1),
+      |v AS (SELECT tz.event_type, n_days, s_stat,
+      |        n_days*(n_days-1)*(2*n_days+5) - tt AS var18
+      |      FROM tz JOIN s ON tz.event_type = s.event_type),
+      |w AS (SELECT event_type, n_days, s_stat, var18,
+      |        (ABS(s_stat) > 1 AND
+      |         CAST(ABS(s_stat)-1 AS HUGEINT)*(ABS(s_stat)-1)*180000 >
+      |           CAST(var18 AS HUGEINT)*38416) AS trending
+      |      FROM v)
+      |SELECT event_type, n_days, s_stat, var18, trending,
+      |       CASE WHEN trending AND s_stat > 0 THEN 'up'
+      |            WHEN trending AND s_stat < 0 THEN 'down'
+      |            ELSE 'none' END AS direction
+      |FROM w ORDER BY event_type""".stripMargin)
 
   // q160: the pair self-join and both rule statistics mirrored literally;
   // DuckDB counts are BIGINT already, and the lift mirror is the shared

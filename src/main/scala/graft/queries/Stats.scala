@@ -866,6 +866,62 @@ object Stats {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q191: Mann–Kendall trend test — the significance TEST to q189's
+    * Theil–Sen estimator (the two are the textbook pairing: MK decides
+    * whether a monotone trend exists, Theil–Sen says how steep): per
+    * type, S = Σ_{i<j} sign(n_j − n_i) over the day-ordered daily
+    * counts, the tie-corrected variance 18·Var(S) = n(n−1)(2n+5) −
+    * Σ_g t_g(t_g−1)(2t_g+5), and the two-sided 95% decision with
+    * continuity correction.
+    *
+    * Exactness (q165's fence discipline — no sqrt anywhere): the z
+    * test |S|−1 > 1.96·√Var(S) is EQUIVALENT to the all-integer fence
+    * 180000·(|S|−1)² > 38416·var18 (square both sides; 1.96² = 3.8416
+    * exactly, Var = var18/18), so S, var18 and the verdict are exact
+    * integers/booleans end to end — the oracle cannot wobble. The
+    * squared products run in DECIMAL(38,0) (HUGEINT in the mirror):
+    * at n days the fence operand reaches ~n⁴·4.5·10⁴, past signed-64
+    * near n ≈ 5000 — decimal keeps the fence exact at any horizon
+    * instead of failing at 13 years of daily data. |S| ≤ 1 is never
+    * trending (the continuity correction's own boundary). Types with
+    * a single observed day have no pairs and drop out (q189's rule).
+    *
+    * Scale posture: identical to q189 — dailyOf's one corpus shuffle,
+    * then a calendar-bounded pair panel and two type-keyed
+    * aggregates. */
+  def q191(spark: SparkSession, sfDir: String): DataFrame =
+    mannKendallOf(dailyOf(events(spark, sfDir)))
+
+  /** q191 core on a (event_type, d, n) daily frame (planted-data seam;
+    * also the s60 read of the s36 SeasonalMonitor store). */
+  private[graft] def mannKendallOf(dailyIn: DataFrame): DataFrame = {
+    val d = pin(dailyIn.select(col("event_type"), col("d"), col("n")))
+    val s = d.as("a").join(d.as("b"),
+        col("a.event_type") === col("b.event_type") && col("b.d") > col("a.d"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.n") > col("a.n"), 1L)
+        .when(col("b.n") < col("a.n"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = d.groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tt"),
+        sum(col("t")).as("n_days"))
+    val sm1 = (abs(col("s_stat")) - 1).cast("decimal(38,0)")
+    val trendCond = abs(col("s_stat")) > 1 &&
+      sm1 * sm1 * lit(180000).cast("decimal(6,0)") >
+        col("var18").cast("decimal(38,0)") * lit(38416).cast("decimal(5,0)")
+    ties.join(s, Seq("event_type"))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) - col("tt"))
+      .withColumn("trending", trendCond)
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
+        col("trending"),
+        when(col("trending") && col("s_stat") > 0, "up")
+          .when(col("trending") && col("s_stat") < 0, "down")
+          .otherwise("none").as("direction"))
+      .orderBy(col("event_type"))
+  }
+
   /** q184 replicate count — 40 keeps the DISC 2.5%/97.5% order stats at
     * exactly the 1st and 39th replicate mean (0.025·40 = 1). */
   val BootB = 40

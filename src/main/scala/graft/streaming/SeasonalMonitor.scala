@@ -154,6 +154,14 @@ object SeasonalMonitor {
   def kendall(spark: SparkSession, storeDir: String): DataFrame =
     Stats.kendallOf(mergedDaily(spark, storeDir))
 
+  /** s60: the NINTH read — q191's Mann–Kendall trend test over the same
+    * merged daily panel, through the SAME `Stats.mannKendallOf` kernel:
+    * the significance verdict next to s58's Theil–Sen slope, exact
+    * integers to the squared fence, so any-split parity is again the
+    * count-merge argument verbatim. Replay no-op inherits. */
+  def mannKendall(spark: SparkSession, storeDir: String): DataFrame =
+    Stats.mannKendallOf(mergedDaily(spark, storeDir))
+
   /** Wire a streaming (event_type, ts) source into the loop. */
   def start(events: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =
     events.writeStream

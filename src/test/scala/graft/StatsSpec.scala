@@ -309,6 +309,31 @@ class StatsSpec extends SparkSpec {
     assert(got(("B", "C")) == ((3L, 3L, 1L, 1L, 0.0)), s"got ${got(("B", "C"))}")
   }
 
+  test("q191 Mann-Kendall: hand-computed S and tie-corrected var18; the squared fence; monotone-but-short is NOT trending; direction signs") {
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i))
+    def series(t: String, ns: Seq[Long]) = ns.zipWithIndex.map { case (n, i) => (t, day(i), n) }
+    // U: 10 strictly increasing days — S = 45, no ties (tt = 0),
+    //    var18 = 10*9*25 = 2250; fence 180000*44^2 = 348,480,000 >
+    //    38416*2250 = 86,436,000 -> trending up
+    // D: 8 strictly decreasing — S = -28, var18 = 8*7*21 = 1176;
+    //    180000*27^2 = 131,220,000 > 38416*1176 = 45,177,216 -> down
+    // W: 1,2,1,2,1 — S = 0 (3 up-pairs, 3 down); ties t=3 (66) + t=2
+    //    (18) -> tt = 84, var18 = 300-84 = 216; |S| <= 1 -> none
+    // P: 1,2,3 — monotone but short: S = 3, var18 = 3*2*11 = 66;
+    //    180000*4 = 720,000 < 38416*66 = 2,535,456 -> none (the
+    //    continuity-corrected fence holds back a 3-day run)
+    val rows = series("U", (1L to 10L)) ++ series("D", (1L to 8L).map(9L - _)) ++
+      series("W", Seq(1L, 2L, 1L, 2L, 1L)) ++ series("P", Seq(1L, 2L, 3L))
+    val got = graft.queries.Stats.mannKendallOf(rows.toDF("event_type", "d", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5))))
+      .toMap
+    assert(got("U") == ((10L, 45L, 2250L, true, "up")), s"got ${got("U")}")
+    assert(got("D") == ((8L, -28L, 1176L, true, "down")), s"got ${got("D")}")
+    assert(got("W") == ((5L, 0L, 216L, false, "none")), s"got ${got("W")}")
+    assert(got("P") == ((3L, 3L, 66L, false, "none")), s"got ${got("P")}")
+  }
+
   test("q165 A/B chi-square: hand-computed 2x2 statistic and exact significance fence; zero margin degenerates to NULL/not-significant") {
     import graft.queries.Stats
     // variant = user_id % 2. Even users 0,2,4,6 (A): 3 of 4 convert;

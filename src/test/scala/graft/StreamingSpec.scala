@@ -2537,12 +2537,13 @@ class StreamingSpec extends SparkSpec {
     SparkEntry.clearGraftCaches(spark)
   }
 
-  test("s58/s59: Theil–Sen trend and Kendall tau read off the s36 daily store == batch q189/q190 under an arbitrary split; replay no-op") {
-    import graft.streaming.SeasonalMonitor.{kendall, processBatch, theilsen}
+  test("s58/s59/s60: Theil–Sen, Kendall tau and Mann–Kendall read off the s36 daily store == batch q189/q190/q191 under an arbitrary split; replay no-op") {
+    import graft.streaming.SeasonalMonitor.{kendall, mannKendall, processBatch, theilsen}
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val storeDir = tmpDir("s58-trend") + "/store"
     assert(theilsen(spark, storeDir).collect().isEmpty)
     assert(kendall(spark, storeDir).collect().isEmpty)
+    assert(mannKendall(spark, storeDir).collect().isEmpty)
     val ev = graft.tables.Tables.events(spark, sf001)
       .select(col("event_type"), col("ts"), col("value"))
       .localCheckpoint(true)
@@ -2554,15 +2555,19 @@ class StreamingSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
     val wantTs = rows(SparkEntry.queries("q189_theilsen_trend")(spark, sf001))
     val wantKt = rows(SparkEntry.queries("q190_kendall_tau")(spark, sf001))
-    assert(wantTs.nonEmpty && wantKt.nonEmpty)
+    val wantMk = rows(SparkEntry.queries("q191_mann_kendall")(spark, sf001))
+    assert(wantTs.nonEmpty && wantKt.nonEmpty && wantMk.nonEmpty)
     assert(rows(theilsen(spark, storeDir)) == wantTs,
       "streamed Theil–Sen diverged from batch q189")
     assert(rows(kendall(spark, storeDir)) == wantKt,
       "streamed Kendall tau diverged from batch q190")
+    assert(rows(mannKendall(spark, storeDir)) == wantMk,
+      "streamed Mann–Kendall diverged from batch q191")
     // replay no-op: a re-run overwrites its own partition byte-identically
     processBatch(ev.filter(pmod(xxhash64(col("ts")), lit(3)) === 1L), storeDir, 1L)
     assert(rows(theilsen(spark, storeDir)) == wantTs, "replay moved the s58 read")
     assert(rows(kendall(spark, storeDir)) == wantKt, "replay moved the s59 read")
+    assert(rows(mannKendall(spark, storeDir)) == wantMk, "replay moved the s60 read")
     SparkEntry.clearGraftCaches(spark)
   }
 
