@@ -799,11 +799,14 @@ object Stats {
     // one evaluation feeds both sides of the pair join, the day count
     // and the median chain (q104 pinning discipline)
     val d = pin(dailyIn.select(col("event_type"), col("d"), col("n")))
-    val pairs = d.as("a").join(d.as("b"),
+    // the pair frame is ALSO pinned: it feeds the pair count, the
+    // median's own total and the slope histogram — without the pin the
+    // days²-per-type self-join would execute three times per read
+    val pairs = pin(d.as("a").join(d.as("b"),
         col("a.event_type") === col("b.event_type") && col("b.d") > col("a.d"))
       .select(col("a.event_type").as("event_type"),
         ((col("b.n") - col("a.n")).cast("double") /
-          datediff(col("b.d"), col("a.d")).cast("double")).as("s"))
+          datediff(col("b.d"), col("a.d")).cast("double")).as("s")))
     val tot = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("n_pairs"))
     val med = discMedianByType(pairs, "s", "slope")
     d.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))

@@ -111,8 +111,7 @@ object DriftMonitor {
     * read — folded-but-unswept partitions are invisible the instant the
     * new base commits). */
   private def liveRows(all: DataFrame): DataFrame = {
-    val upto = all.filter(col("batch_id") === -1L)
-      .agg(coalesce(max(col("covered_upto")), lit(0L)).as("_upto"))
+    val upto = StoreRead.coveredUptoFrame(all)
     all.crossJoin(broadcast(upto))
       .filter(col("batch_id") === -1L || col("batch_id") >= col("_upto"))
       .drop("_upto")
@@ -137,8 +136,7 @@ object DriftMonitor {
     // partitions to liveRows (double count on every d-merging read) —
     // fail loudly instead (r16 advisor; read the same way sweepFolded
     // reads it)
-    val current = all.filter(col("batch_id") === -1L)
-      .agg(coalesce(max(col("covered_upto")), lit(0L))).collect()(0).getLong(0)
+    val current = StoreRead.coveredUpto(all)
     require(upToBatch >= current,
       s"s29 foldBase: upToBatch $upToBatch < current covered_upto $current — " +
         "a regressed watermark re-exposes folded batch partitions")
@@ -176,10 +174,7 @@ object DriftMonitor {
     val dir = new Path(storeDir)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
-    val covered = spark.read.parquet(storeDir)
-      .filter(col("batch_id") === -1L)
-      .agg(coalesce(max(col("covered_upto")), lit(0L)))
-      .collect()(0).getLong(0)
+    val covered = StoreRead.coveredUpto(spark.read.parquet(storeDir))
     fs.listStatus(dir).map(_.getPath).filter { p =>
       p.getName.startsWith("batch_id=") &&
         scala.util.Try(p.getName.stripPrefix("batch_id=").toLong)

@@ -76,8 +76,7 @@ object HeavyHitters {
     * base does NOT already cover. The watermark is joined in as a
     * broadcast single-row aggregate so the whole read stays declarative. */
   private def liveRows(all: DataFrame): DataFrame = {
-    val upto = all.filter(col("batch_id") === -1L)
-      .agg(coalesce(max(col("covered_upto")), lit(0L)).as("_upto"))
+    val upto = StoreRead.coveredUptoFrame(all)
     all.crossJoin(broadcast(upto))
       .filter(col("batch_id") === -1L || col("batch_id") >= col("_upto"))
   }
@@ -118,8 +117,7 @@ object HeavyHitters {
     val all = spark.read.parquet(storeDir)
     // a regressed watermark would re-expose covered-but-unswept batch
     // partitions to liveRows (double count) — fail loudly (r16 advisor)
-    val current = all.filter(col("batch_id") === -1L)
-      .agg(coalesce(max(col("covered_upto")), lit(0L))).collect()(0).getLong(0)
+    val current = StoreRead.coveredUpto(all)
     require(upToBatch >= current,
       s"s16 foldBase: upToBatch $upToBatch < current covered_upto $current — " +
         "a regressed watermark re-exposes folded batch partitions")
@@ -142,10 +140,7 @@ object HeavyHitters {
     val dir = new Path(storeDir)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
-    val covered = spark.read.parquet(storeDir)
-      .filter(col("batch_id") === -1L)
-      .agg(coalesce(max(col("covered_upto")), lit(0L)))
-      .collect()(0).getLong(0)
+    val covered = StoreRead.coveredUpto(spark.read.parquet(storeDir))
     fs.listStatus(dir).map(_.getPath).filter { p =>
       p.getName.startsWith("batch_id=") &&
         scala.util.Try(p.getName.stripPrefix("batch_id=").toLong)

@@ -57,21 +57,32 @@ final class SocketBroker(spark: SparkSession) {
 
   private val acceptor = new Thread(() => {
     var accepting = true
+    var acceptFails = 0L
     while (accepting && !closed) {
       // exception discipline (r16 advisor): stop the loop ONLY when the
       // broker is closed / the server socket is gone; a TRANSIENT accept
       // failure must not silently kill accepting (later readers still
       // need to connect), and fatal VM errors (OutOfMemoryError) must
       // propagate, never be swallowed. A failure while replaying history
-      // to ONE flaky client drops only that client.
+      // to ONE flaky client drops only that client. A PERSISTENT
+      // failure (fd exhaustion) backs off exponentially to 1 s and logs
+      // once per power-of-two attempt, not per iteration; an interrupt
+      // during the backoff stops the loop (the thread was told to die).
       val sock: Socket =
-        try server.accept()
+        try { val s = server.accept(); acceptFails = 0L; s }
         catch {
           case _: java.net.SocketException if closed || server.isClosed =>
             accepting = false; null
+          case _: InterruptedException =>
+            accepting = false; null
           case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[socket-broker:$port] transient accept failure: $e")
-            Thread.sleep(10); null
+            acceptFails += 1
+            if ((acceptFails & (acceptFails - 1)) == 0)
+              System.err.println(
+                s"[socket-broker:$port] transient accept failure #$acceptFails: $e")
+            try Thread.sleep(math.min(1000L, 10L << math.min(7, acceptFails - 1).toInt))
+            catch { case _: InterruptedException => accepting = false }
+            null
         }
       if (sock != null) {
         try {

@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   * path-not-found / schema-inference errors at a panel query. */
 object StoreRead {
 
+  /** The ONE definition of the additive stores' coverage watermark
+    * (s16/s21/s29): the base partition's covered_upto, 0 when no base
+    * exists. Returned as a one-row frame so the watermark read can
+    * broadcast it without a driver round-trip; [[coveredUpto]] is the
+    * collected form the fold guard and the sweep cutoff use. Readers,
+    * guards and sweeps MUST agree on this aggregate — encoding drift
+    * between them silently double-counts or over-deletes. */
+  def coveredUptoFrame(all: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    all.filter(col("batch_id") === -1L)
+      .agg(coalesce(max(col("covered_upto")), lit(0L)).as("_upto"))
+
+  /** [[coveredUptoFrame]] as a driver value. */
+  def coveredUpto(all: org.apache.spark.sql.DataFrame): Long =
+    coveredUptoFrame(all).collect()(0).getLong(0)
+
   /** True iff `dirStr` exists and contains at least one parquet data
     * file (footer), searching recursively through partition dirs.
     * Metadata files (`_SUCCESS`, `.*.crc`, …) do not count. */
