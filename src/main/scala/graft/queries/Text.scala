@@ -699,9 +699,16 @@ object Text {
     * with each per-character term ROUND-6'd before a fold in sorted
     * character order — the transcendental terms are bit-identical on both
     * engines BEFORE any accumulation, so float association cannot drift
-    * the ROUND-4 result. Characters enumerate by POSITION (substr over a
-    * 1..len sequence, identical on both engines) — not regex split, whose
-    * empty-pattern edge semantics differ.
+    * the ROUND-4 result. Characters enumerate via ONE `split(text, '')`
+    * pass per doc (r17): the previous positional form —
+    * `substring(text, i, 1)` over an exploded 1..len sequence — re-seeks
+    * the UTF-8 char boundary from byte 0 on every call, O(len²) byte
+    * scans per document (measured 2.1 s at sf0.1; 0.7 s as the single
+    * left-to-right split). The zero-width-regex edge artifacts (Spark
+    * keeps a trailing "" at limit −1; DuckDB's empty-pattern split has
+    * its own edges) are excluded by the explicit `ch != ''` filter, so
+    * the per-(doc, char) count stream is position-identical to the
+    * substr enumeration — oracle-verified at sf0.001 and sf0.01.
     *
     * Scale posture: one char-stream shuffle to per-(doc, char) counts
     * (map-side combined — the alphabet is tiny, so partial aggregation
@@ -710,10 +717,9 @@ object Text {
     * windows. */
   def q82(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = docs(spark, sfDir)
-      .filter(length(col("text")) > 0) // sequence(1,0) descends in Spark but is empty in DuckDB
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+      .filter(length(col("text")) > 0) // empty docs contribute no rows on either engine
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
       .groupBy(col("doc_id"), col("ch"))
       .agg(count(lit(1)).as("c"))
     val entropy = round(

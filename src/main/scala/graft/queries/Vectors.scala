@@ -94,7 +94,15 @@ object Vectors {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("cvec"))
 
-  /** Per-(vector, cell) similarity frame against a broadcast codebook.
+  /** Per-(vector, cell) similarity frame against a broadcast codebook —
+    * THIN: (vec_id, cell, csim) only, never the embedding (r17). The
+    * N·ncells similarity stream used to carry the 64-double embedding
+    * into the argmax window's map-side sort, shuffle, and (on the kNN
+    * paths) a localCheckpoint — ~25× the bytes of the scalars actually
+    * being ranked, on rows about to be filtered to one (or NProbe) per
+    * vector (guide §2.3 "project before the exchange"). Consumers that
+    * need the embedding join it back on vec_id AFTER the rank filter
+    * ([[assign]]), moving each surviving embedding exactly once.
     * Fold parity with DuckDB's list_reduce is load-bearing (comparisons
     * happen BEFORE any rounding); the native codegen'd CosineSimilarity
     * honors it — one sequential left-to-right pass, bit-identical to the
@@ -104,25 +112,33 @@ object Vectors {
     * Map-side (broadcast join, no shuffle). */
   private[graft] def cellSims(emb: DataFrame, cells: DataFrame): DataFrame =
     emb.join(broadcast(cells))
-      .select(col("vec_id"), col("embedding"), col("cell"),
+      .select(col("vec_id"), col("cell"),
         cosine(col("embedding"), col("cvec")).as("csim"))
 
   /** THE nearest-cell tie-break (csim desc, cell asc), defined once —
     * training assignment, probe assignment, and the oracle's row_number
     * ORDER BY all mirror this single definition. One row_number shuffle
-    * on vec_id. */
+    * on vec_id — thin rows only (see [[cellSims]]); Spark 4's
+    * WindowGroupLimit pushdown reduces the map side to one candidate per
+    * (vector, partition) before the exchange. Returns (vec_id, cell). */
   private[graft] def argmaxCell(sims: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
     sims
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("cell"))
   }
 
-  /** Nearest-centroid assignment = [[cellSims]] + [[argmaxCell]]. */
+  /** Nearest-centroid assignment = [[cellSims]] + [[argmaxCell]] + the
+    * embedding joined back on vec_id (one row per vector on both sides).
+    * Local mode broadcasts/AQE-coalesces the narrow (vec_id, cell) side;
+    * at corpus scale this is one shuffle of each surviving embedding —
+    * strictly less than the ncells copies the fat window shuffled. */
   private[graft] def assign(emb: DataFrame, cells: DataFrame): DataFrame =
-    argmaxCell(cellSims(emb, cells))
+    emb.select(col("vec_id"), col("embedding"))
+      .join(argmaxCell(cellSims(emb, cells)), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
 
   /** IVF coarse-quantizer training: centroids seeded from the label
     * partition, then LloydRounds × (assign to nearest centroid →
@@ -130,7 +146,13 @@ object Vectors {
     * one mergeable aggregation — the q57 iteration pattern, with
     * `localCheckpoint(true)` truncating the tiny (cells × dim) component
     * frame between rounds so round k's plan does not replay rounds
-    * 1..k-1. Empty cells drop out identically on both engines. */
+    * 1..k-1. Empty cells drop out identically on both engines.
+    * (r17 A/B: a fully LAZY chain — legal here because each round is
+    * referenced exactly once, so the unrolled plan is linear in
+    * LloydRounds — measured NEUTRAL-to-worse at sf0.1 (q55 1.02→1.26 s,
+    * q95 2.51→3.03 s warm2): the nested broadcast builds serialize
+    * anyway and the deeper tree re-analyzes per consumer. Kept
+    * checkpointed.) */
   private[graft] def trainedComponents(emb: DataFrame): DataFrame = {
     var comps = centroidComponents(emb.select(col("label").as("cell"), col("embedding")))
     for (_ <- 1 to LloydRounds)
@@ -178,7 +200,10 @@ object Vectors {
     val emb = Tables.embeddings(spark, sfDir)
     val cells = codebook(trainedComponents(emb))
     val sims = cellSims(emb, cells)
+    // join-back of the embedding onto the one surviving (vec_id, cell)
+    // row per vector — the argmax ranks THIN rows (see cellSims r17)
     val assigned = argmaxCell(sims)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val qcells = sims.filter(col("vec_id") === 0)
       .orderBy(col("csim").desc, col("cell")).limit(NProbe)
       .select(col("cell"))
@@ -510,7 +535,10 @@ object Vectors {
     // eager pin: `assigned` and `probes` both derive from this frame and
     // meet again in the probe join (q104 shape; r9 pinning sweep)
     val sims = cellSims(emb, cells).localCheckpoint(true)
+    // join-back of the embedding onto the one surviving (vec_id, cell)
+    // row per vector — the argmax ranks THIN rows (see cellSims r17)
     val assigned = argmaxCell(sims)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
     // rank cells on the NARROW (vec_id, cell, csim) frame — carrying the
@@ -595,7 +623,10 @@ object Vectors {
     val emb = Tables.embeddings(spark, sfDir)
     val cells = codebook(trainedComponents(emb))
     val sims = cellSims(emb, cells).localCheckpoint(true)
+    // join-back of the embedding onto the one surviving (vec_id, cell)
+    // row per vector — the argmax ranks THIN rows (see cellSims r17)
     val assigned = argmaxCell(sims)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
     // queryFilter (q186): restrict WHICH vectors act as queries before
@@ -761,7 +792,10 @@ object Vectors {
     val emb = Tables.embeddings(spark, sfDir)
     val cells = codebook(trainedComponents(emb))
     val sims = cellSims(emb, cells).localCheckpoint(true)
+    // join-back of the embedding onto the one surviving (vec_id, cell)
+    // row per vector — the argmax ranks THIN rows (see cellSims r17)
     val assigned = argmaxCell(sims)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
     val probes = sims
@@ -825,7 +859,10 @@ object Vectors {
     // same pin discipline as ivfKnn: `assigned` and `probes` both derive
     // from this frame and meet again in the probe join
     val sims = cellSims(emb, cells).localCheckpoint(true)
+    // join-back of the embedding onto the one surviving (vec_id, cell)
+    // row per vector — the argmax ranks THIN rows (see cellSims r17)
     val assigned = argmaxCell(sims)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
     val probes = sims
