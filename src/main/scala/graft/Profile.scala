@@ -26,6 +26,12 @@ object Profile {
     // turns off, to measure its effect on a specific query/scale
     sys.env.get("SPARK_GRAFT_BLOOM").foreach(v =>
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v))
+    // builder A/B knobs (r17): adaptive execution + shuffle width, to
+    // measure AQE's per-stage barrier cost on the eager fixpoint loops
+    sys.env.get("SPARK_GRAFT_ADAPTIVE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v))
+    sys.env.get("SPARK_GRAFT_SHUFFLE").foreach(v =>
+      spark.conf.set("spark.sql.shuffle.partitions", v))
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").count()
     args.foreach { name =>
