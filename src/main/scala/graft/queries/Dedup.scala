@@ -347,6 +347,12 @@ object Dedup {
         .select(col("v").as("node"), col("label"))
         .union(base)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // (r17 A/B: fusing the round's two driver jobs — pinIter + the
+      // labelSum — into persist() + sum-as-blocking-fill measured WORSE,
+      // not better: q57 1.79→2.43 s, q66 1.87→2.32 s, q104 4.07→8.67 s
+      // warm2; the un-truncated lineage re-analyzes and the cache scan
+      // loses to the checkpoint block read. Checkpoint form kept —
+      // consistent with the r10 verdict's checkpoint-vs-cache numbers.)
       val next = graft.ops.Dsl.pinIter(prop)
       val cur = labelSum(next)
       done = cur.compareTo(prev) == 0
