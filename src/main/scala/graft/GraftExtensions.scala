@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductFold, DotProductInt, FreqSketch, MinHashSig, SimHashSig}
+import graft.functions.{ChunkGenerator, CosineSimilarity, DotProductFold, DotProductInt, FreqSketch, MinHashSig, SimHashSig, SortedIntersectCount}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions`: registers the native
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.simhashSig)
     ext.injectFunction(GraftExtensions.freqSketch)
+    ext.injectFunction(GraftExtensions.sortedIntersectCount)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
@@ -105,6 +106,16 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Expression
     })
 
+  /** sorted_intersect_count(a, b) — merge-count of two sorted
+    * duplicate-free long arrays (the exact near-dup verification kernel). */
+  private val sortedIntersectCount = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "sorted_intersect_count takes exactly 2 arguments")
+      SortedIntersectCount(children.head, children(1)): org.apache.spark.sql.catalyst.expressions.Expression
+    })
+
   /** Imperative registration into an already-built session (the config
     * route only applies to sessions created with
     * `spark.sql.extensions=graft.GraftExtensions`). Also installs the
@@ -125,6 +136,8 @@ object GraftExtensions {
       simhashSig._1, simhashSig._2, simhashSig._3)
     spark.sessionState.functionRegistry.registerFunction(
       freqSketch._1, freqSketch._2, freqSketch._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      sortedIntersectCount._1, sortedIntersectCount._2, sortedIntersectCount._3)
     graft.ops.AsOf.install(spark)
   }
 }

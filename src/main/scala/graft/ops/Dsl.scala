@@ -154,6 +154,18 @@ object Dsl {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** |A∩B| of two SORTED duplicate-free long-array columns: the native
+    * codegen'd merge-count (graft.functions.SortedIntersectCount) — no
+    * per-row hash set, no materialized intersection array. Equal to
+    * `size(array_intersect(a, b))` on sorted-set inputs (ExpressionSpec);
+    * callers own the precondition (derive inputs from array_sort over a
+    * distinct stream). The exact near-dup verifiers' kernel (q36/q84/q99). */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.SortedIntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Chunk-flatten a token-array column through the native Catalyst
     * Generator (graft.functions.ChunkGenerator) — one output row per
     * chunk: (chunk_idx, start_tok, n_chunk_tokens, chunk_text). Alias

@@ -150,37 +150,57 @@ object Text {
     // over-prefix at any other t). Shingles held by a single doc can't
     // match anything — drop them from the join AFTER the prefix is cut.
     val prefixLen = (col("ns") - ceil(col("ns") * t).cast("long") + 1).cast("int")
+    // posexplode, not explode (r18): the shingle's 1-based rank i in the
+    // doc's FULL (df, hm)-sorted array feeds the PPJoin POSITION filter
+    // below. The df ≥ 2 filter moves after the explode (same element set —
+    // a df = 1 shingle exists in exactly one doc and can never produce a
+    // cross-doc match anyway), so ranks stay positions in `arr`.
     val prefix = perDoc
       .select(col("doc_id"), col("ns"),
-        explode(filter(slice(col("arr"), lit(1), prefixLen),
-          e => e.getField("df") >= 2)).as("e"))
-      .select(col("doc_id"), col("e").getField("hm").as("hm"), col("ns"))
+        posexplode(slice(col("arr"), lit(1), prefixLen)).as(Seq("p", "e")))
+      .filter(col("e").getField("df") >= 2)
+      .select(col("doc_id"), col("e").getField("hm").as("hm"), col("ns"),
+        (col("p") + 1).as("i"))
     // Candidate pairs, with the J ≥ t length bound applied IN the join:
     // t·|A| ≤ |B| ≤ |A|/t (both from inter ≤ min and inter ≥ t/(1+t)·(na+nb)),
-    // so size-skewed pairs never even reach the distinct.
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("hm"), col("ns").as("na"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("hm"), col("ns").as("nb")),
+    // so size-skewed pairs never even reach the distinct — plus the PPJoin
+    // POSITION filter (r18, Xiao et al. WWW'08): a match on ranks (i, j)
+    // bounds the overlap at 1 + min(na − i, nb − j) (everything ranked
+    // before the SMALLEST shared shingle is unshared on at least one
+    // side), so rows where that bound misses α = ⌈t/(1+t)·(na+nb)⌉ —
+    // exact integers for t = 0.5: (na + nb + 2) div 3 — drop BEFORE the
+    // distinct. Completeness: a true pair's smallest shared prefix
+    // shingle always satisfies the bound, and any one surviving row keeps
+    // the pair (measured at sf0.1: 309,983 → 124,839 distinct candidates).
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("hm"), col("ns").as("na"), col("i").as("ia"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("hm"), col("ns").as("nb"), col("i").as("ib")),
         Seq("hm"))
       .filter(col("doc_a") < col("doc_b") &&
         col("nb").cast("double") >= col("na").cast("double") * t &&
-        col("nb").cast("double") <= col("na").cast("double") / t)
+        col("nb").cast("double") <= col("na").cast("double") / t &&
+        expr("1 + least(na - ia, nb - ib) >= (na + nb + 2) div 3"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     // Exact |A∩B| per candidate via per-doc shingle ARRAYS — one row per
-    // candidate, O(|A|+|B|) work in array_intersect, no join fan-out. (The
+    // candidate, no join fan-out. (The
     // r3 first cut joined each candidate back to the shingle stream twice:
     // candidates × |A| ≈ 21M intermediate rows at sf0.1, 12.5 s warm. This
     // form is one small distinct + two hash joins on doc_id.) The set is
     // the hm projection of the SAME cached per-doc array — no extra
-    // full-stream aggregate.
+    // full-stream aggregate — RE-SORTED by hm (the struct array is in
+    // global (df, hm) order) so the count is the allocation-free native
+    // merge (sortedIntersectCount, r18) instead of array_intersect's
+    // per-candidate hash set + materialized intersection that only fed
+    // size(); the sort runs once per DOC (5k rows at sf0.1), the merge
+    // once per CANDIDATE (310k rows) — guide §1.2 per-task work.
     val docSets = perDoc.select(col("doc_id"),
-      transform(col("arr"), e => e.getField("hm")).as("set"), col("ns"))
+      array_sort(transform(col("arr"), e => e.getField("hm"))).as("set"), col("ns"))
     val jac = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")
     cand
       .join(docSets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("ns").as("na")), Seq("doc_a"))
       .join(docSets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("ns").as("nb")), Seq("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_inter", graft.ops.Dsl.sortedIntersectCount(col("set_a"), col("set_b")))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), jac.as("jaccard"))
       .filter(jac >= lit(t))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -966,21 +986,25 @@ object Text {
     * Index volume is now ≤ maxDf rows per distinct shingle (the df = 10⁷
     * boilerplate row set drops out entirely), so candidate join fan-out
     * per probe shingle is bounded by the constant cap. Verification
-    * reuses the cached per-doc arrays: one array_intersect over the FULL
-    * sets per surviving candidate (n_inter counts boilerplate too — only
-    * candidate generation is capped), and the threshold filter is the
-    * exact integer 5·|A∩B| ≥ 4·|A|. */
+    * reuses the cached per-doc arrays: one native sorted merge count over
+    * the FULL sets per surviving candidate (n_inter counts boilerplate
+    * too — only candidate generation is capped), and the threshold filter
+    * is the exact integer 5·|A∩B| ≥ 4·|A|. */
   private[graft] def containmentPairs(documents: DataFrame, maxDf: Long): DataFrame = {
     import graft.ops.Dsl.ratio4
     val (perDoc, cand) = containmentCandidates(documents, maxDf)
+    // hm-sorted set projection + native merge count, as in q36 (r18): the
+    // containment shape is the length-skewed one (small doc in large doc),
+    // where the merge's galloping pointer replaces array_intersect's
+    // O(|large|) hash-set build per candidate.
     val sets = perDoc.select(col("doc_id"),
-      transform(col("arr"), e => e.getField("hm")).as("set"), col("ns"))
+      array_sort(transform(col("arr"), e => e.getField("hm"))).as("set"), col("ns"))
     cand
       .join(sets.select(col("doc_id").as("doc_s"), col("set").as("set_s"), col("ns").as("n_s")), Seq("doc_s"))
       .join(sets.select(col("doc_id").as("doc_l"), col("set").as("set_l"), col("ns").as("n_l")), Seq("doc_l"))
       .filter(col("n_s") < col("n_l") ||
         (col("n_s") === col("n_l") && col("doc_s") < col("doc_l")))
-      .withColumn("n_inter", size(array_intersect(col("set_s"), col("set_l"))).cast("long"))
+      .withColumn("n_inter", graft.ops.Dsl.sortedIntersectCount(col("set_s"), col("set_l")))
       .filter(col("n_inter") * ContainmentDen >= col("n_s") * ContainmentNum)
       .select(col("doc_s"), col("doc_l"), col("n_s"), col("n_l"), col("n_inter"),
         ratio4(col("n_inter"), col("n_s")).as("containment"),

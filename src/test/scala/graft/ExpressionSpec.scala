@@ -257,4 +257,75 @@ class ExpressionSpec extends SparkSpec {
       }
     }
   }
+
+  test("sorted_intersect_count == size(array_intersect) on the q36 docSets shape") {
+    // the real producer shape: per-doc DISTINCT hashed shingle sets from
+    // sf0.001, array_sort'd — every (a, b) doc pair compared both ways
+    val perDoc = graft.tables.Tables.documents(spark, sf001)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"toks") - 2),
+          i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
+            element_at($"toks", i + 2)))).as("shingle"))
+      .select($"doc_id", xxhash64($"shingle").as("hm")).distinct()
+      .groupBy($"doc_id").agg(array_sort(collect_set($"hm")).as("set"))
+    val pairs = perDoc.select($"doc_id".as("a"), $"set".as("sa"))
+      .join(perDoc.select($"doc_id".as("b"), $"set".as("sb")), $"a" < $"b")
+      .select(
+        Dsl.sortedIntersectCount($"sa", $"sb").as("native"),
+        size(array_intersect($"sa", $"sb")).cast("long").as("spec"))
+    assert(pairs.filter($"native" =!= $"spec" ||
+      ($"native".isNull =!= $"spec".isNull)).isEmpty)
+    assert(pairs.count() > 100)
+  }
+
+  test("sorted_intersect_count matches size(array_intersect) on random sorted sets (incl. skewed lengths)") {
+    val rnd = new scala.util.Random(18)
+    // skewed sizes exercise the galloping path; values drawn from a small
+    // domain so intersections are non-trivial
+    val rows = (1 to 200).map { i =>
+      val na = 1 + rnd.nextInt(if (i % 3 == 0) 8 else 400)
+      val nb = 1 + rnd.nextInt(if (i % 3 == 0) 400 else 8)
+      val a = Seq.fill(na)(rnd.nextInt(600).toLong).distinct.sorted
+      val b = Seq.fill(nb)(rnd.nextInt(600).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b").select(
+      Dsl.sortedIntersectCount($"a", $"b").as("native"),
+      size(array_intersect($"a", $"b")).cast("long").as("spec"))
+    assert(df.filter($"native" =!= $"spec").isEmpty)
+  }
+
+  test("sorted_intersect_count edge cases and SQL registration") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,4L)) AS c1,
+        |       sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS c2,
+        |       sorted_intersect_count(array(1L,2L), array(3L,4L)) AS c3,
+        |       sorted_intersect_count(array(1L,2L,3L), array(1L,2L,3L)) AS c4,
+        |       sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS c5,
+        |       sorted_intersect_count(array(1L, NULL), array(2L, NULL)) AS c6,
+        |       sorted_intersect_count(array(1L, NULL), array(1L, 2L)) AS c7""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == 0L)
+    assert(r.getLong(3) == 3L)
+    assert(r.isNullAt(4))
+    // shared null counts once (array_intersect semantics on sorted sets)
+    assert(r.getLong(5) == 1L)
+    assert(r.getLong(6) == 1L)
+    // interpreted path (nullSafeEval) agrees with codegen on the same rows
+    import graft.functions.SortedIntersectCount
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def ad(xs: Seq[java.lang.Long]): ArrayData =
+      ArrayData.toArrayData(xs.toArray)
+    assert(SortedIntersectCount.count(ad(Seq(1L, 2L, 3L)), ad(Seq(2L, 3L, 4L))) == 2L)
+    assert(SortedIntersectCount.count(ad(Seq.empty), ad(Seq(1L))) == 0L)
+    val big = ad((0L until 1000L by 2).map(java.lang.Long.valueOf))
+    val small = ad(Seq(500L, 501L, 998L).map(java.lang.Long.valueOf))
+    assert(SortedIntersectCount.count(small, big) == 2L)
+    assert(SortedIntersectCount.count(big, small) == 2L)
+  }
 }
