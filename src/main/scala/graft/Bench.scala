@@ -49,6 +49,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+  /** Core-SCALED sentinel (r18, verdict item 2): the fixed probe above is
+    * too small to be core-bound — ~0.07 s at 32 cores is mostly per-job
+    * latency, so an 8-core board reads ≈ the 32-core value (r17: 0.069 vs
+    * 0.074 s) and the driver's scaling probe cannot distinguish an
+    * honored SPARK_GRAFT_CPUS from an ignored one (PERF_r17
+    * `suspect_cpus_ignored`). This probe is FIXED total work (1024M rows,
+    * deliberately NOT scaled with cpus — scaling the work with the cores
+    * would pin the ratio at ≈1 and measure nothing) over 2·cpus slices,
+    * with a ×4-nested xxhash64 per row so per-row compute dominates
+    * per-task overhead. Calibration on this box (r18 probes, 1024M rows):
+    * single xxhash64 reads 0.45 s @8c vs 0.28 s @32c (ratio 1.6 — still
+    * overhead-bound), the nested kernel 1.50 vs 0.61 (ratio ≈2.5); a raw
+    * 32-thread JVM hash loop tops out at 2.4–3.3× over 8 threads (the
+    * package throttles under full load), so ≈2.5 IS full scaling here —
+    * an ignored core count would read ≈1.0, honored ≥ ~2. Kept SEPARATE
+    * from the fixed sentinel (byte-identical across rounds for drift
+    * comparison); both run outside every query timer. */
+  val ScaledSentinelRows = 1024000000L
+  val ScaledSentinelK = 3
+  def scaledSentinelRuns(spark: SparkSession, cpus: Int, k: Int = ScaledSentinelK): Seq[Double] =
+    (1 to k).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, ScaledSentinelRows, 1L, 2 * cpus)
+        .selectExpr("bit_xor(xxhash64(xxhash64(xxhash64(xxhash64(id))))) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -85,6 +112,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").count() // JIT/codegen warmup outside any timer
     val sentStart = sentinelRuns(spark)
+    val sentScaledStart = scaledSentinelRuns(spark, cpus.toInt)
 
     val ordered = SparkEntry.queries.toSeq
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -156,11 +184,14 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, (m, _)) if m >= 0 => m }.sum
     val sentEnd = sentinelRuns(spark)
+    val sentScaledEnd = scaledSentinelRuns(spark, cpus.toInt)
     def jarr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
     val sentMin = (sentStart ++ sentEnd).min
+    val sentScaledMin = (sentScaledStart ++ sentScaledEnd).min
     val detail = (results.map { case (k, (mn, mean)) =>
       s"""{"name":"$k","min_sec":${fmt(mn)},"mean_sec":${fmt(mean)}}""" } :+
-      s"""{"name":"_sentinel","min_sec":${fmt(sentMin)},"start":${jarr(sentStart)},"end":${jarr(sentEnd)}}""")
+      s"""{"name":"_sentinel","min_sec":${fmt(sentMin)},"start":${jarr(sentStart)},"end":${jarr(sentEnd)}}""" :+
+      s"""{"name":"_sentinel_scaled","min_sec":${fmt(sentScaledMin)},"start":${jarr(sentScaledStart)},"end":${jarr(sentScaledEnd)}}""")
       .mkString("[\n", ",\n", "\n]")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -178,7 +209,13 @@ object Bench {
     // stdout, and at 188 queries the line head (metric/value) is already
     // cut — so the headline total and the drift sentinel ride at the END
     // of the line where the tail window preserves them.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(_._1)},"errors":$errors,"foreign_jvms":${foreignSeen.size},"foreign_appeared":${appeared.size},"sf":"$sfDir","total_sec":${fmt(total)},"sentinel":{"start":${jarr(sentStart)},"end":${jarr(sentEnd)},"min":${fmt(sentMin)}}}""")
+    // parallelism + master are read FROM THE LIVE CONTEXT, not the env:
+    // they prove inside the artifact that SPARK_GRAFT_CPUS reached the
+    // master string (PERF_r17 scaling.suspect_cpus_ignored — the env was
+    // honored but nothing in the JSON could show it); sentinel_scaled is
+    // the core-bound probe whose 8-vs-32-core ratio ≈4 makes an honored
+    // core count measurable (see scaledSentinelRuns).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(_._1)},"errors":$errors,"foreign_jvms":${foreignSeen.size},"foreign_appeared":${appeared.size},"sf":"$sfDir","parallelism":${spark.sparkContext.defaultParallelism},"master":"${spark.sparkContext.master}","total_sec":${fmt(total)},"sentinel":{"start":${jarr(sentStart)},"end":${jarr(sentEnd)},"min":${fmt(sentMin)}},"sentinel_scaled":{"rows":$ScaledSentinelRows,"start":${jarr(sentScaledStart)},"end":${jarr(sentScaledEnd)},"min":${fmt(sentScaledMin)}}}""")
     spark.stop()
   }
 }

@@ -44,6 +44,16 @@ case class MinHashSig(
   private val k = a.length
   require(b.length == k, "coefficient tables must align")
 
+  // Hot-path coefficient tables as primitive arrays (r18, guide §1.2 "make
+  // the code inside each stage fast"): the Seq[Long] constructor params are
+  // Vectors — boxed elements behind an effectively-constant-but-slow
+  // apply — and update() indexes them 2K times per shingle ROW (K = 64:
+  // ~33M boxed lookups per sf0.1 signature build). Primitive arrays make
+  // the K-loop all-unboxed; transient+lazy so the expression still
+  // serializes through the Seq params untouched (bit-identical arithmetic).
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -54,9 +64,11 @@ case class MinHashSig(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      val as = aArr
+      val bs = bArr
       var i = 0
       while (i < k) {
-        val h = (a(i) * x + b(i)) % p
+        val h = (as(i) * x + bs(i)) % p
         if (h < buf(i)) buf(i) = h
         i += 1
       }

@@ -353,6 +353,14 @@ object Dedup {
       // warm2; the un-truncated lineage re-analyzes and the cache scan
       // loses to the checkpoint block read. Checkpoint form kept —
       // consistent with the r10 verdict's checkpoint-vs-cache numbers.)
+      // (r18 A/B: TWO hops per materialization — hop(hop(labels)) with
+      // iter += 2, semantically exact since labels decrease monotonically
+      // so sum(hop²(L)) = sum(L) forces the fixpoint — measured a WASH in
+      // interleaved A/B/A/B runs: q57 2.60/2.71 vs 2.36/2.70 warm2 (worse),
+      // q104 3.25/3.18 vs 3.14/3.08 (wash), q100 2.14/2.24 vs 2.62/2.62
+      // (better). Post-contraction graphs converge in ~3 hops, so the
+      // doubled round only trades one checkpoint+sum job pair for a
+      // twice-deep analyzed tree; single hop kept.)
       val next = graft.ops.Dsl.pinIter(prop)
       val cur = labelSum(next)
       done = cur.compareTo(prev) == 0
