@@ -1133,22 +1133,34 @@ object Vectors {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         e => e.getField("c")).as("cvec"))
 
-  /** Nearest-subcentroid assignment per (vec_id, s): broadcast codebook
-    * join, then MIN_BY over the struct(d2, cell) ordering key —
-    * lexicographic, so the tie-break is (d2 asc, cell asc) inside a
-    * mergeable map-side aggregate instead of a corpus-scale window sort;
-    * the sub-vector rides along in the value struct so the training loop
-    * never joins back against the corpus. The ordering key is unique per
-    * group (cell is in it), so MIN_BY is deterministic. */
-  private[graft] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.join(broadcast(cb), Seq("s"))
+  /** Nearest-subcentroid assignment per (vec_id, s): the whole subspace
+    * codebook (PqCells rows) broadcasts as ONE array column per s, and
+    * the argmin is a row-local array_min over struct(d2, cell) —
+    * lexicographic, so the tie-break is exactly the former
+    * MIN_BY-over-struct(d2, cell): (d2 asc, cell asc). r18 rewrite
+    * (guide §2.4 remove shuffles outright): the min_by form exploded the
+    * corpus 16× through a broadcast join and then aggregated it back —
+    * and min_by over struct-typed buffers plans as SortAggregate, i.e.
+    * TWO corpus-scale sorts and an Exchange per Lloyd round (the q112
+    * before-plan's ops (12)–(16)). This form is one 8-row broadcast join
+    * plus a projection: zero exchanges, zero sorts, no row blowup, and
+    * the sub-vector stays on its own row instead of riding through an
+    * aggregate buffer. Distances and the (d2 asc, cell asc) order are
+    * computed by the same subDist fold on the same doubles, so the
+    * chosen cell is bit-identical. */
+  private[graft] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    // canonical (cell asc) candidate order — array_min doesn't need it,
+    // but it keeps the broadcast payload deterministic
+    val cbArr = cb.groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cvec")))).as("cands"))
+    sub.join(broadcast(cbArr), Seq("s"))
+      .select(col("vec_id"), col("s"), col("sv"),
+        array_min(transform(col("cands"), e =>
+          struct(subDist(col("sv"), e.getField("cvec")).as("d2"),
+            e.getField("cell").as("cell")))).as("m"))
       .select(col("vec_id"), col("s"),
-        struct(col("cell").as("cell"), col("sv").as("sv")).as("cs"),
-        struct(subDist(col("sv"), col("cvec")).as("d2"), col("cell").as("cell")).as("dc"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min_by(col("cs"), col("dc")).as("m"))
-      .select(col("vec_id"), col("s"),
-        col("m").getField("cell").as("cell"), col("m").getField("sv").as("sv"))
+        col("m").getField("cell").as("cell"), col("sv"))
+  }
 
   /** Per-subspace Lloyd training: vec_id-mod-k seeding, then LloydRounds
     * × (assign → recompute), lineage-truncated per round (q55's loop on
