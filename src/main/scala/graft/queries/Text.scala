@@ -1257,7 +1257,16 @@ object Text {
         e => e.getField("c")), lit(0.0), (acc, v) => acc + v).as("sum_c"))
       .select(col("dst").as("v"),
         round(lit(1.0 - TextRankDamping) + lit(TextRankDamping) * col("sum_c"), 6).as("r"))
-      .localCheckpoint(true)
+      // LAZY checkpoint (r18): the rank state is single-consumer — q93's
+      // next round joins it exactly once (e2, the two-consumer frame,
+      // keeps its EAGER pin above), and textRankConverged's delta probe
+      // materializes it before the next round reads it — so q93's ten
+      // per-round materialization jobs collapse into the query's one
+      // action while the logical plan still truncates per round
+      // (LogicalRDD). Same single-consumer-chain argument as the BPE
+      // learner; the r9 under-match hazard needs a first materialization
+      // racing on two branches of one job.
+      .localCheckpoint(false)
   }
 
   private def textRankTopKOf(r: DataFrame): DataFrame =

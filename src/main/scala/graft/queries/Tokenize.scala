@@ -69,7 +69,18 @@ object Tokenize {
     * replay the rules without re-deriving them from the output frame. */
   private[graft] def learnMergeRules(vocab: DataFrame,
       merges: Int): Seq[(Int, String, String, String, Long)] = {
-    var v = vocab.localCheckpoint(true)
+    // LAZY localCheckpoint (r18, guide §5 driver-job latency): each
+    // round's vocab state has a SINGLE consumer chain — the round's
+    // pair-count collect runs first and materializes the checkpoint as a
+    // side effect, then the (lazy) rewrite for the next round reads the
+    // already-cached blocks — so the eager form's dedicated
+    // materialization job per round (2 driver jobs/round -> 1) bought
+    // nothing, and the LAST round's rewrite never materializes at all.
+    // The logical plan still truncates per round (LogicalRDD), which is
+    // what keeps Catalyst analysis O(1) per round; the r9 lazy-cache
+    // under-match hazard needs a first materialization racing on two
+    // branches of one job — here consumers are strictly sequential jobs.
+    var v = vocab.localCheckpoint(false)
     val rules = Seq.newBuilder[(Int, String, String, String, Long)]
     var exhausted = false
     for (r <- 1 to merges if !exhausted) {
@@ -90,7 +101,7 @@ object Tokenize {
         val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         rules += ((r, a, b, a + b, cnt))
         v = v.select(col("freq"), mergePair(col("seq"), a, b).as("seq"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     rules.result()

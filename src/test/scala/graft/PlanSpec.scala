@@ -580,6 +580,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a planted hot basket in q160's pair self-join (r18 verdict item 7)") {
+    // q160's one scale hazard: the basket pair join is an equi-self-join
+    // on o_orderkey whose fan-out is (brands per order)^2 — basket-
+    // bounded, but ONE pathological hot basket (a single order holding
+    // thousands of brands) concentrates its entire quadratic term in one
+    // shuffle partition. The posture relies on AQE's skew repair, not
+    // manual salting, so pin that it actually fires on q160's OWN shape:
+    // plant a 1500-brand basket over a 500-order background, force the
+    // skew thresholds down to test scale, and require the final adaptive
+    // plan to mark the self-join skew=true. (Splitting is legal here
+    // because the downstream aggregate is keyed on (brand_a, brand_b),
+    // not the join key, so no partitioning guarantee is lost.)
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot basket: order 0 holds 1500 distinct parts; background: 500
+      // orders of 3 parts each, part space disjoint from the hot basket's
+      val hot = spark.range(0, 1500)
+        .select(lit(0L).as("l_orderkey"), col("id").as("l_partkey"))
+      val bg = spark.range(0, 1500)
+        .select((col("id") % 500 + 1).as("l_orderkey"), (col("id") + 10000).as("l_partkey"))
+      val li = hot.union(bg)
+      val brands = spark.range(0, 11500)
+        .select(col("id").as("p_partkey"),
+          concat(lit("B"), lpad((col("id") % 2000).cast("string"), 4, "0")).as("p_brand"))
+      val out = graft.queries.Basket.basketPairs(li, brands)
+      assert(out.count() > 0)
+      val finalPlan = out.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split q160's hot-basket self-join:\n${finalPlan.take(2000)}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      SparkEntry.clearGraftCaches(spark)
+    }
+  }
+
   test("output-type law: no query emits a raw DECIMAL output column") {
     // The driver hashes canonicalized cell STRINGS, where DECIMAL(38,0)
     // `123` and BIGINT `123` render differently even when the values are
